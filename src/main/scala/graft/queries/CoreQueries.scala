@@ -1,0 +1,507 @@
+package graft.queries
+
+import graft.Tables._
+import graft.ops.TransitiveClosure
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+import QueryDef.{dsum, dotd}
+
+/** The declared query inventory Q1–Q27 from SURVEY.md §2.4. Each query
+  * generalizes a reference-operator semantic (cited per query) into a
+  * Spark-first DataFrame program with a DuckDB oracle.
+  *
+  * Scale posture: dimension joins are broadcast; wide ops group/shuffle on
+  * their natural keys; window partitions are bounded (per-customer /
+  * per-order / per-user); no driver-side collection anywhere.
+  */
+object CoreQueries {
+
+  val all: Seq[QueryDef] = Seq(
+    // Q1 — scan + project (reference R3 projection, main.py:60-77)
+    QueryDef(
+      "q01_scan_project",
+      (s, d) =>
+        customer(s, d).select("c_custkey", "c_name").orderBy("c_custkey"),
+      Some("SELECT c_custkey, c_name FROM customer ORDER BY c_custkey")),
+
+    // Q2 — filter + conditional projection (R3 optional fields, main.py:64-77)
+    QueryDef(
+      "q02_filter_case",
+      (s, d) =>
+        orders(s, d)
+          .filter(col("o_orderstatus") === "O")
+          .select(
+            col("o_orderkey"),
+            when(col("o_totalprice") > 100000, "big").otherwise("small").as("tag"))
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, CASE WHEN o_totalprice > 100000 THEN 'big' ELSE 'small' END AS tag
+             |FROM orders WHERE o_orderstatus = 'O' ORDER BY o_orderkey""".stripMargin)),
+
+    // Q3 — sanitize scalar (R2, main.py:44-49): strip non-alphanumerics.
+    QueryDef(
+      "q03_sanitize",
+      (s, d) =>
+        part(s, d)
+          .select(
+            col("p_partkey"),
+            regexp_replace(col("p_name"), "[^a-zA-Z0-9 ]", "").as("clean_name"))
+          .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, regexp_replace(p_name, '[^a-zA-Z0-9 ]', '', 'g') AS clean_name
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // Q4 — star-schema equi join; dims broadcast (R7 dict join, main.py:351)
+    QueryDef(
+      "q04_join_star",
+      (s, d) =>
+        customer(s, d)
+          .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+          .select("c_custkey", "c_name", "n_name", "r_name")
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name, n_name, r_name
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey ORDER BY c_custkey""".stripMargin)),
+
+    // Q5 — left join + miss side-output (R7 miss path, main.py:354-355)
+    QueryDef(
+      "q05_left_join_orphans",
+      (s, d) =>
+        orders(s, d)
+          .join(customer(s, d), col("o_custkey") === col("c_custkey"), "left")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            count(when(col("c_custkey").isNull, 1)).as("n_orphans")),
+      Some("""SELECT count(*) AS n_orders, count(CASE WHEN c_custkey IS NULL THEN 1 END) AS n_orphans
+             |FROM orders LEFT JOIN customer ON o_custkey = c_custkey""".stripMargin)),
+
+    // Q6 — semi/anti join (R9 contains-semi-join, main.py:390-397)
+    QueryDef(
+      "q06_semi_anti",
+      (s, d) => {
+        val li = lineitem(s, d).select(col("l_suppkey"))
+        val sup = supplier(s, d)
+        val semi = sup
+          .join(li, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select(col("s_suppkey"), lit("semi").as("side"))
+        val anti = sup
+          .join(li, col("s_suppkey") === col("l_suppkey"), "left_anti")
+          .select(col("s_suppkey"), lit("anti").as("side"))
+        semi.unionByName(anti).orderBy("side", "s_suppkey")
+      },
+      Some("""SELECT s_suppkey, 'semi' AS side FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem)
+             |UNION ALL
+             |SELECT s_suppkey, 'anti' AS side FROM supplier WHERE s_suppkey NOT IN (SELECT l_suppkey FROM lineitem)
+             |ORDER BY side, s_suppkey""".stripMargin)),
+
+    // Q7 — hash aggregate, partial+final (TPC-H Q1 shape)
+    QueryDef(
+      "q07_agg",
+      (s, d) =>
+        lineitem(s, d)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            count(lit(1)).as("n"),
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_price"))
+          .withColumn("avg_price", round(col("sum_price") / col("n"), 6))
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+             |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+             |round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_price
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // Q8 — distinct aggregate (R8 set-dedup, main.py:378-382)
+    QueryDef(
+      "q08_distinct_agg",
+      (s, d) =>
+        orders(s, d)
+          .groupBy("o_custkey")
+          .agg(countDistinct(col("o_orderpriority")).as("n_prio"))
+          .orderBy("o_custkey"),
+      Some("""SELECT o_custkey, count(DISTINCT o_orderpriority) AS n_prio
+             |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
+    // Q9 — rollup over a broadcast star join
+    QueryDef(
+      "q09_rollup",
+      (s, d) =>
+        orders(s, d)
+          .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .select("n_name", "o_orderpriority")
+          // expr() not col(): rollup's Expand duplicates the grouping attrs
+          // and dataset-tagged columns trip DetectAmbiguousSelfJoin.
+          .rollup(expr("n_name"), expr("o_orderpriority"))
+          .agg(count(lit(1)).as("n"))
+          .toDF("nation", "prio", "n") // positional rename: rollup's Expand
+          .na.fill("(all)", Seq("nation", "prio")) // duplicates attrs, so by-name refs are ambiguous
+          .orderBy("nation", "prio"),
+      Some("""SELECT coalesce(n_name, '(all)') AS nation, coalesce(o_orderpriority, '(all)') AS prio, count(*) AS n
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY ROLLUP(n_name, o_orderpriority) ORDER BY nation, prio""".stripMargin)),
+
+    // Q10 — first-writer-wins dedup via ranking window (R3 name-dedup, main.py:62)
+    QueryDef(
+      "q10_first_per_group",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("o_custkey", "o_orderkey", "o_orderdate")
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate FROM (
+             |SELECT o_custkey, o_orderkey, o_orderdate,
+             |row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+             |FROM orders) t WHERE rn = 1 ORDER BY o_custkey""".stripMargin)),
+
+    // Q11 — analytic window with running frame (exact decimal running sum)
+    QueryDef(
+      "q11_running_sum",
+      (s, d) => {
+        // (l_orderkey, l_linenumber) is NOT unique in the fixture data —
+        // the frame order needs a full tiebreak or prefix sums are
+        // engine-dependent.
+        val w = Window
+          .partitionBy("l_orderkey")
+          .orderBy("l_linenumber", "l_extendedprice", "l_partkey", "l_suppkey", "l_quantity")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        lineitem(s, d)
+          .select(
+            col("l_orderkey"),
+            col("l_linenumber").cast(LongType).as("l_linenumber"),
+            sum(col("l_extendedprice").cast("decimal(18,4)"))
+              .over(w)
+              .cast(DoubleType)
+              .as("run_rev"))
+          .orderBy("l_orderkey", "l_linenumber", "run_rev")
+      },
+      Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+             |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) OVER (
+             |  PARTITION BY l_orderkey
+             |  ORDER BY l_linenumber, l_extendedprice, l_partkey, l_suppkey, l_quantity
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_rev
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber, run_rev""".stripMargin)),
+
+    // Q12 — as-of join: latest order at-or-before each event. Implemented the
+    // scalable way: union both sides on (user, time), one shuffle, then a
+    // running last_value — no row-multiplying join, survives 100× scale.
+    QueryDef(
+      "q12_asof_join",
+      (s, d) => {
+        val ev = events(s, d).select(
+          col("user_id").as("uid"),
+          col("ts").as("t"),
+          lit(1).as("is_event"),
+          col("event_id"),
+          lit(null).cast(LongType).as("ok"),
+          lit(null).cast("timestamp").as("od"))
+        val or = orders(s, d).select(
+          col("o_custkey").as("uid"),
+          col("o_orderdate").as("t"),
+          lit(0).as("is_event"),
+          lit(null).cast(LongType).as("event_id"),
+          col("o_orderkey").as("ok"),
+          col("o_orderdate").as("od"))
+        val w = Window
+          .partitionBy("uid")
+          .orderBy(col("t"), col("is_event"), col("ok").asc_nulls_first)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        or.unionByName(ev)
+          .withColumn("last_orderkey", last(col("ok"), ignoreNulls = true).over(w))
+          .withColumn("last_orderdate", last(col("od"), ignoreNulls = true).over(w))
+          .filter(col("is_event") === 1 && col("last_orderkey").isNotNull)
+          .select(col("event_id"), col("uid").as("user_id"), col("last_orderkey"), col("last_orderdate"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, last_orderkey, last_orderdate FROM (
+             |SELECT e.event_id, e.user_id, o.o_orderkey AS last_orderkey, o.o_orderdate AS last_orderdate,
+             |row_number() OVER (PARTITION BY e.event_id ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+             |FROM events e JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) t
+             |WHERE rn = 1 ORDER BY event_id""".stripMargin)),
+
+    // Q13 — top-k per group via dense_rank
+    QueryDef(
+      "q13_topk_per_group",
+      (s, d) => {
+        val w = Window.partitionBy("l_suppkey").orderBy(col("l_extendedprice").desc)
+        lineitem(s, d)
+          .withColumn("rk", dense_rank().over(w).cast(LongType))
+          .filter(col("rk") <= 3)
+          .select("l_suppkey", "l_partkey", "l_extendedprice", "rk")
+          .orderBy(col("l_suppkey"), col("rk"), col("l_partkey"))
+      },
+      Some("""SELECT l_suppkey, l_partkey, l_extendedprice, rk FROM (
+             |SELECT l_suppkey, l_partkey, l_extendedprice,
+             |CAST(dense_rank() OVER (PARTITION BY l_suppkey ORDER BY l_extendedprice DESC) AS BIGINT) AS rk
+             |FROM lineitem) t WHERE rk <= 3 ORDER BY l_suppkey, rk, l_partkey""".stripMargin)),
+
+    // Q14 — union + distinct (duplicate-statement collapse, sheet5 corpus)
+    QueryDef(
+      "q14_union_distinct",
+      (s, d) => {
+        val seg = customer(s, d).select(col("c_mktsegment").as("seg"))
+        seg.unionByName(seg).distinct().orderBy("seg")
+      },
+      Some("""SELECT DISTINCT c_mktsegment AS seg FROM (
+             |SELECT c_mktsegment FROM customer UNION ALL SELECT c_mktsegment FROM customer) t
+             |ORDER BY seg""".stripMargin)),
+
+    // Q15 — intersect / except over nation keys
+    QueryDef(
+      "q15_intersect_except",
+      (s, d) => {
+        val cn = customer(s, d).select(col("c_nationkey").as("k"))
+        val sn = supplier(s, d).select(col("s_nationkey").as("k"))
+        val nat = nation(s, d)
+        val both = cn.intersect(sn)
+          .join(broadcast(nat), col("k") === col("n_nationkey"))
+          .select(col("n_name"), lit("both").as("side"))
+        val custOnly = cn.except(sn)
+          .join(broadcast(nat), col("k") === col("n_nationkey"))
+          .select(col("n_name"), lit("cust_only").as("side"))
+        both.unionByName(custOnly).orderBy("side", "n_name")
+      },
+      Some("""SELECT n_name, 'both' AS side FROM nation WHERE n_nationkey IN
+             |(SELECT c_nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+             |UNION ALL
+             |SELECT n_name, 'cust_only' AS side FROM nation WHERE n_nationkey IN
+             |(SELECT c_nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier)
+             |ORDER BY side, n_name""".stripMargin)),
+
+    // Q16 — string functions (R2/R8, main.py:47,380)
+    QueryDef(
+      "q16_string_fns",
+      (s, d) =>
+        part(s, d)
+          .select(
+            col("p_partkey"),
+            upper(col("p_name")).as("uname"),
+            element_at(split(col("p_type"), " "), 1).as("type_head"),
+            concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+            substring(col("p_name"), 1, 5).as("name5"))
+          .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, upper(p_name) AS uname, str_split(p_type, ' ')[1] AS type_head,
+             |concat_ws('|', p_brand, p_type) AS brand_type, substr(p_name, 1, 5) AS name5
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // Q17 — date functions
+    QueryDef(
+      "q17_date_fns",
+      // TIMESTAMP (not DATE) outputs: DATE surfaces as different logical
+      // types across the two engines' result paths.
+      (s, d) =>
+        orders(s, d)
+          .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+          .agg(count(lit(1)).as("n"), min(date_trunc("day", col("o_orderdate"))).as("first_day"))
+          .orderBy("month"),
+      Some("""SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month, count(*) AS n,
+             |min(CAST(date_trunc('day', o_orderdate) AS TIMESTAMP)) AS first_day
+             |FROM orders GROUP BY 1 ORDER BY month""".stripMargin)),
+
+    // Q18 — math functions + exact revenue aggregate
+    QueryDef(
+      "q18_math_fns",
+      (s, d) =>
+        lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            // Cast at scale 6, never round at 2: products of 2-decimal
+            // factors are exact at 6dp, so the decimal cast recovers the same
+            // value in both engines; round(x, 2) hits half-tie boundaries
+            // where Spark (HALF_UP on shortest repr) and DuckDB (binary)
+            // disagree.
+            dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6)
+              .as("revenue"),
+            dsum(abs(col("l_discount") - 0.05), 6).as("disc_dev"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+             |CAST(sum(CAST(abs(l_discount - 0.05) AS DECIMAL(18,6))) AS DOUBLE) AS disc_dev
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Q19 — array functions (R8 set-dedup shape, main.py:378-382)
+    QueryDef(
+      "q19_array_fns",
+      (s, d) =>
+        part(s, d)
+          .select(
+            col("p_partkey"),
+            array_sort(array_distinct(split(col("p_name"), " "))).as("toks"),
+            size(array_distinct(split(col("p_name"), " "))).cast(LongType).as("n_toks"))
+          .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, list_sort(list_distinct(str_split(p_name, ' '))) AS toks,
+             |len(list_distinct(str_split(p_name, ' '))) AS n_toks
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // Q20 — JSON extraction (main.py:59 json-per-line)
+    QueryDef(
+      "q20_json_fns",
+      (s, d) =>
+        events(s, d)
+          .groupBy((get_json_object(col("props"), "$.k").cast(LongType) % 10).as("k_mod"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .orderBy("k_mod"),
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod, count(*) AS n,
+             |CAST(sum(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin)),
+
+    // Q21 — brute-force cosine top-k over embeddings (north-star extension).
+    // Query side is tiny → broadcast; candidates stream through one pass.
+    QueryDef(
+      "q21_cosine_topk",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val withNorm = e.withColumn("norm", sqrt(dotd(col("embedding"), col("embedding"))))
+        val q = withNorm.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
+        val c = withNorm.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("norm").as("c_norm"))
+        val w = Window.partitionBy("q_id").orderBy(col("cos_raw").desc, col("c_id"))
+        c.join(broadcast(q))
+          .withColumn("cos_raw", dotd(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+          .withColumn("rn", row_number().over(w).cast(LongType))
+          .filter(col("rn") <= 5)
+          .select(col("q_id"), col("c_id"), round(col("cos_raw"), 6).as("cos_sim"), col("rn"))
+          .orderBy("q_id", "rn")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+             |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm FROM embeddings),
+             |q AS (SELECT vec_id AS q_id, emb AS q_emb, norm AS q_norm FROM e WHERE vec_id < 5),
+             |c AS (SELECT vec_id AS c_id, emb AS c_emb, norm AS c_norm FROM e WHERE vec_id >= 5),
+             |x AS (SELECT q_id, c_id, list_dot_product(q_emb, c_emb) / (q_norm * c_norm) AS cos_raw FROM q CROSS JOIN c),
+             |r AS (SELECT q_id, c_id, cos_raw,
+             |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, c_id) AS BIGINT) AS rn FROM x)
+             |SELECT q_id, c_id, round(cos_raw, 6) AS cos_sim, rn FROM r WHERE rn <= 5
+             |ORDER BY q_id, rn""".stripMargin)),
+
+    // Q22 — range-predicate self join: events within 1h after each signup
+    QueryDef(
+      "q22_range_join",
+      (s, d) => {
+        val ev = events(s, d)
+        val sgn = ev.filter(col("event_type") === "signup")
+          .select(col("event_id").as("s_id"), col("user_id").as("s_user"), col("ts").as("s_ts"))
+        val oth = ev.select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+        sgn.join(
+            oth,
+            col("e_user") === col("s_user") &&
+              col("e_ts") > col("s_ts") &&
+              col("e_ts") <= col("s_ts") + expr("INTERVAL 1 HOUR"),
+            "left")
+          .groupBy("s_id")
+          .agg(count(col("e_user")).as("n_follow"))
+          .orderBy("s_id")
+      },
+      Some("""SELECT s.event_id AS s_id, count(e.user_id) AS n_follow
+             |FROM (SELECT * FROM events WHERE event_type = 'signup') s
+             |LEFT JOIN events e ON e.user_id = s.user_id AND e.ts > s.ts AND e.ts <= s.ts + INTERVAL 1 HOUR
+             |GROUP BY s.event_id ORDER BY s_id""".stripMargin)),
+
+    // Q23 — sessionization: >30 min gap splits sessions (streaming analog).
+    // Exact integer-microsecond gap math on both engines.
+    QueryDef(
+      "q23_sessionize",
+      (s, d) => {
+        val wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val wc = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        events(s, d)
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wo))
+          .withColumn(
+            "new_s",
+            when(col("prev_us").isNull || (unix_micros(col("ts")) - col("prev_us")) > 1800000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_id", sum(col("new_s")).over(wc))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""WITH g AS (SELECT user_id, event_id, ts,
+             |  epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+             |FROM events),
+             |m AS (SELECT user_id, event_id, ts,
+             |  CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END AS new_s FROM g),
+             |ses AS (SELECT user_id, ts,
+             |  CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM m)
+             |SELECT user_id, session_id, count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end
+             |FROM ses GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin)),
+
+    // Q24 — tumbling-window aggregate (streaming analog; epoch-aligned hours)
+    QueryDef(
+      "q24_tumbling_window",
+      (s, d) =>
+        events(s, d)
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+          .orderBy("hour", "event_type"),
+      Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS hour, event_type, count(*) AS n,
+             |CAST(sum(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin)),
+
+    // Q25 — token top-N over documents (north-star text analysis)
+    QueryDef(
+      "q25_token_topn",
+      (s, d) =>
+        documents(s, d)
+          .select(explode(filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)).as("tok"))
+          .groupBy("tok")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("tok"))
+          .limit(20),
+      Some("""SELECT tok, count(*) AS n FROM (
+             |SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS tok
+             |FROM documents) t GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin)),
+
+    // Q26 — graph edge dedup + referential integrity (R4/R5, main.py:91,294-299).
+    // Bipartite customer→order graph; nodes restricted to custkey<1000 so the
+    // orphan anti-join path is exercised with a nonzero count.
+    QueryDef(
+      "q26_graph_integrity",
+      (s, d) => {
+        val nodes = customer(s, d).filter(col("c_custkey") < 1000)
+          .select(col("c_custkey"), lit(1).as("present"))
+        orders(s, d)
+          .join(broadcast(nodes), col("o_custkey") === col("c_custkey"), "left")
+          .agg(
+            count(lit(1)).as("n_edges"),
+            countDistinct(col("o_custkey"), col("o_orderkey")).as("n_dedup"),
+            count(when(col("present").isNull, 1)).as("n_orphans"))
+      },
+      Some("""SELECT count(*) AS n_edges, count(DISTINCT (o_custkey, o_orderkey)) AS n_dedup,
+             |count(CASE WHEN o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey < 1000) THEN 1 END) AS n_orphans
+             |FROM orders""".stripMargin)),
+
+    // Q27 — hierarchy transitive closure, depth 2 (PARENT_OF, main.py:91),
+    // via the generic iterative-join expansion in ops.TransitiveClosure.
+    QueryDef(
+      "q27_closure",
+      (s, d) => {
+        val e1 = nation(s, d).select(
+          col("n_nationkey").cast(LongType).as("child_id"),
+          (col("n_regionkey") + 100).cast(LongType).as("parent_id"))
+        val e2 = region(s, d).select(
+          (col("r_regionkey") + 100).cast(LongType).as("child_id"),
+          lit(999L).as("parent_id"))
+        TransitiveClosure
+          .expand(e1.unionByName(e2), maxDepth = 2)
+          .orderBy("child_id", "depth", "ancestor_id")
+      },
+      Some("""WITH edges AS (
+             |SELECT CAST(n_nationkey AS BIGINT) AS child_id, CAST(n_regionkey + 100 AS BIGINT) AS parent_id FROM nation
+             |UNION ALL
+             |SELECT CAST(r_regionkey + 100 AS BIGINT) AS child_id, CAST(999 AS BIGINT) AS parent_id FROM region)
+             |SELECT child_id, parent_id AS ancestor_id, CAST(1 AS BIGINT) AS depth FROM edges
+             |UNION ALL
+             |SELECT e1.child_id, e2.parent_id AS ancestor_id, CAST(2 AS BIGINT) AS depth
+             |FROM edges e1 JOIN edges e2 ON e1.parent_id = e2.child_id
+             |ORDER BY child_id, depth, ancestor_id""".stripMargin))
+  )
+}

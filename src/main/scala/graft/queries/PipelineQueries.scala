@@ -1,0 +1,425 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+import QueryDef.{dsum, dotd}
+
+/** Training-data-pipeline operators (north-star extensions): deduplication
+  * (exact / MinHash+LSH / SimHash / n-gram Jaccard / embedding near-dup),
+  * similarity search (brute-force + IVF), text analysis (lang-ID, quality,
+  * token counting, fingerprinting), and multimodal metadata plumbing.
+  *
+  * Dedup/near-dup queries run over the documents (or embeddings) table
+  * unioned with an id-shifted clone of itself, so every dedup path has
+  * guaranteed positive pairs to find at any scale factor.
+  *
+  * Portability notes: the only hash primitive used is md5 (identical hex in
+  * Spark and DuckDB); MinHash takes the lexicographic min of fixed-width hex
+  * strings, which equals the numeric min.
+  */
+object PipelineQueries {
+
+  /** documents ∪ id-shifted clone — the near-dup test corpus. */
+  private def docCorpus(s: SparkSession, d: String): DataFrame = {
+    val doc = documents(s, d)
+    doc.unionByName(doc.select(
+      (col("doc_id") + 10000).as("doc_id"),
+      col("text"), col("lang"), col("source"), col("n_chars")))
+  }
+
+  private val corpusSql =
+    """corpus AS (SELECT doc_id, text, lang, source, n_chars FROM documents
+      |UNION ALL SELECT doc_id + 10000 AS doc_id, text, lang, source, n_chars FROM documents)""".stripMargin
+
+  /** Whitespace tokens, empty-filtered (shared by text ops). */
+  private def tokens(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    filter(split(lower(c), "\\s+"), t => length(t) > 0)
+
+  private val tokensSql = "list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)"
+
+  /** Word 3-gram shingles from a `tk` token-array column (expr form: dynamic
+    * array indexing needs SQL lambdas). Spark arrays are 0-based. */
+  private val shinglesExpr =
+    "transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"
+
+  /** DuckDB twin (1-based; range end-exclusive): same shingle count/order. */
+  private val shinglesSql =
+    "list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])"
+
+  /** (doc_id, seed, minhash) signature table: min over shingles of
+    * md5(seed:shingle), 8 seeds. One shuffle (the groupBy). */
+  private def minhashSig(corpus: DataFrame): DataFrame =
+    corpus
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
+      .withColumn("seed", explode(sequence(lit(0L), lit(7L))))
+      .groupBy("doc_id", "seed")
+      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("sh")))).as("mh"))
+
+  private def minhashSigSql(src: String): String =
+    s"""toks AS (SELECT doc_id, $tokensSql AS tk FROM $src),
+       |shx AS (SELECT doc_id, unnest($shinglesSql) AS sh FROM toks WHERE len(tk) >= 3),
+       |sx AS (SELECT doc_id, seed, sh FROM shx, (SELECT unnest(range(0, 8)) AS seed) seeds),
+       |sig AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || sh)) AS mh FROM sx GROUP BY doc_id, seed)""".stripMargin
+
+  /** Embeddings ∪ id-shifted clone. */
+  private def embCorpus(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select("vec_id", "embedding")
+    e.unionByName(e.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+  }
+
+  /** 8-bit sign-LSH bucket key over the first 8 dimensions. */
+  private def signBucket(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat((1 to 8).map(i => when(element_at(emb, i) >= 0f, "1").otherwise("0")): _*)
+
+  private val signBucketSql: String =
+    (1 to 8).map(i => s"(CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ——— Deduplication ———
+
+    // Exact dedup: hash-groupBy on content, keep min id (survivor policy).
+    QueryDef(
+      "x01_dedup_exact",
+      (s, d) =>
+        docCorpus(s, d)
+          .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+          .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_doc_id"))
+          .orderBy("text_hash"),
+      Some(s"""WITH $corpusSql
+              |SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_doc_id
+              |FROM corpus GROUP BY 1 ORDER BY text_hash""".stripMargin)),
+
+    // MinHash signatures (shingle → hash → per-seed min).
+    QueryDef(
+      "x02_minhash_sig",
+      (s, d) =>
+        minhashSig(documents(s, d))
+          .select(col("doc_id"), col("seed"), col("mh").as("minhash"))
+          .orderBy("doc_id", "seed"),
+      Some(s"""WITH ${minhashSigSql("documents")}
+              |SELECT doc_id, seed, mh AS minhash FROM sig ORDER BY doc_id, seed""".stripMargin)),
+
+    // MinHash + LSH banding: 4 bands × 2 rows; candidates = bucket join;
+    // n_match = matching signature components (8 = near-certain dup).
+    QueryDef(
+      "x03_minhash_lsh_pairs",
+      (s, d) => {
+        val sig = minhashSig(docCorpus(s, d))
+        val band = sig
+          .withColumn("band", floor(col("seed") / 2))
+          .groupBy("doc_id", "band")
+          .agg(concat(min(col("mh")), lit("|"), max(col("mh"))).as("bsig"))
+        val cand = band.as("a")
+          .join(band.as("b"),
+            col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .distinct()
+        val sigA = sig.select(col("doc_id").as("a_id"), col("seed"), col("mh").as("mh_a"))
+        val sigB = sig.select(col("doc_id").as("b_id"), col("seed"), col("mh").as("mh_b"))
+        cand.join(sigA, Seq("a_id")).join(sigB, Seq("b_id", "seed"))
+          .groupBy("a_id", "b_id")
+          .agg(count(when(col("mh_a") === col("mh_b"), 1)).as("n_match"))
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""WITH $corpusSql,
+              |${minhashSigSql("corpus")},
+              |band AS (SELECT doc_id, CAST(floor(seed / 2) AS BIGINT) AS band,
+              |  min(mh) || '|' || max(mh) AS bsig FROM sig GROUP BY 1, 2),
+              |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM band a
+              |  JOIN band b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
+              |SELECT c.a_id, c.b_id, count(CASE WHEN sa.mh = sb.mh THEN 1 END) AS n_match
+              |FROM cand c JOIN sig sa ON sa.doc_id = c.a_id
+              |JOIN sig sb ON sb.doc_id = c.b_id AND sb.seed = sa.seed
+              |GROUP BY c.a_id, c.b_id ORDER BY a_id, b_id""".stripMargin)),
+
+    // SimHash-style 16-bit fingerprint: per hex position, majority vote of
+    // token-hash high bits.
+    QueryDef(
+      "x04_simhash",
+      (s, d) =>
+        documents(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+          .select(col("doc_id"), md5(col("tok").cast("binary")).as("h"))
+          .withColumn("pos", explode(sequence(lit(1), lit(16))))
+          .withColumn("v", when(expr("substring(h, pos, 1)") >= "8", 1L).otherwise(-1L))
+          .groupBy("doc_id", "pos")
+          .agg(sum(col("v")).as("sv"))
+          .withColumn("bit", when(col("sv") >= 0, "1").otherwise("0"))
+          .groupBy("doc_id")
+          .agg(array_join(
+            transform(array_sort(collect_list(struct(col("pos"), col("bit")))), x => x.getField("bit")),
+            "").as("simhash"))
+          .orderBy("doc_id"),
+      Some(s"""WITH t0 AS (SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
+              |t AS (SELECT doc_id, md5(tok) AS h FROM t0),
+              |p AS (SELECT doc_id, h, unnest(range(1, 17)) AS pos FROM t),
+              |v AS (SELECT doc_id, pos, sum(CASE WHEN substr(h, pos, 1) >= '8' THEN 1 ELSE -1 END) AS sv
+              |  FROM p GROUP BY 1, 2),
+              |b AS (SELECT doc_id, pos, CASE WHEN sv >= 0 THEN '1' ELSE '0' END AS bit FROM v)
+              |SELECT doc_id, string_agg(bit, '' ORDER BY pos) AS simhash FROM b
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // n-gram Jaccard near-dup: distinct word-3-gram sets, inverted-index
+    // self-join, |A∩B| / |A∪B| ≥ 0.8.
+    QueryDef(
+      "x05_ngram_jaccard",
+      (s, d) => {
+        val sh = docCorpus(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 3)
+          .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
+          .distinct()
+        val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = sh.as("a")
+          .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .agg(count(lit(1)).as("i"))
+        inter
+          .join(sz.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
+          .join(sz.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
+          .withColumn("jaccard",
+            round(col("i") / (col("na") + col("nb") - col("i")).cast(DoubleType), 6))
+          .filter(col("jaccard") >= 0.8)
+          .select("a_id", "b_id", "jaccard")
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""WITH $corpusSql,
+              |toks AS (SELECT doc_id, $tokensSql AS tk FROM corpus),
+              |sh AS (SELECT DISTINCT doc_id, sh FROM (
+              |  SELECT doc_id, unnest($shinglesSql) AS sh FROM toks WHERE len(tk) >= 3) u),
+              |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+              |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i FROM sh a
+              |  JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+              |SELECT a_id, b_id, round(i / CAST(sa.n + sb.n - i AS DOUBLE), 6) AS jaccard
+              |FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+              |WHERE round(i / CAST(sa.n + sb.n - i AS DOUBLE), 6) >= 0.8
+              |ORDER BY a_id, b_id""".stripMargin)),
+
+    // Embedding near-dup via sign-LSH buckets (the scale path: pairs are only
+    // formed inside an 8-bit hyperplane-sign bucket, never all-pairs).
+    QueryDef(
+      "x06_embed_neardup",
+      (s, d) => {
+        val e = embCorpus(s, d)
+          .withColumn("bkt", signBucket(col("embedding")))
+          .withColumn("norm", sqrt(dotd(col("embedding"), col("embedding"))))
+        val a = e.select(col("bkt"), col("vec_id").as("a_id"),
+          col("embedding").as("a_emb"), col("norm").as("a_norm"))
+        val b = e.select(col("bkt"), col("vec_id").as("b_id"),
+          col("embedding").as("b_emb"), col("norm").as("b_norm"))
+        a.join(b, Seq("bkt")).filter(col("a_id") < col("b_id"))
+          .withColumn("cos_sim",
+            round(dotd(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")), 6))
+          .filter(col("cos_sim") >= 0.99)
+          .select("a_id", "b_id", "cos_sim")
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings
+              |  UNION ALL SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings),
+              |e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, $signBucketSql AS bkt,
+              |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm FROM corpus),
+              |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+              |  round(list_dot_product(a.emb, b.emb) / (a.norm * b.norm), 6) AS cos_sim
+              |  FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id < b.vec_id)
+              |SELECT a_id, b_id, cos_sim FROM p WHERE cos_sim >= 0.99
+              |ORDER BY a_id, b_id""".stripMargin)),
+
+    // ——— Similarity search ———
+
+    // IVF-style ANN: coarse centroids (deterministic pseudo-sample), assign
+    // every vector to its nearest centroid (broadcast), then search only the
+    // query's cluster. The brute-force baseline is q21_cosine_topk.
+    QueryDef(
+      "x07_ann_ivf",
+      (s, d) => {
+        val e = embeddings(s, d)
+          .withColumn("norm", sqrt(dotd(col("embedding"), col("embedding"))))
+        val cent = e.filter(col("vec_id") % 97 === 0)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"), col("norm").as("c_norm"))
+        val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+        val assigned = e.crossJoin(broadcast(cent))
+          .withColumn("ccos", dotd(col("embedding"), col("c_emb")) / (col("norm") * col("c_norm")))
+          .withColumn("arn", row_number().over(wAssign))
+          .filter(col("arn") === 1)
+          .select(col("vec_id"), col("cent_id"), col("embedding"), col("norm"))
+        val q = assigned.filter(col("vec_id").isin(1L, 2L, 3L))
+          .select(col("vec_id").as("q_id"), col("cent_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
+        val wTop = Window.partitionBy("q_id").orderBy(col("cos_raw").desc, col("n_id"))
+        q.join(assigned.select(col("vec_id").as("n_id"), col("cent_id"),
+            col("embedding").as("n_emb"), col("norm").as("n_norm")), Seq("cent_id"))
+          .filter(col("n_id") =!= col("q_id"))
+          .withColumn("cos_raw", dotd(col("q_emb"), col("n_emb")) / (col("q_norm") * col("n_norm")))
+          .withColumn("rn", row_number().over(wTop).cast(LongType))
+          .filter(col("rn") <= 3)
+          .select(col("q_id"), col("n_id"), round(col("cos_raw"), 6).as("cos_sim"), col("rn"))
+          .orderBy("q_id", "rn")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+             |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm FROM embeddings),
+             |cent AS (SELECT vec_id AS cent_id, emb AS c_emb, norm AS c_norm FROM e WHERE vec_id % 97 = 0),
+             |ac AS (SELECT e.vec_id, cent.cent_id, e.emb, e.norm,
+             |  list_dot_product(e.emb, cent.c_emb) / (e.norm * cent.c_norm) AS ccos,
+             |  row_number() OVER (PARTITION BY e.vec_id
+             |    ORDER BY list_dot_product(e.emb, cent.c_emb) / (e.norm * cent.c_norm) DESC, cent.cent_id) AS arn
+             |  FROM e CROSS JOIN cent),
+             |assigned AS (SELECT vec_id, cent_id, emb, norm FROM ac WHERE arn = 1),
+             |q AS (SELECT vec_id AS q_id, cent_id, emb AS q_emb, norm AS q_norm FROM assigned
+             |  WHERE vec_id IN (1, 2, 3)),
+             |x AS (SELECT q.q_id, n.vec_id AS n_id,
+             |  list_dot_product(q.q_emb, n.emb) / (q.q_norm * n.norm) AS cos_raw
+             |  FROM q JOIN assigned n ON n.cent_id = q.cent_id AND n.vec_id <> q.q_id),
+             |r AS (SELECT q_id, n_id, cos_raw,
+             |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, n_id) AS BIGINT) AS rn FROM x)
+             |SELECT q_id, n_id, round(cos_raw, 6) AS cos_sim, rn FROM r WHERE rn <= 3
+             |ORDER BY q_id, rn""".stripMargin)),
+
+    // ——— Text analysis ———
+
+    // Language ID: stopword-list n-gram heuristic with deterministic argmax.
+    QueryDef(
+      "x08_langid",
+      (s, d) => {
+        val en = Seq("the", "a", "of", "and", "to")
+        val de = Seq("der", "die", "das", "und", "ist")
+        val fr = Seq("le", "la", "les", "et", "est")
+        val es = Seq("el", "los", "las", "y", "es")
+        def score(list: Seq[String]) =
+          size(filter(col("tk"), t => t.isin(list: _*))).cast(LongType)
+        documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("tk"))
+          .select(col("doc_id"),
+            score(en).as("s_en"), score(de).as("s_de"), score(fr).as("s_fr"), score(es).as("s_es"))
+          .withColumn("pred_lang",
+            when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") && col("s_en") >= col("s_es"), "en")
+              .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es"), "de")
+              .when(col("s_fr") >= col("s_es"), "fr")
+              .otherwise("es"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+              |sc AS (SELECT doc_id,
+              |  len(list_filter(tk, x -> x IN ('the','a','of','and','to'))) AS s_en,
+              |  len(list_filter(tk, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+              |  len(list_filter(tk, x -> x IN ('le','la','les','et','est'))) AS s_fr,
+              |  len(list_filter(tk, x -> x IN ('el','los','las','y','es'))) AS s_es FROM t)
+              |SELECT doc_id, s_en, s_de, s_fr, s_es,
+              |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+              |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+              |       WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS pred_lang
+              |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    // Quality scoring: token/char stats + a linear quality score.
+    QueryDef(
+      "x09_quality",
+      (s, d) => {
+        val en = Seq("the", "a", "of", "and", "to")
+        documents(s, d)
+          .select(col("doc_id"), col("n_chars"), col("text"), tokens(col("text")).as("tk"))
+          .select(
+            col("doc_id"),
+            size(col("tk")).cast(LongType).as("n_tokens"),
+            aggregate(transform(col("tk"), t => length(t)), lit(0), (a, v) => a + v)
+              .cast(LongType).as("sum_len"),
+            size(filter(col("tk"), t => t.isin(en: _*))).cast(LongType).as("n_stop"),
+            regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]")).cast(LongType).as("n_punct"),
+            col("n_chars"))
+          .select(
+            col("doc_id"),
+            col("n_tokens"),
+            round(col("sum_len") / col("n_tokens").cast(DoubleType), 6).as("avg_tok_len"),
+            round(col("n_punct") / col("n_chars").cast(DoubleType), 6).as("punct_ratio"),
+            round(col("n_stop") / col("n_tokens").cast(DoubleType), 6).as("stop_ratio"))
+          // Weights 0.4/0.3/0.2: products of a 6dp ratio with these end in an
+          // EVEN 7th decimal digit, so round(·,6) never lands on a half-tie
+          // (where Spark HALF_UP and DuckDB binary rounding disagree).
+          .withColumn("quality_score",
+            round(lit(0.4) * col("stop_ratio")
+              + lit(0.3) * (least(col("n_tokens"), lit(100L)) / lit(100.0))
+              + lit(0.2) * (lit(1.0) - col("punct_ratio")), 6))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, n_chars, text, $tokensSql AS tk FROM documents),
+              |m AS (SELECT doc_id,
+              |  CAST(len(tk) AS BIGINT) AS n_tokens,
+              |  CAST(list_aggregate(list_transform(tk, x -> len(x)), 'sum') AS BIGINT) AS sum_len,
+              |  CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop,
+              |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_punct,
+              |  n_chars FROM t),
+              |r AS (SELECT doc_id, n_tokens,
+              |  round(sum_len / CAST(n_tokens AS DOUBLE), 6) AS avg_tok_len,
+              |  round(n_punct / CAST(n_chars AS DOUBLE), 6) AS punct_ratio,
+              |  round(n_stop / CAST(n_tokens AS DOUBLE), 6) AS stop_ratio FROM m)
+              |SELECT doc_id, n_tokens, avg_tok_len, punct_ratio, stop_ratio,
+              |  round(0.4 * stop_ratio + 0.3 * (least(n_tokens, 100) / 100.0)
+              |    + 0.2 * (1.0 - punct_ratio), 6) AS quality_score
+              |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // Token counting: whitespace tokens + BPE-ish regex pieces.
+    QueryDef(
+      "x10_token_count",
+      (s, d) =>
+        documents(s, d)
+          .select(
+            col("doc_id"),
+            size(tokens(col("text"))).cast(LongType).as("ws_tokens"),
+            regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"))
+              .cast(LongType).as("bpe_tokens"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS ws_tokens,
+              |CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS bpe_tokens
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Document fingerprinting: k-min sketch (k=3) over word-bigram hashes.
+    QueryDef(
+      "x11_fingerprint",
+      (s, d) => {
+        val w = Window.partitionBy("doc_id").orderBy("h")
+        documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 2)
+          .select(col("doc_id"),
+            explode(expr("transform(sequence(0, size(tk) - 2), i -> concat_ws(' ', tk[i], tk[i+1]))")).as("bg"))
+          .select(col("doc_id"), md5(col("bg").cast("binary")).as("h"))
+          .distinct()
+          .withColumn("rn", row_number().over(w).cast(LongType))
+          .filter(col("rn") <= 3)
+          .select(col("doc_id"), col("rn"), col("h").as("fp"))
+          .orderBy("doc_id", "rn")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+              |bg AS (SELECT DISTINCT doc_id, md5(b) AS h FROM (
+              |  SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS b
+              |  FROM t WHERE len(tk) >= 2) u),
+              |r AS (SELECT doc_id, h,
+              |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY h) AS BIGINT) AS rn FROM bg)
+              |SELECT doc_id, rn, h AS fp FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin)),
+
+    // ——— Multimodal plumbing (metadata path; binary decode is stubbed in
+    //     ops.Multimodal — this query is the deterministic, oracle-checkable
+    //     schema/partitioning surface) ———
+    QueryDef(
+      "x12_multimodal_meta",
+      (s, d) =>
+        documents(s, d)
+          .withColumn("bin", col("text").cast("binary"))
+          .select(
+            col("doc_id"),
+            length(col("bin")).cast(LongType).as("n_bytes"),
+            ascii(col("text")).cast(LongType).as("first_cp"),
+            md5(col("bin")).as("content_md5"),
+            floor(length(col("bin")) / lit(100.0)).cast(LongType).as("n_frames"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+             |CAST(ord(substr(text, 1, 1)) AS BIGINT) AS first_cp,
+             |md5(text) AS content_md5,
+             |CAST(floor(octet_length(encode(text)) / 100.0) AS BIGINT) AS n_frames
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}
