@@ -1,0 +1,48 @@
+package graft.ops
+
+import graft.SparkSpec
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+
+class BatchedSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Collector shared via a static field (tests run in one JVM; executors are
+  // in-process threads under local mode, so this observes every send).
+  test("every row is delivered exactly once — no off-by-one (fixes main.py:319-324)") {
+    BatchedSinkSpec.sent.clear()
+    val rows = (1 to 2500).map(_.toString).toDS().repartition(3)
+    BatchedSink.write[String](rows, batchSize = 1000,
+      (id, batch) => BatchedSinkSpec.sent.add(id.toString -> batch))
+    val delivered = BatchedSinkSpec.sent.asScala.flatMap(_._2).toSeq
+    assert(delivered.size == 2500)
+    assert(delivered.toSet == (1 to 2500).map(_.toString).toSet)
+  }
+
+  test("batches respect batchSize") {
+    BatchedSinkSpec.sent.clear()
+    val rows = (1 to 250).map(_.toString).toDS().coalesce(1)
+    BatchedSink.write[String](rows, batchSize = 100,
+      (id, batch) => BatchedSinkSpec.sent.add(id.toString -> batch))
+    val sizes = BatchedSinkSpec.sent.asScala.map(_._2.size).toSeq.sorted
+    assert(sizes == Seq(50, 100, 100))
+  }
+
+  test("committed batch ids are skipped on resume (main.py:318 offset semantics)") {
+    BatchedSinkSpec.sent.clear()
+    val rows = (1 to 300).map(_.toString).toDS().coalesce(1).sortWithinPartitions("value")
+    BatchedSink.write[String](rows, 100, (id, b) => BatchedSinkSpec.sent.add(id.toString -> b))
+    val firstRun = BatchedSinkSpec.sent.asScala.map(_._1).toSet
+    assert(firstRun.size == 3)
+
+    BatchedSinkSpec.sent.clear()
+    val resumeFrom = firstRun.take(2)
+    BatchedSink.write[String](rows, 100, (id, b) => BatchedSinkSpec.sent.add(id.toString -> b), resumeFrom)
+    val secondRun = BatchedSinkSpec.sent.asScala.map(_._1).toSet
+    assert(secondRun == firstRun -- resumeFrom)
+  }
+}
+
+object BatchedSinkSpec {
+  val sent = new ConcurrentLinkedQueue[(String, Seq[String])]()
+}
