@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.graphx.{Edge, Graph, VertexId}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** GraphX algorithms over a [[GraphTable]] — the iterative analytics the
+  * ontology hierarchy implies (SURVEY.md §2.2: ancestors, components,
+  * depth-to-root) expressed as Pregel/graph ops rather than unbounded
+  * self-joins. Used when iteration count is data-dependent (deep/unknown
+  * hierarchies); for bounded shallow expansion prefer
+  * [[TransitiveClosure.expand]] (stays in Tungsten).
+  *
+  * Vertex ids: (label, key) → dense longs via zipWithUniqueId — exact, no
+  * hash-collision risk at 100 TB (a hashed id would silently merge nodes).
+  */
+object GraphAlgos {
+
+  /** Internal: (vertex id ↔ (label,key)) mapping + GraphX graph. */
+  private def build(g: GraphTable): (DataFrame, Graph[Unit, String]) = {
+    val spark = g.nodes.sparkSession
+    val idRdd = g.nodes.select("label", "key").rdd
+      .zipWithUniqueId()
+      .map { case (r, id) => Row(r.getString(0), r.getString(1), id) }
+    val idSchema = StructType(Seq(
+      StructField("label", StringType), StructField("key", StringType),
+      StructField("vid", LongType)))
+    val ids = spark.createDataFrame(idRdd, idSchema)
+    val src = ids.select(col("label").as("src_label"), col("key").as("src"), col("vid").as("src_vid"))
+    val dst = ids.select(col("label").as("dst_label"), col("key").as("dst"), col("vid").as("dst_vid"))
+    val edgeRdd = g.edges
+      .join(src, Seq("src_label", "src"))
+      .join(dst, Seq("dst_label", "dst"))
+      .select("src_vid", "dst_vid", "rel").rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), r.getString(2)))
+    val vertexRdd = ids.select("vid").rdd.map(r => (r.getLong(0): VertexId, ()))
+    (ids, Graph(vertexRdd, edgeRdd))
+  }
+
+  /** Weakly connected components: (label, key, component) where component is
+    * a stable representative vertex id per component. */
+  def connectedComponents(g: GraphTable): DataFrame = {
+    val (ids, graph) = build(g)
+    val spark = g.nodes.sparkSession
+    val ccRdd = graph.connectedComponents().vertices
+      .map { case (vid, comp) => Row(vid, comp) }
+    val cc = spark.createDataFrame(ccRdd,
+      StructType(Seq(StructField("vid", LongType), StructField("component", LongType))))
+    ids.join(cc, "vid").select("label", "key", "component")
+  }
+
+  /** Depth of each node below the root set (vertices with no incoming edge),
+    * following edge direction (parent −rel→ child). Pregel min-distance;
+    * unreachable nodes are absent from the output. */
+  def depthFromRoots(g: GraphTable, maxIterations: Int = 64): DataFrame = {
+    val (ids, graph) = build(g)
+    val spark = g.nodes.sparkSession
+    val inDeg = graph.inDegrees // vertices absent here have no incoming edge
+    val init = graph.outerJoinVertices(inDeg) { (_, _, deg) =>
+      if (deg.isEmpty) 0L else Long.MaxValue
+    }
+    val result = init.pregel(Long.MaxValue, maxIterations)(
+      (_, cur, msg) => math.min(cur, msg),
+      triplet =>
+        if (triplet.srcAttr != Long.MaxValue && triplet.srcAttr + 1 < triplet.dstAttr)
+          Iterator((triplet.dstId, triplet.srcAttr + 1))
+        else Iterator.empty,
+      (a, b) => math.min(a, b))
+    val depthRdd = result.vertices
+      .filter { case (_, d) => d != Long.MaxValue }
+      .map { case (vid, d) => Row(vid, d) }
+    val depths = spark.createDataFrame(depthRdd,
+      StructType(Seq(StructField("vid", LongType), StructField("depth", LongType))))
+    ids.join(depths, "vid").select("label", "key", "depth")
+  }
+}

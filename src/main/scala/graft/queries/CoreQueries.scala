@@ -451,13 +451,13 @@ object CoreQueries {
       "q25_token_topn",
       (s, d) =>
         documents(s, d)
-          .select(explode(filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)).as("tok"))
+          .select(explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
           .groupBy("tok")
           .agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("tok"))
           .limit(20),
       Some("""SELECT tok, count(*) AS n FROM (
-             |SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS tok
+             |SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
              |FROM documents) t GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin)),
 
     // Q26 — graph edge dedup + referential integrity (R4/R5, main.py:91,294-299).

