@@ -1,12 +1,13 @@
 package graft.queries
 
 import graft.Tables._
+import graft.functions.VectorFunctions
 import graft.ops.TransitiveClosure
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
-import QueryDef.{dsum, dotd}
+import QueryDef.dsum
 
 /** The declared query inventory Q1–Q27 from SURVEY.md §2.4. Each query
   * generalizes a reference-operator semantic (cited per query) into a
@@ -357,15 +358,16 @@ object CoreQueries {
     QueryDef(
       "q21_cosine_topk",
       (s, d) => {
+        // graft.functions.CosineSimilarity: custom codegen'd expression —
+        // one fused pass per pair, same operation order as the oracle.
         val e = embeddings(s, d)
-        val withNorm = e.withColumn("norm", sqrt(dotd(col("embedding"), col("embedding"))))
-        val q = withNorm.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
-        val c = withNorm.filter(col("vec_id") >= 5)
-          .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("norm").as("c_norm"))
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val c = e.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
         val w = Window.partitionBy("q_id").orderBy(col("cos_raw").desc, col("c_id"))
         c.join(broadcast(q))
-          .withColumn("cos_raw", dotd(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+          .withColumn("cos_raw", VectorFunctions.cosine(col("q_emb"), col("c_emb")))
           .withColumn("rn", row_number().over(w).cast(LongType))
           .filter(col("rn") <= 5)
           .select(col("q_id"), col("c_id"), round(col("cos_raw"), 6).as("cos_sim"), col("rn"))

@@ -5,7 +5,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
-import QueryDef.{dsum, dotd}
+import QueryDef.dsum
+import graft.functions.VectorFunctions
 
 /** Training-data-pipeline operators (north-star extensions): deduplication
   * (exact / MinHash+LSH / SimHash / n-gram Jaccard / embedding near-dup),
@@ -229,16 +230,12 @@ object PipelineQueries {
     QueryDef(
       "x06_embed_neardup",
       (s, d) => {
-        val e = embCorpus(s, d)
-          .withColumn("bkt", signBucket(col("embedding")))
-          .withColumn("norm", sqrt(dotd(col("embedding"), col("embedding"))))
-        val a = e.select(col("bkt"), col("vec_id").as("a_id"),
-          col("embedding").as("a_emb"), col("norm").as("a_norm"))
-        val b = e.select(col("bkt"), col("vec_id").as("b_id"),
-          col("embedding").as("b_emb"), col("norm").as("b_norm"))
+        val e = embCorpus(s, d).withColumn("bkt", signBucket(col("embedding")))
+        val a = e.select(col("bkt"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+        val b = e.select(col("bkt"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
         a.join(b, Seq("bkt")).filter(col("a_id") < col("b_id"))
           .withColumn("cos_sim",
-            round(dotd(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")), 6))
+            round(VectorFunctions.cosine(col("a_emb"), col("b_emb")), 6))
           .filter(col("cos_sim") >= 0.99)
           .select("a_id", "b_id", "cos_sim")
           .orderBy("a_id", "b_id")
@@ -262,22 +259,21 @@ object PipelineQueries {
       "x07_ann_ivf",
       (s, d) => {
         val e = embeddings(s, d)
-          .withColumn("norm", sqrt(dotd(col("embedding"), col("embedding"))))
         val cent = e.filter(col("vec_id") % 97 === 0)
-          .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"), col("norm").as("c_norm"))
+          .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
         val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
         val assigned = e.crossJoin(broadcast(cent))
-          .withColumn("ccos", dotd(col("embedding"), col("c_emb")) / (col("norm") * col("c_norm")))
+          .withColumn("ccos", VectorFunctions.cosine(col("embedding"), col("c_emb")))
           .withColumn("arn", row_number().over(wAssign))
           .filter(col("arn") === 1)
-          .select(col("vec_id"), col("cent_id"), col("embedding"), col("norm"))
+          .select(col("vec_id"), col("cent_id"), col("embedding"))
         val q = assigned.filter(col("vec_id").isin(1L, 2L, 3L))
-          .select(col("vec_id").as("q_id"), col("cent_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
+          .select(col("vec_id").as("q_id"), col("cent_id"), col("embedding").as("q_emb"))
         val wTop = Window.partitionBy("q_id").orderBy(col("cos_raw").desc, col("n_id"))
         q.join(assigned.select(col("vec_id").as("n_id"), col("cent_id"),
-            col("embedding").as("n_emb"), col("norm").as("n_norm")), Seq("cent_id"))
+            col("embedding").as("n_emb")), Seq("cent_id"))
           .filter(col("n_id") =!= col("q_id"))
-          .withColumn("cos_raw", dotd(col("q_emb"), col("n_emb")) / (col("q_norm") * col("n_norm")))
+          .withColumn("cos_raw", VectorFunctions.cosine(col("q_emb"), col("n_emb")))
           .withColumn("rn", row_number().over(wTop).cast(LongType))
           .filter(col("rn") <= 3)
           .select(col("q_id"), col("n_id"), round(col("cos_raw"), 6).as("cos_sim"), col("rn"))
