@@ -1,7 +1,7 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
 
 /** Loaders for the harness fixture tables (/root/repo/FIXTURES.md §B).
   *
@@ -13,6 +13,17 @@ import org.apache.spark.sql.functions.{expr, timestamp_micros}
 object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The fixture files are single-row-group parquet, so a scan is ONE task
+    * and all narrow compute before the first shuffle runs single-threaded.
+    * For the compute-dense tables (per-row hashing / vector math) a cheap
+    * hash repartition up to the session's parallelism fixes that. On real
+    * multi-row-group/multi-file inputs (the 100 TB case) the scan is already
+    * parallel and this is a no-op. */
+  private def parallelized(df: DataFrame, key: Column): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target, key) else df
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
@@ -29,6 +40,8 @@ object Tables {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
-  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+  def documents(s: SparkSession, d: String): DataFrame =
+    parallelized(table(s, d, "documents"), col("doc_id"))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    parallelized(table(s, d, "embeddings"), col("vec_id"))
 }

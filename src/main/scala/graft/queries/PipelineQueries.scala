@@ -205,6 +205,11 @@ object PipelineQueries {
           .select(
             col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
             col("a.n").as("na"), col("b.n").as("nb"))
+          // size-ratio prune: |A∩B| ≤ min(na,nb), so jaccard ≤ min/max —
+          // pairs below the threshold ratio can never qualify. Cuts the
+          // pair-aggregation input without changing results (0.79 covers
+          // the round-to-6 boundary of the 0.8 filter).
+          .filter(least(col("na"), col("nb")) >= lit(0.79) * greatest(col("na"), col("nb")))
           .groupBy("a_id", "b_id")
           .agg(count(lit(1)).as("i"), first(col("na")).as("na"), first(col("nb")).as("nb"))
           .withColumn("jaccard",
