@@ -22,11 +22,16 @@ object Bench {
     // JVM + parquet-footer warm-up so per-query timings measure the plan,
     // not first-touch class loading.
     SparkEntry.queries("q01_scan_project")(spark, sfDir).count()
+    // min of two runs per query: the first run of a plan pays whole-stage
+    // codegen JIT (~0.3-0.5 s) that a steady-state workload never sees.
     val results = SparkEntry.catalog.map { q =>
-      val t0 = System.nanoTime()
-      try q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: ${e.getMessage}") }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: ${e.getMessage}") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      q.name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
