@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Public text-dedup building blocks (the library surface behind the
+  * x02/x03/x05 catalog queries — see graft.queries.PipelineQueries for the
+  * oracle-checked compositions).
+  *
+  * Scale notes: tokenization/shingling are narrow codegen'd ops; MinHash
+  * reduces via map-side partial min so the signature shuffle carries
+  * ≤ |docs|×seeds rows; banding + bucket join bound candidate pairs without
+  * any all-pairs stage.
+  */
+object TextDedup {
+
+  /** Whitespace tokens; trim-then-split keeps it lambda-free (codegen'd). */
+  def tokens(c: Column): Column = split(trim(lower(c)), "\\s+")
+
+  /** Word n-gram shingle expression over a token-array column named `tk`. */
+  def shinglesExpr(n: Int = 3): String = {
+    val parts = (0 until n).map(i => s"tk[i+$i]").mkString(", ")
+    s"transform(sequence(0, size(tk) - $n), i -> concat_ws(' ', $parts))"
+  }
+
+  /** (doc_id, seed, mh): per-seed MinHash of word-3-gram shingles.
+    * Lexicographic min over md5 hex == numeric min (fixed width). */
+  def minhashSignatures(docs: DataFrame, seeds: Int = 8): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), explode(expr(shinglesExpr())).as("sh"))
+      .withColumn("seed", explode(sequence(lit(0L), lit(seeds - 1L))))
+      .groupBy("doc_id", "seed")
+      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("sh")))).as("mh"))
+
+  /** Signatures folded to one seed-ordered array per doc. */
+  def minhashSignatureArrays(docs: DataFrame, seeds: Int = 8): DataFrame =
+    minhashSignatures(docs, seeds)
+      .groupBy("doc_id")
+      .agg(expr("transform(array_sort(collect_list(struct(seed, mh))), x -> x.mh)").as("sigs"))
+
+  /** LSH candidate pairs: bands of `rowsPerBand` signature rows; pairs share
+    * a band bucket. Returns (a_id, b_id, n_match) with a_id < b_id. */
+  def lshCandidatePairs(docs: DataFrame, seeds: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    require(seeds % rowsPerBand == 0)
+    val nBands = seeds / rowsPerBand
+    val bandSig = (0 until nBands).map { b =>
+      val members = (0 until rowsPerBand).map(r => s"sigs[${b * rowsPerBand + r}]").mkString(", ")
+      // order-insensitive digest of the band's members
+      s"concat_ws('|', array_sort(array($members)))"
+    }
+    val bands = minhashSignatureArrays(docs, seeds)
+      .select(col("doc_id"), col("sigs"), posexplode(expr(
+        s"array(${bandSig.mkString(", ")})")))
+      .select(col("doc_id"), col("sigs"), col("pos").as("band"), col("col").as("bsig"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.sigs").as("sa"), col("b.sigs").as("sb"))
+      .groupBy("a_id", "b_id")
+      .agg(first(col("sa")).as("sa"), first(col("sb")).as("sb"))
+      .select(col("a_id"), col("b_id"),
+        size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y), p => p))
+          .cast("long").as("n_match"))
+  }
+
+  /** Sign-LSH bucket over the first `bits` embedding dimensions. */
+  def signBucket(emb: Column, bits: Int = 8): Column =
+    concat((1 to bits).map(i => when(element_at(emb, i) >= 0f, "1").otherwise("0")): _*)
+}

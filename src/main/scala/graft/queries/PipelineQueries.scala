@@ -35,18 +35,16 @@ object PipelineQueries {
     """corpus AS (SELECT doc_id, text, lang, source, n_chars FROM documents
       |UNION ALL SELECT doc_id + 10000 AS doc_id, text, lang, source, n_chars FROM documents)""".stripMargin
 
-  /** Whitespace tokens. trim-then-split needs no empty-filter lambda (the
-    * only empty token a \s+ split can produce comes from a leading
-    * delimiter), keeping tokenization fully codegen'd. */
+  /** Delegates to the public ops API (graft.ops.TextDedup) so the oracle
+    * gate exercises the same code a library user calls. */
   private def tokens(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    split(trim(lower(c)), "\\s+")
+    graft.ops.TextDedup.tokens(c)
 
   private val tokensSql = "string_split_regex(trim(lower(text)), '\\s+')"
 
   /** Word 3-gram shingles from a `tk` token-array column (expr form: dynamic
     * array indexing needs SQL lambdas). Spark arrays are 0-based. */
-  private val shinglesExpr =
-    "transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"
+  private val shinglesExpr = graft.ops.TextDedup.shinglesExpr(3)
 
   /** DuckDB twin (1-based; range end-exclusive): same shingle count/order. */
   private val shinglesSql =
@@ -58,19 +56,11 @@ object PipelineQueries {
     * explode + codegen'd md5 + partial-agg min is the fast shape, and the
     * map-side partial min means the shuffle carries ≤ |docs|×8 rows. */
   private def minhashSig(corpus: DataFrame): DataFrame =
-    corpus
-      .select(col("doc_id"), tokens(col("text")).as("tk"))
-      .filter(size(col("tk")) >= 3)
-      .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
-      .withColumn("seed", explode(sequence(lit(0L), lit(7L))))
-      .groupBy("doc_id", "seed")
-      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("sh")))).as("mh"))
+    graft.ops.TextDedup.minhashSignatures(corpus)
 
   /** Signatures folded to one 8-element array per doc, in seed order. */
   private def minhashSigArr(corpus: DataFrame): DataFrame =
-    minhashSig(corpus)
-      .groupBy("doc_id")
-      .agg(expr("transform(array_sort(collect_list(struct(seed, mh))), x -> x.mh)").as("sigs"))
+    graft.ops.TextDedup.minhashSignatureArrays(corpus)
 
   private def minhashSigSql(src: String): String =
     s"""toks AS (SELECT doc_id, $tokensSql AS tk FROM $src),
@@ -86,7 +76,7 @@ object PipelineQueries {
 
   /** 8-bit sign-LSH bucket key over the first 8 dimensions. */
   private def signBucket(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    concat((1 to 8).map(i => when(element_at(emb, i) >= 0f, "1").otherwise("0")): _*)
+    graft.ops.TextDedup.signBucket(emb, 8)
 
   private val signBucketSql: String =
     (1 to 8).map(i => s"(CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
