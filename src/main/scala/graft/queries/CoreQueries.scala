@@ -81,15 +81,16 @@ object CoreQueries {
     QueryDef(
       "q06_semi_anti",
       (s, d) => {
-        val li = lineitem(s, d).select(col("l_suppkey"))
-        val sup = supplier(s, d)
-        val semi = sup
-          .join(li, col("s_suppkey") === col("l_suppkey"), "left_semi")
-          .select(col("s_suppkey"), lit("semi").as("side"))
-        val anti = sup
-          .join(li, col("s_suppkey") === col("l_suppkey"), "left_anti")
-          .select(col("s_suppkey"), lit("anti").as("side"))
-        semi.unionByName(anti).orderBy("side", "s_suppkey")
+        // one pass instead of separate semi+anti branches (which would scan
+        // both tables twice): left-join the distinct key set and tag by
+        // presence — same output, half the scans.
+        val li = lineitem(s, d).select(col("l_suppkey")).distinct()
+        supplier(s, d)
+          .join(li, col("s_suppkey") === col("l_suppkey"), "left")
+          .select(
+            col("s_suppkey"),
+            when(col("l_suppkey").isNotNull, "semi").otherwise("anti").as("side"))
+          .orderBy("side", "s_suppkey")
       },
       Some("""SELECT s_suppkey, 'semi' AS side FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem)
              |UNION ALL
