@@ -1,8 +1,7 @@
 package graft.ops
 
 import graft.functions.VectorFunctions
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Spherical k-means over an embedding column, as pure DataFrame ops — the
@@ -23,15 +22,19 @@ object KMeansLite {
     */
   def fit(vectors: DataFrame, k: Int, iterations: Int): DataFrame = {
     require(k > 0 && iterations >= 0)
-    // deterministic init: k evenly-spaced existing vectors by id rank
-    val wInit = Window.orderBy("vec_id")
-    val n = vectors.count()
-    val step = math.max(1L, n / k)
+    // Deterministic init without a global sort: split the id RANGE into k
+    // equal buckets and take each bucket's lowest-id vector via min_by — a
+    // codegen'd hash aggregate (map-side partial), vs the previous
+    // Window.orderBy-with-no-partition which pulled every vector through a
+    // single task. Sparse id ranges can leave some buckets empty (fewer
+    // than k centroids); cent_id is a label, not an index, so that's fine.
+    val Row(minId: Long, maxId: Long) =
+      vectors.agg(min(col("vec_id")), max(col("vec_id"))).head()
+    val step = math.max(1L, (maxId - minId + 1) / k)
     var centroids = vectors
-      .withColumn("rk", row_number().over(wInit))
-      .filter((col("rk") - 1) % step === 0 && col("rk") <= step * k)
-      .select(((col("rk") - 1) / step).cast("long").as("cent_id"),
-        col("embedding").as("c_emb"))
+      .groupBy(least(floor((col("vec_id") - minId) / step), lit(k - 1L))
+        .cast("long").as("cent_id"))
+      .agg(min_by(col("embedding"), col("vec_id")).as("c_emb"))
       .localCheckpoint()
     for (_ <- 1 to iterations) {
       val assigned = assign(vectors, centroids)
@@ -46,13 +49,22 @@ object KMeansLite {
     centroids
   }
 
-  /** Max-cosine assignment: (vec_id, embedding, cent_id, cos). */
-  def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cent_id"))
+  /** Max-cosine assignment: (vec_id, embedding, cent_id, cos).
+    *
+    * `max_by` over a tie-broken ordering struct, not a ranking window: the
+    * partial hash aggregate collapses the k candidate rows per vector
+    * map-side, so the shuffle carries n rows — a window over the crossJoin
+    * would sort and shuffle n×k rows (1000× inflation at k=1024).
+    * Ties on cosine break toward the lowest cent_id (the `-cent_id` struct
+    * field), matching the window's `orderBy(cos.desc, cent_id)`.
+    */
+  def assign(vectors: DataFrame, centroids: DataFrame): DataFrame =
     vectors.crossJoin(broadcast(centroids))
       .withColumn("cos", VectorFunctions.cosine(col("embedding"), col("c_emb")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("vec_id", "embedding", "cent_id", "cos")
-  }
+      .groupBy("vec_id")
+      .agg(max_by(
+        struct(col("embedding"), col("cent_id"), col("cos")),
+        struct(col("cos"), (-col("cent_id")).as("tie"))).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        col("best.cent_id").as("cent_id"), col("best.cos").as("cos"))
 }

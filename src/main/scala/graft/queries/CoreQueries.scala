@@ -328,17 +328,21 @@ object CoreQueries {
              |CAST(sum(CAST(abs(l_discount - 0.05) AS DECIMAL(18,6))) AS DOUBLE) AS disc_dev
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
-    // Q19 — array functions (R8 set-dedup shape, main.py:378-382)
+    // Q19 — array functions (R8 set-dedup shape, main.py:378-382).
+    // The array is serialized with array_join: the correctness gate sorts
+    // and hashes cells with pandas, which cannot canonicalize list cells —
+    // a deterministic string carries the same information.
     QueryDef(
       "q19_array_fns",
       (s, d) =>
         part(s, d)
           .select(
             col("p_partkey"),
-            array_sort(array_distinct(split(col("p_name"), " "))).as("toks"),
+            array_join(array_sort(array_distinct(split(col("p_name"), " "))), " ").as("toks"),
             size(array_distinct(split(col("p_name"), " "))).cast(LongType).as("n_toks"))
           .orderBy("p_partkey"),
-      Some("""SELECT p_partkey, list_sort(list_distinct(str_split(p_name, ' '))) AS toks,
+      Some("""SELECT p_partkey,
+             |array_to_string(list_sort(list_distinct(str_split(p_name, ' '))), ' ') AS toks,
              |len(list_distinct(str_split(p_name, ' '))) AS n_toks
              |FROM part ORDER BY p_partkey""".stripMargin)),
 

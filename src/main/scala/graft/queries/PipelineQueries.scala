@@ -256,12 +256,20 @@ object PipelineQueries {
         val e = embeddings(s, d)
         val cent = e.filter(col("vec_id") % 97 === 0)
           .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
-        val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+        // max_by hash-agg, not a ranking window: the partial aggregate
+        // collapses the k candidates per vector map-side, so the shuffle
+        // carries n rows instead of n×k (the window form shuffled and
+        // sorted the whole crossJoin). Ties on ccos break to the lowest
+        // cent_id via the -cent_id struct field, same as the oracle's
+        // ORDER BY ccos DESC, cent_id.
         val assigned = e.crossJoin(broadcast(cent))
           .withColumn("ccos", VectorFunctions.cosine(col("embedding"), col("c_emb")))
-          .withColumn("arn", row_number().over(wAssign))
-          .filter(col("arn") === 1)
-          .select(col("vec_id"), col("cent_id"), col("embedding"))
+          .groupBy("vec_id")
+          .agg(max_by(
+            struct(col("cent_id"), col("embedding")),
+            struct(col("ccos"), (-col("cent_id")).as("tie"))).as("best"))
+          .select(col("vec_id"), col("best.cent_id").as("cent_id"),
+            col("best.embedding").as("embedding"))
         val q = assigned.filter(col("vec_id").isin(1L, 2L, 3L))
           .select(col("vec_id").as("q_id"), col("cent_id"), col("embedding").as("q_emb"))
         val wTop = Window.partitionBy("q_id").orderBy(col("cos_raw").desc, col("n_id"))
