@@ -53,4 +53,24 @@ object BatchedSink {
     }
     attempted.value
   }
+
+  /** Resumable write with an on-disk ledger ([[BatchLedger]]): loads the
+    * committed set from `ledgerDir`, skips those batches, and drops a marker
+    * after each successful `send` — so a crashed run resumes by calling this
+    * again with the same ledgerDir, re-sending only uncommitted batches
+    * (at-least-once: a crash between send and marker re-sends that batch).
+    */
+  def writeResumable[T](
+      rows: Dataset[T],
+      batchSize: Int,
+      send: (BatchId, Seq[T]) => Unit,
+      ledgerDir: String): Long = {
+    val spark = rows.sparkSession
+    val committed = BatchLedger.load(spark, ledgerDir)
+    val bundle = BatchLedger.bundle(spark)
+    write[T](rows, batchSize, (id, batch) => {
+      send(id, batch)
+      BatchLedger.record(bundle, ledgerDir, id)
+    }, committed)
+  }
 }

@@ -441,6 +441,44 @@ object PipelineQueries {
              |CAST(ord(substr(text, 1, 1)) AS BIGINT) AS first_cp,
              |md5(text) AS content_md5,
              |CAST(floor(octet_length(encode(text)) / 100.0) AS BIGINT) AS n_frames
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ——— Bounded top-k ranking (the 100 TB ranking path) ———
+
+    // Same answer as q21_cosine_topk, computed through TopKAggregator
+    // instead of a ranking window: the typed Aggregator partial-combines
+    // map-side, so each partition ships at most k rows per group to the
+    // shuffle — a row_number window sorts and shuffles every candidate row.
+    // Green parity against q21's oracle proves the bounded-buffer path
+    // equals the window path row-for-row (ties break cos DESC, c_id ASC in
+    // both).
+    QueryDef(
+      "x13_topk_agg",
+      (s, d) => {
+        val topk = udaf(new graft.functions.TopKAggregator(5))
+        val e = embeddings(s, d)
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val c = e.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+        c.join(broadcast(q))
+          .withColumn("cos_raw", VectorFunctions.cosine(col("q_emb"), col("c_emb")))
+          .groupBy("q_id")
+          .agg(topk(col("cos_raw"), col("c_id")).as("top"))
+          .select(col("q_id"), posexplode(col("top")))
+          .select(col("q_id"), col("col._2").as("c_id"),
+            round(col("col._1"), 6).as("cos_sim"),
+            (col("pos") + 1).cast(LongType).as("rn"))
+          .orderBy("q_id", "rn")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+             |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm FROM embeddings),
+             |q AS (SELECT vec_id AS q_id, emb AS q_emb, norm AS q_norm FROM e WHERE vec_id < 5),
+             |c AS (SELECT vec_id AS c_id, emb AS c_emb, norm AS c_norm FROM e WHERE vec_id >= 5),
+             |x AS (SELECT q_id, c_id, list_dot_product(q_emb, c_emb) / (q_norm * c_norm) AS cos_raw FROM q CROSS JOIN c),
+             |r AS (SELECT q_id, c_id, cos_raw,
+             |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, c_id) AS BIGINT) AS rn FROM x)
+             |SELECT q_id, c_id, round(cos_raw, 6) AS cos_sim, rn FROM r WHERE rn <= 5
+             |ORDER BY q_id, rn""".stripMargin))
   )
 }

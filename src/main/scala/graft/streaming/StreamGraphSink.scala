@@ -1,6 +1,8 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** Streaming MERGE-into-graph: edges arriving on a stream are upserted into
@@ -14,28 +16,56 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * duplicates, anti-join against the current table, append only novel
   * edges — append-only writes, so a crash between append and checkpoint
   * re-appends nothing on replay (the anti-join re-filters).
+  *
+  * Scale design: the table is hive-partitioned by `bkt` = hash(edge key) mod
+  * `nBuckets`, and each micro-batch anti-joins only the partitions its own
+  * bucket set touches (`bkt.isin(...)` → PartitionFilters prune the rest at
+  * the scan). A small incremental batch therefore reads O(batch buckets)
+  * partitions, not the whole edge table — the previous form rescanned the
+  * entire table every micro-batch. All filesystem probes go through Hadoop
+  * `FileSystem`, so the table can live on HDFS/S3A, not just local disk.
   */
 object StreamGraphSink {
 
   private val edgeCols = Seq("src_label", "src", "dst_label", "dst", "rel")
 
-  def start(edges: DataFrame, tableDir: String, checkpointDir: String): StreamingQuery =
+  def start(
+      edges: DataFrame,
+      tableDir: String,
+      checkpointDir: String,
+      nBuckets: Int = 64): StreamingQuery =
     edges.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        mergeBatch(batch.sparkSession, batch, tableDir)
+        mergeBatch(batch.sparkSession, batch, tableDir, nBuckets)
       }
       .start()
 
-  private[streaming] def mergeBatch(spark: SparkSession, batch: DataFrame, tableDir: String): Unit = {
-    val incoming = batch.select(edgeCols.map(org.apache.spark.sql.functions.col): _*)
+  private[streaming] def mergeBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      tableDir: String,
+      nBuckets: Int = 64): Unit = {
+    val dir = new Path(tableDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val incoming = batch
+      .select(edgeCols.map(col): _*)
       .dropDuplicates(edgeCols)
-    val novel =
-      if (new java.io.File(tableDir).exists())
-        incoming.join(spark.read.parquet(tableDir), edgeCols, "left_anti")
-      else incoming
-    novel.write.mode("append").parquet(tableDir)
+      .withColumn("bkt",
+        pmod(xxhash64(edgeCols.map(col): _*), lit(nBuckets.toLong)).cast("int"))
+      .persist()
+    try {
+      val novel =
+        if (fs.exists(dir)) {
+          // ≤ nBuckets ints — tiny driver-side set that drives pruning
+          val hit = incoming.select("bkt").distinct().collect().map(_.getInt(0))
+          val table = spark.read.parquet(tableDir)
+            .filter(col("bkt").isin(hit.toSeq: _*))
+          incoming.join(table, edgeCols :+ "bkt", "left_anti")
+        } else incoming
+      novel.write.mode("append").partitionBy("bkt").parquet(tableDir)
+    } finally incoming.unpersist()
   }
 }

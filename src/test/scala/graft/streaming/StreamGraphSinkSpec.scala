@@ -29,4 +29,35 @@ class StreamGraphSinkSpec extends SparkSpec {
       Seq(edge("a", "b")).toDF("src_label", "src", "dst_label", "dst", "rel"), s"$base/table")
     assert(spark.read.parquet(s"$base/table").count() == 3)
   }
+
+  test("table is bucket-partitioned and the per-batch anti-join prunes partitions") {
+    val base = Files.createTempDirectory("graft-sgs-prune").toString
+    // explicit file: URI — all probes must go through Hadoop FileSystem
+    val tableDir = s"file:$base/table"
+    val edges = (1 to 200).map(i => edge(s"s$i", s"d$i"))
+      .toDF("src_label", "src", "dst_label", "dst", "rel")
+    StreamGraphSink.mergeBatch(spark, edges, tableDir, nBuckets = 8)
+
+    // hive layout: one bkt=N directory per hash bucket
+    val dirs = new java.io.File(s"$base/table").listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("bkt=")))
+
+    // a one-edge merge is a no-op on content…
+    StreamGraphSink.mergeBatch(spark,
+      Seq(edge("s1", "d1")).toDF("src_label", "src", "dst_label", "dst", "rel"),
+      tableDir, nBuckets = 8)
+    assert(spark.read.parquet(tableDir).count() == 200)
+
+    // …and the pruned scan it performs reads only the hit partition:
+    // PartitionFilters carries the isin, PartitionCount < total buckets.
+    val pruned = spark.read.parquet(tableDir).filter($"bkt".isin(3))
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("bkt"))
+    // files actually opened (post-pruning), vs the relation's full file list
+    val readFiles = pruned.select(org.apache.spark.sql.functions.input_file_name())
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(readFiles.nonEmpty && readFiles.size < spark.read.parquet(tableDir).inputFiles.length)
+    assert(readFiles.forall(_.contains("bkt=3")))
+  }
 }
