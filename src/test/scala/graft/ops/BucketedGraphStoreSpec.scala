@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Extends BucketedJoinSpec's zero-exchange proof to the actual graph
+  * upsert: a graph persisted through BucketedGraphStore upserts a bucketed
+  * batch with NO Exchange anywhere in the plan, and upserts an unbucketed
+  * batch with an Exchange only on the batch side (the persisted — at scale,
+  * 100 TB — side never shuffles). */
+class BucketedGraphStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def nodes(n: Int) =
+    (1 to n).map(i => (s"L${i % 3}", s"k$i", Map("p" -> s"v$i")))
+      .toDF("label", "key", "props")
+
+  private def edges(n: Int) =
+    (1 to n).map(i => (s"L${i % 3}", s"k$i", s"L${(i + 1) % 3}", s"k${i + 1}", "R"))
+      .toDF("src_label", "src", "dst_label", "dst", "rel")
+
+  test("bucketed graph upsert: persisted side never shuffles") {
+    val wh = Files.createTempDirectory("graft-bgs").toString
+    BucketedGraphStore.save(GraphTable(nodes(500), edges(500)), "g", wh, buckets = 8)
+    // the incoming batch, also bucket-persisted (e.g. yesterday's delta)
+    nodes(50).write.bucketBy(8, "label", "key").sortBy("label", "key")
+      .option("path", s"$wh/batch_b").saveAsTable("batch_b")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val g = BucketedGraphStore.load(spark, "g")
+
+      // both sides bucketed → full-outer merge with zero Exchange
+      val merged = g.upsertNodes(spark.table("batch_b"))
+      val plan = merged.nodes.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), s"bucketed upsert must not shuffle:\n$plan")
+      assert(merged.nodes.count() == 500) // keys overlap; existing wins
+
+      // unbucketed incoming → exactly one Exchange, on the batch side only
+      val adhoc = g.upsertNodes(nodes(50))
+      val plan2 = adhoc.nodes.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan2).length
+      assert(exchanges == 1, s"expected one Exchange (incoming side only):\n$plan2")
+
+      // edge table bucketed on (src_label, src): the referential-integrity
+      // anti-join consumes the edge buckets without re-shuffling them
+      // edges bucketed on (src_label, src) and the nodes projection's
+      // aliases preserve its (label, key) bucketing → anti-join is fully
+      // exchange-free too
+      val orphans = g.orphanEdges
+      val plan3 = orphans.queryExecution.executedPlan.toString
+      assert(orphans.count() == 0) // every src k1..k500 exists as a node
+      assert(!plan3.contains("Exchange"), s"orphanEdges must stay bucket-local:\n$plan3")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      BucketedGraphStore.drop(spark, "g")
+      spark.sql("DROP TABLE IF EXISTS batch_b")
+    }
+  }
+}
