@@ -14,15 +14,33 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Every fixture table, in FIXTURES.md order. */
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Loader by name, routing through the special-cased readers. */
+  def apply(s: SparkSession, d: String, name: String): DataFrame = name match {
+    case "events"     => events(s, d)
+    case "documents"  => documents(s, d)
+    case "embeddings" => embeddings(s, d)
+    case other        => table(s, d, other)
+  }
+
   /** The fixture files are single-row-group parquet, so a scan is ONE task
     * and all narrow compute before the first shuffle runs single-threaded.
     * For the compute-dense tables (per-row hashing / vector math) a cheap
     * hash repartition up to the session's parallelism fixes that. On real
     * multi-row-group/multi-file inputs (the 100 TB case) the scan is already
-    * parallel and this is a no-op. */
-  private def parallelized(df: DataFrame, key: Column): DataFrame = {
+    * parallel and this is a no-op.
+    *
+    * The scan-partition probe (`df.rdd.getNumPartitions`) forces an RDD
+    * conversion, so its result is memoized per (path, parallelism) — each
+    * query build reuses the first probe instead of re-planning the scan. */
+  private val scanParts = scala.collection.concurrent.TrieMap.empty[String, Int]
+  private def parallelized(df: DataFrame, key: Column, cacheKey: String): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target, key) else df
+    val n = scanParts.getOrElseUpdate(s"$cacheKey@$target", df.rdd.getNumPartitions)
+    if (n < target) df.repartition(target, key) else df
   }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
@@ -41,7 +59,7 @@ object Tables {
     table(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame =
-    parallelized(table(s, d, "documents"), col("doc_id"))
+    parallelized(table(s, d, "documents"), col("doc_id"), s"$d/documents")
   def embeddings(s: SparkSession, d: String): DataFrame =
-    parallelized(table(s, d, "embeddings"), col("vec_id"))
+    parallelized(table(s, d, "embeddings"), col("vec_id"), s"$d/embeddings")
 }

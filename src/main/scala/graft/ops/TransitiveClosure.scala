@@ -53,6 +53,11 @@ object TransitiveClosure {
           edges.select(col("child_id").as("j_child"), col("parent_id").as("j_parent")),
           col("ancestor_id") === col("j_child"))
         .select(col("child_id"), col("j_parent").as("ancestor_id"), lit(d.toLong).as("depth"))
+        // within-frontier dedup: a diamond (two paths child→…→anc of equal
+        // length) lands the same (child, anc) pair twice in one frontier;
+        // without this, each copy re-expands next iteration and the
+        // "closure" becomes a combinatorially growing multiset on dense DAGs
+        .dropDuplicates("child_id", "ancestor_id")
         // drop pairs already seen at a shallower depth (cycle guard)
         .join(acc.select(col("child_id").as("s_c"), col("ancestor_id").as("s_a")),
           col("child_id") === col("s_c") && col("ancestor_id") === col("s_a"), "left_anti")

@@ -68,6 +68,13 @@ object PipelineQueries {
        |sx AS (SELECT doc_id, seed, sh FROM shx, (SELECT unnest(range(0, 8)) AS seed) seeds),
        |sig AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || sh)) AS mh FROM sx GROUP BY doc_id, seed)""".stripMargin
 
+  /** Document-frequency cap for x05's inverted index: shingles in more
+    * docs than this are dropped from index AND universe (exact Jaccard over
+    * discriminative shingles). Prevents the quadratic stopword-shingle pair
+    * blow-up at scale; every near-dup pair (j ≥ 0.8) shares many shingles,
+    * so removing ubiquitous ones barely moves its capped Jaccard. */
+  private val hotShingleMaxDf = 100L
+
   /** Embeddings ∪ id-shifted clone. */
   private def embCorpus(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d).select("vec_id", "embedding")
@@ -184,11 +191,25 @@ object PipelineQueries {
         // attached via a window on the deduped table (no size-table rejoin),
         // and both join sides are the IDENTICAL plan → ReuseExchange shares
         // the shingle shuffle.
-        val ex = docCorpus(s, d)
+        //
+        // Hot-shingle cap: shingles present in more than `hotShingleMaxDf`
+        // documents are removed from the index AND the universe (set sizes
+        // are computed after the cap), so the result is the EXACT Jaccard
+        // over discriminative shingles — not an approximation of the
+        // uncapped one. Without the cap, one stopword shingle shared by f
+        // documents emits f·(f-1)/2 candidate pairs: at 100× corpus scale
+        // that quadratic term is the whole join. The heavy list is tiny by
+        // construction (only shingles above the cap) → broadcast anti-join,
+        // no extra shuffle. The oracle applies the identical cap.
+        val raw = docCorpus(s, d)
           .select(col("doc_id"), tokens(col("text")).as("tk"))
           .filter(size(col("tk")) >= 3)
           .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
           .distinct()
+        val heavy = raw.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > hotShingleMaxDf).select("sh")
+        val ex = raw
+          .join(broadcast(heavy), Seq("sh"), "left_anti")
           .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")).cast(LongType))
         ex.as("a")
           .join(ex.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -210,8 +231,11 @@ object PipelineQueries {
       },
       Some(s"""WITH $corpusSql,
               |toks AS (SELECT doc_id, $tokensSql AS tk FROM corpus),
-              |sh AS (SELECT DISTINCT doc_id, sh FROM (
+              |sh0 AS (SELECT DISTINCT doc_id, sh FROM (
               |  SELECT doc_id, unnest($shinglesSql) AS sh FROM toks WHERE len(tk) >= 3) u),
+              |heavy AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > $hotShingleMaxDf),
+              |sh AS (SELECT doc_id, sh FROM sh0 s
+              |  WHERE NOT EXISTS (SELECT 1 FROM heavy h WHERE h.sh = s.sh)),
               |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
               |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i FROM sh a
               |  JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)

@@ -51,6 +51,7 @@ object XlsxSource {
       val reader = XMLInputFactory.newInstance().createXMLStreamReader(zip.getInputStream(entry))
       val rows = ArrayBuffer[ArrayBuffer[Option[String]]]()
       var cur: ArrayBuffer[Option[String]] = null
+      var curRowNum = -1
       var cellCol = -1
       var cellType = ""
       var inV = false
@@ -60,7 +61,14 @@ object XlsxSource {
         reader.next() match {
           case XMLStreamConstants.START_ELEMENT =>
             reader.getLocalName match {
-              case "row" => cur = ArrayBuffer[Option[String]]()
+              case "row" =>
+                cur = ArrayBuffer[Option[String]]()
+                // place by the row's r attribute, not element order: Excel
+                // omits interior empty rows from the XML, but openpyxl's
+                // iter_rows still yields them as all-None — and the sheet
+                // compiler's stop-at-first-empty-row cutoff depends on
+                // seeing that gap at the right index.
+                curRowNum = Option(attr(reader, "r")).map(_.toInt - 1).getOrElse(-1)
               case "c" =>
                 cellCol = colIndex(attr(reader, "r"))
                 cellType = Option(attr(reader, "t")).getOrElse("")
@@ -71,7 +79,11 @@ object XlsxSource {
           case XMLStreamConstants.CHARACTERS if inV => text.append(reader.getText)
           case XMLStreamConstants.END_ELEMENT =>
             reader.getLocalName match {
-              case "row" => rows += cur; cur = null
+              case "row" =>
+                val target = if (curRowNum >= 0) curRowNum else rows.size
+                while (rows.size < target) rows += ArrayBuffer[Option[String]]() // gap = all-None row
+                if (target < rows.size) rows(target) = cur else rows += cur
+                cur = null; curRowNum = -1
               case "v" | "t" =>
                 if (inV && cur != null && cellCol >= 0 && (reader.getLocalName == "v" || inIs || cellType == "inlineStr")) {
                   val raw = text.toString

@@ -72,15 +72,24 @@ class PropertySpec extends SparkSpec {
   }
 
   test("transitive closure matches brute force on random DAGs") {
-    // DAG by construction: edges only point from smaller to larger id
-    val edgeGen = Gen.zip(Gen.choose(0L, 8L), Gen.choose(9L, 14L))
+    // DAG by construction: edges only point from smaller to larger id.
+    // Small id range + arbitrary depth → multi-level diamonds are common,
+    // which is exactly the shape that once turned the closure into a
+    // multiset (duplicate frontier rows re-expanding each iteration).
+    val edgeGen = Gen.zip(Gen.choose(0L, 11L), Gen.choose(0L, 11L))
+      .suchThat { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
     forAll(Gen.listOf(edgeGen)) { edges =>
       whenever(edges.nonEmpty) {
         val dedup = edges.distinct
         val df = dedup.toDF("child_id", "parent_id")
-        val got = TransitiveClosure.closure(df)
+        val rows = TransitiveClosure.closure(df)
           .select("child_id", "ancestor_id")
-          .as[(Long, Long)].collect().toSet
+          .as[(Long, Long)].collect().toSeq
+        // set semantics, not multiset: every (child, ancestor) pair exactly once
+        assert(rows.size == rows.distinct.size,
+          s"closure emitted duplicate pairs: ${rows.groupBy(identity).filter(_._2.size > 1).keys}")
+        val got = rows.toSet
         // brute force reachability
         var reach = dedup.toSet
         var grew = true

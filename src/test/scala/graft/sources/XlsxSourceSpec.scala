@@ -51,6 +51,28 @@ class XlsxSourceSpec extends SparkSpec {
     intercept[IllegalArgumentException](XlsxSource.readSheet(spark, p, 9, 1))
   }
 
+  test("omitted interior empty rows surface as all-null rows at the right index") {
+    // Excel commonly drops an empty row from the XML entirely; openpyxl's
+    // iter_rows still yields it as all-None, and the sheet compiler's
+    // stop-at-first-empty-row cutoff must see it. Row 2 is absent here.
+    val f = File.createTempFile("graft-gap", ".xlsx")
+    val zip = new ZipOutputStream(new FileOutputStream(f))
+    def put(name: String, content: String): Unit = {
+      zip.putNextEntry(new ZipEntry(name)); zip.write(content.getBytes("UTF-8")); zip.closeEntry()
+    }
+    put("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet><sheetData>""" +
+        """<row r="1"><c r="A1"><v>1</v></c></row>""" +
+        """<row r="3"><c r="A3"><v>3</v></c></row>""" +
+        """</sheetData></worksheet>""")
+    zip.close()
+    val rows = XlsxSource.readSheet(spark, f.getAbsolutePath, 0, 2).orderBy("row_idx").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getString(0) == "1")
+    assert(rows(1).getString(0) == null && rows(1).getString(1) == null) // the gap row
+    assert(rows(2).getString(0) == "3")
+  }
+
   test("column reference decoding") {
     assert(XlsxSource.colIndex("A1") == 0)
     assert(XlsxSource.colIndex("Z9") == 25)
