@@ -509,6 +509,37 @@ object CoreQueries {
              |UNION ALL
              |SELECT e1.child_id, e2.parent_id AS ancestor_id, CAST(2 AS BIGINT) AS depth
              |FROM edges e1 JOIN edges e2 ON e1.parent_id = e2.child_id
-             |ORDER BY child_id, depth, ancestor_id""".stripMargin))
+             |ORDER BY child_id, depth, ancestor_id""".stripMargin)),
+
+    // Q28 — session_window, batch-checked: the SAME expression Structured
+    // Streaming uses (streaming/StreamingOps.scala runs it with a
+    // watermark), run on the batch table so the oracle can gate it — closing
+    // the one previously un-gated streaming surface. Spark semantics: a
+    // session covers [first ts, last ts + gap); an event exactly at the old
+    // end starts a NEW session, hence `>=` in the oracle's gap test (q23's
+    // hand-rolled sessionizer uses `>`, the other defensible convention).
+    QueryDef(
+      "q28_session_window",
+      (s, d) =>
+        events(s, d)
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(
+            col("user_id"),
+            col("session_window.start").as("session_start"),
+            col("session_window.end").as("session_end"),
+            col("n_events"))
+          .orderBy("user_id", "session_start"),
+      Some("""WITH g AS (SELECT user_id, ts,
+             |  epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+             |FROM events),
+             |m AS (SELECT user_id, ts,
+             |  CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END AS new_s FROM g),
+             |ses AS (SELECT user_id, ts,
+             |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m)
+             |SELECT user_id, min(ts) AS session_start,
+             |  max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
+             |FROM ses GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin))
   )
 }
