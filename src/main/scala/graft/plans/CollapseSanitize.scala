@@ -72,6 +72,7 @@ object CollapseSanitize extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => CollapseSanitize)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -503,6 +503,31 @@ object PipelineQueries {
              |r AS (SELECT q_id, c_id, cos_raw,
              |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, c_id) AS BIGINT) AS rn FROM x)
              |SELECT q_id, c_id, round(cos_raw, 6) AS cos_sim, rn FROM r WHERE rn <= 5
-             |ORDER BY q_id, rn""".stripMargin))
+             |ORDER BY q_id, rn""".stripMargin)),
+
+    // ——— Custom physical operator (§2.3(c) escape hatch) ———
+
+    // q12's as-of join computed through the custom AsOfJoin LogicalPlan →
+    // AsOfJoinStrategy → AsOfJoinExec sorted-merge pass (plans/AsOfJoin
+    // .scala): one forward scan per partition instead of q12's
+    // union-of-both-tables window. Same oracle as q12 — green means the
+    // custom operator is row-for-row equal to the compositional form.
+    QueryDef(
+      "x14_asof_custom",
+      (s, d) => {
+        val ev = events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+        val or = orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("timestamp").as("o_orderdate"))
+        graft.plans.AsOf.join(ev, or, "user_id" -> "o_custkey", "ts" -> "o_orderdate",
+            tieBreak = Some("o_orderkey"))
+          .select(col("event_id"), col("user_id"),
+            col("o_orderkey").as("last_orderkey"), col("o_orderdate").as("last_orderdate"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, last_orderkey, last_orderdate FROM (
+             |SELECT e.event_id, e.user_id, o.o_orderkey AS last_orderkey, o.o_orderdate AS last_orderdate,
+             |row_number() OVER (PARTITION BY e.event_id ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+             |FROM events e JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) t
+             |WHERE rn = 1 ORDER BY event_id""".stripMargin))
   )
 }

@@ -1,0 +1,86 @@
+package graft.plans
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def trades = Seq(
+    ("A", 10L, 100L), ("A", 20L, 200L), ("A", 20L, 250L), ("B", 5L, 50L))
+    .toDF("sym", "qt", "px") // key, time, payload (two right rows tie at t=20)
+
+  private def quotes = Seq(
+    ("A", 9L, 1L), ("A", 25L, 2L), ("A", 20L, 3L), ("B", 4L, 4L), ("C", 1L, 5L))
+    .toDF("sym2", "t", "id")
+
+  test("as-of semantics: last right row at-or-before each left time, tie-broken") {
+    val out = AsOf.join(quotes, trades, "sym2" -> "sym", "t" -> "qt",
+      tieBreak = Some("px"))
+      .select("sym2", "t", "id", "qt", "px").orderBy("id").collect()
+    // (A,9)→(A,10? no: qt<=t) qt=10>9 → no match... A t=9: no trade at or before → dropped (inner)
+    // A t=25: trades at 10,20,20 → latest time 20, tie px max = 250
+    // A t=20: same → 250; B t=4: trade at 5 > 4 → dropped; C → no key
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(4))).toSeq ==
+      Seq(("A", 25L, 250L), ("A", 20L, 250L)))
+  }
+
+  test("leftOuter null-extends unmatched and null-key left rows") {
+    val out = AsOf.join(quotes, trades, "sym2" -> "sym", "t" -> "qt",
+      tieBreak = Some("px"), leftOuter = true)
+      .orderBy("id").collect()
+    assert(out.length == 5)
+    val unmatched = out.filter(_.isNullAt(4))
+    assert(unmatched.map(_.getLong(2)).toSet == Set(1L, 4L, 5L))
+  }
+
+  test("plan uses AsOfJoinExec and matches the q12 window-composition answer") {
+    val d = sf001
+    val ev = Tables.events(spark, d)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val or = Tables.orders(spark, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("timestamp").as("o_orderdate")) // NTZ → TZ to match events.ts
+    val asof = AsOf.join(ev, or, "user_id" -> "o_custkey", "ts" -> "o_orderdate",
+      tieBreak = Some("o_orderkey"))
+      .select(col("event_id"), col("user_id"),
+        col("o_orderkey").as("last_orderkey"), col("o_orderdate").as("last_orderdate"))
+    // SparkPlan.nodeName strips the Exec suffix in plan text
+    assert(asof.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+
+    // reference answer: the union + last-ignoring-nulls window from q12
+    val evU = Tables.events(spark, d).select(
+      col("user_id").as("uid"), col("ts").as("t"), lit(1).as("is_event"),
+      col("event_id"), lit(null).cast(LongType).as("ok"), lit(null).cast("timestamp").as("od"))
+    val orU = Tables.orders(spark, d).select(
+      col("o_custkey").as("uid"), col("o_orderdate").as("t"), lit(0).as("is_event"),
+      lit(null).cast(LongType).as("event_id"), col("o_orderkey").as("ok"), col("o_orderdate").as("od"))
+    val w = Window.partitionBy("uid")
+      .orderBy(col("t"), col("is_event"), col("ok").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = orU.unionByName(evU)
+      .withColumn("last_orderkey", last(col("ok"), ignoreNulls = true).over(w))
+      .withColumn("last_orderdate", last(col("od"), ignoreNulls = true).over(w))
+      .filter(col("is_event") === 1 && col("last_orderkey").isNotNull)
+      .select(col("event_id"), col("uid").as("user_id"), col("last_orderkey"), col("last_orderdate"))
+
+    val a = asof.collect().map(_.toSeq).toSet
+    val b = ref.collect().map(_.toSeq).toSet
+    assert(a == b, s"asof=${a.size} rows, window=${b.size} rows")
+  }
+
+  test("pre-partitioned+sorted inputs add no extra exchange or sort") {
+    val l = quotes.repartition(4, col("sym2")).sortWithinPartitions("sym2", "t")
+    val r = trades.repartition(4, col("sym")).sortWithinPartitions("sym", "qt", "px")
+    val plan = AsOf.join(l, r, "sym2" -> "sym", "t" -> "qt", tieBreak = Some("px"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"))
+    // exactly the two repartitions we asked for and the two explicit
+    // sortWithinPartitions — EnsureRequirements recognized them as
+    // satisfying the exec's distribution/ordering and inserted nothing
+    assert("Exchange".r.findAllIn(plan).length == 2, plan)
+    assert("Sort \\[".r.findAllIn(plan).length == 2, plan)
+  }
+}
