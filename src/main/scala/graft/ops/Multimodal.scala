@@ -67,6 +67,25 @@ object Multimodal {
       }
   }
 
+  /** Codegen-native frame slicing: one row per fixed-size byte window of
+    * the blob — the decode-free path for frame features expressible in
+    * Spark SQL itself (checksums, sizes, byte stats). Unlike the
+    * decoder-based ops below this never leaves whole-stage codegen: the
+    * explode and the byte slice are built-in expressions, so it is the
+    * preferred shape whenever the per-frame computation doesn't need a
+    * codec. Output: (media_id, frame_idx: Long, frame: binary). */
+  def sliceFrames(media: DataFrame, frameBytes: Int): DataFrame = {
+    require(frameBytes > 0)
+    media.select(col("media_id"), col("media"))
+      .withColumn("n_frames", floor(length(col("media")) / frameBytes).cast("long"))
+      .filter(col("n_frames") > 0)
+      .select(col("media_id"),
+        explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_idx"),
+        col("media"))
+      .select(col("media_id"), col("frame_idx"),
+        expr(s"substring(media, CAST(frame_idx * $frameBytes + 1 AS INT), $frameBytes)").as("frame"))
+  }
+
   /** Sample every `stride`-th frame (stub: one frame per `frameBytes` bytes),
     * emitting a feature vector per frame — the explode-shaped path a video
     * pipeline needs. */

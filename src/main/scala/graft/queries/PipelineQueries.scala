@@ -505,6 +505,24 @@ object PipelineQueries {
              |SELECT q_id, c_id, round(cos_raw, 6) AS cos_sim, rn FROM r WHERE rn <= 5
              |ORDER BY q_id, rn""".stripMargin)),
 
+    // Frame slicing through ops.Multimodal.sliceFrames: the codegen-native
+    // video-frame path (explode + byte-window slice + per-frame checksum),
+    // oracle-checkable because documents.text is ASCII (byte slice == char
+    // slice; the gate data is verified ASCII at every SF).
+    QueryDef(
+      "x15_frame_slices",
+      (s, d) =>
+        graft.ops.Multimodal.sliceFrames(
+            documents(s, d).select(col("doc_id").as("media_id"),
+              col("text").cast("binary").as("media")), 100)
+          .select(col("media_id"), col("frame_idx"), md5(col("frame")).as("frame_md5"))
+          .orderBy("media_id", "frame_idx"),
+      Some("""WITH m AS (SELECT doc_id AS media_id, text AS media,
+             |  CAST(floor(octet_length(encode(text)) / 100.0) AS BIGINT) AS n_frames FROM documents),
+             |f AS (SELECT media_id, unnest(range(0, n_frames)) AS frame_idx, media FROM m WHERE n_frames > 0)
+             |SELECT media_id, frame_idx, md5(substring(media, frame_idx * 100 + 1, 100)) AS frame_md5
+             |FROM f ORDER BY media_id, frame_idx""".stripMargin)),
+
     // ——— Custom physical operator (§2.3(c) escape hatch) ———
 
     // q12's as-of join computed through the custom AsOfJoin LogicalPlan →

@@ -28,4 +28,16 @@ class MultimodalSpec extends SparkSpec {
     val strided = Multimodal.sampleFrames(media, stride = 2).collect()
     assert(strided.count(_.media_id == 1L) == 1)
   }
+
+  test("sliceFrames: exact byte windows, codegen-native plan (no mapPartitions)") {
+    val bytes = (0 until 250).map(_.toByte).toArray
+    val df = Seq((1L, bytes)).toDF("media_id", "media")
+    val out = Multimodal.sliceFrames(df, 100).orderBy("frame_idx").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Array[Byte]]("frame").toSeq == bytes.slice(0, 100).toSeq)
+    assert(out(1).getAs[Array[Byte]]("frame").toSeq == bytes.slice(100, 200).toSeq)
+    // stays inside whole-stage codegen: no SerializeFromObject / DeserializeToObject
+    val plan = Multimodal.sliceFrames(df, 100).queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject") && plan.contains("Generate"), plan)
+  }
 }
