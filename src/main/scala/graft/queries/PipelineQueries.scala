@@ -546,6 +546,93 @@ object PipelineQueries {
              |SELECT e.event_id, e.user_id, o.o_orderkey AS last_orderkey, o.o_orderdate AS last_orderdate,
              |row_number() OVER (PARTITION BY e.event_id ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
              |FROM events e JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) t
-             |WHERE rn = 1 ORDER BY event_id""".stripMargin))
+             |WHERE rn = 1 ORDER BY event_id""".stripMargin)),
+
+    // SimHash near-dup PAIRING (x04 only fingerprints). A 16-bit
+    // fingerprint is too coarse for corpus-level pairing (random collisions
+    // alone go quadratic — measured 68k pairs on the 1k-doc gate corpus),
+    // so the pair path widens to 32 bits: per-bit majority vote over each
+    // token-hash's low 4 bits per hex char, banded 4×8 for the bucket join
+    // (pigeonhole: hamming ≤ 3 ⇒ ≥1 band equal, so ≤ 2 never misses).
+    // Random 32-bit collisions are ~n²/2³³ — only real near-dups pair up.
+    QueryDef(
+      "x16_simhash_pairs",
+      (s, d) => {
+        val sims = docCorpus(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+          .select(col("doc_id"), md5(col("tok").cast("binary")).as("h"))
+          .withColumn("pos", explode(sequence(lit(0), lit(31))))
+          // hex digit holding this bit, decoded portably via instr/strpos
+          // floor before the int cast: CAST(1.75 AS INT) truncates in Spark
+          // but rounds in DuckDB — floor makes both exact
+          .withColumn("dig",
+            expr("instr('0123456789abcdef', substring(h, CAST(floor(pos / 4) AS INT) + 1, 1)) - 1"))
+          .withColumn("v",
+            when(expr("(dig >> (pos % 4)) & 1") === 1, 1L).otherwise(-1L))
+          .groupBy("doc_id", "pos")
+          .agg(sum(col("v")).as("sv"))
+          .withColumn("bit", when(col("sv") >= 0, "1").otherwise("0"))
+          .groupBy("doc_id")
+          .agg(array_join(
+            transform(array_sort(collect_list(struct(col("pos"), col("bit")))), x => x.getField("bit")),
+            "").as("simhash"))
+        val bands = sims.select(col("doc_id"), col("simhash"),
+            posexplode(array((0 until 4).map(i => substring(col("simhash"), i * 8 + 1, 8)): _*)))
+          .toDF("doc_id", "simhash", "band_idx", "band")
+        val a = bands.select(col("band_idx"), col("band"),
+          col("doc_id").as("a_id"), col("simhash").as("sa"))
+        val b = bands.select(col("band_idx"), col("band"),
+          col("doc_id").as("b_id"), col("simhash").as("sb"))
+        // 32 codegen'd char-compare terms — no interpreted lambda in the pair path
+        val hamming = (1 to 32).map(i =>
+          when(substring(col("sa"), i, 1) =!= substring(col("sb"), i, 1), 1L).otherwise(0L))
+          .reduce(_ + _)
+        a.join(b, Seq("band_idx", "band"))
+          .filter(col("a_id") < col("b_id"))
+          .select("a_id", "b_id", "sa", "sb").distinct()
+          .withColumn("hamming", hamming)
+          .filter(col("hamming") <= 2)
+          .select("a_id", "b_id", "hamming")
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""WITH $corpusSql,
+              |t0 AS (SELECT doc_id, unnest($tokensSql) AS tok FROM corpus),
+              |t AS (SELECT doc_id, md5(tok) AS h FROM t0),
+              |p AS (SELECT doc_id, h, unnest(range(0, 32)) AS pos FROM t),
+              |dg AS (SELECT doc_id, pos,
+              |  strpos('0123456789abcdef', substr(h, CAST(floor(pos / 4) AS INT) + 1, 1)) - 1 AS dig FROM p),
+              |v AS (SELECT doc_id, pos,
+              |  sum(CASE WHEN ((dig >> (pos % 4)) & 1) = 1 THEN 1 ELSE -1 END) AS sv
+              |  FROM dg GROUP BY 1, 2),
+              |bt AS (SELECT doc_id, pos, CASE WHEN sv >= 0 THEN '1' ELSE '0' END AS bit FROM v),
+              |sim AS (SELECT doc_id, string_agg(bit, '' ORDER BY pos) AS simhash FROM bt GROUP BY doc_id),
+              |bd AS (SELECT doc_id, simhash, unnest(range(0, 4)) AS band_idx FROM sim),
+              |bands AS (SELECT doc_id, simhash, band_idx,
+              |  substr(simhash, CAST(band_idx * 8 + 1 AS INT), 8) AS band FROM bd),
+              |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.simhash AS sa, b.simhash AS sb
+              |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id),
+              |h AS (SELECT a_id, b_id,
+              |  (${(1 to 32).map(i => s"CASE WHEN substr(sa, $i, 1) <> substr(sb, $i, 1) THEN 1 ELSE 0 END").mkString(" + ")}) AS hamming
+              |  FROM cand)
+              |SELECT a_id, b_id, CAST(hamming AS BIGINT) AS hamming FROM h WHERE hamming <= 2
+              |ORDER BY a_id, b_id""".stripMargin)),
+
+    // Deterministic hash-based train/val split (ops.Sampling): assignment
+    // is a pure narrow expression of (doc_id, salt) — reproducible across
+    // runs/engines and stable under table growth, unlike rand() or
+    // row_number splits. Aggregated per (lang, split) for a compact gate.
+    QueryDef(
+      "x17_hash_split",
+      (s, d) =>
+        documents(s, d)
+          .withColumn("split", graft.ops.Sampling.splitColumn(col("doc_id"), "split", 0.8))
+          .groupBy("lang", "split")
+          .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
+          .orderBy("lang", "split"),
+      Some("""SELECT lang,
+             |CASE WHEN substring(md5(doc_id::VARCHAR || ':split'), 1, 8) < 'cccccccc'
+             |  THEN 'train' ELSE 'val' END AS split,
+             |count(*) AS n, min(doc_id) AS first_doc
+             |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin))
   )
 }
