@@ -23,7 +23,7 @@ object Sampling {
   }
 
   /** Keep-this-row predicate for plain deterministic subsampling. */
-  def samplepredicate(key: Column, salt: String, frac: Double): Column = {
+  def samplePredicate(key: Column, salt: String, frac: Double): Column = {
     require(frac > 0 && frac <= 1, "frac must be in (0, 1]")
     val threshold = f"${math.floor(frac * 4294967296.0).toLong}%08x"
     hashFrac(key, salt) < threshold
