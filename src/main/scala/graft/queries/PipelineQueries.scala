@@ -548,74 +548,83 @@ object PipelineQueries {
              |FROM events e JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) t
              |WHERE rn = 1 ORDER BY event_id""".stripMargin)),
 
-    // SimHash near-dup PAIRING (x04 only fingerprints). A 16-bit
-    // fingerprint is too coarse for corpus-level pairing (random collisions
-    // alone go quadratic — measured 68k pairs on the 1k-doc gate corpus),
-    // so the pair path widens to 32 bits: per-bit majority vote over each
-    // token-hash's low 4 bits per hex char, banded 4×8 for the bucket join
-    // (pigeonhole: hamming ≤ 3 ⇒ ≥1 band equal, so ≤ 2 never misses).
-    // Random 32-bit collisions are ~n²/2³³ — only real near-dups pair up.
+    // SimHash near-dup PAIRING (x04 only fingerprints), cluster-level.
+    // Correlated token stats make fingerprints concentrate (true of real
+    // corpora, extreme in synthetic ones), so banding RAW docs goes
+    // quadratic inside identical-fingerprint groups — measured 99 s at
+    // sf0.1, 16-bit fingerprints were worse still. Scale-correct shape:
+    // (1) collapse identical 32-bit fingerprints into clusters (linear
+    // hash agg — this IS simhash exact-dedup, min-id survivor); (2) band
+    // only the DISTINCT fingerprints, 3 bands of 11/11/10 bits
+    // (pigeonhole: hamming ≤ 2 ⇒ ≥1 band equal); (3) exact hamming on the
+    // small candidate set. Output: near-dup cluster pairs, hamming 1–2
+    // (hamming-0 pairs live inside clusters), with pair multiplicity.
     QueryDef(
       "x16_simhash_pairs",
       (s, d) => {
+        // All 32 bit-votes as aggregate COLUMNS of one groupBy — not an
+        // exploded 32-rows-per-token position table (which 32×'d the row
+        // volume and cost ~14 s at sf0.1). One explode (tokens), one
+        // codegen'd hash agg with 32 partial sums, bit string via concat.
+        // Hex digits decode portably via instr/strpos; digit index and bit
+        // shift are Scala constants, so no float-division cast traps.
+        val voteCols = (0 until 32).map { p =>
+          val dig = s"(instr('0123456789abcdef', substring(h, ${p / 4 + 1}, 1)) - 1)"
+          sum(expr(s"CASE WHEN (($dig >> ${p % 4}) & 1) = 1 THEN 1 ELSE -1 END"))
+            .as(s"sv$p")
+        }
+        // fingerprint is a BIGINT, not a bit string: bands are shift+mask
+        // and hamming is bit_count(xor) — one codegen'd intrinsic instead
+        // of 32 substring compares (which blew past the codegen method
+        // limit and ran interpreted)
         val sims = docCorpus(s, d)
           .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
           .select(col("doc_id"), md5(col("tok").cast("binary")).as("h"))
-          .withColumn("pos", explode(sequence(lit(0), lit(31))))
-          // hex digit holding this bit, decoded portably via instr/strpos
-          // floor before the int cast: CAST(1.75 AS INT) truncates in Spark
-          // but rounds in DuckDB — floor makes both exact
-          .withColumn("dig",
-            expr("instr('0123456789abcdef', substring(h, CAST(floor(pos / 4) AS INT) + 1, 1)) - 1"))
-          .withColumn("v",
-            when(expr("(dig >> (pos % 4)) & 1") === 1, 1L).otherwise(-1L))
-          .groupBy("doc_id", "pos")
-          .agg(sum(col("v")).as("sv"))
-          .withColumn("bit", when(col("sv") >= 0, "1").otherwise("0"))
           .groupBy("doc_id")
-          .agg(array_join(
-            transform(array_sort(collect_list(struct(col("pos"), col("bit")))), x => x.getField("bit")),
-            "").as("simhash"))
-        val bands = sims.select(col("doc_id"), col("simhash"),
-            posexplode(array((0 until 4).map(i => substring(col("simhash"), i * 8 + 1, 8)): _*)))
-          .toDF("doc_id", "simhash", "band_idx", "band")
+          .agg(voteCols.head, voteCols.tail: _*)
+          .select(col("doc_id"),
+            (0 until 32).map(p =>
+              when(col(s"sv$p") >= 0, lit(1L << p)).otherwise(lit(0L)))
+              .reduce(_ + _).as("simhash"))
+        val clusters = sims.groupBy("simhash")
+          .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"))
+        val bandDefs = Seq((0, 11), (11, 11), (22, 10))
+        val bands = clusters.select(col("simhash"), col("rep"), col("n"),
+            posexplode(array(bandDefs.map { case (sft, len) =>
+              expr(s"shiftright(simhash, $sft) & ${(1L << len) - 1}") }: _*)))
+          .toDF("simhash", "rep", "n", "band_idx", "band")
         val a = bands.select(col("band_idx"), col("band"),
-          col("doc_id").as("a_id"), col("simhash").as("sa"))
+          col("simhash").as("sa"), col("rep").as("a_id"), col("n").as("na"))
         val b = bands.select(col("band_idx"), col("band"),
-          col("doc_id").as("b_id"), col("simhash").as("sb"))
-        // 32 codegen'd char-compare terms — no interpreted lambda in the pair path
-        val hamming = (1 to 32).map(i =>
-          when(substring(col("sa"), i, 1) =!= substring(col("sb"), i, 1), 1L).otherwise(0L))
-          .reduce(_ + _)
+          col("simhash").as("sb"), col("rep").as("b_id"), col("n").as("nb"))
         a.join(b, Seq("band_idx", "band"))
           .filter(col("a_id") < col("b_id"))
-          .select("a_id", "b_id", "sa", "sb").distinct()
-          .withColumn("hamming", hamming)
+          .select("a_id", "b_id", "sa", "sb", "na", "nb").distinct()
+          .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
           .filter(col("hamming") <= 2)
-          .select("a_id", "b_id", "hamming")
+          .select(col("a_id"), col("b_id"), col("hamming"),
+            (col("na") * col("nb")).as("pair_count"))
           .orderBy("a_id", "b_id")
       },
       Some(s"""WITH $corpusSql,
               |t0 AS (SELECT doc_id, unnest($tokensSql) AS tok FROM corpus),
               |t AS (SELECT doc_id, md5(tok) AS h FROM t0),
-              |p AS (SELECT doc_id, h, unnest(range(0, 32)) AS pos FROM t),
-              |dg AS (SELECT doc_id, pos,
-              |  strpos('0123456789abcdef', substr(h, CAST(floor(pos / 4) AS INT) + 1, 1)) - 1 AS dig FROM p),
-              |v AS (SELECT doc_id, pos,
-              |  sum(CASE WHEN ((dig >> (pos % 4)) & 1) = 1 THEN 1 ELSE -1 END) AS sv
-              |  FROM dg GROUP BY 1, 2),
-              |bt AS (SELECT doc_id, pos, CASE WHEN sv >= 0 THEN '1' ELSE '0' END AS bit FROM v),
-              |sim AS (SELECT doc_id, string_agg(bit, '' ORDER BY pos) AS simhash FROM bt GROUP BY doc_id),
-              |bd AS (SELECT doc_id, simhash, unnest(range(0, 4)) AS band_idx FROM sim),
-              |bands AS (SELECT doc_id, simhash, band_idx,
-              |  substr(simhash, CAST(band_idx * 8 + 1 AS INT), 8) AS band FROM bd),
-              |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.simhash AS sa, b.simhash AS sb
-              |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id),
-              |h AS (SELECT a_id, b_id,
-              |  (${(1 to 32).map(i => s"CASE WHEN substr(sa, $i, 1) <> substr(sb, $i, 1) THEN 1 ELSE 0 END").mkString(" + ")}) AS hamming
-              |  FROM cand)
-              |SELECT a_id, b_id, CAST(hamming AS BIGINT) AS hamming FROM h WHERE hamming <= 2
-              |ORDER BY a_id, b_id""".stripMargin)),
+              |sv AS (SELECT doc_id, ${(0 until 32).map(p =>
+                  s"sum(CASE WHEN (((strpos('0123456789abcdef', substr(h, ${p / 4 + 1}, 1)) - 1) >> ${p % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS sv$p")
+                  .mkString(", ")}
+              |  FROM t GROUP BY doc_id),
+              |sim AS (SELECT doc_id, ${(0 until 32).map(p =>
+                  s"(CASE WHEN sv$p >= 0 THEN (1::BIGINT << $p) ELSE 0 END)").mkString(" + ")} AS simhash FROM sv),
+              |cl AS (SELECT simhash, min(doc_id) AS rep, count(*) AS n FROM sim GROUP BY simhash),
+              |bd AS (SELECT simhash, rep, n, unnest(range(0, 3)) AS band_idx FROM cl),
+              |bands AS (SELECT simhash, rep, n, band_idx,
+              |  (simhash >> CAST(band_idx * 11 AS INT)) &
+              |    (CASE WHEN band_idx = 2 THEN 1023 ELSE 2047 END) AS band FROM bd),
+              |cand AS (SELECT DISTINCT a.rep AS a_id, b.rep AS b_id, a.simhash AS sa, b.simhash AS sb,
+              |  a.n AS na, b.n AS nb
+              |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band = b.band AND a.rep < b.rep)
+              |SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming, na * nb AS pair_count
+              |FROM cand WHERE bit_count(xor(sa, sb)) <= 2 ORDER BY a_id, b_id""".stripMargin)),
 
     // Deterministic hash-based train/val split (ops.Sampling): assignment
     // is a pure narrow expression of (doc_id, salt) — reproducible across
