@@ -6,12 +6,14 @@ import org.apache.spark.sql.functions._
 import java.io.{File, FileOutputStream}
 import java.nio.file.Files
 import java.util.zip.{ZipEntry, ZipOutputStream}
+import scala.jdk.CollectionConverters._
 
 object ReferencePipelineSpec {
   object Client extends Enrichment.PropertyTypeClient {
     def fetch(id: Long): Seq[String] =
       if (id % 2 == 0) Seq("Disease:x", "Disease:y", "Demo:z") else Seq.empty
   }
+  val sent = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int)]()
 }
 
 class ReferencePipelineSpec extends SparkSpec {
@@ -70,5 +72,18 @@ class ReferencePipelineSpec extends SparkSpec {
     // resume: a second run rebuilds nothing (all stages checkpointed)
     val again = ReferencePipeline.build(spark, in, s"$dir/ckpt").run()
     assert(again("graph_nodes").count() == 5)
+
+    // terminal load: batched, ledgered, resumable — second load is a no-op
+    val g = graft.ops.GraphTable(outs("graph_nodes"), outs("graph_edges"))
+    ReferencePipelineSpec.sent.clear()
+    val (nb, eb) = ReferencePipeline.load(g, batchSize = 2,
+      (id, batch) => ReferencePipelineSpec.sent.add(id.toString -> batch.size), s"$dir/ledger")
+    assert(nb + eb > 0)
+    val delivered = ReferencePipelineSpec.sent.asScala.map(_._2).sum
+    assert(delivered == 5 + 4) // every node and edge delivered exactly once
+    ReferencePipelineSpec.sent.clear()
+    val (nb2, eb2) = ReferencePipeline.load(g, batchSize = 2,
+      (id, batch) => ReferencePipelineSpec.sent.add(id.toString -> batch.size), s"$dir/ledger")
+    assert(nb2 == 0 && eb2 == 0 && ReferencePipelineSpec.sent.isEmpty)
   }
 }
