@@ -1,0 +1,58 @@
+package graft.queries
+
+import graft.{SparkSpec, SparkEntry}
+
+/** Plan-shape regression gate over the ENTIRE catalog: correctness rows
+  * prove the answers; this spec pins the plans. A refactor that silently
+  * turns a bucket join into a cartesian product, or un-pushes a filter,
+  * fails here — not at 100 TB.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private lazy val plans: Map[String, String] =
+    SparkEntry.catalog.map { q =>
+      q.name -> q.build(spark, sf001).queryExecution.executedPlan.toString
+    }.toMap
+
+  test("no query plans a non-broadcast cartesian product") {
+    // crossJoin(broadcast(...)) legitimately plans BroadcastNestedLoopJoin;
+    // an unhinted CartesianProduct is always a bug at scale
+    val offenders = plans.filter(_._2.contains("CartesianProduct")).keys.toSeq.sorted
+    assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
+  }
+
+  test("projection pruning reaches the scan (q01 reads 2 of 8 customer columns)") {
+    val scan = plans("q01_scan_project")
+    assert(scan.contains("ReadSchema: struct<c_custkey:bigint,c_name:string>"), scan)
+  }
+
+  test("filter pushdown reaches the parquet scan (q02 status equality)") {
+    val scan = plans("q02_filter_case")
+    assert(scan.contains("PushedFilters: [") && scan.contains("EqualTo(o_orderstatus,O)"), scan)
+  }
+
+  test("small dimension joins broadcast (q04 star join)") {
+    assert(plans("q04_join_star").contains("BroadcastHashJoin"), plans("q04_join_star"))
+  }
+
+  test("IVF assignment is a hash aggregate, not a ranking window (x07)") {
+    val p = plans("x07_ann_ivf")
+    assert(p.contains("max_by"), p)
+    // the ASSIGNMENT window is gone; the only window left is per-query top-k
+    assert("Window \\[row_number".r.findAllIn(p).length <= 1, p)
+  }
+
+  test("x13 aggregates with the bounded-buffer UDAF (no ranking window at all)") {
+    val p = plans("x13_topk_agg")
+    assert(p.contains("TopKAggregator") && !p.contains("Window"), p)
+  }
+
+  test("x14 plans through the custom as-of exec") {
+    assert(plans("x14_asof_custom").contains("AsOfJoin"), plans("x14_asof_custom"))
+  }
+
+  test("multimodal frame path stays inside codegen (x15: no object boundary)") {
+    val p = plans("x15_frame_slices")
+    assert(!p.contains("DeserializeToObject") && !p.contains("mapPartitions"), p)
+  }
+}
