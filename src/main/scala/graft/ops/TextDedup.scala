@@ -70,4 +70,63 @@ object TextDedup {
   /** Sign-LSH bucket over the first `bits` embedding dimensions. */
   def signBucket(emb: Column, bits: Int = 8): Column =
     concat((1 to bits).map(i => when(element_at(emb, i) >= 0f, "1").otherwise("0")): _*)
+
+  /** End-to-end near-dedup: (doc_id, canonical_id) where canonical_id is
+    * the smallest doc_id reachable through LSH candidate pairs with
+    * ≥ `minMatch` matching signature rows — i.e. connected-component
+    * canonicalization with a min-id survivor policy. Docs with no near-dup
+    * map to themselves.
+    *
+    * Components come from iterative min-label propagation over the pair
+    * adjacency (one shuffle per iteration, lineage truncated per step) —
+    * near-dup clusters are shallow star/chain shapes, so convergence is a
+    * handful of iterations; `maxIterations` hard-caps adversarial chains.
+    * For data-dependent deep components switch to GraphAlgos
+    * .connectedComponents (Pregel).
+    */
+  def dedupMapping(
+      docs: DataFrame,
+      seeds: Int = 8,
+      rowsPerBand: Int = 2,
+      minMatch: Int = 6,
+      maxIterations: Int = 16): DataFrame = {
+    val pairs = lshCandidatePairs(docs, seeds, rowsPerBand)
+      .filter(col("n_match") >= minMatch)
+      .select("a_id", "b_id")
+      .localCheckpoint(eager = true)
+    val adj = pairs.unionByName(
+      pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+    var labels = docs.select(col("doc_id"), col("doc_id").as("canonical_id"))
+      .localCheckpoint(eager = true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIterations) {
+      i += 1
+      val neigh = adj
+        .join(labels.select(col("doc_id").as("b_id"), col("canonical_id").as("b_can")), Seq("b_id"))
+        .groupBy(col("a_id").as("doc_id"))
+        .agg(min(col("b_can")).as("nmin"))
+      val next = labels.join(neigh, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("canonical_id"), coalesce(col("nmin"), col("canonical_id"))).as("canonical_id"))
+        .localCheckpoint(eager = true)
+      changed = next
+        .join(labels.select(col("doc_id"), col("canonical_id").as("old")), Seq("doc_id"))
+        .filter(col("canonical_id") =!= col("old")).count()
+      labels = next
+    }
+    labels
+  }
+
+  /** The deduped corpus: one survivor (min doc_id) per near-dup cluster. */
+  def dedupSurvivors(
+      docs: DataFrame,
+      seeds: Int = 8,
+      rowsPerBand: Int = 2,
+      minMatch: Int = 6): DataFrame = {
+    val keep = dedupMapping(docs, seeds, rowsPerBand, minMatch)
+      .filter(col("doc_id") === col("canonical_id"))
+      .select("doc_id")
+    docs.join(keep, Seq("doc_id"), "left_semi")
+  }
 }

@@ -642,6 +642,36 @@ object PipelineQueries {
              |CASE WHEN substring(md5(doc_id::VARCHAR || ':split'), 1, 8) < 'cccccccc'
              |  THEN 'train' ELSE 'val' END AS split,
              |count(*) AS n, min(doc_id) AS first_doc
-             |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin))
+             |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin)),
+
+    // The END-TO-END dedup pipeline (TextDedup.dedupMapping): LSH pairs →
+    // connected components by iterative min-label propagation → min-id
+    // canonical per cluster. The oracle recomputes the same components with
+    // a recursive CTE over the identical pair set — so even the iterative
+    // graph stage is engine-differentially checked, not just spec'd.
+    QueryDef(
+      "x18_dedup_components",
+      (s, d) =>
+        graft.ops.TextDedup.dedupMapping(docCorpus(s, d), minMatch = 6)
+          .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE $corpusSql,
+              |${minhashSigSql("corpus")},
+              |band AS (SELECT doc_id, CAST(floor(seed / 2) AS BIGINT) AS band,
+              |  min(mh) || '|' || max(mh) AS bsig FROM sig GROUP BY 1, 2),
+              |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM band a
+              |  JOIN band b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+              |pm AS (SELECT c.a_id, c.b_id, count(CASE WHEN sa.mh = sb.mh THEN 1 END) AS n_match
+              |  FROM cand c JOIN sig sa ON sa.doc_id = c.a_id
+              |  JOIN sig sb ON sb.doc_id = c.b_id AND sb.seed = sa.seed
+              |  GROUP BY 1, 2),
+              |pairs AS (SELECT a_id, b_id FROM pm WHERE n_match >= 6),
+              |adj AS (SELECT a_id AS s, b_id AS t FROM pairs
+              |  UNION ALL SELECT b_id, a_id FROM pairs),
+              |reach(id, rid) AS (
+              |  SELECT doc_id, doc_id FROM corpus
+              |  UNION
+              |  SELECT adj.s, reach.rid FROM adj JOIN reach ON adj.t = reach.id)
+              |SELECT id AS doc_id, min(rid) AS canonical_id FROM reach GROUP BY id
+              |ORDER BY doc_id""".stripMargin))
   )
 }

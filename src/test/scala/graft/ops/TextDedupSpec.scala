@@ -1,0 +1,44 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // three exact copies (1,2,3), a two-doc cluster (10,11 — one token
+  // changed out of many), and two singletons with disjoint vocabulary
+  private val base = "the quick brown fox jumps over the lazy dog " * 5
+  private def docs = Seq(
+    (1L, base), (2L, base), (3L, base),
+    (10L, base + "alpha beta gamma delta"),
+    (11L, base + "alpha beta gamma epsilon"),
+    (20L, "completely different words live here today friends hello world again ok"),
+    (30L, "unrelated vocabulary cluster zero overlap whatsoever nine eight seven six"))
+    .toDF("doc_id", "text")
+
+  test("dedupMapping canonicalizes near-dup clusters to the min id") {
+    val m = TextDedup.dedupMapping(docs, minMatch = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(m(1L) == 1L && m(2L) == 1L && m(3L) == 1L)
+    assert(m(20L) == 20L && m(30L) == 30L)
+    // 10/11 cluster: identical shingle prefix dominates the signatures;
+    // whatever the LSH says, both must agree and be ≤ their own ids
+    assert(m(10L) == m(11L) || (m(10L) == 10L && m(11L) == 11L))
+  }
+
+  test("dedupSurvivors keeps one doc per cluster, exact copies collapse") {
+    val kept = TextDedup.dedupSurvivors(docs, minMatch = 6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(1L) && !kept.contains(2L) && !kept.contains(3L))
+    assert(kept.contains(20L) && kept.contains(30L))
+  }
+
+  test("transitive chains collapse to one component (a~b, b~c, a!~c still one cluster)") {
+    // exact-copy chain via overlapping pairs: all share the same text so
+    // every pair is a candidate; min-propagation must reach the global min
+    val chain = (1L to 6L).map(i => (i, base)).toDF("doc_id", "text")
+    val m = TextDedup.dedupMapping(chain, minMatch = 6).as[(Long, Long)].collect().toMap
+    assert(m.values.toSet == Set(1L))
+  }
+}
