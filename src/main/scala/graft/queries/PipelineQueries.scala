@@ -672,6 +672,68 @@ object PipelineQueries {
               |  UNION
               |  SELECT adj.s, reach.rid FROM adj JOIN reach ON adj.t = reach.id)
               |SELECT id AS doc_id, min(rid) AS canonical_id FROM reach GROUP BY id
-              |ORDER BY doc_id""".stripMargin))
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Benchmark-contamination detection: training docs sharing ≥1 word
+    // 3-gram with a benchmark set (here: doc_id < 50 plays the benchmark).
+    // The benchmark shingle set is small by construction → broadcast
+    // semi-join; the (100 TB) training side is scanned once and never
+    // shuffled for the probe. n_shared counts distinct shared shingles.
+    QueryDef(
+      "x19_contamination",
+      (s, d) => {
+        val all = documents(s, d)
+        def shingleSet(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("doc_id"), tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 3)
+          .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
+          .distinct()
+        val bench = shingleSet(all.filter(col("doc_id") < 50)).select("sh").distinct()
+        shingleSet(all.filter(col("doc_id") >= 50))
+          .join(broadcast(bench), Seq("sh"), "left_semi")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shared"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+              |sh AS (SELECT DISTINCT doc_id, sh FROM (
+              |  SELECT doc_id, unnest($shinglesSql) AS sh FROM t WHERE len(tk) >= 3) u),
+              |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 50)
+              |SELECT s.doc_id, count(*) AS n_shared FROM sh s JOIN bench b ON s.sh = b.sh
+              |WHERE s.doc_id >= 50 GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
+    // Dataset profiling (the "data card" op): per-column row/null/distinct
+    // counts, min/max, decimal-exact mean, exact interpolated median — one
+    // aggregation pass per column over the fact table, unioned into a tall
+    // stats table. Exact percentile (not approx) so both engines agree.
+    QueryDef(
+      "x20_profile",
+      (s, d) => {
+        val li = lineitem(s, d)
+        def prof(c: String) = li.groupBy(lit(c).as("column")).agg(
+            count(lit(1)).as("n_rows"),
+            count(col(c)).as("n_non_null"),
+            countDistinct(col(c)).as("n_distinct"),
+            round(min(col(c)).cast(DoubleType), 6).as("min_v"),
+            round(max(col(c)).cast(DoubleType), 6).as("max_v"),
+            // decimal-exact sum, then the same double-division order as the
+            // oracle (cast-sum-to-double / count)
+            round(dsum(col(c)).cast(DoubleType) / count(col(c)), 6).as("mean_v"),
+            round(expr(s"percentile($c, 0.5)"), 6).as("median_v"))
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+          .map(prof).reduce(_ unionByName _)
+          .orderBy("column")
+      },
+      Some {
+        def prof(c: String) =
+          s"""SELECT '$c' AS "column", count(*) AS n_rows, count($c) AS n_non_null,
+             |count(DISTINCT $c) AS n_distinct,
+             |round(CAST(min($c) AS DOUBLE), 6) AS min_v,
+             |round(CAST(max($c) AS DOUBLE), 6) AS max_v,
+             |round(CAST(sum(CAST($c AS DECIMAL(18,4))) AS DOUBLE) / count($c), 6) AS mean_v,
+             |round(quantile_cont($c, 0.5), 6) AS median_v FROM lineitem""".stripMargin
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+          .map(prof).mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+      })
   )
 }
