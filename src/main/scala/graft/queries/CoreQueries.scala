@@ -540,6 +540,25 @@ object CoreQueries {
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m)
              |SELECT user_id, min(ts) AS session_start,
              |  max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
-             |FROM ses GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin))
+             |FROM ses GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)),
+
+    // Q29 — SLIDING window aggregate (q24 is tumbling): every event lands
+    // in length/slide = 2 overlapping windows. The oracle reproduces
+    // Spark's window assignment arithmetically: the two hour-aligned
+    // starts covering each event.
+    QueryDef(
+      "q29_sliding_window",
+      (s, d) =>
+        events(s, d)
+          .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+          .orderBy("win_start", "event_type"),
+      Some("""WITH w AS (SELECT event_type, ts,
+             |  time_bucket(INTERVAL '1 hour', ts) - CAST(unnest([0, 1]) || ' hour' AS INTERVAL) AS win_start
+             |FROM events)
+             |SELECT win_start, event_type, count(*) AS n FROM w
+             |WHERE ts >= win_start AND ts < win_start + INTERVAL '2 hours'
+             |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin))
   )
 }

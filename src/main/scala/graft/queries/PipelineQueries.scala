@@ -734,6 +734,32 @@ object PipelineQueries {
              |round(quantile_cont($c, 0.5), 6) AS median_v FROM lineitem""".stripMargin
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
           .map(prof).mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
-      })
+      }),
+
+    // Embedding mean-pooling per group (the centroid/feature-pooling op),
+    // emitted tall (grp, pos, mean) so the gate can canonicalize it.
+    // Float summation order is nondeterministic across engines, so elements
+    // are quantized FIRST with floor(x·10⁶) — floor on a double is exact
+    // (no tie semantics, unlike round/decimal casts) — making the sum an
+    // exact integer and the mean a deterministic double division.
+    QueryDef(
+      "x21_embed_pool",
+      (s, d) =>
+        embeddings(s, d)
+          .select((col("vec_id") % 10).as("grp"), posexplode(col("embedding")))
+          .select(col("grp"), col("pos").cast(LongType).as("pos"),
+            floor(col("col").cast(DoubleType) * 1e6).cast(LongType).as("q"))
+          .groupBy("grp", "pos")
+          .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+          .select(col("grp"), col("pos"),
+            round(col("sq").cast(DoubleType) / col("n"), 6).as("mean_q6"))
+          .orderBy("grp", "pos"),
+      Some("""WITH e AS (SELECT vec_id % 10 AS grp,
+             |  generate_subscripts(embedding, 1) - 1 AS pos,
+             |  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS q
+             |FROM embeddings)
+             |SELECT grp, CAST(pos AS BIGINT) AS pos,
+             |  round(CAST(sum(q) AS DOUBLE) / count(*), 6) AS mean_q6
+             |FROM e GROUP BY 1, 2 ORDER BY grp, pos""".stripMargin))
   )
 }
