@@ -559,6 +559,25 @@ object CoreQueries {
              |FROM events)
              |SELECT win_start, event_type, count(*) AS n FROM w
              |WHERE ts >= win_start AND ts < win_start + INTERVAL '2 hours'
-             |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin)),
+
+    // Q30 — CUBE (q09 covers rollup; this completes the grouping-sets
+    // family): all four grouping combinations of (returnflag, linestatus)
+    // with a decimal-exact quantity sum.
+    QueryDef(
+      "q30_cube",
+      (s, d) =>
+        lineitem(s, d)
+          .select("l_returnflag", "l_linestatus", "l_quantity")
+          .cube(expr("l_returnflag"), expr("l_linestatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+          .toDF("flag", "status", "n", "sum_qty")
+          .na.fill("(all)", Seq("flag", "status"))
+          .orderBy("flag", "status"),
+      Some("""SELECT coalesce(l_returnflag, '(all)') AS flag,
+             |coalesce(l_linestatus, '(all)') AS status, count(*) AS n,
+             |CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+             |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+             |ORDER BY flag, status""".stripMargin))
   )
 }

@@ -760,6 +760,18 @@ object PipelineQueries {
              |FROM embeddings)
              |SELECT grp, CAST(pos AS BIGINT) AS pos,
              |  round(CAST(sum(q) AS DOUBLE) / count(*), 6) AS mean_q6
-             |FROM e GROUP BY 1, 2 ORDER BY grp, pos""".stripMargin))
+             |FROM e GROUP BY 1, 2 ORDER BY grp, pos""".stripMargin)),
+
+    // Skew-safe aggregation through ops.Salting: l_returnflag has only 3
+    // values over the whole fact table — the canonical hot-key shape. The
+    // salted two-phase count (pre-agg on (key, salt), final on key) must
+    // equal the direct GROUP BY, which is exactly what the oracle computes.
+    QueryDef(
+      "x22_salted_agg",
+      (s, d) =>
+        graft.ops.Salting.saltedCount(lineitem(s, d), "l_returnflag", salts = 8)
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(*) AS n FROM lineitem
+             |GROUP BY 1 ORDER BY l_returnflag""".stripMargin))
   )
 }
