@@ -772,6 +772,97 @@ object PipelineQueries {
         graft.ops.Salting.saltedCount(lineitem(s, d), "l_returnflag", salts = 8)
           .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag, count(*) AS n FROM lineitem
-             |GROUP BY 1 ORDER BY l_returnflag""".stripMargin))
+             |GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
+
+    // TRAINED-centroid IVF ANN, oracle-gated end to end (x07 uses a
+    // pseudo-sample; ops.KMeansLite is the float library form). Everything
+    // numeric is exact-integer so a full Lloyd iteration survives the
+    // cross-engine gate: embeddings quantize to floor(x·10⁶) BIGINTs (dots
+    // ≤ 64·(6·10⁵)² ≈ 2.3e13 ≪ 2⁵³ — exact in both engines regardless of
+    // summation order), centroid means re-quantize with floor(sum/n), and
+    // only the final cosine normalization touches floats (deterministic:
+    // same exact ints → same IEEE ops). Pipeline: range-bucket init →
+    // assign (max_by) → mean update → assign → cluster-local top-3.
+    QueryDef(
+      "x23_ann_trained",
+      (s, d) => {
+        val k = 8
+        val e = embeddings(s, d)
+          .select(col("vec_id"), posexplode(col("embedding")))
+          .select(col("vec_id"), col("pos"),
+            floor(col("col").cast(DoubleType) * 1e6).cast("long").as("q"))
+          .localCheckpoint(eager = true)
+        val r0 = e.agg(min(col("vec_id")), max(col("vec_id"))).head()
+        val (mn, mx) = (r0.getLong(0), r0.getLong(1))
+        val step = math.max(1L, (mx - mn + 1) / k)
+        val reps = e.select("vec_id").distinct()
+          .groupBy(least(floor((col("vec_id") - mn) / step), lit(k - 1L))
+            .cast("long").as("cent_id"))
+          .agg(min(col("vec_id")).as("rep"))
+        val c0 = e.join(reps, e("vec_id") === reps("rep"))
+          .select(col("cent_id"), col("pos"), col("q").as("cq"))
+        val nv = e.groupBy("vec_id").agg(sum(col("q") * col("q")).as("nv"))
+        def assign(c: DataFrame): DataFrame = {
+          val nc = c.groupBy("cent_id").agg(sum(col("cq") * col("cq")).as("nc"))
+          e.join(c, Seq("pos"))
+            .groupBy("vec_id", "cent_id").agg(sum(col("q") * col("cq")).as("dot"))
+            .join(nv, Seq("vec_id")).join(nc, Seq("cent_id"))
+            .withColumn("cos", col("dot") / (sqrt(col("nv")) * sqrt(col("nc"))))
+            .groupBy("vec_id")
+            .agg(max_by(col("cent_id"), struct(col("cos"), (-col("cent_id")).as("t")))
+              .as("cent_id"))
+        }
+        val a1 = assign(c0)
+        val c1 = e.join(a1, Seq("vec_id")).groupBy("cent_id", "pos")
+          .agg(floor(sum(col("q")).cast(DoubleType) / count(lit(1))).cast("long").as("cq"))
+        val a2 = assign(c1)
+        val qa = a2.filter(col("vec_id").isin(1L, 2L, 3L))
+          .select(col("vec_id").as("q_id"), col("cent_id"))
+        val na = a2.select(col("vec_id").as("n_id"), col("cent_id"))
+        val dots = qa.join(na, Seq("cent_id")).filter(col("n_id") =!= col("q_id"))
+          .join(e.select(col("vec_id").as("q_id"), col("pos"), col("q").as("qq")), Seq("q_id"))
+          .join(e.select(col("vec_id").as("n_id"), col("pos"), col("q").as("qn")), Seq("n_id", "pos"))
+          .groupBy("q_id", "n_id").agg(sum(col("qq") * col("qn")).as("dot"))
+          .join(nv.select(col("vec_id").as("q_id"), col("nv").as("nvq")), Seq("q_id"))
+          .join(nv.select(col("vec_id").as("n_id"), col("nv").as("nvn")), Seq("n_id"))
+          .withColumn("cos_raw", col("dot") / (sqrt(col("nvq")) * sqrt(col("nvn"))))
+        val w = Window.partitionBy("q_id").orderBy(col("cos_raw").desc, col("n_id"))
+        dots.withColumn("rn", row_number().over(w).cast(LongType)).filter(col("rn") <= 3)
+          .select(col("q_id"), col("n_id"), round(col("cos_raw"), 6).as("cos_sim"), col("rn"))
+          .orderBy("q_id", "rn")
+      },
+      Some("""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+             |  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS q FROM embeddings),
+             |b AS (SELECT min(vec_id) AS mn, max(vec_id) AS mx FROM e),
+             |p AS (SELECT mn, greatest(1, CAST(floor((mx - mn + 1) / 8.0) AS BIGINT)) AS step FROM b),
+             |reps AS (SELECT least(CAST(floor((v.vec_id - p.mn) / p.step) AS BIGINT), 7) AS cent_id,
+             |  min(v.vec_id) AS rep FROM (SELECT DISTINCT vec_id FROM e) v, p GROUP BY 1),
+             |c0 AS (SELECT r.cent_id, e.pos, e.q AS cq FROM e JOIN reps r ON e.vec_id = r.rep),
+             |nv AS (SELECT vec_id, sum(q * q) AS nv FROM e GROUP BY 1),
+             |nc0 AS (SELECT cent_id, sum(cq * cq) AS nc FROM c0 GROUP BY 1),
+             |d1 AS (SELECT e.vec_id, c.cent_id, sum(e.q * c.cq) AS dot FROM e JOIN c0 c ON e.pos = c.pos GROUP BY 1, 2),
+             |a1 AS (SELECT vec_id, cent_id FROM (SELECT d.vec_id, d.cent_id,
+             |    row_number() OVER (PARTITION BY d.vec_id
+             |      ORDER BY d.dot / (sqrt(nv.nv) * sqrt(n.nc)) DESC, d.cent_id) AS rn
+             |  FROM d1 d JOIN nv ON nv.vec_id = d.vec_id JOIN nc0 n ON n.cent_id = d.cent_id) t WHERE rn = 1),
+             |c1 AS (SELECT a.cent_id, e.pos,
+             |  CAST(floor(CAST(sum(e.q) AS DOUBLE) / count(*)) AS BIGINT) AS cq
+             |  FROM e JOIN a1 a ON a.vec_id = e.vec_id GROUP BY 1, 2),
+             |nc1 AS (SELECT cent_id, sum(cq * cq) AS nc FROM c1 GROUP BY 1),
+             |d2 AS (SELECT e.vec_id, c.cent_id, sum(e.q * c.cq) AS dot FROM e JOIN c1 c ON e.pos = c.pos GROUP BY 1, 2),
+             |a2 AS (SELECT vec_id, cent_id FROM (SELECT d.vec_id, d.cent_id,
+             |    row_number() OVER (PARTITION BY d.vec_id
+             |      ORDER BY d.dot / (sqrt(nv.nv) * sqrt(n.nc)) DESC, d.cent_id) AS rn
+             |  FROM d2 d JOIN nv ON nv.vec_id = d.vec_id JOIN nc1 n ON n.cent_id = d.cent_id) t WHERE rn = 1),
+             |dd AS (SELECT qa.vec_id AS q_id, na.vec_id AS n_id, sum(eq.q * en.q) AS dot
+             |  FROM a2 qa JOIN a2 na ON na.cent_id = qa.cent_id AND na.vec_id <> qa.vec_id
+             |  JOIN e eq ON eq.vec_id = qa.vec_id JOIN e en ON en.vec_id = na.vec_id AND en.pos = eq.pos
+             |  WHERE qa.vec_id IN (1, 2, 3) GROUP BY 1, 2),
+             |r AS (SELECT dd.q_id, dd.n_id, dd.dot / (sqrt(a.nv) * sqrt(bb.nv)) AS cos_raw,
+             |  CAST(row_number() OVER (PARTITION BY dd.q_id
+             |    ORDER BY dd.dot / (sqrt(a.nv) * sqrt(bb.nv)) DESC, dd.n_id) AS BIGINT) AS rn
+             |  FROM dd JOIN nv a ON a.vec_id = dd.q_id JOIN nv bb ON bb.vec_id = dd.n_id)
+             |SELECT q_id, n_id, round(cos_raw, 6) AS cos_sim, rn FROM r WHERE rn <= 3
+             |ORDER BY q_id, rn""".stripMargin))
   )
 }
