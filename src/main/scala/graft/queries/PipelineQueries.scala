@@ -710,19 +710,30 @@ object PipelineQueries {
       "x20_profile",
       (s, d) => {
         val li = lineitem(s, d)
-        def prof(c: String) = li.groupBy(lit(c).as("column")).agg(
-            count(lit(1)).as("n_rows"),
-            count(col(c)).as("n_non_null"),
-            countDistinct(col(c)).as("n_distinct"),
-            round(min(col(c)).cast(DoubleType), 6).as("min_v"),
-            round(max(col(c)).cast(DoubleType), 6).as("max_v"),
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        // One pass for everything except distinct counts: four countDistinct
+        // aggregates in one agg force a 5x Expand of the input (measured
+        // slower than four passes), and per-column passes re-scan + re-sort
+        // four times. Shape that wins: a single wide aggregation without
+        // distincts, plus one tiny codegen'd hash-distinct job per column.
+        val aggs = cols.flatMap { c =>
+          Seq(
+            count(col(c)).as(s"nn_$c"),
+            round(min(col(c)).cast(DoubleType), 6).as(s"mn_$c"),
+            round(max(col(c)).cast(DoubleType), 6).as(s"mx_$c"),
             // decimal-exact sum, then the same double-division order as the
             // oracle (cast-sum-to-double / count)
-            round(dsum(col(c)).cast(DoubleType) / count(col(c)), 6).as("mean_v"),
-            round(expr(s"percentile($c, 0.5)"), 6).as("median_v"))
-        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-          .map(prof).reduce(_ unionByName _)
-          .orderBy("column")
+            round(dsum(col(c)).cast(DoubleType) / count(col(c)), 6).as(s"me_$c"),
+            round(expr(s"percentile($c, 0.5)"), 6).as(s"md_$c"))
+        }
+        val wide = li.agg(count(lit(1)).as("n_rows"), aggs: _*).localCheckpoint(eager = true)
+        val nd = cols.map(c => c -> li.select(col(c)).distinct().count()).toMap
+        cols.map { c =>
+          wide.select(lit(c).as("column"), col("n_rows"),
+            col(s"nn_$c").as("n_non_null"), lit(nd(c)).as("n_distinct"),
+            col(s"mn_$c").as("min_v"), col(s"mx_$c").as("max_v"),
+            col(s"me_$c").as("mean_v"), col(s"md_$c").as("median_v"))
+        }.reduce(_ unionByName _).orderBy("column")
       },
       Some {
         def prof(c: String) =
