@@ -578,6 +578,26 @@ object CoreQueries {
              |coalesce(l_linestatus, '(all)') AS status, count(*) AS n,
              |CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
              |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
-             |ORDER BY flag, status""".stripMargin))
+             |ORDER BY flag, status""".stripMargin)),
+
+    // Q31 — pivot (wide reshaping): order counts per priority, one column
+    // per order status. Explicit pivot values keep the plan single-pass
+    // (no value-discovery job) and the output schema static — the form
+    // that scales; the oracle is the equivalent conditional aggregation.
+    QueryDef(
+      "q31_pivot",
+      (s, d) =>
+        orders(s, d)
+          .groupBy("o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .toDF("prio", "n_f", "n_o", "n_p")
+          .orderBy("prio"),
+      Some("""SELECT o_orderpriority AS prio,
+             |count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+             |count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+             |count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+             |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin))
   )
 }
