@@ -55,14 +55,17 @@ object BatchLedger {
   }
 
   private def readCompacted(fs: FileSystem, dir: Path): Set[String] = {
-    val compacted = new Path(dir, "_compacted")
-    if (!fs.exists(compacted)) Set.empty
-    else {
-      val in = fs.open(compacted)
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filter(_.nonEmpty).toSet
-      finally in.close()
-    }
+    // The tmp file is the fallback for a crash inside compact() between
+    // delete(_compacted) and the rename: tmp always holds a superset of
+    // the deleted file's ids at that point, so no commit record is lost.
+    Seq(new Path(dir, "_compacted"), new Path(dir, "_compacted.tmp"))
+      .filter(fs.exists)
+      .flatMap { p =>
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.nonEmpty).toList
+        finally in.close()
+      }.toSet
   }
 
   /** Executor-side: drop the marker for a just-committed batch. */
@@ -72,7 +75,10 @@ object BatchLedger {
     fs.create(p, true).close()
   }
 
-  /** Fold all markers into `_compacted` (rename-atomic) and delete them. */
+  /** Fold all markers into `_compacted` and delete them. Crash-safe via
+    * the tmp file: it is written first with the full id set, and load()
+    * reads it as a fallback, so the delete→rename window cannot lose
+    * commit records. */
   def compact(spark: SparkSession, dir: String): Unit = {
     val all = load(spark, dir)
     val p = new Path(dir)

@@ -81,11 +81,15 @@ object HttpPropertyTypeClient {
       val c = body.charAt(i)
       if (inStr) {
         if (c == '\\' && i + 1 < body.length) {
-          cur.append(body.charAt(i + 1) match {
-            case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
-            case other => other // \" \\ \/ and friends
-          })
-          i += 1
+          body.charAt(i + 1) match {
+            case 'n' => cur.append('\n'); i += 1
+            case 't' => cur.append('\t'); i += 1
+            case 'r' => cur.append('\r'); i += 1
+            case 'u' if i + 5 < body.length =>
+              cur.append(Integer.parseInt(body.substring(i + 2, i + 6), 16).toChar)
+              i += 5
+            case other => cur.append(other); i += 1 // \" \\ \/ and friends
+          }
         } else if (c == '"') { out += cur.result(); cur.clear(); inStr = false }
         else cur.append(c)
       } else {

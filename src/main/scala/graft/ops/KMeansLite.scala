@@ -28,11 +28,16 @@ object KMeansLite {
     // Window.orderBy-with-no-partition which pulled every vector through a
     // single task. Sparse id ranges can leave some buckets empty (fewer
     // than k centroids); cent_id is a label, not an index, so that's fine.
-    val Row(minId: Long, maxId: Long) =
-      vectors.agg(min(col("vec_id")), max(col("vec_id"))).head()
+    // vec_id is cast to long (callers may have int ids); empty input yields
+    // empty centroids rather than a MatchError on the null min/max.
+    val bounds = vectors.agg(
+      min(col("vec_id").cast("long")), max(col("vec_id").cast("long"))).head()
+    if (bounds.isNullAt(0))
+      return vectors.select(lit(0L).as("cent_id"), col("embedding").as("c_emb")).limit(0)
+    val (minId, maxId) = (bounds.getLong(0), bounds.getLong(1))
     val step = math.max(1L, (maxId - minId + 1) / k)
     var centroids = vectors
-      .groupBy(least(floor((col("vec_id") - minId) / step), lit(k - 1L))
+      .groupBy(least(floor((col("vec_id").cast("long") - minId) / step), lit(k - 1L))
         .cast("long").as("cent_id"))
       .agg(min_by(col("embedding"), col("vec_id")).as("c_emb"))
       .localCheckpoint()

@@ -25,8 +25,10 @@ object Sampling {
   /** Keep-this-row predicate for plain deterministic subsampling. */
   def samplePredicate(key: Column, salt: String, frac: Double): Column = {
     require(frac > 0 && frac <= 1, "frac must be in (0, 1]")
-    val threshold = f"${math.floor(frac * 4294967296.0).toLong}%08x"
-    hashFrac(key, salt) < threshold
+    // frac = 1 would format as the 9-char "100000000", which sorts BELOW
+    // most 8-char hex prefixes and silently kept ~1/16 of rows
+    if (frac == 1.0) lit(true)
+    else hashFrac(key, salt) < f"${math.floor(frac * 4294967296.0).toLong}%08x"
   }
 
   private def hashFrac(key: Column, salt: String): Column =

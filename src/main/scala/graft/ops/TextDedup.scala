@@ -78,18 +78,19 @@ object TextDedup {
     * map to themselves.
     *
     * Components come from iterative min-label propagation over the pair
-    * adjacency (one shuffle per iteration, lineage truncated per step) —
-    * near-dup clusters are shallow star/chain shapes, so convergence is a
-    * handful of iterations; `maxIterations` hard-caps adversarial chains.
-    * For data-dependent deep components switch to GraphAlgos
-    * .connectedComponents (Pregel).
+    * adjacency WITH path compression (each step also jumps to the label of
+    * the current label), so convergence is O(log diameter), not
+    * O(diameter) — a chain-shaped component longer than the iteration
+    * budget would otherwise silently mis-canonicalize. `maxIterations`=64
+    * is therefore a pure safety valve (2^64 exceeds any real chain); the
+    * loop exits on the first unchanged pass.
     */
   def dedupMapping(
       docs: DataFrame,
       seeds: Int = 8,
       rowsPerBand: Int = 2,
       minMatch: Int = 6,
-      maxIterations: Int = 16): DataFrame = {
+      maxIterations: Int = 64): DataFrame = {
     val pairs = lshCandidatePairs(docs, seeds, rowsPerBand)
       .filter(col("n_match") >= minMatch)
       .select("a_id", "b_id")
@@ -106,9 +107,16 @@ object TextDedup {
         .join(labels.select(col("doc_id").as("b_id"), col("canonical_id").as("b_can")), Seq("b_id"))
         .groupBy(col("a_id").as("doc_id"))
         .agg(min(col("b_can")).as("nmin"))
-      val next = labels.join(neigh, Seq("doc_id"), "left")
+      val stepped = labels.join(neigh, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("canonical_id"), coalesce(col("nmin"), col("canonical_id"))).as("canonical_id"))
+      // path compression: follow the label's own label (labels are doc ids,
+      // so the self-join always resolves) — doubles the jump length per pass
+      val next = stepped
+        .join(stepped.select(col("doc_id").as("c_key"), col("canonical_id").as("c_val")),
+          col("canonical_id") === col("c_key"), "left")
+        .select(col("doc_id"),
+          least(col("canonical_id"), coalesce(col("c_val"), col("canonical_id"))).as("canonical_id"))
         .localCheckpoint(eager = true)
       changed = next
         .join(labels.select(col("doc_id"), col("canonical_id").as("old")), Seq("doc_id"))

@@ -50,22 +50,41 @@ object StreamGraphSink {
       nBuckets: Int = 64): Unit = {
     val dir = new Path(tableDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // The bucket count is part of the table LAYOUT: once written, the
+    // stored count wins over the parameter — re-running with a different
+    // nBuckets would hash existing edges to other buckets and silently
+    // re-append them. The marker is written with the first non-empty batch,
+    // so its presence also means "table has real data" (a zero-row first
+    // batch used to leave a schemaless dir that wedged every later read).
+    val marker = new Path(dir, "_graft_buckets")
+    val buckets =
+      if (fs.exists(marker)) {
+        val in = fs.open(marker)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+        finally in.close()
+      } else nBuckets
     val incoming = batch
       .select(edgeCols.map(col): _*)
       .dropDuplicates(edgeCols)
       .withColumn("bkt",
-        pmod(xxhash64(edgeCols.map(col): _*), lit(nBuckets.toLong)).cast("int"))
+        pmod(xxhash64(edgeCols.map(col): _*), lit(buckets.toLong)).cast("int"))
       .persist()
     try {
-      val novel =
-        if (fs.exists(dir)) {
-          // ≤ nBuckets ints — tiny driver-side set that drives pruning
-          val hit = incoming.select("bkt").distinct().collect().map(_.getInt(0))
-          val table = spark.read.parquet(tableDir)
-            .filter(col("bkt").isin(hit.toSeq: _*))
-          incoming.join(table, edgeCols :+ "bkt", "left_anti")
-        } else incoming
-      novel.write.mode("append").partitionBy("bkt").parquet(tableDir)
+      if (!incoming.isEmpty) {
+        val novel =
+          if (fs.exists(marker)) {
+            // ≤ buckets ints — tiny driver-side set that drives pruning
+            val hit = incoming.select("bkt").distinct().collect().map(_.getInt(0))
+            val table = spark.read.parquet(tableDir)
+              .filter(col("bkt").isin(hit.toSeq: _*))
+            incoming.join(table, edgeCols :+ "bkt", "left_anti")
+          } else incoming
+        novel.write.mode("append").partitionBy("bkt").parquet(tableDir)
+        if (!fs.exists(marker)) {
+          val out = fs.create(marker, true)
+          try out.write(buckets.toString.getBytes("UTF-8")) finally out.close()
+        }
+      }
     } finally incoming.unpersist()
   }
 }

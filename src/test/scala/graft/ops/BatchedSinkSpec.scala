@@ -90,6 +90,28 @@ class BatchedSinkSpec extends SparkSpec {
       (id, b) => BatchedSinkSpec.sent.add(id.toString -> b), dir)
     assert(BatchedSinkSpec.sent.isEmpty)
   }
+
+  test("a crash between compact's delete and rename loses no commit records") {
+    BatchedSinkSpec.sent.clear()
+    val dir = java.nio.file.Files.createTempDirectory("graft-ledger-t").toString
+    val rows = (1 to 250).map(_.toString).toDS().coalesce(1).sortWithinPartitions("value")
+    BatchedSink.writeResumable[String](rows, 100,
+      (id, b) => BatchedSinkSpec.sent.add(id.toString -> b), dir)
+    val before = BatchLedger.load(spark, dir)
+
+    // simulate the crash window: tmp written (superset), _compacted deleted
+    BatchLedger.compact(spark, dir)
+    val d = new java.io.File(dir)
+    java.nio.file.Files.copy(
+      new java.io.File(d, "_compacted").toPath, new java.io.File(d, "_compacted.tmp").toPath)
+    assert(new java.io.File(d, "_compacted").delete())
+
+    assert(BatchLedger.load(spark, dir) == before) // tmp fallback covers it
+    BatchedSinkSpec.sent.clear()
+    BatchedSink.writeResumable[String](rows, 100,
+      (id, b) => BatchedSinkSpec.sent.add(id.toString -> b), dir)
+    assert(BatchedSinkSpec.sent.isEmpty) // nothing re-sent
+  }
 }
 
 object BatchedSinkSpec {

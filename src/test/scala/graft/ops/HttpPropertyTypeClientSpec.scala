@@ -78,5 +78,9 @@ class HttpPropertyTypeClientSpec extends SparkSpec {
       == Seq("a\"b:x", "c\\d:y"))
     assert(parseEntries("""{"other":["a:b"]}""").isEmpty)
     assert(parseEntries("""{"event_and_property_types":[]}""").isEmpty)
+    // unicode escapes decode (encoders commonly escape all non-ASCII);
+    // the escape is assembled at runtime so scalac never preprocesses it
+    val body = "{\"event_and_property_types\":[\"Caf\\" + "u00e9:x\"]}"
+    assert(parseEntries(body) == Seq("Café:x"))
   }
 }

@@ -29,6 +29,13 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(both - 0.64) < 0.03, s"got $both")
   }
 
+  test("samplePredicate with frac = 1.0 keeps every row") {
+    // regression: floor(1.0 * 2^32) formats as 9-char "100000000", which
+    // sorts below most 8-char prefixes and silently kept ~6% of rows
+    val n = ids(2000).filter(Sampling.samplePredicate(col("id"), "s", 1.0)).count()
+    assert(n == 2000)
+  }
+
   test("samplePredicate keeps ~frac of rows, deterministically") {
     val n = 20000
     val kept = ids(n).filter(Sampling.samplePredicate(col("id"), "s", 0.1)).count()

@@ -60,4 +60,29 @@ class StreamGraphSinkSpec extends SparkSpec {
     assert(readFiles.nonEmpty && readFiles.size < spark.read.parquet(tableDir).inputFiles.length)
     assert(readFiles.forall(_.contains("bkt=3")))
   }
+
+  test("stored bucket count wins over a mismatched parameter; empty batches are no-ops") {
+    val base = Files.createTempDirectory("graft-sgs-layout").toString
+    val tableDir = s"$base/table"
+    val empty = Seq.empty[(String, String, String, String, String)]
+      .toDF("src_label", "src", "dst_label", "dst", "rel")
+
+    // empty FIRST batch must not create a schemaless dir that wedges reads
+    StreamGraphSink.mergeBatch(spark, empty, tableDir, nBuckets = 8)
+    StreamGraphSink.mergeBatch(spark,
+      Seq(edge("a", "b")).toDF("src_label", "src", "dst_label", "dst", "rel"),
+      tableDir, nBuckets = 8)
+    assert(spark.read.parquet(tableDir).count() == 1)
+
+    // replaying the same edge with a DIFFERENT nBuckets must still dedup:
+    // the layout marker pins the bucket count the table was written with
+    StreamGraphSink.mergeBatch(spark,
+      Seq(edge("a", "b")).toDF("src_label", "src", "dst_label", "dst", "rel"),
+      tableDir, nBuckets = 128)
+    assert(spark.read.parquet(tableDir).count() == 1)
+
+    // empty later batch: also a no-op
+    StreamGraphSink.mergeBatch(spark, empty, tableDir, nBuckets = 8)
+    assert(spark.read.parquet(tableDir).count() == 1)
+  }
 }
