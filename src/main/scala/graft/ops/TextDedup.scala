@@ -71,6 +71,29 @@ object TextDedup {
   def signBucket(emb: Column, bits: Int = 8): Column =
     concat((1 to bits).map(i => when(element_at(emb, i) >= 0f, "1").otherwise("0")): _*)
 
+  /** SimHash fingerprint as a BIGINT: per-bit majority vote over each
+    * token's md5 bits (x04/x16's gated form as a library call). One token
+    * explode + one hash aggregate with `bits` partial sums — integer
+    * fingerprints keep hamming distance a single `bit_count(a ^ b)`
+    * intrinsic and bands a shift+mask (string fingerprints fall out of
+    * whole-stage codegen past ~30 compare terms). `bits` ≤ 62. */
+  def simhashFingerprint(docs: DataFrame, bits: Int = 32): DataFrame = {
+    require(bits > 0 && bits <= 62, "bits must be in (0, 62]")
+    val voteCols = (0 until bits).map { p =>
+      val dig = s"(instr('0123456789abcdef', substring(h, ${p / 4 + 1}, 1)) - 1)"
+      sum(expr(s"CASE WHEN (($dig >> ${p % 4}) & 1) = 1 THEN 1 ELSE -1 END")).as(s"sv$p")
+    }
+    docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), md5(col("tok").cast("binary")).as("h"))
+      .groupBy("doc_id")
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until bits).map(p =>
+          when(col(s"sv$p") >= 0, lit(1L << p)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
   /** End-to-end near-dedup: (doc_id, canonical_id) where canonical_id is
     * the smallest doc_id reachable through LSH candidate pairs with
     * ≥ `minMatch` matching signature rows — i.e. connected-component

@@ -34,6 +34,17 @@ class TextDedupSpec extends SparkSpec {
     assert(kept.contains(20L) && kept.contains(30L))
   }
 
+  test("simhashFingerprint: identical texts collide, disjoint texts differ, bits bound respected") {
+    val fp = TextDedup.simhashFingerprint(docs, bits = 32)
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L) && fp(2L) == fp(3L)) // exact copies
+    assert(fp(20L) != fp(1L) || fp(30L) != fp(1L)) // disjoint vocab separates
+    assert(fp.values.forall(v => v >= 0 && v < (1L << 32)))
+    // deterministic across runs
+    val again = TextDedup.simhashFingerprint(docs, bits = 32).as[(Long, Long)].collect().toMap
+    assert(fp == again)
+  }
+
   test("transitive chains collapse to one component (a~b, b~c, a!~c still one cluster)") {
     // exact-copy chain via overlapping pairs: all share the same text so
     // every pair is a candidate; min-propagation must reach the global min
