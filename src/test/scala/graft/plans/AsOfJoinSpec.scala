@@ -71,6 +71,36 @@ class AsOfJoinSpec extends SparkSpec {
     assert(a == b, s"asof=${a.size} rows, window=${b.size} rows")
   }
 
+  test("empty right side: inner drops everything, outer null-extends everything") {
+    val emptyTrades = trades.filter($"qt" < 0)
+    assert(AsOf.join(quotes, emptyTrades, "sym2" -> "sym", "t" -> "qt").count() == 0)
+    val outer = AsOf.join(quotes, emptyTrades, "sym2" -> "sym", "t" -> "qt",
+      leftOuter = true).collect()
+    assert(outer.length == 5 && outer.forall(_.isNullAt(3)))
+  }
+
+  test("many partitions + duplicate left (key, time) rows: matches stay consistent") {
+    import scala.util.Random
+    val rnd = new Random(7)
+    val left = Seq.tabulate(500) { i =>
+      (s"k${rnd.nextInt(20)}", rnd.nextInt(100).toLong, i.toLong)
+    }.toDF("lk", "lt", "lid").repartition(7)
+    val right = Seq.tabulate(300) { i =>
+      (s"k${rnd.nextInt(25)}", rnd.nextInt(100).toLong, (1000 + i).toLong)
+    }.toDF("rk", "rt", "rid").repartition(3)
+    val got = AsOf.join(left, right, "lk" -> "rk", "lt" -> "rt", tieBreak = Some("rid"))
+      .select("lid", "rid").as[(Long, Long)].collect().toMap
+    // brute-force oracle
+    val ls = left.as[(String, Long, Long)].collect()
+    val rs = right.as[(String, Long, Long)].collect()
+    val expected = ls.flatMap { case (lk, lt, lid) =>
+      val cands = rs.filter(r => r._1 == lk && r._2 <= lt)
+      if (cands.isEmpty) None
+      else Some(lid -> cands.maxBy(r => (r._2, r._3))._3)
+    }.toMap
+    assert(got == expected, s"got ${got.size} vs expected ${expected.size}")
+  }
+
   test("pre-partitioned+sorted inputs add no extra exchange or sort") {
     val l = quotes.repartition(4, col("sym2")).sortWithinPartitions("sym2", "t")
     val r = trades.repartition(4, col("sym")).sortWithinPartitions("sym", "qt", "px")
