@@ -110,22 +110,26 @@ object ReferencePipeline {
   /** Terminal load: push the built graph to an external sink in resumable
     * batches — the reference's `run_cypher_file` bolt-transaction loop
     * (/root/reference/main.py:304-330) with its resume offset replaced by
-    * the on-disk [[BatchLedger]]. Rows are range-partitioned and sorted on
-    * their keys first so batch ids are deterministic across re-runs (the
-    * contract BatchedSink's ledger resume depends on); a crashed load
-    * re-sends only uncommitted batches. Returns (nodeBatches, edgeBatches)
-    * attempted this run.
+    * the on-disk [[BatchLedger]]. Rows are HASH-partitioned to a FIXED
+    * partition count and sorted on their keys, so batch ids are
+    * deterministic across re-runs — the contract ledger resume depends on.
+    * (Range partitioning would not be: RangePartitioner's sample seed
+    * varies with RDD lineage, so a resumed run could draw different range
+    * bounds and silently skip rows under previously-committed batch ids.)
+    * A crashed load re-sends only uncommitted batches. Returns
+    * (nodeBatches, edgeBatches) attempted this run.
     */
   def load(
       g: GraphTable,
       batchSize: Int,
       send: (BatchedSink.BatchId, Seq[org.apache.spark.sql.Row]) => Unit,
-      ledgerDir: String): (Long, Long) = {
+      ledgerDir: String,
+      partitions: Int = 64): (Long, Long) = {
     val nodes = g.nodes
-      .repartitionByRange(col("label"), col("key"))
+      .repartition(partitions, col("label"), col("key"))
       .sortWithinPartitions("label", "key")
     val edges = g.edges
-      .repartitionByRange(col("src_label"), col("src"), col("dst_label"), col("dst"), col("rel"))
+      .repartition(partitions, col("src_label"), col("src"), col("dst_label"), col("dst"), col("rel"))
       .sortWithinPartitions("src_label", "src", "dst_label", "dst", "rel")
     (BatchedSink.writeResumable(nodes, batchSize, send, s"$ledgerDir/nodes"),
       BatchedSink.writeResumable(edges, batchSize, send, s"$ledgerDir/edges"))

@@ -58,13 +58,21 @@ object BatchLedger {
     // The tmp file is the fallback for a crash inside compact() between
     // delete(_compacted) and the rename: tmp always holds a superset of
     // the deleted file's ids at that point, so no commit record is lost.
+    // Records are only trusted if newline-TERMINATED: a crash mid-write
+    // can truncate the final line to a prefix of a real id ("0:12" →
+    // "0:1"), which would fabricate a commit record and skip a batch that
+    // was never sent. Dropping an unterminated tail only loses records —
+    // safe, it just re-sends.
     Seq(new Path(dir, "_compacted"), new Path(dir, "_compacted.tmp"))
       .filter(fs.exists)
       .flatMap { p =>
         val in = fs.open(p)
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-          .filter(_.nonEmpty).toList
+        val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
+        val terminated =
+          if (content.endsWith("\n")) content
+          else content.substring(0, content.lastIndexOf('\n') + 1)
+        terminated.split("\n").iterator.filter(_.nonEmpty).toList
       }.toSet
   }
 

@@ -46,6 +46,11 @@ final class HttpPropertyTypeClient(
           case ok if ok / 100 == 2 =>
             return HttpPropertyTypeClient.parseEntries(resp.body())
           case 404 => return Seq.empty
+          // rate limiting / request timeout are transient by definition:
+          // |partitions| pooled clients hitting one service WILL see 429,
+          // and failing the task just re-hits the limit harder
+          case 429 | 408 =>
+            lastErr = new java.io.IOException(s"enrichment service throttled id=$conceptId")
           case s if s / 100 == 4 =>
             throw new IllegalStateException(s"enrichment service rejected id=$conceptId: HTTP $s")
           case s => // 5xx and everything else: retryable

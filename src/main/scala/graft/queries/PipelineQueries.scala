@@ -562,30 +562,13 @@ object PipelineQueries {
     QueryDef(
       "x16_simhash_pairs",
       (s, d) => {
-        // All 32 bit-votes as aggregate COLUMNS of one groupBy — not an
-        // exploded 32-rows-per-token position table (which 32×'d the row
-        // volume and cost ~14 s at sf0.1). One explode (tokens), one
-        // codegen'd hash agg with 32 partial sums, bit string via concat.
-        // Hex digits decode portably via instr/strpos; digit index and bit
-        // shift are Scala constants, so no float-division cast traps.
-        val voteCols = (0 until 32).map { p =>
-          val dig = s"(instr('0123456789abcdef', substring(h, ${p / 4 + 1}, 1)) - 1)"
-          sum(expr(s"CASE WHEN (($dig >> ${p % 4}) & 1) = 1 THEN 1 ELSE -1 END"))
-            .as(s"sv$p")
-        }
-        // fingerprint is a BIGINT, not a bit string: bands are shift+mask
-        // and hamming is bit_count(xor) — one codegen'd intrinsic instead
-        // of 32 substring compares (which blew past the codegen method
-        // limit and ran interpreted)
-        val sims = docCorpus(s, d)
-          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-          .select(col("doc_id"), md5(col("tok").cast("binary")).as("h"))
-          .groupBy("doc_id")
-          .agg(voteCols.head, voteCols.tail: _*)
-          .select(col("doc_id"),
-            (0 until 32).map(p =>
-              when(col(s"sv$p") >= 0, lit(1L << p)).otherwise(lit(0L)))
-              .reduce(_ + _).as("simhash"))
+        // Fingerprints come from the public API (TextDedup
+        // .simhashFingerprint — BIGINT, one token explode + one hash agg
+        // with 32 partial sums) so library and gated query cannot diverge;
+        // bands are shift+mask and hamming is one bit_count(xor) intrinsic
+        // (32 substring compares blew past the codegen method limit and
+        // ran interpreted).
+        val sims = graft.ops.TextDedup.simhashFingerprint(docCorpus(s, d), bits = 32)
         val clusters = sims.groupBy("simhash")
           .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"))
         val bandDefs = Seq((0, 11), (11, 11), (22, 10))

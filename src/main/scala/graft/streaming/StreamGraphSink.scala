@@ -53,16 +53,30 @@ object StreamGraphSink {
     // The bucket count is part of the table LAYOUT: once written, the
     // stored count wins over the parameter — re-running with a different
     // nBuckets would hash existing edges to other buckets and silently
-    // re-append them. The marker is written with the first non-empty batch,
-    // so its presence also means "table has real data" (a zero-row first
-    // batch used to leave a schemaless dir that wedged every later read).
+    // re-append them. The marker is written BEFORE the first data append
+    // (it declares layout, it does not signal data): if the process dies
+    // between marker and append, the replayed batch finds no bkt= dirs and
+    // appends everything as novel; if it dies between append and the
+    // stream checkpoint, the replay's anti-join re-filters. Data presence
+    // is detected from the bkt= partition dirs themselves, so a zero-row
+    // first batch cannot wedge later reads.
     val marker = new Path(dir, "_graft_buckets")
     val buckets =
       if (fs.exists(marker)) {
         val in = fs.open(marker)
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
         finally in.close()
-      } else nBuckets
+      } else {
+        // refuse a directory holding a pre-bucketing (flat) edge table:
+        // appending bkt= dirs next to flat files corrupts the layout
+        if (fs.exists(dir) &&
+            fs.listStatus(dir).exists(st => st.getPath.getName.endsWith(".parquet")))
+          throw new IllegalStateException(
+            s"$tableDir holds an unbucketed edge table; migrate it before streaming merges")
+        nBuckets
+      }
+    val hasData = fs.exists(dir) &&
+      fs.listStatus(dir).exists(_.getPath.getName.startsWith("bkt="))
     val incoming = batch
       .select(edgeCols.map(col): _*)
       .dropDuplicates(edgeCols)
@@ -72,18 +86,18 @@ object StreamGraphSink {
     try {
       if (!incoming.isEmpty) {
         val novel =
-          if (fs.exists(marker)) {
+          if (hasData) {
             // ≤ buckets ints — tiny driver-side set that drives pruning
             val hit = incoming.select("bkt").distinct().collect().map(_.getInt(0))
             val table = spark.read.parquet(tableDir)
               .filter(col("bkt").isin(hit.toSeq: _*))
             incoming.join(table, edgeCols :+ "bkt", "left_anti")
           } else incoming
-        novel.write.mode("append").partitionBy("bkt").parquet(tableDir)
         if (!fs.exists(marker)) {
           val out = fs.create(marker, true)
           try out.write(buckets.toString.getBytes("UTF-8")) finally out.close()
         }
+        novel.write.mode("append").partitionBy("bkt").parquet(tableDir)
       }
     } finally incoming.unpersist()
   }

@@ -58,4 +58,25 @@ class BucketedGraphStoreSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS batch_b")
     }
   }
+
+  test("load re-registers the bucket spec after the catalog entry is gone") {
+    val wh = Files.createTempDirectory("graft-bgs-reload").toString
+    BucketedGraphStore.save(GraphTable(nodes(200), edges(200)), "g2", wh, buckets = 8)
+    // simulate a fresh session: the in-memory catalog entry disappears
+    BucketedGraphStore.drop(spark, "g2")
+    assert(!spark.catalog.tableExists("g2_nodes"))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val g = BucketedGraphStore.load(spark, "g2", wh)
+      assert(g.nodes.count() == 200 && g.edges.count() == 200)
+      // the re-registered DDL table still carries the bucket spec: the
+      // self-upsert merge plans with zero exchanges
+      val plan = g.upsertNodes(spark.table("g2_nodes"))
+        .nodes.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") && !plan.contains("Exchange"), plan)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      BucketedGraphStore.drop(spark, "g2")
+    }
+  }
 }
