@@ -768,6 +768,35 @@ object PipelineQueries {
       Some("""SELECT l_returnflag, count(*) AS n FROM lineitem
              |GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
 
+    // PII scrubbing: email addresses and long digit runs (ids, phone-ish
+    // numbers) redacted with fixed tokens — the pre-training hygiene pass.
+    // Patterns stay inside the RE2 ∩ java.util.regex common subset
+    // (character classes, bounded repetition — no lookaround/backrefs), so
+    // both engines rewrite identically; the gate compares a checksum of
+    // the scrubbed text plus the per-doc redaction counts.
+    QueryDef(
+      "x24_pii_scrub",
+      (s, d) => {
+        val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+        val longDigits = "[0-9]{9,}"
+        documents(s, d)
+          .withColumn("t1", regexp_replace(col("text"), email, "<EMAIL>"))
+          .withColumn("scrubbed", regexp_replace(col("t1"), longDigits, "<NUM>"))
+          .select(
+            col("doc_id"),
+            md5(col("scrubbed").cast("binary")).as("scrubbed_md5"),
+            regexp_count(col("text"), lit(email)).cast(LongType).as("n_emails"),
+            regexp_count(col("text"), lit(longDigits)).cast(LongType).as("n_long_nums"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |md5(regexp_replace(regexp_replace(text,
+             |  '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+             |  '[0-9]{9,}', '<NUM>', 'g')) AS scrubbed_md5,
+             |CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+             |CAST(len(regexp_extract_all(text, '[0-9]{9,}')) AS BIGINT) AS n_long_nums
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // TRAINED-centroid IVF ANN, oracle-gated end to end (x07 uses a
     // pseudo-sample; ops.KMeansLite is the float library form). Everything
     // numeric is exact-integer so a full Lloyd iteration survives the
