@@ -598,6 +598,27 @@ object CoreQueries {
              |count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
              |count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
              |count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
-             |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin))
+             |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin)),
+
+    // Q32 — scalar subquery through the spark.sql entry point (the one API
+    // surface the rest of the catalog doesn't exercise): orders above the
+    // global average price. The average is a decimal-exact sum divided as
+    // a double with the identical formula on both engines, so the
+    // threshold comparison can't flip boundary rows.
+    QueryDef(
+      "q32_scalar_subquery",
+      (s, d) => {
+        orders(s, d).createOrReplaceTempView("orders_v")
+        s.sql("""SELECT o_orderkey, o_totalprice FROM orders_v
+                |WHERE o_totalprice > (
+                |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+                |  FROM orders_v)
+                |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |WHERE o_totalprice > (
+             |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+             |  FROM orders)
+             |ORDER BY o_orderkey""".stripMargin))
   )
 }
