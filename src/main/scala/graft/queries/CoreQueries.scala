@@ -619,6 +619,33 @@ object CoreQueries {
              |WHERE o_totalprice > (
              |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*)
              |  FROM orders)
-             |ORDER BY o_orderkey""".stripMargin))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Q33 — the remaining analytic-window family (q10-q13 cover
+    // row_number/rank/dense_rank/frames): ntile, percent_rank, cume_dist,
+    // partitioned by priority so no global single-partition sort. The
+    // ordering is fully tiebroken (price, orderkey) — rank-position
+    // functions are only cross-engine deterministic under a total order.
+    QueryDef(
+      "q33_rank_family",
+      (s, d) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        orders(s, d)
+          .select(col("o_orderpriority").as("prio"), col("o_orderkey"),
+            ntile(4).over(w).cast(LongType).as("quartile"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cume"))
+          .filter(col("o_orderkey") % 50 === 0) // compact, still every quartile
+          .orderBy("prio", "o_orderkey")
+      },
+      Some("""SELECT prio, o_orderkey, quartile, pct_rank, cume FROM (
+             |SELECT o_orderpriority AS prio, o_orderkey,
+             |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             |  round(percent_rank() OVER w, 6) AS pct_rank,
+             |  round(cume_dist() OVER w, 6) AS cume
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)) t
+             |WHERE o_orderkey % 50 = 0 ORDER BY prio, o_orderkey""".stripMargin))
   )
 }
