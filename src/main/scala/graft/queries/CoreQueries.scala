@@ -646,6 +646,27 @@ object CoreQueries {
              |  round(cume_dist() OVER w, 6) AS cume
              |FROM orders
              |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)) t
-             |WHERE o_orderkey % 50 = 0 ORDER BY prio, o_orderkey""".stripMargin))
+             |WHERE o_orderkey % 50 = 0 ORDER BY prio, o_orderkey""".stripMargin)),
+
+    // Q34 — map functions (GraphTable props are map<string,string>; this
+    // gates the surface): build a map, point-lookup, enumerate keys. Keys
+    // are sorted+stringified because map iteration order is engine-defined
+    // and the gate can only canonicalize scalar cells.
+    QueryDef(
+      "q34_map_fns",
+      (s, d) =>
+        documents(s, d)
+          .select(col("doc_id"),
+            map(lit("lang"), col("lang"), lit("src"), col("source")).as("props"))
+          .select(
+            col("doc_id"),
+            element_at(col("props"), "lang").as("lang_v"),
+            element_at(col("props"), "missing").as("miss_v"),
+            array_join(array_sort(map_keys(col("props"))), ",").as("keys"),
+            size(col("props")).cast(LongType).as("n_entries"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang AS lang_v, CAST(NULL AS VARCHAR) AS miss_v,
+             |'lang,src' AS keys, CAST(2 AS BIGINT) AS n_entries
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }
