@@ -101,4 +101,45 @@ object StreamGraphSink {
       }
     } finally incoming.unpersist()
   }
+
+  /** Convenience reader: the merged edge table without the layout column. */
+  def readEdges(spark: SparkSession, tableDir: String): DataFrame =
+    spark.read.parquet(tableDir).select(edgeCols.map(col): _*)
+
+  /** Compacts each bucket partition down to one file. Every micro-batch
+    * appends at least one file per touched bucket, so a long-running
+    * stream accumulates small files that tax both the namenode and every
+    * scan — run this periodically (e.g. from a scheduled maintenance job,
+    * with the stream idle: the rewrite is copy-then-swap per partition,
+    * not transactional against concurrent appends).
+    */
+  def compact(spark: SparkSession, tableDir: String): Unit = {
+    val dir = new Path(tableDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return
+    val bucketDirs = fs.listStatus(dir).filter(_.getPath.getName.startsWith("bkt="))
+    bucketDirs.foreach { st =>
+      val files = fs.listStatus(st.getPath)
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      if (files.length > 1) {
+        val tmp = new Path(dir, s".compact_${st.getPath.getName}")
+        // dropDuplicates makes compaction self-healing: a crash between
+        // landing the compacted file and deleting the originals leaves
+        // duplicate rows, and the next compact run collapses them
+        spark.read.parquet(st.getPath.toString)
+          .dropDuplicates(edgeCols)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val dataFile = fs.listStatus(tmp)
+          .find(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"compaction produced no file for $tmp"))
+        // swap: land the compacted file first, then drop the originals —
+        // a crash mid-swap leaves duplicates (re-runnable), never loss
+        val landed = new Path(st.getPath, s"compacted-${System.nanoTime()}.parquet")
+        if (!fs.rename(dataFile.getPath, landed))
+          throw new java.io.IOException(s"compaction rename failed for ${st.getPath}")
+        files.foreach(f => fs.delete(f.getPath, false))
+        fs.delete(tmp, true)
+      }
+    }
+  }
 }

@@ -85,4 +85,30 @@ class StreamGraphSinkSpec extends SparkSpec {
     StreamGraphSink.mergeBatch(spark, empty, tableDir, nBuckets = 8)
     assert(spark.read.parquet(tableDir).count() == 1)
   }
+
+  test("compact folds per-batch files into one per bucket, content unchanged") {
+    val base = Files.createTempDirectory("graft-sgs-compact").toString
+    val tableDir = s"$base/table"
+    // three merges into few buckets → multiple files per bucket
+    (0 until 3).foreach { b =>
+      val edges = (0 until 40).map(i => edge(s"s$b-$i", s"d$i"))
+        .toDF("src_label", "src", "dst_label", "dst", "rel")
+      StreamGraphSink.mergeBatch(spark, edges, tableDir, nBuckets = 4)
+    }
+    val before = StreamGraphSink.readEdges(spark, tableDir).collect().map(_.toSeq).toSet
+    val filesBefore = spark.read.parquet(tableDir).inputFiles.length
+    assert(filesBefore > 4)
+
+    StreamGraphSink.compact(spark, tableDir)
+    val filesAfter = spark.read.parquet(tableDir).inputFiles.length
+    assert(filesAfter <= 4, s"expected ≤1 file per bucket, got $filesAfter")
+    val after = StreamGraphSink.readEdges(spark, tableDir).collect().map(_.toSeq).toSet
+    assert(after == before)
+
+    // merges keep working against the compacted layout (dedup intact)
+    StreamGraphSink.mergeBatch(spark,
+      Seq(edge("s0-0", "d0")).toDF("src_label", "src", "dst_label", "dst", "rel"),
+      tableDir, nBuckets = 4)
+    assert(StreamGraphSink.readEdges(spark, tableDir).count() == before.size)
+  }
 }
