@@ -18,10 +18,19 @@ import org.apache.spark.sql.functions._
 object KMeansLite {
 
   /** @param vectors DataFrame[vec_id: Long, embedding: Array[Float]]
+    * @param reliable materialize per-iteration centroids via
+    *   `Dataset.checkpoint` (requires `spark.sparkContext.setCheckpointDir`)
+    *   instead of `localCheckpoint` — localCheckpoint blocks live on
+    *   executors with no lineage, so an executor loss mid-fit is fatal;
+    *   reliable checkpoints recover. Centroids are k rows, so the
+    *   checkpoint write is trivially cheap — long cluster runs should
+    *   always opt in.
     * @return centroids DataFrame[cent_id: Long, c_emb: Array[Float]]
     */
-  def fit(vectors: DataFrame, k: Int, iterations: Int): DataFrame = {
+  def fit(vectors: DataFrame, k: Int, iterations: Int, reliable: Boolean = false): DataFrame = {
     require(k > 0 && iterations >= 0)
+    val materialize: DataFrame => DataFrame =
+      if (reliable) _.checkpoint(eager = true) else _.localCheckpoint(eager = true)
     // Deterministic init without a global sort: split the id RANGE into k
     // equal buckets and take each bucket's lowest-id vector via min_by — a
     // codegen'd hash aggregate (map-side partial), vs the previous
@@ -40,7 +49,7 @@ object KMeansLite {
       .groupBy(least(floor((col("vec_id").cast("long") - minId) / step), lit(k - 1L))
         .cast("long").as("cent_id"))
       .agg(min_by(col("embedding"), col("vec_id")).as("c_emb"))
-      .localCheckpoint()
+    centroids = materialize(centroids)
     for (_ <- 1 to iterations) {
       val assigned = assign(vectors, centroids)
       centroids = assigned
@@ -49,7 +58,7 @@ object KMeansLite {
         .agg(avg(col("col")).as("m"))
         .groupBy("cent_id")
         .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> CAST(x.m AS FLOAT))").as("c_emb"))
-        .localCheckpoint()
+      centroids = materialize(centroids)
     }
     centroids
   }

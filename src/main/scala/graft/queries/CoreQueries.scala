@@ -665,8 +665,15 @@ object CoreQueries {
             array_join(array_sort(map_keys(col("props"))), ",").as("keys"),
             size(col("props")).cast(LongType).as("n_entries"))
           .orderBy("doc_id"),
-      Some("""SELECT doc_id, lang AS lang_v, CAST(NULL AS VARCHAR) AS miss_v,
-             |'lang,src' AS keys, CAST(2 AS BIGINT) AS n_entries
-             |FROM documents ORDER BY doc_id""".stripMargin))
+      // The oracle builds the SAME map and computes lookup/keys/size through
+      // DuckDB's own map functions (extraction returns a LIST there — [1]
+      // scalarizes, and indexing the empty missing-key list yields NULL), so
+      // a wrong-keys or wrong-size regression fails the gate.
+      Some("""WITH m AS (SELECT doc_id, MAP(['lang','src'], [lang, source]) AS props
+             |  FROM documents)
+             |SELECT doc_id, props['lang'][1] AS lang_v, props['missing'][1] AS miss_v,
+             |array_to_string(list_sort(map_keys(props)), ',') AS keys,
+             |CAST(cardinality(props) AS BIGINT) AS n_entries
+             |FROM m ORDER BY doc_id""".stripMargin))
   )
 }

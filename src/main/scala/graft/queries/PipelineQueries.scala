@@ -88,6 +88,31 @@ object PipelineQueries {
   private val signBucketSql: String =
     (1 to 8).map(i => s"(CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
 
+  /** Shared oracle for x18 AND x25: connected components over the LSH pair
+    * set via a recursive CTE, canonicalized to the min doc_id per
+    * component — the engine-differential check for BOTH the DataFrame
+    * label-propagation path (x18) and the GraphX Pregel path (x25). */
+  private val dedupComponentsSql =
+    s"""WITH RECURSIVE $corpusSql,
+       |${minhashSigSql("corpus")},
+       |band AS (SELECT doc_id, CAST(floor(seed / 2) AS BIGINT) AS band,
+       |  min(mh) || '|' || max(mh) AS bsig FROM sig GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM band a
+       |  JOIN band b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+       |pm AS (SELECT c.a_id, c.b_id, count(CASE WHEN sa.mh = sb.mh THEN 1 END) AS n_match
+       |  FROM cand c JOIN sig sa ON sa.doc_id = c.a_id
+       |  JOIN sig sb ON sb.doc_id = c.b_id AND sb.seed = sa.seed
+       |  GROUP BY 1, 2),
+       |pairs AS (SELECT a_id, b_id FROM pm WHERE n_match >= 6),
+       |adj AS (SELECT a_id AS s, b_id AS t FROM pairs
+       |  UNION ALL SELECT b_id, a_id FROM pairs),
+       |reach(id, rid) AS (
+       |  SELECT doc_id, doc_id FROM corpus
+       |  UNION
+       |  SELECT adj.s, reach.rid FROM adj JOIN reach ON adj.t = reach.id)
+       |SELECT id AS doc_id, min(rid) AS canonical_id FROM reach GROUP BY id
+       |ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     // ——— Deduplication ———
@@ -198,19 +223,22 @@ object PipelineQueries {
         // over discriminative shingles — not an approximation of the
         // uncapped one. Without the cap, one stopword shingle shared by f
         // documents emits f·(f-1)/2 candidate pairs: at 100× corpus scale
-        // that quadratic term is the whole join. The heavy list is tiny by
-        // construction (only shingles above the cap) → broadcast anti-join,
-        // no extra shuffle. The oracle applies the identical cap.
-        val raw = docCorpus(s, d)
+        // that quadratic term is the whole join. The document frequency is
+        // attached as a window over `sh` in the SAME pass that dedups the
+        // index — a separate heavy-list subtree would re-evaluate the
+        // tokenize→shingle→distinct pipeline once per consumer (measured
+        // +74% on this query), and a `persist` of it would hold corpus-sized
+        // blocks across unrelated queries. One linear chain: every stage is
+        // computed exactly once. The oracle applies the identical cap.
+        val ex = docCorpus(s, d)
           .select(col("doc_id"), tokens(col("text")).as("tk"))
           .filter(size(col("tk")) >= 3)
           .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
           .distinct()
-        val heavy = raw.groupBy("sh").agg(count(lit(1)).as("df"))
-          .filter(col("df") > hotShingleMaxDf).select("sh")
-        val ex = raw
-          .join(broadcast(heavy), Seq("sh"), "left_anti")
+          .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+          .filter(col("df") <= hotShingleMaxDf)
           .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")).cast(LongType))
+          .select("doc_id", "sh", "n")
         ex.as("a")
           .join(ex.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
           .select(
@@ -637,25 +665,7 @@ object PipelineQueries {
       (s, d) =>
         graft.ops.TextDedup.dedupMapping(docCorpus(s, d), minMatch = 6)
           .orderBy("doc_id"),
-      Some(s"""WITH RECURSIVE $corpusSql,
-              |${minhashSigSql("corpus")},
-              |band AS (SELECT doc_id, CAST(floor(seed / 2) AS BIGINT) AS band,
-              |  min(mh) || '|' || max(mh) AS bsig FROM sig GROUP BY 1, 2),
-              |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM band a
-              |  JOIN band b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
-              |pm AS (SELECT c.a_id, c.b_id, count(CASE WHEN sa.mh = sb.mh THEN 1 END) AS n_match
-              |  FROM cand c JOIN sig sa ON sa.doc_id = c.a_id
-              |  JOIN sig sb ON sb.doc_id = c.b_id AND sb.seed = sa.seed
-              |  GROUP BY 1, 2),
-              |pairs AS (SELECT a_id, b_id FROM pm WHERE n_match >= 6),
-              |adj AS (SELECT a_id AS s, b_id AS t FROM pairs
-              |  UNION ALL SELECT b_id, a_id FROM pairs),
-              |reach(id, rid) AS (
-              |  SELECT doc_id, doc_id FROM corpus
-              |  UNION
-              |  SELECT adj.s, reach.rid FROM adj JOIN reach ON adj.t = reach.id)
-              |SELECT id AS doc_id, min(rid) AS canonical_id FROM reach GROUP BY id
-              |ORDER BY doc_id""".stripMargin)),
+      Some(dedupComponentsSql)),
 
     // Benchmark-contamination detection: training docs sharing ≥1 word
     // 3-gram with a benchmark set (here: doc_id < 50 plays the benchmark).
@@ -709,8 +719,21 @@ object PipelineQueries {
             round(dsum(col(c)).cast(DoubleType) / count(col(c)), 6).as(s"me_$c"),
             round(expr(s"percentile($c, 0.5)"), 6).as(s"md_$c"))
         }
-        val wide = li.agg(count(lit(1)).as("n_rows"), aggs: _*).localCheckpoint(eager = true)
-        val nd = cols.map(c => c -> li.select(col(c)).distinct().count()).toMap
+        // the wide pass and the four distinct jobs are independent — submit
+        // them concurrently (Spark's scheduler interleaves jobs from
+        // separate threads fine); a serial per-column driver loop would be
+        // 1+N sequential jobs at N columns, concurrency makes the wall time
+        // max(widest job), not the sum
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(cols.size + 1)
+        implicit val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+        val wideF = Future(li.agg(count(lit(1)).as("n_rows"), aggs: _*).localCheckpoint(eager = true))
+        val ndF = Future.sequence(
+          cols.map(c => Future(c -> li.select(col(c)).distinct().count())))
+        val (wide, nd) =
+          try (Await.result(wideF, Duration.Inf), Await.result(ndF, Duration.Inf).toMap)
+          finally pool.shutdown()
         cols.map { c =>
           wide.select(lit(c).as("column"), col("n_rows"),
             col(s"nn_$c").as("n_non_null"), lit(nd(c)).as("n_distinct"),
@@ -886,6 +909,37 @@ object PipelineQueries {
              |    ORDER BY dd.dot / (sqrt(a.nv) * sqrt(bb.nv)) DESC, dd.n_id) AS BIGINT) AS rn
              |  FROM dd JOIN nv a ON a.vec_id = dd.q_id JOIN nv bb ON bb.vec_id = dd.n_id)
              |SELECT q_id, n_id, round(cos_raw, 6) AS cos_sim, rn FROM r WHERE rn <= 3
-             |ORDER BY q_id, rn""".stripMargin))
+             |ORDER BY q_id, rn""".stripMargin)),
+
+    // GraphX connected components, differentially gated: the SAME LSH pair
+    // set that feeds x18 is loaded into a GraphTable and run through the
+    // Pregel-based GraphAlgos.connectedComponents; component ids (arbitrary
+    // vertex ids from zipWithUniqueId) are canonicalized to the min doc_id
+    // per component, which must reproduce x18's mapping — so the recursive-
+    // CTE oracle now checks BOTH iterative-components implementations
+    // (DataFrame label propagation AND GraphX) against each other.
+    QueryDef(
+      "x25_graphx_components",
+      (s, d) => {
+        val corpus = docCorpus(s, d)
+        val pairs = graft.ops.TextDedup.lshCandidatePairs(corpus)
+          .filter(col("n_match") >= 6)
+        val nodes = corpus.select(lit("Doc").as("label"),
+          col("doc_id").cast("string").as("key"),
+          lit(null).cast("map<string,string>").as("props"))
+        val edges = pairs.select(lit("Doc").as("src_label"),
+          col("a_id").cast("string").as("src"),
+          lit("Doc").as("dst_label"),
+          col("b_id").cast("string").as("dst"),
+          lit("NEAR_DUP").as("rel"))
+        val cc = graft.ops.GraphAlgos
+          .connectedComponents(graft.ops.GraphTable(nodes, edges))
+          .select(col("key").cast(LongType).as("doc_id"), col("component"))
+        val canon = cc.groupBy("component").agg(min(col("doc_id")).as("canonical_id"))
+        cc.join(canon, Seq("component"))
+          .select("doc_id", "canonical_id")
+          .orderBy("doc_id")
+      },
+      Some(dedupComponentsSql))
   )
 }
