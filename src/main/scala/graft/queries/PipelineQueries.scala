@@ -212,10 +212,9 @@ object PipelineQueries {
     QueryDef(
       "x05_ngram_jaccard",
       (s, d) => {
-        // Inverted-index self-join over distinct shingles; set sizes are
-        // attached via a window on the deduped table (no size-table rejoin),
-        // and both join sides are the IDENTICAL plan → ReuseExchange shares
-        // the shingle shuffle.
+        // Inverted-index self-join over distinct shingles; set sizes join
+        // onto the SMALL post-aggregation pair table, never onto the
+        // index itself.
         //
         // Hot-shingle cap: shingles present in more than `hotShingleMaxDf`
         // documents are removed from the index AND the universe (set sizes
@@ -223,34 +222,49 @@ object PipelineQueries {
         // over discriminative shingles — not an approximation of the
         // uncapped one. Without the cap, one stopword shingle shared by f
         // documents emits f·(f-1)/2 candidate pairs: at 100× corpus scale
-        // that quadratic term is the whole join. The document frequency is
-        // attached as a window over `sh` in the SAME pass that dedups the
-        // index — a separate heavy-list subtree would re-evaluate the
-        // tokenize→shingle→distinct pipeline once per consumer (measured
-        // +74% on this query), and a `persist` of it would hold corpus-sized
-        // blocks across unrelated queries. One linear chain: every stage is
-        // computed exactly once. The oracle applies the identical cap.
-        val ex = docCorpus(s, d)
+        // that quadratic term is the whole join. The oracle applies the
+        // identical cap.
+        val raw = docCorpus(s, d)
           .select(col("doc_id"), tokens(col("text")).as("tk"))
           .filter(size(col("tk")) >= 3)
           .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
-          .distinct()
-          .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
-          .filter(col("df") <= hotShingleMaxDf)
-          .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")).cast(LongType))
-          .select("doc_id", "sh", "n")
+          // ONE shuffle serves everything downstream: partitioning by sh
+          // alone co-locates equal (doc_id, sh) rows, so the distinct
+          // aggregate, the per-sh document-frequency aggregate, the
+          // cap semi-join, and the pair self-join all run in-partition on
+          // this exchange (HashPartitioning(sh) satisfies every later
+          // ClusteredDistribution) — the planner inserts no further
+          // exchange of index-sized data
+          .repartition(col("sh"))
+          .dropDuplicates("doc_id", "sh")
+        val dfTab = raw.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= hotShingleMaxDf).select("sh")
+        // shuffle_hash hints, twice over: (1) AQE would broadcast these
+        // sf0.1-sized sides, which is impossible at 100 TB AND defeats
+        // exchange reuse (each broadcast subtree recomputes the
+        // tokenize→distinct chain — the measured +74% regression); (2) vs
+        // merge joins, hash joins need NO sort of the index — the whole
+        // query runs on hash aggregates and hash joins until the final
+        // ORDER BY, so nothing index-sized is ever sorted
+        // eager materialization: the capped index feeds THREE consumers
+        // (both self-join sides + the size table); exchange reuse shares
+        // the shuffle but re-runs the in-partition dedup/cap per consumer
+        // (~3× that work, the real cost behind the round-2 +74%). A
+        // localCheckpoint computes it exactly once per run with no
+        // cross-run cache; partitioning survives (LogicalRDD keeps the
+        // physical HashPartitioning(sh)), so the self-join still needs no
+        // exchange. Cluster runs of the library form would use a reliable
+        // checkpoint instead (see TextDedup.dedupMapping's cluster story).
+        val ex = raw.join(dfTab.hint("shuffle_hash"), Seq("sh"), "left_semi")
+          .localCheckpoint(eager = true)
+        val nTab = ex.groupBy("doc_id").agg(count(lit(1)).cast(LongType).as("n"))
         ex.as("a")
-          .join(ex.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-          .select(
-            col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-            col("a.n").as("na"), col("b.n").as("nb"))
-          // size-ratio prune: |A∩B| ≤ min(na,nb), so jaccard ≤ min/max —
-          // pairs below the threshold ratio can never qualify. Cuts the
-          // pair-aggregation input without changing results (0.79 covers
-          // the round-to-6 boundary of the 0.8 filter).
-          .filter(least(col("na"), col("nb")) >= lit(0.79) * greatest(col("na"), col("nb")))
-          .groupBy("a_id", "b_id")
-          .agg(count(lit(1)).as("i"), first(col("na")).as("na"), first(col("nb")).as("nb"))
+          .join(ex.as("b").hint("shuffle_hash"),
+            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .agg(count(lit(1)).as("i"))
+          .join(nTab.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
+          .join(nTab.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
           .withColumn("jaccard",
             round(col("i") / (col("na") + col("nb") - col("i")).cast(DoubleType), 6))
           .filter(col("jaccard") >= 0.8)
