@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Public text-dedup building blocks (the library surface behind the
   * x02/x03/x05 catalog queries — see graft.queries.PipelineQueries for the
@@ -109,12 +108,14 @@ object TextDedup {
     * is therefore a pure safety valve (2^64 exceeds any real chain); the
     * loop exits on the first unchanged pass.
     *
-    * Convergence costs ONE action per iteration: the step output carries a
-    * `changed` flag and is persisted, and the changed-count aggregate is the
-    * action that populates the cache — no second scan-the-world job per
-    * pass. Lineage is truncated by a checkpoint every `checkpointInterval`
-    * iterations (and once at the end, so the returned frame is a flat scan,
-    * not the whole loop's plan).
+    * Convergence: the step output CARRIES its previous label, so the
+    * changed-row test is a narrow filter-count over the blocks the
+    * iteration just materialized — not the former full join of old vs new
+    * labels (one heavy job + one block-scan per pass, instead of two
+    * shuffling jobs). A DataFrame `persist` could fold even the block scan
+    * into the materializing aggregate, but building the columnar cache
+    * twice per pass measured SLOWER than checkpointing the raw rows —
+    * measured, not assumed.
     *
     * Cluster story (`reliable = true`): materializations go through
     * `Dataset.checkpoint` to `spark.sparkContext.setCheckpointDir` (HDFS/
@@ -129,8 +130,7 @@ object TextDedup {
       rowsPerBand: Int = 2,
       minMatch: Int = 6,
       maxIterations: Int = 64,
-      reliable: Boolean = false,
-      checkpointInterval: Int = 8): DataFrame = {
+      reliable: Boolean = false): DataFrame = {
     val materialize: DataFrame => DataFrame =
       if (reliable) _.checkpoint(eager = true) else _.localCheckpoint(eager = true)
     val pairs = materialize(
@@ -141,7 +141,6 @@ object TextDedup {
       pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
     var labels = docs.select(col("doc_id"), col("doc_id").as("canonical_id"))
       .localCheckpoint(eager = true)
-    var cached: List[DataFrame] = Nil
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIterations) {
@@ -150,12 +149,9 @@ object TextDedup {
         .join(labels.select(col("doc_id").as("b_id"), col("canonical_id").as("b_can")), Seq("b_id"))
         .groupBy(col("a_id").as("doc_id"))
         .agg(min(col("b_can")).as("nmin"))
-      // persisted because it feeds both sides of the compression self-join —
-      // without it the whole neigh subtree evaluates twice per pass
       val stepped = labels.join(neigh, Seq("doc_id"), "left")
         .select(col("doc_id"), col("canonical_id").as("old"),
           least(col("canonical_id"), coalesce(col("nmin"), col("canonical_id"))).as("canonical_id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
       // path compression: follow the label's own label (labels are doc ids,
       // so the self-join always resolves) — doubles the jump length per pass
       val next = stepped
@@ -163,23 +159,15 @@ object TextDedup {
           col("canonical_id") === col("c_key"), "left")
         .select(col("doc_id"), col("old"),
           least(col("canonical_id"), coalesce(col("c_val"), col("canonical_id"))).as("canonical_id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // the ONE action of this iteration: fills both caches as a side effect
-      changed = next
-        .agg(count(when(col("canonical_id") =!= col("old"), lit(1))).as("n_changed"))
-        .head().getLong(0)
-      cached.foreach(_.unpersist(false))
-      cached = List(next, stepped)
-      labels = next.select("doc_id", "canonical_id")
-      if (i % checkpointInterval == 0) {
-        labels = materialize(labels)
-        cached.foreach(_.unpersist(false))
-        cached = Nil
-      }
+      // the heavy job: materialize this pass (checkpoint truncates lineage,
+      // so next pass plans against a flat scan, not the whole loop history)
+      val mat = materialize(next)
+      // narrow block-scan over what was just materialized — no join, no
+      // shuffle; `old` rides along precisely so this stays cheap
+      changed = mat.filter(col("canonical_id") =!= col("old")).count()
+      labels = mat.select("doc_id", "canonical_id")
     }
-    val out = materialize(labels)
-    cached.foreach(_.unpersist(false))
-    out
+    labels
   }
 
   /** The deduped corpus: one survivor (min doc_id) per near-dup cluster. */

@@ -718,11 +718,17 @@ object PipelineQueries {
       (s, d) => {
         val li = lineitem(s, d)
         val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-        // One pass for everything except distinct counts: four countDistinct
+        // One codegen'd pass for the algebraic stats: four countDistinct
         // aggregates in one agg force a 5x Expand of the input (measured
-        // slower than four passes), and per-column passes re-scan + re-sort
-        // four times. Shape that wins: a single wide aggregation without
-        // distincts, plus one tiny codegen'd hash-distinct job per column.
+        // slower than four passes), and exact `percentile` is an object
+        // aggregate whose partial state is EVERY value — in the wide agg it
+        // serialized all rows × all cols through one reducer. Shape that
+        // wins: one wide codegen'd aggregation (no distincts, no
+        // percentiles) + per-column distinct and median jobs, ALL submitted
+        // concurrently — wall time is the widest single job, not the sum.
+        // Exact medians stay exact for cross-engine parity; a library user
+        // profiling at 100 TB would swap approx_percentile/
+        // approx_count_distinct into this same shape.
         val aggs = cols.flatMap { c =>
           Seq(
             count(col(c)).as(s"nn_$c"),
@@ -730,29 +736,28 @@ object PipelineQueries {
             round(max(col(c)).cast(DoubleType), 6).as(s"mx_$c"),
             // decimal-exact sum, then the same double-division order as the
             // oracle (cast-sum-to-double / count)
-            round(dsum(col(c)).cast(DoubleType) / count(col(c)), 6).as(s"me_$c"),
-            round(expr(s"percentile($c, 0.5)"), 6).as(s"md_$c"))
+            round(dsum(col(c)).cast(DoubleType) / count(col(c)), 6).as(s"me_$c"))
         }
-        // the wide pass and the four distinct jobs are independent — submit
-        // them concurrently (Spark's scheduler interleaves jobs from
-        // separate threads fine); a serial per-column driver loop would be
-        // 1+N sequential jobs at N columns, concurrency makes the wall time
-        // max(widest job), not the sum
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(cols.size + 1)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2 * cols.size + 1)
         implicit val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
         val wideF = Future(li.agg(count(lit(1)).as("n_rows"), aggs: _*).localCheckpoint(eager = true))
         val ndF = Future.sequence(
           cols.map(c => Future(c -> li.select(col(c)).distinct().count())))
-        val (wide, nd) =
-          try (Await.result(wideF, Duration.Inf), Await.result(ndF, Duration.Inf).toMap)
+        val mdF = Future.sequence(
+          cols.map(c => Future(
+            c -> li.agg(round(expr(s"percentile($c, 0.5)"), 6)).head().getDouble(0))))
+        val (wide, nd, md) =
+          try (Await.result(wideF, Duration.Inf),
+            Await.result(ndF, Duration.Inf).toMap,
+            Await.result(mdF, Duration.Inf).toMap)
           finally pool.shutdown()
         cols.map { c =>
           wide.select(lit(c).as("column"), col("n_rows"),
             col(s"nn_$c").as("n_non_null"), lit(nd(c)).as("n_distinct"),
             col(s"mn_$c").as("min_v"), col(s"mx_$c").as("max_v"),
-            col(s"me_$c").as("mean_v"), col(s"md_$c").as("median_v"))
+            col(s"me_$c").as("mean_v"), lit(md(c)).as("median_v"))
         }.reduce(_ unionByName _).orderBy("column")
       },
       Some {

@@ -45,6 +45,23 @@ class TextDedupSpec extends SparkSpec {
     assert(fp == again)
   }
 
+  test("reliable checkpoint mode matches the default path (cluster fault-tolerance flag)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val prev = spark.sparkContext.getCheckpointDir
+    try {
+      spark.sparkContext.setCheckpointDir(dir)
+      val a = TextDedup.dedupMapping(docs, minMatch = 6)
+        .as[(Long, Long)].collect().toMap
+      val b = TextDedup.dedupMapping(docs, minMatch = 6, reliable = true)
+        .as[(Long, Long)].collect().toMap
+      assert(a == b)
+      // reliable mode actually wrote recoverable checkpoint files
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0)
+    } finally prev.foreach(p => spark.sparkContext.setCheckpointDir(p))
+  }
+
   test("transitive chains collapse to one component (a~b, b~c, a!~c still one cluster)") {
     // exact-copy chain via overlapping pairs: all share the same text so
     // every pair is a candidate; min-propagation must reach the global min
