@@ -125,9 +125,18 @@ object ReferencePipeline {
       send: (BatchedSink.BatchId, Seq[org.apache.spark.sql.Row]) => Unit,
       ledgerDir: String,
       partitions: Int = 64): (Long, Long) = {
+    // Both sorts are TOTAL over their rows, not just over the join keys: a
+    // GraphTable upholds (label, key) uniqueness, but `load` must not
+    // silently depend on that — two node rows sharing (label, key) with
+    // different props would otherwise be free to swap order across runs,
+    // shifting batch contents so a resumed run skips a row version under an
+    // already-committed batch id. map columns are not directly orderable, so
+    // props ties break on the sorted entry array (same map ⇒ same array).
+    // The edge sort already covers every edge column.
     val nodes = g.nodes
       .repartition(partitions, col("label"), col("key"))
-      .sortWithinPartitions("label", "key")
+      .sortWithinPartitions(col("label"), col("key"),
+        sort_array(map_entries(coalesce(col("props"), map()))))
     val edges = g.edges
       .repartition(partitions, col("src_label"), col("src"), col("dst_label"), col("dst"), col("rel"))
       .sortWithinPartitions("src_label", "src", "dst_label", "dst", "rel")

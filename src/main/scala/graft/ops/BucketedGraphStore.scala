@@ -71,7 +71,21 @@ object BucketedGraphStore {
     GraphTable(spark.table(s"${prefix}_nodes"), spark.table(s"${prefix}_edges"))
 
   private def ensureRegistered(spark: SparkSession, table: String, location: String): Unit = {
-    if (spark.catalog.tableExists(table)) return
+    if (spark.catalog.tableExists(table)) {
+      // same name is NOT enough: a stale/foreign catalog entry rooted
+      // elsewhere would silently serve another table's data — compare the
+      // registered location against the requested path and fail loudly
+      val fs = new Path(location).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val want = fs.makeQualified(new Path(location)).toUri
+      val registered = spark.sql(s"DESCRIBE FORMATTED $table")
+        .where("col_name = 'Location'").head().getString(1)
+      val got = fs.makeQualified(new Path(registered)).toUri
+      if (got != want)
+        throw new IllegalStateException(
+          s"catalog table $table is registered at $got, not the requested $want; " +
+            s"DROP TABLE $table (BucketedGraphStore.drop) to re-point it")
+      return
+    }
     val p = new Path(location, "_graft_store.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p), s"no bucketed table at $location (missing _graft_store.json)")

@@ -188,8 +188,11 @@ object AsOf {
     org.apache.spark.sql.GraftSqlBridge.ofRows(spark, node)
   }
 
-  /** Idempotent session registration of the planner strategy. */
-  def register(spark: SparkSession): Unit = {
+  /** Idempotent session registration of the planner strategy. Synchronized:
+    * `extraStrategies` is a bare var on the session, and concurrent query
+    * builders (Verify runs four at a time) would otherwise race the
+    * read-modify-write and could drop a concurrent registrant's strategy. */
+  def register(spark: SparkSession): Unit = synchronized {
     val exp = spark.experimental
     if (!exp.extraStrategies.contains(AsOfJoinStrategy))
       exp.extraStrategies = exp.extraStrategies :+ AsOfJoinStrategy

@@ -608,12 +608,17 @@ object CoreQueries {
     QueryDef(
       "q32_scalar_subquery",
       (s, d) => {
-        orders(s, d).createOrReplaceTempView("orders_v")
-        s.sql("""SELECT o_orderkey, o_totalprice FROM orders_v
-                |WHERE o_totalprice > (
-                |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*)
-                |  FROM orders_v)
-                |ORDER BY o_orderkey""".stripMargin)
+        // direct parquet relation in the SQL text, not a temp view: query
+        // builders run concurrently in one session (Verify), and
+        // createOrReplaceTempView is session-global mutable state — two
+        // queries racing on a shared view name would read each other's
+        // tables. No catalog mutation, no race surface.
+        val t = s"parquet.`$d/orders.parquet`"
+        s.sql(s"""SELECT o_orderkey, o_totalprice FROM $t
+                 |WHERE o_totalprice > (
+                 |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+                 |  FROM $t)
+                 |ORDER BY o_orderkey""".stripMargin)
       },
       Some("""SELECT o_orderkey, o_totalprice FROM orders
              |WHERE o_totalprice > (

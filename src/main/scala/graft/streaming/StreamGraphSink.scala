@@ -61,22 +61,35 @@ object StreamGraphSink {
     // is detected from the bkt= partition dirs themselves, so a zero-row
     // first batch cannot wedge later reads.
     val marker = new Path(dir, "_graft_buckets")
-    val buckets =
-      if (fs.exists(marker)) {
-        val in = fs.open(marker)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
-        finally in.close()
-      } else {
-        // refuse a directory holding a pre-bucketing (flat) edge table:
-        // appending bkt= dirs next to flat files corrupts the layout
-        if (fs.exists(dir) &&
-            fs.listStatus(dir).exists(st => st.getPath.getName.endsWith(".parquet")))
-          throw new IllegalStateException(
-            s"$tableDir holds an unbucketed edge table; migrate it before streaming merges")
-        nBuckets
-      }
     val hasData = fs.exists(dir) &&
       fs.listStatus(dir).exists(_.getPath.getName.startsWith("bkt="))
+    val storedBuckets: Option[Int] =
+      if (fs.exists(marker)) {
+        val in = fs.open(marker)
+        val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        raw.trim.toIntOption match {
+          case some @ Some(_) => some
+          case None if hasData =>
+            // data exists but its layout declaration is gone: the original
+            // bucket count is NOT recoverable from the bkt= dirs (they only
+            // show touched buckets), and guessing re-appends existing edges
+            throw new IllegalStateException(
+              s"$marker is unreadable but $tableDir holds data; restore the bucket " +
+                "count before further merges (marker writes are temp+rename atomic, " +
+                "so this indicates external corruption)")
+          case None => None // corrupt marker, no data: safe to rewrite
+        }
+      } else None
+    val buckets = storedBuckets.getOrElse {
+      // refuse a directory holding a pre-bucketing (flat) edge table:
+      // appending bkt= dirs next to flat files corrupts the layout
+      if (fs.exists(dir) &&
+          fs.listStatus(dir).exists(st => st.getPath.getName.endsWith(".parquet")))
+        throw new IllegalStateException(
+          s"$tableDir holds an unbucketed edge table; migrate it before streaming merges")
+      nBuckets
+    }
     val incoming = batch
       .select(edgeCols.map(col): _*)
       .dropDuplicates(edgeCols)
@@ -93,9 +106,16 @@ object StreamGraphSink {
               .filter(col("bkt").isin(hit.toSeq: _*))
             incoming.join(table, edgeCols :+ "bkt", "left_anti")
           } else incoming
-        if (!fs.exists(marker)) {
-          val out = fs.create(marker, true)
+        if (storedBuckets.isEmpty) {
+          // temp + rename: rename is the filesystem's atomicity primitive —
+          // a crash mid-write can only leave the temp file, never a
+          // partial/empty marker that would wedge every later micro-batch
+          val tmp = new Path(dir, s"._graft_buckets.tmp")
+          val out = fs.create(tmp, true)
           try out.write(buckets.toString.getBytes("UTF-8")) finally out.close()
+          fs.delete(marker, false) // drop a corrupt empty marker if present
+          if (!fs.rename(tmp, marker))
+            throw new java.io.IOException(s"could not land bucket marker $marker")
         }
         novel.write.mode("append").partitionBy("bkt").parquet(tableDir)
       }
@@ -119,8 +139,12 @@ object StreamGraphSink {
     if (!fs.exists(dir)) return
     val bucketDirs = fs.listStatus(dir).filter(_.getPath.getName.startsWith("bkt="))
     bucketDirs.foreach { st =>
+      // visible data files only: checksummed filesystems (LocalFileSystem)
+      // shadow every data file with a hidden '.<name>.crc' sibling — counting
+      // those would make a single-file bucket look compactable forever
       val files = fs.listStatus(st.getPath)
-        .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet") &&
+          !f.getPath.getName.startsWith(".") && !f.getPath.getName.startsWith("_"))
       if (files.length > 1) {
         val tmp = new Path(dir, s".compact_${st.getPath.getName}")
         // dropDuplicates makes compaction self-healing: a crash between

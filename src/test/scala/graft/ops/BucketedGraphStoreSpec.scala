@@ -59,6 +59,23 @@ class BucketedGraphStoreSpec extends SparkSpec {
     }
   }
 
+  test("load fails loudly when the catalog name is registered at another path") {
+    val wh1 = Files.createTempDirectory("graft-bgs-loc1").toString
+    val wh2 = Files.createTempDirectory("graft-bgs-loc2").toString
+    BucketedGraphStore.save(GraphTable(nodes(20), edges(20)), "g3", wh1, buckets = 4)
+    BucketedGraphStore.drop(spark, "g3")
+    try {
+      // session has g3_* registered for wh1…
+      BucketedGraphStore.load(spark, "g3", wh1)
+      // …so loading the SAME prefix for a different root must not silently
+      // serve wh1's data
+      val e = intercept[IllegalStateException](BucketedGraphStore.load(spark, "g3", wh2))
+      assert(e.getMessage.contains("registered at"))
+      // and the matching path keeps working
+      assert(BucketedGraphStore.load(spark, "g3", wh1).nodes.count() == 20)
+    } finally BucketedGraphStore.drop(spark, "g3")
+  }
+
   test("load re-registers the bucket spec after the catalog entry is gone") {
     val wh = Files.createTempDirectory("graft-bgs-reload").toString
     BucketedGraphStore.save(GraphTable(nodes(200), edges(200)), "g2", wh, buckets = 8)

@@ -86,6 +86,51 @@ class StreamGraphSinkSpec extends SparkSpec {
     assert(spark.read.parquet(tableDir).count() == 1)
   }
 
+  test("corrupt empty marker: rewritten when no data, refused when data exists") {
+    val base = Files.createTempDirectory("graft-sgs-marker").toString
+    val tableDir = s"$base/table"
+    Files.createDirectories(java.nio.file.Paths.get(tableDir))
+    // crash artifact: empty marker, no data yet → merge recovers by rewriting
+    // (the .crc sibling is dropped: an external corrupter wouldn't update it)
+    def corruptMarker(content: String): Unit = {
+      Files.writeString(java.nio.file.Paths.get(s"$tableDir/_graft_buckets"), content)
+      Files.deleteIfExists(java.nio.file.Paths.get(s"$tableDir/._graft_buckets.crc"))
+    }
+    corruptMarker("")
+    StreamGraphSink.mergeBatch(spark,
+      Seq(edge("a", "b")).toDF("src_label", "src", "dst_label", "dst", "rel"),
+      tableDir, nBuckets = 8)
+    assert(spark.read.parquet(tableDir).count() == 1)
+    assert(Files.readString(
+      java.nio.file.Paths.get(s"$tableDir/_graft_buckets")).trim == "8")
+    // marker corrupted AFTER data exists → bucket count unrecoverable, loud stop
+    corruptMarker("not-a-number")
+    val e = intercept[IllegalStateException] {
+      StreamGraphSink.mergeBatch(spark,
+        Seq(edge("c", "d")).toDF("src_label", "src", "dst_label", "dst", "rel"),
+        tableDir, nBuckets = 8)
+    }
+    assert(e.getMessage.contains("unreadable"))
+  }
+
+  test("compact reaches a steady state on checksummed filesystems (crc files not counted)") {
+    val base = Files.createTempDirectory("graft-sgs-crcsteady").toString
+    val tableDir = s"$base/table"
+    StreamGraphSink.mergeBatch(spark,
+      (0 until 20).map(i => edge(s"s$i", s"d$i"))
+        .toDF("src_label", "src", "dst_label", "dst", "rel"),
+      tableDir, nBuckets = 2)
+    StreamGraphSink.compact(spark, tableDir)
+    def newest = new java.io.File(tableDir).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet")).map(_.lastModified).max
+    val stamp = newest
+    Thread.sleep(5)
+    // second run must be a NO-OP: local FS writes .crc siblings next to every
+    // parquet file; counting them would re-rewrite single-file buckets forever
+    StreamGraphSink.compact(spark, tableDir)
+    assert(newest == stamp, "compact rewrote an already-compacted bucket")
+  }
+
   test("compact folds per-batch files into one per bucket, content unchanged") {
     val base = Files.createTempDirectory("graft-sgs-compact").toString
     val tableDir = s"$base/table"
