@@ -76,6 +76,49 @@ class BucketedGraphStoreSpec extends SparkSpec {
     } finally BucketedGraphStore.drop(spark, "g3")
   }
 
+  test("pipeline terminal over a re-registered store: persisted side never " +
+    "shuffles in the upsert, and the ledgered load resumes to zero") {
+    val wh = Files.createTempDirectory("graft-bgs-term").toString
+    val ledger = Files.createTempDirectory("graft-bgs-ledger").toString
+    BucketedGraphStore.save(GraphTable(nodes(300), edges(300)), "g4", wh, buckets = 8)
+    // fresh-session simulation: catalog gone, only the sidecar remains
+    BucketedGraphStore.drop(spark, "g4")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val g = BucketedGraphStore.load(spark, "g4", wh)
+      // nightly-delta shape: small unbucketed batch into the persisted graph
+      val delta = (290 to 320).map(i => (s"L${i % 3}", s"k$i", Map("p" -> s"new$i")))
+        .toDF("label", "key", "props")
+      val merged = g.upsertNodes(delta)
+      val plan = merged.nodes.queryExecution.executedPlan.toString
+      // exactly ONE exchange — the delta side; the (at scale, 100 TB)
+      // persisted side reads its sidecar-re-registered buckets in place
+      assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+        s"persisted side must not shuffle through the sidecar path:\n$plan")
+
+      // terminal ledgered load of the merged graph
+      val sent = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val (nb1, _) = graft.engine.ReferencePipeline.load(
+        GraphTable(merged.nodes, g.edges), batchSize = 64,
+        (id, rows) => { sent.add(s"$id:${rows.size}"); () },
+        ledger, partitions = 4)
+      assert(nb1 > 0)
+      val delivered = sent.size()
+      // all 320 distinct keys arrive exactly once across batches
+      assert(merged.nodes.count() == 320)
+      // a re-run resumes from the ledger: nothing is re-sent
+      sent.clear()
+      graft.engine.ReferencePipeline.load(
+        GraphTable(merged.nodes, g.edges), batchSize = 64,
+        (id, rows) => { sent.add(s"$id:${rows.size}"); () },
+        ledger, partitions = 4)
+      assert(sent.isEmpty, s"resume must skip all $delivered committed batches")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      BucketedGraphStore.drop(spark, "g4")
+    }
+  }
+
   test("load re-registers the bucket spec after the catalog entry is gone") {
     val wh = Files.createTempDirectory("graft-bgs-reload").toString
     BucketedGraphStore.save(GraphTable(nodes(200), edges(200)), "g2", wh, buckets = 8)
