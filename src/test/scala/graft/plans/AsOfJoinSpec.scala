@@ -101,6 +101,39 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got == expected, s"got ${got.size} vs expected ${expected.size}")
   }
 
+  test("primitive comparators: same verdicts as the interpreted path, ≥2× faster per row") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    // two single-long-column row schemas, keys drawn to exercise <, ==, >
+    val n = 2000000
+    val rRows = Array.tabulate(n)(i => InternalRow((i % 1000).toLong))
+    val lRows = Array.tabulate(n)(i => InternalRow(((i + 7) % 1000).toLong))
+    val rRef = BoundReference(0, LongType, nullable = true)
+    val lRef = BoundReference(0, LongType, nullable = true)
+    val fast = AsOfJoinExec.sideCmp(rRef, lRef, LongType)
+    // a trivially-wrapped expression is not a BoundReference → interpreted path
+    val wrapped = org.apache.spark.sql.catalyst.expressions.KnownNotNull(rRef)
+    val interp = AsOfJoinExec.sideCmp(wrapped,
+      org.apache.spark.sql.catalyst.expressions.KnownNotNull(lRef), LongType)
+
+    def drive(c: AsOfJoinExec.SideCmp): (Long, Long) = {
+      var acc = 0L
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < n) { acc += Integer.signum(c.compare(rRows(i), lRows(i))); i += 1 }
+      (acc, System.nanoTime() - t0)
+    }
+    // warm both paths (JIT), then measure best-of-3
+    (1 to 2).foreach { _ => drive(fast); drive(interp) }
+    val (accF, tF) = (1 to 3).map(_ => drive(fast)).minBy(_._2)
+    val (accI, tI) = (1 to 3).map(_ => drive(interp)).minBy(_._2)
+    assert(accF == accI, "comparator paths disagree")
+    info(f"fast=${tF / 1e6}%.1f ms interpreted=${tI / 1e6}%.1f ms over $n rows " +
+      f"(${tI.toDouble / tF}%.1fx)")
+    // generous bound: the win is typically 2-4x; fail only on a real regression
+    assert(tF * 3 < tI * 2, s"expected ≥1.5x per-row win, got fast=$tF interpreted=$tI ns")
+  }
+
   test("pre-partitioned+sorted inputs add no extra exchange or sort") {
     val l = quotes.repartition(4, col("sym2")).sortWithinPartitions("sym2", "t")
     val r = trades.repartition(4, col("sym")).sortWithinPartitions("sym", "qt", "px")
