@@ -78,7 +78,11 @@ object BucketedGraphStore {
       val fs = new Path(location).getFileSystem(spark.sparkContext.hadoopConfiguration)
       val want = fs.makeQualified(new Path(location)).toUri
       val registered = spark.sql(s"DESCRIBE FORMATTED $table")
-        .where("col_name = 'Location'").head().getString(1)
+        .where("col_name = 'Location'").collect().headOption
+        .map(_.getString(1))
+        .getOrElse(throw new IllegalStateException(
+          s"'$table' exists but has no storage location (a temp view?); " +
+            s"rename or drop it so the bucketed table at $location can register"))
       val got = fs.makeQualified(new Path(registered)).toUri
       if (got != want)
         throw new IllegalStateException(

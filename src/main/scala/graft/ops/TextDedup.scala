@@ -139,8 +139,11 @@ object TextDedup {
         .select("a_id", "b_id"))
     val adj = pairs.unionByName(
       pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-    var labels = docs.select(col("doc_id"), col("doc_id").as("canonical_id"))
-      .localCheckpoint(eager = true)
+    // same materializer as every other generation: under `reliable` the
+    // FIRST (heaviest) pass must also survive executor loss, so the initial
+    // labels cannot live in unrecoverable localCheckpoint blocks
+    var labels = materialize(
+      docs.select(col("doc_id"), col("doc_id").as("canonical_id")))
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIterations) {

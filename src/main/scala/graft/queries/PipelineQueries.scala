@@ -746,8 +746,12 @@ object PipelineQueries {
         val ndF = Future.sequence(
           cols.map(c => Future(c -> li.select(col(c)).distinct().count())))
         val mdF = Future.sequence(
-          cols.map(c => Future(
-            c -> li.agg(round(expr(s"percentile($c, 0.5)"), 6)).head().getDouble(0))))
+          cols.map(c => Future {
+            // percentile of an all-null column is NULL — surface it as a
+            // null cell (as the wide-agg shape did), not an unboxing NPE
+            val r = li.agg(round(expr(s"percentile($c, 0.5)"), 6)).head()
+            c -> (if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+          }))
         val (wide, nd, md) =
           try (Await.result(wideF, Duration.Inf),
             Await.result(ndF, Duration.Inf).toMap,
@@ -757,7 +761,8 @@ object PipelineQueries {
           wide.select(lit(c).as("column"), col("n_rows"),
             col(s"nn_$c").as("n_non_null"), lit(nd(c)).as("n_distinct"),
             col(s"mn_$c").as("min_v"), col(s"mx_$c").as("max_v"),
-            col(s"me_$c").as("mean_v"), lit(md(c)).as("median_v"))
+            col(s"me_$c").as("mean_v"),
+            md(c).map(lit).getOrElse(lit(null)).cast(DoubleType).as("median_v"))
         }.reduce(_ unionByName _).orderBy("column")
       },
       Some {

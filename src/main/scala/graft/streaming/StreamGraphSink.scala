@@ -68,7 +68,7 @@ object StreamGraphSink {
         val in = fs.open(marker)
         val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-        raw.trim.toIntOption match {
+        raw.trim.toIntOption.filter(_ > 0) match {
           case some @ Some(_) => some
           case None if hasData =>
             // data exists but its layout declaration is gone: the original
@@ -80,7 +80,15 @@ object StreamGraphSink {
                 "so this indicates external corruption)")
           case None => None // corrupt marker, no data: safe to rewrite
         }
-      } else None
+      } else if (hasData)
+        // the marker is written BEFORE the first data append, so bkt= dirs
+        // without a marker can only mean the marker was deleted — the same
+        // unrecoverable-count situation as a corrupt one
+        throw new IllegalStateException(
+          s"$tableDir holds bucketed data but its $marker marker is missing; " +
+            "restore the original bucket count before further merges")
+      else None
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     val buckets = storedBuckets.getOrElse {
       // refuse a directory holding a pre-bucketing (flat) edge table:
       // appending bkt= dirs next to flat files corrupts the layout
