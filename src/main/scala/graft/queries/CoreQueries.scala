@@ -679,6 +679,29 @@ object CoreQueries {
              |SELECT doc_id, props['lang'][1] AS lang_v, props['missing'][1] AS miss_v,
              |array_to_string(list_sort(map_keys(props)), ',') AS keys,
              |CAST(cardinality(props) AS BIGINT) AS n_entries
-             |FROM m ORDER BY doc_id""".stripMargin))
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // Q35 — correlated EXISTS/NOT EXISTS subqueries through the spark.sql
+    // entry point (q32 gates the scalar form; this gates the correlated
+    // predicate form Catalyst rewrites into semi/anti joins — the rewrite
+    // IS the scale story: no per-row subquery execution ever happens).
+    QueryDef(
+      "q35_exists_subquery",
+      (s, d) => {
+        val cust = s"parquet.`$d/customer.parquet`"
+        val ord = s"parquet.`$d/orders.parquet`"
+        s.sql(s"""SELECT c.c_custkey,
+                 |  EXISTS (SELECT 1 FROM $ord o
+                 |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000) AS has_big
+                 |FROM $cust c
+                 |WHERE EXISTS (SELECT 1 FROM $ord o WHERE o.o_custkey = c.c_custkey)
+                 |ORDER BY c.c_custkey""".stripMargin)
+      },
+      Some("""SELECT c.c_custkey,
+             |  EXISTS (SELECT 1 FROM orders o
+             |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000) AS has_big
+             |FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |ORDER BY c.c_custkey""".stripMargin))
   )
 }

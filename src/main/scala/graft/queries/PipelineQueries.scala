@@ -964,6 +964,38 @@ object PipelineQueries {
           .select("doc_id", "canonical_id")
           .orderBy("doc_id")
       },
-      Some(dedupComponentsSql))
+      Some(dedupComponentsSql)),
+
+    // Within-document repetition collapse (crawl hygiene: stuck generators /
+    // boilerplate echo repeat the same token run back-to-back). Consecutive
+    // duplicate tokens collapse to one; the gate pins the cleaned text's
+    // checksum plus the removal counts. Scale posture: a pure NARROW per-row
+    // array op — zero shuffle, no window — so it composes into any scan
+    // pipeline for free. (The index lambda is interpreted, fine for
+    // sentence/paragraph-sized arrays; a book-length-document corpus would
+    // switch to the explode + lag-window form, which is all codegen but
+    // costs a shuffle by doc.)
+    QueryDef(
+      "x26_repetition_collapse",
+      (s, d) =>
+        documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("tk"))
+          .select(col("doc_id"),
+            size(col("tk")).cast(LongType).as("n_tokens"),
+            expr("filter(tk, (x, i) -> i = 0 OR x != tk[i-1])").as("cleaned"))
+          .select(col("doc_id"), col("n_tokens"),
+            (col("n_tokens") - size(col("cleaned"))).cast(LongType).as("n_removed"),
+            md5(array_join(col("cleaned"), " ").cast("binary")).as("cleaned_md5"))
+          .orderBy("doc_id"),
+      Some(s"""WITH toks AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+              |u AS (SELECT doc_id, unnest(tk) AS tok,
+              |  generate_subscripts(tk, 1) AS pos, len(tk) AS n FROM toks),
+              |c AS (SELECT doc_id, tok, pos, n,
+              |  lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM u)
+              |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+              |  CAST(max(n) - count(CASE WHEN prev IS NULL OR tok <> prev THEN 1 END) AS BIGINT) AS n_removed,
+              |  md5(string_agg(tok, ' ' ORDER BY pos)
+              |    FILTER (WHERE prev IS NULL OR tok <> prev)) AS cleaned_md5
+              |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }
