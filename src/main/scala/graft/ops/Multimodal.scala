@@ -8,11 +8,16 @@ import org.apache.spark.sql.functions._
   * one decoder instance amortizes over a batch of rows (the Scala analog of
   * a Pandas-UDF batch).
   *
-  * The decode step itself is STUBBED — media codecs are not available in
-  * this environment — behind [[Multimodal.Decoder]]; [[Multimodal.FakeDecoder]]
-  * is a deterministic stand-in so the Spark-side plumbing (schema, batching,
-  * partitioning, frame explode) is real and tested. A production decoder
-  * implements the same trait over the actual codec library.
+  * Decode status, honestly: formats whose decoding is pure byte arithmetic
+  * (PPM P6, uncompressed 24-bit BMP, PCM WAV) are decoded FOR REAL by
+  * [[Multimodal.HeaderDecoder]] — no codec library involved, so the
+  * environment's missing media libs don't block them. Compressed codecs
+  * (JPEG/PNG/H.264/MP3…) genuinely need external libraries that are not in
+  * the offline dependency budget; those stay behind [[Multimodal.Decoder]]
+  * with [[Multimodal.FakeDecoder]] as the deterministic stand-in, so the
+  * Spark-side plumbing (schema, batching, partitioning, frame explode) is
+  * real and tested either way. A production decoder implements the same
+  * trait over the actual codec library.
   */
 object Multimodal {
 
@@ -47,6 +52,97 @@ object Multimodal {
       bytes.foreach(b => h = 31 * h + (b & 0xff))
       Array.tabulate(4)(i => ((h >>> (i * 8)) & 0xff).toFloat / 255f)
     }
+  }
+
+  /** REAL decoding for the formats that need no codec library — container
+    * parsing is byte arithmetic. Unknown/compressed formats fall back to
+    * [[FakeDecoder]] (marked by its `fake-` format prefix, so callers can
+    * route rows that genuinely need a codec).
+    *
+    * - PPM (P6): ASCII header `P6 <w> <h> <maxval>` + raw RGB triples.
+    * - BMP: 'BM' magic; width/height little-endian at offsets 18/22
+    *   (BITMAPINFOHEADER, uncompressed 24bpp assumed for features).
+    * - WAV: RIFF/WAVE; fmt chunk gives channels@22, sample rate@24 —
+    *   reported as (sampleRate, channels) in the (width, height) slots,
+    *   which is the natural "dimensions" pair audio has.
+    *
+    * frameFeature: per-frame [mean, rms, min, max] over the real samples —
+    * PCM s16le windows for WAV, RGB byte windows for PPM/BMP — normalized
+    * to [0, 1]; fake fallback otherwise. Malformed headers (truncated,
+    * absurd dims) also fall back rather than throw: a 100 TB scrape WILL
+    * contain corrupt blobs and one bad row must not kill the stage.
+    */
+  object HeaderDecoder extends Decoder {
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+    private def le32(b: Array[Byte], i: Int): Int =
+      u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+    private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+
+    private def isPpm(b: Array[Byte]) =
+      b.length > 10 && b(0) == 'P' && b(1) == '6' && (b(2) == ' ' || b(2) == '\n')
+    private def isBmp(b: Array[Byte]) = b.length >= 54 && b(0) == 'B' && b(1) == 'M'
+    private def isWav(b: Array[Byte]) =
+      b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+    /** PPM header ints (w, h, maxval) + offset where pixel data starts. */
+    private def ppmHeader(b: Array[Byte]): Option[(Int, Int, Int)] = {
+      var i = 2
+      val vals = new Array[Int](3)
+      var v = 0
+      while (v < 3 && i < b.length) {
+        while (i < b.length && (b(i) == ' ' || b(i) == '\n' || b(i) == '\t' || b(i) == '\r')) i += 1
+        var x = 0
+        var any = false
+        while (i < b.length && b(i) >= '0' && b(i) <= '9') { x = x * 10 + (b(i) - '0'); i += 1; any = true }
+        if (!any) return None
+        vals(v) = x
+        v += 1
+      }
+      if (v == 3 && vals(0) > 0 && vals(1) > 0) Some((vals(0), vals(1), i + 1)) else None
+    }
+
+    def decode(bytes: Array[Byte]): (String, Int, Int) =
+      if (isPpm(bytes))
+        ppmHeader(bytes).map { case (w, h, _) => ("image/ppm", w, h) }
+          .getOrElse(FakeDecoder.decode(bytes))
+      else if (isBmp(bytes)) {
+        val w = le32(bytes, 18)
+        val h = math.abs(le32(bytes, 22)) // negative height = top-down rows
+        if (w > 0 && h > 0) ("image/bmp", w, h) else FakeDecoder.decode(bytes)
+      } else if (isWav(bytes)) {
+        val channels = le16(bytes, 22)
+        val sampleRate = le32(bytes, 24)
+        if (channels > 0 && sampleRate > 0) ("audio/wav", sampleRate, channels)
+        else FakeDecoder.decode(bytes)
+      } else FakeDecoder.decode(bytes)
+
+    private def stats(xs: Iterator[Double]): Array[Float] = {
+      var n = 0L; var sum = 0.0; var sq = 0.0
+      var mn = Double.MaxValue; var mx = Double.MinValue
+      xs.foreach { x => n += 1; sum += x; sq += x * x; if (x < mn) mn = x; if (x > mx) mx = x }
+      if (n == 0) Array(0f, 0f, 0f, 0f)
+      else Array((sum / n).toFloat, math.sqrt(sq / n).toFloat, mn.toFloat, mx.toFloat)
+    }
+
+    def frameFeature(bytes: Array[Byte], frameIdx: Int): Array[Float] =
+      if (isWav(bytes)) {
+        // s16le PCM window of 256 samples starting after the 44-byte header;
+        // end bound leaves room for the sample's high byte on truncated blobs
+        val start = 44 + frameIdx * 512
+        val end = math.min(bytes.length - 2, start + 510)
+        if (start > end) Array(0f, 0f, 0f, 0f)
+        else stats((start to end by 2).iterator.map { i =>
+          (le16(bytes, i).toShort.toDouble / 32768.0 + 1.0) / 2.0 // [-1,1] → [0,1]
+        })
+      } else if (isPpm(bytes) || isBmp(bytes)) {
+        // raw byte window over the pixel payload (256 bytes per frame)
+        val off = if (isBmp(bytes)) le32(bytes, 10) else ppmHeader(bytes).map(_._3).getOrElse(0)
+        val start = off + frameIdx * 256
+        val end = math.min(bytes.length - 1, start + 255)
+        if (start > end) Array(0f, 0f, 0f, 0f)
+        else stats((start to end).iterator.map(i => u8(bytes, i) / 255.0))
+      } else FakeDecoder.frameFeature(bytes, frameIdx)
   }
 
   /** (media_id: Long, media: binary) → typed metadata; one decoder per

@@ -29,6 +29,81 @@ class MultimodalSpec extends SparkSpec {
     assert(strided.count(_.media_id == 1L) == 1)
   }
 
+  // hand-built valid blobs: these formats are parseable with pure byte
+  // arithmetic, so HeaderDecoder decodes them FOR REAL (no codec library)
+  private def ppmBlob(w: Int, h: Int): Array[Byte] =
+    s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ Array.fill[Byte](w * h * 3)(100)
+
+  private def bmpBlob(w: Int, h: Int): Array[Byte] = {
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val dataSize = rowSize * h
+    val bb = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putInt(0).putInt(54)              // reserved, pixel-data offset
+      .putInt(40).putInt(w).putInt(h)    // BITMAPINFOHEADER
+      .putShort(1).putShort(24).putInt(0).putInt(dataSize)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    (0 until dataSize).foreach(i => bb.put((i % 251).toByte))
+    bb.array()
+  }
+
+  private def wavBlob(sampleRate: Int, channels: Int, nSamples: Int): Array[Byte] = {
+    val dataSize = nSamples * 2 * channels
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + dataSize).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(16).putShort(1).putShort(channels.toShort)
+      .putInt(sampleRate).putInt(sampleRate * channels * 2)
+      .putShort((channels * 2).toShort).putShort(16)
+      .put("data".getBytes).putInt(dataSize)
+    (0 until nSamples * channels).foreach(i =>
+      bb.putShort((math.sin(i / 10.0) * 16384).toShort)) // a real sine wave
+    bb.array()
+  }
+
+  test("HeaderDecoder: PPM/BMP/WAV decoded for real; junk falls back to fake") {
+    val d = Multimodal.HeaderDecoder
+    assert(d.decode(ppmBlob(20, 10)) == (("image/ppm", 20, 10)))
+    assert(d.decode(bmpBlob(13, 7)) == (("image/bmp", 13, 7)))
+    assert(d.decode(wavBlob(44100, 2, 500)) == (("audio/wav", 44100, 2)))
+    // corrupt/unknown blobs must not throw — a 100 TB scrape has bad rows
+    assert(d.decode("garbage".getBytes)._1.startsWith("img/fake"))
+    assert(d.decode("P6\nnot numbers".getBytes)._1.startsWith("img/fake"))
+    assert(d.decode(Array.empty[Byte])._1.startsWith("img/fake"))
+    // truncated BMP (magic only) falls back instead of reading past the end
+    assert(d.decode(Array[Byte]('B', 'M', 1, 2))._1.startsWith("img/fake"))
+  }
+
+  test("HeaderDecoder features: real PCM/pixel stats, normalized and deterministic") {
+    val d = Multimodal.HeaderDecoder
+    val wav = wavBlob(8000, 1, 1000)
+    val f0 = d.frameFeature(wav, 0)
+    assert(f0.length == 4 && f0.forall(v => v >= 0f && v <= 1f))
+    // a ±0.5-amplitude sine: mean ~0.5 after [0,1] mapping, max > mean > min
+    assert(math.abs(f0(0) - 0.5f) < 0.1f && f0(3) > f0(0) && f0(2) < f0(0))
+    assert(f0.toSeq == d.frameFeature(wav, 0).toSeq) // deterministic
+    val ppm = ppmBlob(16, 16)
+    val pf = d.frameFeature(ppm, 0)
+    // constant-100 pixels → mean = rms = min = max = 100/255
+    assert(math.abs(pf(0) - 100f / 255f) < 1e-4 && pf.distinct.length == 1)
+    // past-the-end frame index yields the empty-window zero vector
+    assert(d.frameFeature(ppm, 1000).toSeq == Seq(0f, 0f, 0f, 0f))
+  }
+
+  test("HeaderDecoder composes with the Spark plumbing end to end") {
+    val df = Seq((1L, ppmBlob(8, 8)), (2L, wavBlob(16000, 1, 400)), (3L, "x".getBytes))
+      .toDF("media_id", "media")
+    val meta = Multimodal.extractMeta(df, Multimodal.HeaderDecoder)
+      .collect().sortBy(_.media_id)
+    assert(meta(0).format == "image/ppm" && meta(0).width == 8)
+    assert(meta(1).format == "audio/wav" && meta(1).width == 16000 && meta(1).height == 1)
+    assert(meta(2).format.startsWith("img/fake"))
+    val frames = Multimodal.sampleFrames(df, stride = 1, frameBytes = 100,
+      decoder = Multimodal.HeaderDecoder).collect()
+    assert(frames.nonEmpty && frames.forall(_.feature.length == 4))
+  }
+
   test("sliceFrames: exact byte windows, codegen-native plan (no mapPartitions)") {
     val bytes = (0 until 250).map(_.toByte).toArray
     val df = Seq((1L, bytes)).toDF("media_id", "media")
