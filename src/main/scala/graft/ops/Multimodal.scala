@@ -81,9 +81,33 @@ object Multimodal {
     private def isPpm(b: Array[Byte]) =
       b.length > 10 && b(0) == 'P' && b(1) == '6' && (b(2) == ' ' || b(2) == '\n')
     private def isBmp(b: Array[Byte]) = b.length >= 54 && b(0) == 'B' && b(1) == 'M'
-    private def isWav(b: Array[Byte]) =
+    /** Canonical RIFF/WAVE with the fmt chunk first (offset 12) AND s16le
+      * integer PCM — float/8-bit/extensible WAVs would be silently
+      * misinterpreted if this only checked the RIFF magic, so they fall
+      * back to the fake (callers route on the `fake-` prefix). */
+    private def isPcm16Wav(b: Array[Byte]) =
       b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
-        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E' &&
+        b(12) == 'f' && b(13) == 'm' && b(14) == 't' && b(15) == ' ' &&
+        le16(b, 20) == 1 /* integer PCM */ && le16(b, 34) == 16 /* s16 */
+
+    /** Start/end (exclusive) of the 'data' chunk payload via a bounds-checked
+      * chunk walk — WAVs can carry LIST/INFO chunks before data, so a fixed
+      * offset 44 is wrong in general. None on truncated/corrupt structure. */
+    private def wavDataSpan(b: Array[Byte]): Option[(Int, Int)] = {
+      var i = 12L
+      while (i + 8 <= b.length) {
+        val sz = le32(b, i.toInt + 4).toLong & 0xffffffffL
+        val payload = i + 8
+        if (b(i.toInt) == 'd' && b(i.toInt + 1) == 'a' &&
+            b(i.toInt + 2) == 't' && b(i.toInt + 3) == 'a') {
+          val end = math.min(payload + sz, b.length.toLong)
+          return if (payload < end) Some((payload.toInt, end.toInt)) else None
+        }
+        i = payload + sz + (sz & 1) // chunks pad to even length
+      }
+      None
+    }
 
     /** PPM header ints (w, h, maxval) + offset where pixel data starts. */
     private def ppmHeader(b: Array[Byte]): Option[(Int, Int, Int)] = {
@@ -109,11 +133,14 @@ object Multimodal {
       else if (isBmp(bytes)) {
         val w = le32(bytes, 18)
         val h = math.abs(le32(bytes, 22)) // negative height = top-down rows
-        if (w > 0 && h > 0) ("image/bmp", w, h) else FakeDecoder.decode(bytes)
-      } else if (isWav(bytes)) {
+        val off = le32(bytes, 10)
+        if (w > 0 && h > 0 && off >= 54 && off < bytes.length) ("image/bmp", w, h)
+        else FakeDecoder.decode(bytes)
+      } else if (isPcm16Wav(bytes)) {
         val channels = le16(bytes, 22)
         val sampleRate = le32(bytes, 24)
-        if (channels > 0 && sampleRate > 0) ("audio/wav", sampleRate, channels)
+        if (channels > 0 && sampleRate > 0 && wavDataSpan(bytes).isDefined)
+          ("audio/wav", sampleRate, channels)
         else FakeDecoder.decode(bytes)
       } else FakeDecoder.decode(bytes)
 
@@ -125,23 +152,37 @@ object Multimodal {
       else Array((sum / n).toFloat, math.sqrt(sq / n).toFloat, mn.toFloat, mx.toFloat)
     }
 
+    /** All window arithmetic is in Long with an explicit payload span, so a
+      * hostile/corrupt header (negative or absurd offsets) or a huge
+      * frameIdx can never index out of bounds — consistent with decode():
+      * a blob decode() would fall back on gets the FAKE feature here too,
+      * never "real" stats over misinterpreted bytes. Past-the-end frames on
+      * VALID blobs yield the zero vector (empty window). */
     def frameFeature(bytes: Array[Byte], frameIdx: Int): Array[Float] =
-      if (isWav(bytes)) {
-        // s16le PCM window of 256 samples starting after the 44-byte header;
-        // end bound leaves room for the sample's high byte on truncated blobs
-        val start = 44 + frameIdx * 512
-        val end = math.min(bytes.length - 2, start + 510)
-        if (start > end) Array(0f, 0f, 0f, 0f)
-        else stats((start to end by 2).iterator.map { i =>
-          (le16(bytes, i).toShort.toDouble / 32768.0 + 1.0) / 2.0 // [-1,1] → [0,1]
-        })
-      } else if (isPpm(bytes) || isBmp(bytes)) {
-        // raw byte window over the pixel payload (256 bytes per frame)
-        val off = if (isBmp(bytes)) le32(bytes, 10) else ppmHeader(bytes).map(_._3).getOrElse(0)
-        val start = off + frameIdx * 256
-        val end = math.min(bytes.length - 1, start + 255)
-        if (start > end) Array(0f, 0f, 0f, 0f)
-        else stats((start to end).iterator.map(i => u8(bytes, i) / 255.0))
+      if (isPcm16Wav(bytes)) wavDataSpan(bytes) match {
+        case Some((dOff, dEnd)) =>
+          // s16le PCM window of 256 samples per frame
+          val start = dOff.toLong + frameIdx.toLong * 512
+          val end = math.min(dEnd.toLong - 2, start + 510)
+          if (frameIdx < 0 || start > end) Array(0f, 0f, 0f, 0f)
+          else stats((start to end by 2).iterator.map { i =>
+            (le16(bytes, i.toInt).toShort.toDouble / 32768.0 + 1.0) / 2.0 // [-1,1] → [0,1]
+          })
+        case None => FakeDecoder.frameFeature(bytes, frameIdx)
+      }
+      else if (isPpm(bytes) || isBmp(bytes)) {
+        // raw byte window over the pixel payload (256 bytes per frame);
+        // unparseable header → fake, mirroring decode()'s classification
+        val off =
+          if (isBmp(bytes)) { val o = le32(bytes, 10); if (o >= 54 && o < bytes.length) o else -1 }
+          else ppmHeader(bytes).map(_._3).getOrElse(-1)
+        if (off < 0) FakeDecoder.frameFeature(bytes, frameIdx)
+        else {
+          val start = off.toLong + frameIdx.toLong * 256
+          val end = math.min(bytes.length.toLong - 1, start + 255)
+          if (frameIdx < 0 || start > end) Array(0f, 0f, 0f, 0f)
+          else stats((start to end).iterator.map(i => u8(bytes, i.toInt) / 255.0))
+        }
       } else FakeDecoder.frameFeature(bytes, frameIdx)
   }
 

@@ -96,12 +96,18 @@ final case class AsOfJoinExec(
     copy(left = newLeft, right = newRight)
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val mkKeyCmp = () => AsOfJoinExec.sideCmp(
-      BindReferences.bindReference(rightKey, right.output),
-      BindReferences.bindReference(leftKey, left.output), leftKey.dataType)
-    val mkTimeCmp = () => AsOfJoinExec.sideCmp(
-      BindReferences.bindReference(rightTime, right.output),
-      BindReferences.bindReference(leftTime, left.output), leftTime.dataType)
+    // everything the task closures need is hoisted into LOCALS first: a
+    // lambda referencing a case-class field compiles to `this.field` and
+    // would drag the whole exec (both child plan trees) through the closure
+    // serializer into every task
+    val rKeyB = BindReferences.bindReference(rightKey, right.output)
+    val lKeyB = BindReferences.bindReference(leftKey, left.output)
+    val rTimeB = BindReferences.bindReference(rightTime, right.output)
+    val lTimeB = BindReferences.bindReference(leftTime, left.output)
+    val keyDt = leftKey.dataType
+    val timeDt = leftTime.dataType
+    val mkKeyCmp = () => AsOfJoinExec.sideCmp(rKeyB, lKeyB, keyDt)
+    val mkTimeCmp = () => AsOfJoinExec.sideCmp(rTimeB, lTimeB, timeDt)
     val rightAttrs = right.output
     val outAttrs = output
     val outer = leftOuter

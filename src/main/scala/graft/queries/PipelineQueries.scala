@@ -744,7 +744,10 @@ object PipelineQueries {
         implicit val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
         val wideF = Future(li.agg(count(lit(1)).as("n_rows"), aggs: _*).localCheckpoint(eager = true))
         val ndF = Future.sequence(
-          cols.map(c => Future(c -> li.select(col(c)).distinct().count())))
+          // non-null distincts: DataFrame.distinct() would count NULL as a
+          // value, but the oracle's count(DISTINCT c) excludes NULLs
+          cols.map(c => Future(
+            c -> li.select(col(c)).filter(col(c).isNotNull).distinct().count())))
         val mdF = Future.sequence(
           cols.map(c => Future {
             // percentile of an all-null column is NULL — surface it as a
@@ -979,6 +982,10 @@ object PipelineQueries {
       "x26_repetition_collapse",
       (s, d) =>
         documents(s, d)
+          // null-text rows are dropped EXPLICITLY on both sides: the oracle's
+          // unnest would silently drop them while Spark would null-extend —
+          // the filter makes the two engines agree by construction
+          .filter(col("text").isNotNull)
           .select(col("doc_id"), tokens(col("text")).as("tk"))
           .select(col("doc_id"),
             size(col("tk")).cast(LongType).as("n_tokens"),
@@ -987,7 +994,8 @@ object PipelineQueries {
             (col("n_tokens") - size(col("cleaned"))).cast(LongType).as("n_removed"),
             md5(array_join(col("cleaned"), " ").cast("binary")).as("cleaned_md5"))
           .orderBy("doc_id"),
-      Some(s"""WITH toks AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+      Some(s"""WITH toks AS (SELECT doc_id, $tokensSql AS tk FROM documents
+              |  WHERE text IS NOT NULL),
               |u AS (SELECT doc_id, unnest(tk) AS tok,
               |  generate_subscripts(tk, 1) AS pos, len(tk) AS n FROM toks),
               |c AS (SELECT doc_id, tok, pos, n,

@@ -73,6 +73,40 @@ class MultimodalSpec extends SparkSpec {
     assert(d.decode(Array.empty[Byte])._1.startsWith("img/fake"))
     // truncated BMP (magic only) falls back instead of reading past the end
     assert(d.decode(Array[Byte]('B', 'M', 1, 2))._1.startsWith("img/fake"))
+    // hostile BMP: negative pixel-data offset must fall back, not crash,
+    // in BOTH halves of the Decoder contract
+    val evil = bmpBlob(4, 4)
+    evil(10) = 0; evil(11) = 0; evil(12) = 0; evil(13) = 0x80.toByte
+    assert(d.decode(evil)._1.startsWith("img/fake"))
+    assert(d.frameFeature(evil, 0).length == 4) // fake path, no AIOOBE
+    // float WAV (format tag 3): real s16le interpretation would be garbage —
+    // must be classified fake, and both halves must agree
+    val floatWav = wavBlob(8000, 1, 100)
+    floatWav(20) = 3
+    assert(d.decode(floatWav)._1.startsWith("img/fake"))
+    assert(d.frameFeature(floatWav, 0).toSeq ==
+      Multimodal.FakeDecoder.frameFeature(floatWav, 0).toSeq)
+    // unparseable PPM header: frameFeature mirrors decode()'s fake routing
+    val badPpm = "P6\nnot numbers at all".getBytes("US-ASCII")
+    assert(d.frameFeature(badPpm, 0).toSeq ==
+      Multimodal.FakeDecoder.frameFeature(badPpm, 0).toSeq)
+    // negative frame index on a valid blob: empty window, not a crash
+    assert(d.frameFeature(ppmBlob(8, 8), -1).toSeq == Seq(0f, 0f, 0f, 0f))
+  }
+
+  test("HeaderDecoder: WAV data chunk found behind a LIST chunk") {
+    val base = wavBlob(8000, 1, 100)
+    // splice a LIST chunk (12 bytes: id + size + 4-byte payload) before data
+    val bb = java.nio.ByteBuffer.allocate(base.length + 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(base, 0, 36)                      // RIFF header + fmt chunk
+      .put("LIST".getBytes).putInt(4).put("INFO".getBytes)
+      .put(base, 36, base.length - 36)       // original data chunk
+    val wav = bb.array()
+    assert(Multimodal.HeaderDecoder.decode(wav) == (("audio/wav", 8000, 1)))
+    // features come from the REAL data payload, matching the un-spliced file
+    assert(Multimodal.HeaderDecoder.frameFeature(wav, 0).toSeq ==
+      Multimodal.HeaderDecoder.frameFeature(base, 0).toSeq)
   }
 
   test("HeaderDecoder features: real PCM/pixel stats, normalized and deterministic") {
