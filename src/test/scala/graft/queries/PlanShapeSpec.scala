@@ -55,4 +55,29 @@ class PlanShapeSpec extends SparkSpec {
     val p = plans("x15_frame_slices")
     assert(!p.contains("DeserializeToObject") && !p.contains("mapPartitions"), p)
   }
+
+  test("q35's correlated EXISTS predicates rewrite to semi/hash joins — no per-row subqueries") {
+    val p = plans("q35_exists_subquery")
+    // the WHERE EXISTS becomes a semi join (possibly broadcast); the SELECT-list
+    // EXISTS becomes an outer/existence join — neither survives as a subquery
+    assert(!p.toLowerCase.contains("subqueryexec"), p)
+    assert(p.contains("Join"), p)
+  }
+
+  test("x26 is shuffle-free narrow work (its one exchange is the final presentation sort)") {
+    val p = plans("x26_repetition_collapse")
+    // the fixture loader's REPARTITION_BY_NUM parallelizer (single-row-group
+    // local files) is not operator shuffle; the OPERATOR must not require one
+    val required = "Exchange hashpartitioning[^\n]*ENSURE_REQUIREMENTS".r.findFirstIn(p)
+    assert(required.isEmpty, s"repetition collapse must not shuffle:\n$p")
+  }
+
+  test("x05's only index-sized data movements are one shingle exchange (no index sort)") {
+    val p = plans("x05_ngram_jaccard")
+    // hash joins + hash aggregates throughout: the only Sort node allowed is
+    // the final ORDER BY (rangepartitioning) over the tiny result
+    val sorts = "Sort \\[".r.findAllIn(p).length
+    assert(sorts <= 1, s"unexpected index-sized sort in x05 ($sorts sorts):\n$p")
+    assert(p.contains("ShuffledHashJoin"), p)
+  }
 }
