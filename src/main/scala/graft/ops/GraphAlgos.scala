@@ -17,7 +17,14 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   */
 object GraphAlgos {
 
-  /** Internal: (vertex id ↔ (label,key)) mapping + GraphX graph. */
+  /** Internal: (vertex id ↔ (label,key)) mapping + GraphX graph.
+    *
+    * The ids frame is MATERIALIZED eagerly: it feeds three consumers (src
+    * join, dst join, result join), and `zipWithUniqueId` ids are only
+    * guaranteed consistent across those consumers if the RDD is evaluated
+    * once — a re-evaluation under a changed scan split could renumber
+    * vertices between the edge build and the result join, silently
+    * mis-joining. The checkpoint also cuts the 3× recompute. */
   private def build(g: GraphTable): (DataFrame, Graph[Unit, String]) = {
     val spark = g.nodes.sparkSession
     val idRdd = g.nodes.select("label", "key").rdd
@@ -26,7 +33,7 @@ object GraphAlgos {
     val idSchema = StructType(Seq(
       StructField("label", StringType), StructField("key", StringType),
       StructField("vid", LongType)))
-    val ids = spark.createDataFrame(idRdd, idSchema)
+    val ids = spark.createDataFrame(idRdd, idSchema).localCheckpoint(eager = true)
     val src = ids.select(col("label").as("src_label"), col("key").as("src"), col("vid").as("src_vid"))
     val dst = ids.select(col("label").as("dst_label"), col("key").as("dst"), col("vid").as("dst_vid"))
     val edgeRdd = g.edges
