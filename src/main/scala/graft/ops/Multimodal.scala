@@ -80,7 +80,18 @@ object Multimodal {
 
     private def isPpm(b: Array[Byte]) =
       b.length > 10 && b(0) == 'P' && b(1) == '6' && (b(2) == ' ' || b(2) == '\n')
-    private def isBmp(b: Array[Byte]) = b.length >= 54 && b(0) == 'B' && b(1) == 'M'
+    /** 'BM' magic alone is NOT enough for the real path: an OS/2
+      * BITMAPCOREHEADER puts dims at different offsets, and 32bpp or
+      * RLE/compressed payloads would make the fixed-offset reads (and the
+      * raw-byte frame windows) silently wrong. Real decode requires a
+      * Windows DIB header (40/108/124), 24bpp, compression 0 — everything
+      * else routes to the fake like other unsupported encodings. */
+    private def isBmp(b: Array[Byte]) =
+      b.length >= 54 && b(0) == 'B' && b(1) == 'M' && {
+        val dib = le32(b, 14)
+        (dib == 40 || dib == 108 || dib == 124) &&
+          le16(b, 28) == 24 /* bpp */ && le32(b, 30) == 0 /* BI_RGB */
+      }
     /** Canonical RIFF/WAVE with the fmt chunk first (offset 12) AND s16le
       * integer PCM — float/8-bit/extensible WAVs would be silently
       * misinterpreted if this only checked the RIFF magic, so they fall
@@ -123,7 +134,12 @@ object Multimodal {
         vals(v) = x
         v += 1
       }
-      if (v == 3 && vals(0) > 0 && vals(1) > 0) Some((vals(0), vals(1), i + 1)) else None
+      // maxval must fit one byte: a 16-bit PPM (maxval > 255) stores 2-byte
+      // samples that the byte-window feature path would misread — route it
+      // to the fake like any other unsupported encoding
+      if (v == 3 && vals(0) > 0 && vals(1) > 0 && vals(2) > 0 && vals(2) <= 255)
+        Some((vals(0), vals(1), i + 1))
+      else None
     }
 
     def decode(bytes: Array[Byte]): (String, Int, Int) =

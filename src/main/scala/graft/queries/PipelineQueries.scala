@@ -755,11 +755,19 @@ object PipelineQueries {
             val r = li.agg(round(expr(s"percentile($c, 0.5)"), 6)).head()
             c -> (if (r.isNullAt(0)) None else Some(r.getDouble(0)))
           }))
+        // bounded wait (a hung job must not wait forever), and on ANY
+        // failure shutdownNow() so queued sibling futures never start —
+        // plain shutdown() would let them keep submitting Spark jobs
+        // against the session after the query has already failed
+        import scala.concurrent.duration._
         val (wide, nd, md) =
-          try (Await.result(wideF, Duration.Inf),
-            Await.result(ndF, Duration.Inf).toMap,
-            Await.result(mdF, Duration.Inf).toMap)
-          finally pool.shutdown()
+          try {
+            val r = (Await.result(wideF, 10.minutes),
+              Await.result(ndF, 10.minutes).toMap,
+              Await.result(mdF, 10.minutes).toMap)
+            pool.shutdown()
+            r
+          } catch { case e: Throwable => pool.shutdownNow(); throw e }
         cols.map { c =>
           wide.select(lit(c).as("column"), col("n_rows"),
             col(s"nn_$c").as("n_non_null"), lit(nd(c)).as("n_distinct"),

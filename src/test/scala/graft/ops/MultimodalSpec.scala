@@ -92,6 +92,23 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.FakeDecoder.frameFeature(badPpm, 0).toSeq)
     // negative frame index on a valid blob: empty window, not a crash
     assert(d.frameFeature(ppmBlob(8, 8), -1).toSeq == Seq(0f, 0f, 0f, 0f))
+    // 16-bit PPM (maxval > 255): 2-byte samples would be misread as bytes —
+    // must route to the fake, in both halves of the contract
+    val ppm16 = ("P6\n8 8\n65535\n" + "x" * 384).getBytes("US-ASCII")
+    assert(d.decode(ppm16)._1.startsWith("img/fake"))
+    assert(d.frameFeature(ppm16, 0).toSeq ==
+      Multimodal.FakeDecoder.frameFeature(ppm16, 0).toSeq)
+    // non-Windows / non-raw BMPs pass the magic but dims live at different
+    // offsets (OS/2 core header) or the payload isn't raw bytes (RLE8,
+    // 32bpp) — all must fall back rather than report wrong dims/features
+    val os2 = bmpBlob(13, 7); os2(14) = 12            // BITMAPCOREHEADER
+    val bpp32 = bmpBlob(13, 7); bpp32(28) = 32        // 32bpp
+    val rle = bmpBlob(13, 7); rle(30) = 1             // BI_RLE8
+    Seq(os2, bpp32, rle).foreach { b =>
+      assert(d.decode(b)._1.startsWith("img/fake"))
+      assert(d.frameFeature(b, 0).toSeq ==
+        Multimodal.FakeDecoder.frameFeature(b, 0).toSeq)
+    }
   }
 
   test("HeaderDecoder: WAV data chunk found behind a LIST chunk") {
