@@ -10,9 +10,30 @@ import org.apache.spark.sql.SparkSession
   * A failed query is recorded as -1 and EXCLUDED from the total, with a
   * nonzero `failed` count in the JSON — a broken query must never make the
   * benchmark look faster (its near-zero elapsed time used to feed the min).
+  *
+  * Attributability: everything written to System.err (query failures,
+  * executor-pool stack traces, uncaught handler output) is ALSO teed to a
+  * log file named in the JSON line (`log`), so a stray stack fragment in a
+  * harness tail can be traced to its query instead of staying anonymous.
+  *
+  * Storage hygiene: after each query the session's persistent RDD blocks
+  * (eager localCheckpoints, GraphX internal caches) are swept, keeping only
+  * frames still live in [[graft.queries.SharedCache]]; after the catalog a
+  * final clear+sweep runs and `leaked_rdds` reports what is STILL persisted
+  * — the long-lived-session leak check, asserted at 0 by the spec suite.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val logPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOG", "/tmp/graft_bench_stderr.log")
+    val logStream = new java.io.PrintStream(new java.io.FileOutputStream(logPath), true, "UTF-8")
+    val realErr = System.err
+    System.setErr(new java.io.PrintStream(new java.io.OutputStream {
+      override def write(b: Int): Unit = { realErr.write(b); logStream.write(b) }
+      override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+        realErr.write(b, off, len); logStream.write(b, off, len)
+      }
+      override def flush(): Unit = { realErr.flush(); logStream.flush() }
+    }, true))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -43,17 +64,24 @@ object Bench {
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] ${q.name}: ${e.getMessage}")
+            e.printStackTrace() // full trace to the teed log for attribution
             None
         }
       }
+      // release this query's checkpoint blocks / GraphX caches; shared
+      // frames (x18's published pair set, consumed later by x25) survive
+      graft.ops.CheckpointBlocks.sweep(spark, graft.queries.SharedCache.liveRddIds)
       q.name -> times.minOption
     }
+    graft.queries.SharedCache.clear()
+    graft.ops.CheckpointBlocks.sweep(spark)
+    val leaked = spark.sparkContext.getPersistentRDDs.size
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + v.map(t => f"$t%.3f").getOrElse("-1") }
       .mkString("{", ",", "}")
     val failed = results.count(_._2.isEmpty)
     val total = results.flatMap(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"leaked_rdds":$leaked,"log":"$logPath","sf":"$sfDir"}""")
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

@@ -131,12 +131,45 @@ object TextDedup {
       minMatch: Int = 6,
       maxIterations: Int = 64,
       reliable: Boolean = false): DataFrame = {
+    val pairs = lshPairs(docs, seeds, rowsPerBand, minMatch, reliable)
+    val out = dedupMappingFromPairs(docs, pairs, maxIterations, reliable)
+    // the pair set was built here, so its blocks are ours to release: the
+    // returned labels frame is already materialized and no longer needs it
+    CheckpointBlocks.release(pairs)
+    out
+  }
+
+  /** The MATERIALIZED filtered LSH pair set (a_id, b_id) — the expensive
+    * shingle→signature→band→verify stage as a standalone product, so a
+    * workflow that needs pairs in more than one place (dedup mapping AND a
+    * differential components check, say) computes them exactly once and
+    * feeds [[dedupMappingFromPairs]] / `GraphAlgos.connectedComponents`
+    * the same frame. */
+  def lshPairs(
+      docs: DataFrame,
+      seeds: Int = 8,
+      rowsPerBand: Int = 2,
+      minMatch: Int = 6,
+      reliable: Boolean = false): DataFrame = {
     val materialize: DataFrame => DataFrame =
       if (reliable) _.checkpoint(eager = true) else _.localCheckpoint(eager = true)
-    val pairs = materialize(
+    materialize(
       lshCandidatePairs(docs, seeds, rowsPerBand)
         .filter(col("n_match") >= minMatch)
         .select("a_id", "b_id"))
+  }
+
+  /** [[dedupMapping]] over a PREBUILT pair set (see [[lshPairs]]): only the
+    * iterative component stage runs here. `pairs` is consumed lazily every
+    * pass — hand in a materialized frame, and release it yourself (the
+    * caller owns it). */
+  def dedupMappingFromPairs(
+      docs: DataFrame,
+      pairs: DataFrame,
+      maxIterations: Int = 64,
+      reliable: Boolean = false): DataFrame = {
+    val materialize: DataFrame => DataFrame =
+      if (reliable) _.checkpoint(eager = true) else _.localCheckpoint(eager = true)
     val adj = pairs.unionByName(
       pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
     // same materializer as every other generation: under `reliable` the
@@ -168,6 +201,10 @@ object TextDedup {
       // narrow block-scan over what was just materialized — no join, no
       // shuffle; `old` rides along precisely so this stays cheap
       changed = mat.filter(col("canonical_id") =!= col("old")).count()
+      // the previous generation fed `mat` and nothing else — free its
+      // blocks now instead of leaking one generation per pass until
+      // session end (the FINAL generation is returned, never released here)
+      CheckpointBlocks.release(labels)
       labels = mat.select("doc_id", "canonical_id")
     }
     labels

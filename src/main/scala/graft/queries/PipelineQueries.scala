@@ -676,9 +676,20 @@ object PipelineQueries {
     // graph stage is engine-differentially checked, not just spec'd.
     QueryDef(
       "x18_dedup_components",
-      (s, d) =>
-        graft.ops.TextDedup.dedupMapping(docCorpus(s, d), minMatch = 6)
-          .orderBy("doc_id"),
+      (s, d) => {
+        val corpus = docCorpus(s, d)
+        // The pair set is the most expensive stage and x25 needs the SAME
+        // frame for its differential GraphX pass — publish the materialized
+        // pairs (computed here regardless) so the workflow pays for them
+        // once per session, the way a 100 TB pipeline would materialize
+        // them once and fan out. x18 stays the honest producer: it always
+        // computes fresh pairs, never reads the cache.
+        val pairs = SharedCache.put(
+          SharedCache.key(s, d, "lsh_pairs_m6"),
+          graft.ops.TextDedup.lshPairs(corpus, minMatch = 6))
+        graft.ops.TextDedup.dedupMappingFromPairs(corpus, pairs)
+          .orderBy("doc_id")
+      },
       Some(dedupComponentsSql)),
 
     // Benchmark-contamination detection: training docs sharing ≥1 word
@@ -947,32 +958,27 @@ object PipelineQueries {
              |ORDER BY q_id, rn""".stripMargin)),
 
     // GraphX connected components, differentially gated: the SAME LSH pair
-    // set that feeds x18 is loaded into a GraphTable and run through the
-    // Pregel-based GraphAlgos.connectedComponents; component ids (arbitrary
-    // vertex ids from zipWithUniqueId) are canonicalized to the min doc_id
-    // per component, which must reproduce x18's mapping — so the recursive-
-    // CTE oracle now checks BOTH iterative-components implementations
-    // (DataFrame label propagation AND GraphX) against each other.
+    // set that feeds x18 (literally the same materialized frame, via
+    // SharedCache — a 100 TB workflow computes pairs once and fans out)
+    // runs through the Pregel-based GraphAlgos.connectedComponents pairs
+    // entry point. Doc ids ARE the vertex ids there, so GraphX's component
+    // representative (smallest vertex id in the component) is the min-id
+    // canonical directly — and the recursive-CTE oracle checks BOTH
+    // iterative-components implementations (DataFrame label propagation
+    // AND GraphX) against each other.
     QueryDef(
       "x25_graphx_components",
       (s, d) => {
         val corpus = docCorpus(s, d)
-        val pairs = graft.ops.TextDedup.lshCandidatePairs(corpus)
-          .filter(col("n_match") >= 6)
-        val nodes = corpus.select(lit("Doc").as("label"),
-          col("doc_id").cast("string").as("key"),
-          lit(null).cast("map<string,string>").as("props"))
-        val edges = pairs.select(lit("Doc").as("src_label"),
-          col("a_id").cast("string").as("src"),
-          lit("Doc").as("dst_label"),
-          col("b_id").cast("string").as("dst"),
-          lit("NEAR_DUP").as("rel"))
-        val cc = graft.ops.GraphAlgos
-          .connectedComponents(graft.ops.GraphTable(nodes, edges))
-          .select(col("key").cast(LongType).as("doc_id"), col("component"))
-        val canon = cc.groupBy("component").agg(min(col("doc_id")).as("canonical_id"))
-        cc.join(canon, Seq("component"))
-          .select("doc_id", "canonical_id")
+        // consume x18's published pair set; compute it standalone when x18
+        // hasn't run in this session (same code path, same result)
+        val pairs = SharedCache.getOrCompute(
+          SharedCache.key(s, d, "lsh_pairs_m6"))(
+          graft.ops.TextDedup.lshPairs(corpus, minMatch = 6))
+        graft.ops.GraphAlgos
+          .connectedComponents(
+            corpus.select(col("doc_id")), pairs.select(col("a_id"), col("b_id")))
+          .select(col("id").as("doc_id"), col("component").as("canonical_id"))
           .orderBy("doc_id")
       },
       Some(dedupComponentsSql)),

@@ -1,0 +1,46 @@
+package graft.queries
+
+import graft.ops.CheckpointBlocks
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-scoped registry of expensive MATERIALIZED intermediates shared by
+  * more than one catalog query — the library-workflow answer to "x18 and x25
+  * both need the LSH pair set; at 100 TB you compute it once".
+  *
+  * Producers `put` the frame they just materialized anyway (publishing costs
+  * nothing extra); consumers `getOrCompute` so they still work standalone in
+  * a session where the producer never ran. Keys embed the SparkContext
+  * identity and the data directory, so one JVM serving several sessions or
+  * scale factors never cross-wires frames.
+  *
+  * Storage hygiene: `liveRddIds` exposes the block ids backing the current
+  * entries so an end-of-query sweep (`CheckpointBlocks.sweep`) can release
+  * everything EXCEPT the shared frames; `clear()` + a final sweep at session
+  * end releases those too. compute-once under concurrency comes from
+  * ConcurrentHashMap.computeIfAbsent (Verify runs catalog queries on four
+  * threads).
+  */
+object SharedCache {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Canonical key for a frame derived from one data directory. */
+  def key(spark: SparkSession, dir: String, what: String): String =
+    s"${System.identityHashCode(spark.sparkContext)}:$dir:$what"
+
+  /** Publish (producer side): overwrites any previous entry; the replaced
+    * frame's blocks are left for the next sweep, NOT freed here — a consumer
+    * holding the old frame may not have executed yet. */
+  def put(k: String, df: DataFrame): DataFrame = { cache.put(k, df); df }
+
+  /** Consume-or-build: at most one concurrent caller computes. */
+  def getOrCompute(k: String)(build: => DataFrame): DataFrame =
+    cache.computeIfAbsent(k, _ => build)
+
+  /** RDD ids whose storage blocks back the live entries (checkpointed frames
+    * plan to LogicalRDD leaves; reliable-checkpoint frames contribute none
+    * and need none — their state is files). */
+  def liveRddIds: Set[Int] =
+    cache.values.toArray(Array.empty[DataFrame]).flatMap(CheckpointBlocks.rddIds).toSet
+
+  def clear(): Unit = cache.clear()
+}

@@ -29,6 +29,37 @@ class GraphAlgosSpec extends SparkSpec {
     assert(d == Map("r" -> 0L, "a" -> 1L, "b" -> 2L, "c" -> 1L, "x" -> 0L, "y" -> 1L))
   }
 
+  test("connectedComponents over a long-keyed pair table: component IS the min id") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("id")
+    val pairs = Seq((2L, 1L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val cc = GraphAlgos.connectedComponents(nodes, pairs)
+      .as[(Long, Long)].collect().toMap
+    // GraphX's representative is the smallest vertex id in the component,
+    // and ids here ARE the real entity ids — so no canonicalization join
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("reliable=true (recoverable checkpoint) matches the default path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt3").toString
+    val prev = spark.sparkContext.getCheckpointDir
+    try {
+      spark.sparkContext.setCheckpointDir(dir)
+      val a = GraphAlgos.connectedComponents(graph)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val b = GraphAlgos.connectedComponents(graph, reliable = true)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      // component ids come from zipWithUniqueId and may legitimately differ
+      // between builds; the PARTITION must be identical
+      def parts(m: Map[(String, String), Long]) =
+        m.groupBy(_._2).values.map(_.keySet).toSet
+      assert(parts(a) == parts(b))
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "reliable mode must write recoverable checkpoint files")
+    } finally prev.foreach(p => spark.sparkContext.setCheckpointDir(p))
+  }
+
   test("agrees with TransitiveClosure on the reference-shaped hierarchy") {
     val edges = Seq((10L, 1L), (11L, 1L), (12L, 10L)).toDF("child_id", "parent_id")
     val closure = TransitiveClosure.closure(edges)

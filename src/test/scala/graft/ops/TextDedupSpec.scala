@@ -62,6 +62,81 @@ class TextDedupSpec extends SparkSpec {
     } finally prev.foreach(p => spark.sparkContext.setCheckpointDir(p))
   }
 
+  test("dedupMappingFromPairs over a prebuilt pair set matches the end-to-end path") {
+    val pairs = TextDedup.lshPairs(docs, minMatch = 6)
+    val viaPairs = TextDedup.dedupMappingFromPairs(docs, pairs)
+      .as[(Long, Long)].collect().toMap
+    val endToEnd = TextDedup.dedupMapping(docs, minMatch = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(viaPairs == endToEnd)
+    // the pair frame is caller-owned: still readable after the mapping ran
+    assert(pairs.count() >= 3) // the three exact copies alone give 3 pairs
+    CheckpointBlocks.release(pairs)
+  }
+
+  test("reliable=true works on the pairs-in path too (cluster-mode dedup workflow)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt2").toString
+    val prev = spark.sparkContext.getCheckpointDir
+    try {
+      spark.sparkContext.setCheckpointDir(dir)
+      val pairs = TextDedup.lshPairs(docs, minMatch = 6, reliable = true)
+      val m = TextDedup.dedupMappingFromPairs(docs, pairs, reliable = true)
+        .as[(Long, Long)].collect().toMap
+      assert(m(2L) == 1L && m(3L) == 1L && m(20L) == 20L)
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "reliable mode must write recoverable checkpoint files")
+    } finally prev.foreach(p => spark.sparkContext.setCheckpointDir(p))
+  }
+
+  test("label propagation runs ONE heavy job + one narrow scan per pass (job-count invariant)") {
+    // The round-3 convergence fix's whole point: the changed-row test is a
+    // narrow scan over the just-materialized blocks, NOT a second shuffling
+    // job. A refactor that reintroduces the old full old-vs-new join would
+    // show up here as a second multi-stage job inside a pass.
+    // AQE splits one ACTION into several jobs (one per shuffle-materialize
+    // step), so the invariant is counted in SQL EXECUTIONS (actions), not
+    // raw jobs: group jobs by spark.sql.execution.id.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val execOrder = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val execStages = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val id = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.sql.execution.id"))).getOrElse("none")
+        if (!execStages.containsKey(id)) execOrder.add(id)
+        execStages.merge(id, js.stageInfos.size, (a, b) => a + b)
+      }
+    }
+    val pairs = TextDedup.lshPairs(docs, minMatch = 6) // outside the window
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      TextDedup.dedupMappingFromPairs(docs, pairs)
+      // listener bus is async — every job already STARTED (actions are
+      // synchronous), so poll until the event count stops moving
+      val deadline = System.nanoTime() + 15e9.toLong
+      var last = -1
+      while (System.nanoTime() < deadline && (execStages.size != last || execStages.size < 3)) {
+        last = execStages.size; Thread.sleep(250)
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    CheckpointBlocks.release(pairs)
+    val counts = execOrder.toArray(Array.empty[String]).toSeq
+      .map(id => execStages.get(id).toInt)
+    info(s"per-action total stage counts: $counts")
+    // action 0: init-labels materialization (narrow); then per pass exactly
+    // TWO actions — (heavy materialize, narrow convergence scan) — so an
+    // ODD total; the scan action must stay narrow (its count() is a
+    // partial+final pair over already-materialized blocks: ≤3 stages, no
+    // index-sized shuffle), and strictly lighter than its pass's materialize
+    assert(counts.size >= 3, s"expected init + ≥1 pass, saw $counts")
+    assert(counts.size % 2 == 1, s"actions must come as init + 2/pass, saw $counts")
+    counts.drop(1).grouped(2).foreach { case Seq(heavy, scan) =>
+      assert(heavy > scan && scan <= 3,
+        s"pass must be (heavy materialize, narrow scan); saw $counts")
+    }
+  }
+
   test("transitive chains collapse to one component (a~b, b~c, a!~c still one cluster)") {
     // exact-copy chain via overlapping pairs: all share the same text so
     // every pair is a candidate; min-propagation must reach the global min
