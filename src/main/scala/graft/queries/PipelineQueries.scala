@@ -463,21 +463,28 @@ object PipelineQueries {
               |CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS bpe_tokens
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // Document fingerprinting: k-min sketch (k=3) over word-bigram hashes.
+    // Document fingerprinting: k-min sketch (k=3) over word-bigram hashes,
+    // computed by the bounded-buffer KMinDistinctAggregator: the former
+    // distinct + row_number window sorted the whole exploded bigram index
+    // (docs × bigrams rows) to keep 3 per doc; the aggregator carries a
+    // ≤3-element buffer through a hash aggregate, partial-combining
+    // map-side, so no sort of the index exists and the shuffle carries
+    // ≤ |docs|×3 hashes (plan pinned in PlanShapeSpec).
     QueryDef(
       "x11_fingerprint",
       (s, d) => {
-        val w = Window.partitionBy("doc_id").orderBy("h")
+        val kmin = udaf(new graft.functions.KMinDistinctAggregator(3))
         documents(s, d)
           .select(col("doc_id"), tokens(col("text")).as("tk"))
           .filter(size(col("tk")) >= 2)
           .select(col("doc_id"),
             explode(expr("transform(sequence(0, size(tk) - 2), i -> concat_ws(' ', tk[i], tk[i+1]))")).as("bg"))
           .select(col("doc_id"), md5(col("bg").cast("binary")).as("h"))
-          .distinct()
-          .withColumn("rn", row_number().over(w).cast(LongType))
-          .filter(col("rn") <= 3)
-          .select(col("doc_id"), col("rn"), col("h").as("fp"))
+          .groupBy("doc_id")
+          .agg(kmin(col("h")).as("fps"))
+          .select(col("doc_id"), posexplode(col("fps")))
+          .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("rn"),
+            col("col").as("fp"))
           .orderBy("doc_id", "rn")
       },
       Some(s"""WITH t AS (SELECT doc_id, $tokensSql AS tk FROM documents),

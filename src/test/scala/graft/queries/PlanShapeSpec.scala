@@ -72,6 +72,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(required.isEmpty, s"repetition collapse must not shuffle:\n$p")
   }
 
+  test("x11's k-min selection is a bounded-buffer hash aggregate (no index sort, no window)") {
+    val p = plans("x11_fingerprint")
+    assert(p.contains("KMinDistinctAggregator"), p)
+    assert(!p.contains("Window"), p)
+    // the only Sort allowed is the final presentation ORDER BY over the
+    // tiny (docs × 3) result — never the exploded bigram index
+    assert("Sort \\[".r.findAllIn(p).length <= 1, p)
+  }
+
   test("x05's only index-sized data movements are one shingle exchange (no index sort)") {
     val p = plans("x05_ngram_jaccard")
     // hash joins + hash aggregates throughout: the only Sort node allowed is
