@@ -113,6 +113,39 @@ object PipelineQueries {
        |SELECT id AS doc_id, min(rid) AS canonical_id FROM reach GROUP BY id
        |ORDER BY doc_id""".stripMargin
 
+  // ——— x27 helpers: dialect-paired hex builders so BOTH engines construct
+  //     byte-identical media blobs from the same per-row parameters, and
+  //     DuckDB can parse header fields back out of the byte encoding ———
+
+  /** One byte as two uppercase hex chars (Spark SQL dialect). */
+  private def hbS(e: String) =
+    "concat(substring('0123456789ABCDEF', CAST(((" + e + ") div 16) % 16 + 1 AS INT), 1)," +
+      s" substring('0123456789ABCDEF', CAST(($e) % 16 + 1 AS INT), 1))"
+  private def le16S(e: String) =
+    s"concat(${hbS(s"($e) % 256")}, ${hbS(s"(($e) div 256) % 256")})"
+  private def le32S(e: String) =
+    s"concat(${hbS(s"($e) % 256")}, ${hbS(s"(($e) div 256) % 256")}, " +
+      s"${hbS(s"(($e) div 65536) % 256")}, ${hbS(s"(($e) div 16777216) % 256")})"
+
+  /** Same three builders, DuckDB dialect. */
+  private def hbD(e: String) =
+    s"(substr('0123456789ABCDEF', ((($e) // 16) % 16 + 1)::INT, 1) || " +
+      s"substr('0123456789ABCDEF', ((($e) % 16 + 1))::INT, 1))"
+  private def le16D(e: String) =
+    s"(${hbD(s"($e) % 256")} || ${hbD(s"(($e) // 256) % 256")})"
+  private def le32D(e: String) =
+    s"(${hbD(s"($e) % 256")} || ${hbD(s"(($e) // 256) % 256")} || " +
+      s"${hbD(s"(($e) // 65536) % 256")} || ${hbD(s"(($e) // 16777216) % 256")})"
+
+  /** DuckDB: byte value at 0-based offset `i` of hex string `hx`. */
+  private def byteAtD(i: Int) =
+    s"((instr('0123456789ABCDEF', substr(hx, ${2 * i + 1}, 1)) - 1) * 16 + " +
+      s"instr('0123456789ABCDEF', substr(hx, ${2 * i + 2}, 1)) - 1)"
+
+  /** DuckDB: little-endian integer spanning `n` bytes at offset `off`. */
+  private def leFieldD(off: Int, n: Int): String =
+    (0 until n).map(j => s"${byteAtD(off + j)} * ${1L << (8 * j)}").mkString("(", " + ", ")")
+
   val all: Seq[QueryDef] = Seq(
 
     // ——— Deduplication ———
@@ -1025,6 +1058,86 @@ object PipelineQueries {
               |  CAST(max(n) - count(CASE WHEN prev IS NULL OR tok <> prev THEN 1 END) AS BIGINT) AS n_removed,
               |  md5(string_agg(tok, ' ' ORDER BY pos)
               |    FILTER (WHERE prev IS NULL OR tok <> prev)) AS cleaned_md5
-              |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+              |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // REAL media decode, oracle-gated end to end: each doc_id < 20 becomes
+    // a deterministic blob — PPM P6 / 24bpp BMP / s16le PCM WAV / corrupt,
+    // by doc_id % 4 — built byte-identically in BOTH engines from the same
+    // per-row parameters (hex-string construction → unhex). Spark decodes
+    // the actual bytes through Multimodal.HeaderDecoder (the no-codec-lib
+    // real path: ASCII PPM header parse, little-endian BMP/WAV field
+    // reads, corrupt-blob fake fallback); DuckDB independently parses the
+    // SAME fields back out of the byte encoding (substr/instr arithmetic
+    // on the hex, regexp over the decoded PPM header) — so the decoder's
+    // byte arithmetic is engine-differentially checked, not just spec'd.
+    QueryDef(
+      "x27_header_decode",
+      (s, d) => {
+        val base = documents(s, d).filter(col("doc_id") < 20)
+          .select(col("doc_id"),
+            (col("doc_id") % 4).as("kind"),
+            (col("doc_id") % 37 + 1).cast("int").as("w"),
+            (col("doc_id") % 23 + 1).cast("int").as("h"),
+            ((col("doc_id") % 50) * 100 + 8000).cast("int").as("rate"),
+            (col("doc_id") % 2 + 1).cast("int").as("ch"))
+          // BMP row stride pads to 4 bytes; ds is the declared pixel size
+          .withColumn("ds", expr("((w * 3 + 3) div 4) * 4 * h"))
+        val ppmHex =
+          "hex(CAST(concat('P6', char(10), CAST(w AS STRING), ' ', CAST(h AS STRING), " +
+            "char(10), '255', char(10), 'abcdef') AS BINARY))"
+        val bmpHex = s"concat('424D', ${le32S("54 + ds")}, '0000000036000000', " +
+          s"'28000000', ${le32S("w")}, ${le32S("h")}, '01001800', '00000000', " +
+          s"${le32S("ds")}, '00000000000000000000000000000000', 'ABCDEF0123456789')"
+        val wavHex = s"concat('52494646', ${le32S("44")}, '57415645666D742010000000', " +
+          s"'0100', ${le16S("ch")}, ${le32S("rate")}, ${le32S("rate * ch * 2")}, " +
+          s"${le16S("ch * 2")}, '1000', '64617461', ${le32S("8")}, '00400080FF7F0180')"
+        val corruptHex = s"concat(${hbS("doc_id % 256")}, ${hbS("(doc_id * 7) % 256")})"
+        val blobs = base
+          .withColumn("hx", expr(
+            s"CASE CAST(kind AS INT) WHEN 0 THEN $ppmHex WHEN 1 THEN $bmpHex " +
+              s"WHEN 2 THEN $wavHex ELSE $corruptHex END"))
+          .select(col("doc_id").as("media_id"), unhex(col("hx")).as("media"))
+        graft.ops.Multimodal.extractMeta(blobs, graft.ops.Multimodal.HeaderDecoder)
+          .select(col("media_id"), col("format"),
+            col("width").cast(LongType), col("height").cast(LongType),
+            col("n_bytes"))
+          .orderBy("media_id")
+      },
+      Some {
+        val ppmHexD = "hex('P6' || chr(10) || w::VARCHAR || ' ' || h::VARCHAR || " +
+          "chr(10) || '255' || chr(10) || 'abcdef')"
+        val bmpHexD = s"'424D' || ${le32D("54 + ds")} || '0000000036000000' || " +
+          s"'28000000' || ${le32D("w")} || ${le32D("h")} || '01001800' || '00000000' || " +
+          s"${le32D("ds")} || '00000000000000000000000000000000' || 'ABCDEF0123456789'"
+        val wavHexD = s"'52494646' || ${le32D("44")} || '57415645666D742010000000' || " +
+          s"'0100' || ${le16D("ch")} || ${le32D("rate")} || ${le32D("rate * ch * 2")} || " +
+          s"${le16D("ch * 2")} || '1000' || '64617461' || ${le32D("8")} || '00400080FF7F0180'"
+        val corruptHexD = s"${hbD("doc_id % 256")} || ${hbD("(doc_id * 7) % 256")}"
+        s"""WITH b AS (SELECT doc_id, doc_id % 4 AS kind,
+           |  doc_id % 37 + 1 AS w, doc_id % 23 + 1 AS h,
+           |  (doc_id % 50) * 100 + 8000 AS rate, doc_id % 2 + 1 AS ch,
+           |  ((w * 3 + 3) // 4) * 4 * h AS ds
+           |  FROM documents WHERE doc_id < 20),
+           |hxt AS (SELECT doc_id, kind, CASE kind::INT
+           |    WHEN 0 THEN $ppmHexD WHEN 1 THEN $bmpHexD
+           |    WHEN 2 THEN $wavHexD ELSE $corruptHexD END AS hx FROM b)
+           |SELECT doc_id AS media_id,
+           |  CASE kind WHEN 0 THEN 'image/ppm' WHEN 1 THEN 'image/bmp'
+           |    WHEN 2 THEN 'audio/wav'
+           |    ELSE CASE WHEN ${byteAtD(0)} % 2 = 0 THEN 'img/fake-rgb'
+           |      ELSE 'img/fake-gray' END END AS format,
+           |  CASE kind
+           |    WHEN 0 THEN CAST(regexp_extract(decode(unhex(hx)), 'P6\\n(\\d+) (\\d+)', 1) AS BIGINT)
+           |    WHEN 1 THEN ${leFieldD(18, 4)}
+           |    WHEN 2 THEN ${leFieldD(24, 4)}
+           |    ELSE 16 + ${byteAtD(0)} % 64 END AS width,
+           |  CASE kind
+           |    WHEN 0 THEN CAST(regexp_extract(decode(unhex(hx)), 'P6\\n(\\d+) (\\d+)', 2) AS BIGINT)
+           |    WHEN 1 THEN ${leFieldD(22, 4)}
+           |    WHEN 2 THEN ${leFieldD(22, 2)}
+           |    ELSE 16 + ${byteAtD(1)} % 64 END AS height,
+           |  CAST(len(hx) // 2 AS BIGINT) AS n_bytes
+           |FROM hxt ORDER BY media_id""".stripMargin
+      })
   )
 }
