@@ -646,14 +646,22 @@ object PipelineQueries {
       (s, d) => {
         // Fingerprints come from the public API (TextDedup
         // .simhashFingerprint — BIGINT, one token explode + one hash agg
-        // with 32 partial sums) so library and gated query cannot diverge;
-        // bands are shift+mask and hamming is one bit_count(xor) intrinsic
-        // (32 substring compares blew past the codegen method limit and
-        // ran interpreted).
-        val sims = graft.ops.TextDedup.simhashFingerprint(docCorpus(s, d), bits = 32)
+        // with one partial sum per bit) so library and gated query cannot
+        // diverge; bands are shift+mask and hamming is one bit_count(xor)
+        // intrinsic (substring compares blew past the codegen method limit
+        // and ran interpreted).
+        //
+        // 62-bit prints, NOT 32: the band join compares everything sharing
+        // a band bucket, so bucket occupancy is |distinct prints| / 2^bandBits
+        // and the pair stage is QUADRATIC in it. 32-bit prints cap bands at
+        // 10-11 bits (2 k buckets) — measured super-linear at 10× data
+        // (SCALE.md). Three 21/21/20-bit bands give ~2 M buckets per band;
+        // the pigeonhole guarantee (hamming ≤ 2 with 3 bands → one band
+        // exact-matches) is width-independent, so recall is unchanged.
+        val sims = graft.ops.TextDedup.simhashFingerprint(docCorpus(s, d), bits = 62)
         val clusters = sims.groupBy("simhash")
           .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"))
-        val bandDefs = Seq((0, 11), (11, 11), (22, 10))
+        val bandDefs = Seq((0, 21), (21, 21), (42, 20))
         val bands = clusters.select(col("simhash"), col("rep"), col("n"),
             posexplode(array(bandDefs.map { case (sft, len) =>
               expr(s"shiftright(simhash, $sft) & ${(1L << len) - 1}") }: _*)))
@@ -674,17 +682,17 @@ object PipelineQueries {
       Some(s"""WITH $corpusSql,
               |t0 AS (SELECT doc_id, unnest($tokensSql) AS tok FROM corpus),
               |t AS (SELECT doc_id, md5(tok) AS h FROM t0),
-              |sv AS (SELECT doc_id, ${(0 until 32).map(p =>
+              |sv AS (SELECT doc_id, ${(0 until 62).map(p =>
                   s"sum(CASE WHEN (((strpos('0123456789abcdef', substr(h, ${p / 4 + 1}, 1)) - 1) >> ${p % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS sv$p")
                   .mkString(", ")}
               |  FROM t GROUP BY doc_id),
-              |sim AS (SELECT doc_id, ${(0 until 32).map(p =>
+              |sim AS (SELECT doc_id, ${(0 until 62).map(p =>
                   s"(CASE WHEN sv$p >= 0 THEN (1::BIGINT << $p) ELSE 0 END)").mkString(" + ")} AS simhash FROM sv),
               |cl AS (SELECT simhash, min(doc_id) AS rep, count(*) AS n FROM sim GROUP BY simhash),
               |bd AS (SELECT simhash, rep, n, unnest(range(0, 3)) AS band_idx FROM cl),
               |bands AS (SELECT simhash, rep, n, band_idx,
-              |  (simhash >> CAST(band_idx * 11 AS INT)) &
-              |    (CASE WHEN band_idx = 2 THEN 1023 ELSE 2047 END) AS band FROM bd),
+              |  (simhash >> CAST(band_idx * 21 AS INT)) &
+              |    (CASE WHEN band_idx = 2 THEN 1048575 ELSE 2097151 END) AS band FROM bd),
               |cand AS (SELECT DISTINCT a.rep AS a_id, b.rep AS b_id, a.simhash AS sa, b.simhash AS sb,
               |  a.n AS na, b.n AS nb
               |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band = b.band AND a.rep < b.rep)
