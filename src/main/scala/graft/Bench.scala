@@ -44,6 +44,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       // local mode: every task is process-local; never wait for locality
       .config("spark.locality.wait", "0ms")
+      // typed-Aggregator paths (x11/x13) run through ObjectHashAggregate,
+      // which silently falls back to SORT-based aggregation after this many
+      // distinct keys per partition (default 128) — exactly the per-group
+      // sort the bounded-buffer aggregators exist to avoid; bounded ≤k-row
+      // buffers make a large in-memory hash map safe
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up: touch every table once so parquet footer reads, FileIndex
@@ -81,7 +87,16 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.count(_._2.isEmpty)
     val total = results.flatMap(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"leaked_rdds":$leaked,"log":"$logPath","sf":"$sfDir"}""")
+    // env-supplied paths go through a real JSON string escape: a quote or
+    // backslash in SPARK_GRAFT_BENCH_LOG/SF_DIR must not break the one
+    // line the harness json-parses (query names are code-controlled)
+    def js(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"leaked_rdds":$leaked,"log":${js(logPath)},"sf":${js(sfDir)}}""")
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

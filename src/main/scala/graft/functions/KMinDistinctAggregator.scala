@@ -18,6 +18,16 @@ import scala.collection.mutable
   * Distinctness falls out of the bound: a value outside the k smallest
   * distinct values can never enter the final set, so dedup-within-buffer is
   * exact — no global distinct pass needed.
+  *
+  * Runtime caveat (invisible in the plan): typed Aggregators execute via
+  * ObjectHashAggregateExec, which falls back to SORT-based aggregation
+  * after `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
+  * distinct keys per partition — default 128, i.e. the per-partition sort
+  * quietly returns on any realistic group count. Sessions using this (or
+  * any bounded-buffer) aggregator over many groups should raise the
+  * threshold (Bench/Verify set 1e6; safe exactly because the buffers are
+  * ≤k rows). Even under fallback the SHUFFLE bound still holds — only the
+  * map-side no-sort property is lost.
   */
 class KMinDistinctAggregator(k: Int)
     extends Aggregator[String, mutable.ArrayBuffer[String], Seq[String]] {

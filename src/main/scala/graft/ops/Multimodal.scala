@@ -189,9 +189,15 @@ object Multimodal {
       else if (isPpm(bytes) || isBmp(bytes)) {
         // raw byte window over the pixel payload (256 bytes per frame);
         // unparseable header → fake, mirroring decode()'s classification
+        // EXACTLY — including the zero-dimension BMP rejection, so a blob
+        // decode() routes to the fake never gets "real" stats here
         val off =
-          if (isBmp(bytes)) { val o = le32(bytes, 10); if (o >= 54 && o < bytes.length) o else -1 }
-          else ppmHeader(bytes).map(_._3).getOrElse(-1)
+          if (isBmp(bytes)) {
+            val o = le32(bytes, 10)
+            if (o >= 54 && o < bytes.length &&
+              le32(bytes, 18) > 0 && math.abs(le32(bytes, 22)) > 0) o
+            else -1
+          } else ppmHeader(bytes).map(_._3).getOrElse(-1)
         if (off < 0) FakeDecoder.frameFeature(bytes, frameIdx)
         else {
           val start = off.toLong + frameIdx.toLong * 256

@@ -817,13 +817,17 @@ object PipelineQueries {
         // bounded wait (a hung job must not wait forever), and on ANY
         // failure shutdownNow() so queued sibling futures never start —
         // plain shutdown() would let them keep submitting Spark jobs
-        // against the session after the query has already failed
+        // against the session after the query has already failed. The
+        // bound is generous (exact percentile over a big table is slow by
+        // design) and env-tunable so a legitimately long large-SF run is
+        // not converted into a failure.
         import scala.concurrent.duration._
+        val waitCap = sys.env.getOrElse("GRAFT_PROFILE_TIMEOUT_MIN", "60").toInt.minutes
         val (wide, nd, md) =
           try {
-            val r = (Await.result(wideF, 10.minutes),
-              Await.result(ndF, 10.minutes).toMap,
-              Await.result(mdF, 10.minutes).toMap)
+            val r = (Await.result(wideF, waitCap),
+              Await.result(ndF, waitCap).toMap,
+              Await.result(mdF, waitCap).toMap)
             pool.shutdown()
             r
           } catch { case e: Throwable => pool.shutdownNow(); throw e }

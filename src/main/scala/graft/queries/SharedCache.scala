@@ -23,9 +23,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SharedCache {
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  /** Canonical key for a frame derived from one data directory. */
-  def key(spark: SparkSession, dir: String, what: String): String =
-    s"${System.identityHashCode(spark.sparkContext)}:$dir:$what"
+  /** Canonical key for a frame derived from one data directory. The context
+    * component is (applicationId, startTime) — monotonic per context — NOT
+    * an identity hash: a JVM that stops its session and starts another must
+    * never resolve a key to a frame bound to the dead context (RDD ids also
+    * restart near 0 per context, so a stale entry's liveRddIds could
+    * wrongly shield the new context's unrelated blocks from sweeps). */
+  def key(spark: SparkSession, dir: String, what: String): String = {
+    val sc = spark.sparkContext
+    s"${sc.applicationId}@${sc.startTime}:$dir:$what"
+  }
 
   /** Publish (producer side): overwrites any previous entry; the replaced
     * frame's blocks are left for the next sweep, NOT freed here — a consumer
@@ -38,9 +45,13 @@ object SharedCache {
 
   /** RDD ids whose storage blocks back the live entries (checkpointed frames
     * plan to LogicalRDD leaves; reliable-checkpoint frames contribute none
-    * and need none — their state is files). */
-  def liveRddIds: Set[Int] =
+    * and need none — their state is files). Entries bound to a STOPPED
+    * context are evicted here rather than consulted: their RDD ids restart
+    * near 0 in the next context and would wrongly shield unrelated blocks. */
+  def liveRddIds: Set[Int] = {
+    cache.entrySet().removeIf(e => e.getValue.sparkSession.sparkContext.isStopped)
     cache.values.toArray(Array.empty[DataFrame]).flatMap(CheckpointBlocks.rddIds).toSet
+  }
 
   def clear(): Unit = cache.clear()
 }

@@ -104,7 +104,10 @@ class MultimodalSpec extends SparkSpec {
     val os2 = bmpBlob(13, 7); os2(14) = 12            // BITMAPCOREHEADER
     val bpp32 = bmpBlob(13, 7); bpp32(28) = 32        // 32bpp
     val rle = bmpBlob(13, 7); rle(30) = 1             // BI_RLE8
-    Seq(os2, bpp32, rle).foreach { b =>
+    // zero-dimension BMP (valid DIB/bpp/compression, width field = 0):
+    // decode falls back, and frameFeature must mirror that classification
+    val wzero = bmpBlob(13, 7); wzero(18) = 0; wzero(19) = 0; wzero(20) = 0; wzero(21) = 0
+    Seq(os2, bpp32, rle, wzero).foreach { b =>
       assert(d.decode(b)._1.startsWith("img/fake"))
       assert(d.frameFeature(b, 0).toSeq ==
         Multimodal.FakeDecoder.frameFeature(b, 0).toSeq)
