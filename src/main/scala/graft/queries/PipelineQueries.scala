@@ -1150,6 +1150,47 @@ object PipelineQueries {
            |    ELSE 16 + ${byteAtD(1)} % 64 END AS height,
            |  CAST(len(hx) // 2 AS BIGINT) AS n_bytes
            |FROM hxt ORDER BY media_id""".stripMargin
-      })
+      }),
+
+    // TF-IDF keyword extraction: top-3 most distinctive tokens per doc —
+    // the keyword-tagging op a training-data pipeline runs after cleaning.
+    // Scoring stays log-free (tf × N / df): tf·N is an exact integer on
+    // both engines and the single double division is deterministic IEEE,
+    // where ln()'s last-ulp could differ between libms. The per-doc top-3
+    // runs through TopKStringsAggregator — like x11/x13, a ≤k bounded
+    // buffer through a hash aggregate, so no (docs × vocab)-sized ranking
+    // sort exists and each partition ships ≤3 rows per doc (ties break by
+    // token ascending in both engines). The df side joins tf on token —
+    // |vocab|-sized, hash join. Plan pinned in PlanShapeSpec.
+    QueryDef(
+      "x28_tfidf_keywords",
+      (s, d) => {
+        val topk = udaf(new graft.functions.TopKStringsAggregator(3))
+        val toks = documents(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+          .filter(col("tok") =!= "")
+        val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val dfT = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val n = documents(s, d).agg(count(lit(1)).as("n_docs"))
+        tf.join(dfT, Seq("tok"))
+          .crossJoin(broadcast(n))
+          .withColumn("score", col("tf") * col("n_docs") / col("df"))
+          .groupBy("doc_id")
+          .agg(topk(col("score"), col("tok")).as("top"))
+          .select(col("doc_id"), posexplode(col("top")))
+          .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("rn"),
+            col("col._2").as("keyword"), round(col("col._1"), 6).as("score"))
+          .orderBy("doc_id", "rn")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
+              |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks WHERE tok <> '' GROUP BY 1, 2),
+              |dfx AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+              |n AS (SELECT count(*) AS n_docs FROM documents),
+              |sc AS (SELECT tf.doc_id, tf.tok, tf.tf * n.n_docs / dfx.df AS score
+              |  FROM tf JOIN dfx USING (tok) CROSS JOIN n),
+              |r AS (SELECT doc_id, tok, score,
+              |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS BIGINT) AS rn FROM sc)
+              |SELECT doc_id, rn, tok AS keyword, round(score, 6) AS score
+              |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin))
   )
 }

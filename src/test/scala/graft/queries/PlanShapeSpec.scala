@@ -81,6 +81,13 @@ class PlanShapeSpec extends SparkSpec {
     assert("Sort \\[".r.findAllIn(p).length <= 1, p)
   }
 
+  test("x28's per-doc keyword ranking is a bounded-buffer hash aggregate (no ranking window)") {
+    val p = plans("x28_tfidf_keywords")
+    assert(p.contains("TopKStringsAggregator"), p)
+    assert(!p.contains("Window"), p)
+    assert("Sort \\[".r.findAllIn(p).length <= 1, p)
+  }
+
   test("x05's only index-sized data movements are one shingle exchange (no index sort)") {
     val p = plans("x05_ngram_jaccard")
     // hash joins + hash aggregates throughout: the only Sort node allowed is
