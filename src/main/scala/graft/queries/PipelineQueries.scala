@@ -4,7 +4,7 @@ import graft.Tables._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 import QueryDef.dsum
 import graft.functions.VectorFunctions
 
@@ -1191,6 +1191,51 @@ object PipelineQueries {
               |r AS (SELECT doc_id, tok, score,
               |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS BIGINT) AS rn FROM sc)
               |SELECT doc_id, rn, tok AS keyword, round(score, 6) AS score
-              |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin))
+              |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin)),
+
+    // Numeric-column outlier detection (the data-QA sweep x20's profile
+    // feeds): per-group exact two-pass z-scores. Scale shape: one hash
+    // aggregate for the moments, the per-group stats BROADCAST back, and
+    // the outlier test is a narrow scan — no window, no second shuffle of
+    // the fact table. Cross-engine float discipline: values quantize to
+    // cents first (floor(x·100) — identical doubles → identical longs), so
+    // Σq is an exact long and Σq² an exact decimal/int128; means/variances
+    // then derive from the SAME exact integers through the SAME IEEE ops
+    // (mean·mean, never pow() — Java's and C's pow may differ in the last
+    // ulp), making even the boundary comparison |q−mean| > 2σ engine-exact.
+    QueryDef(
+      "x29_outlier_counts",
+      (s, d) => {
+        val li = lineitem(s, d).select(col("l_returnflag"),
+          floor(col("l_extendedprice") * 100).cast(LongType).as("q"))
+        val stats = li.groupBy(col("l_returnflag").as("g"))
+          .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"),
+            sum((col("q") * col("q")).cast(DecimalType(38, 0))).as("sqq"))
+          .select(col("g"), col("n"),
+            (col("sq").cast(DoubleType) / col("n")).as("mean_q"),
+            (col("sqq").cast(DoubleType) / col("n")).as("eq2"))
+          .select(col("g"), col("n"), col("mean_q"),
+            sqrt(col("eq2") - col("mean_q") * col("mean_q")).as("std_q"))
+        li.join(broadcast(stats), li("l_returnflag") === stats("g"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).cast(LongType).as("n_rows"),
+            sum(when(abs(col("q") - col("mean_q")) > lit(2.0) * col("std_q"), 1L)
+              .otherwise(0L)).as("n_outliers"),
+            round(max(when(col("std_q") > 0,
+              abs(col("q") - col("mean_q")) / col("std_q")).otherwise(lit(0.0))), 6)
+              .as("max_z"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH q AS (SELECT l_returnflag AS g,
+             |  CAST(floor(l_extendedprice * 100) AS BIGINT) AS q FROM lineitem),
+             |m AS (SELECT g, count(*) AS n, sum(q) AS sq, sum(q * q) AS sqq FROM q GROUP BY g),
+             |st AS (SELECT g, n, CAST(sq AS DOUBLE) / n AS mean_q,
+             |  CAST(sqq AS DOUBLE) / n AS eq2 FROM m),
+             |sd AS (SELECT g, n, mean_q, sqrt(eq2 - mean_q * mean_q) AS std_q FROM st)
+             |SELECT q.g AS l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(count(CASE WHEN abs(q.q - sd.mean_q) > 2.0 * sd.std_q THEN 1 END) AS BIGINT) AS n_outliers,
+             |  round(max(CASE WHEN sd.std_q > 0
+             |    THEN abs(q.q - sd.mean_q) / sd.std_q ELSE 0.0 END), 6) AS max_z
+             |FROM q JOIN sd USING (g) GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -88,6 +88,12 @@ class PlanShapeSpec extends SparkSpec {
     assert("Sort \\[".r.findAllIn(p).length <= 1, p)
   }
 
+  test("x29's outlier test is a broadcast-stats narrow scan (no window, no fact re-shuffle)") {
+    val p = plans("x29_outlier_counts")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("x05's only index-sized data movements are one shingle exchange (no index sort)") {
     val p = plans("x05_ngram_jaccard")
     // hash joins + hash aggregates throughout: the only Sort node allowed is
