@@ -11,21 +11,43 @@ import org.apache.spark.sql.SparkSession
   * nonzero `failed` count in the JSON — a broken query must never make the
   * benchmark look faster (its near-zero elapsed time used to feed the min).
   *
-  * Attributability: everything written to System.err (query failures,
+  * Attributability (LOCAL MODE ONLY — in local[] the whole engine is one
+  * JVM; on a real cluster executor-side stack traces land in executor logs,
+  * not here): everything written to the driver's System.err (query failures,
   * executor-pool stack traces, uncaught handler output) is ALSO teed to a
   * log file named in the JSON line (`log`), so a stray stack fragment in a
   * harness tail can be traced to its query instead of staying anonymous.
+  *
+  * Cross-engine honesty: a query that consumed a frame published by an
+  * earlier query via [[graft.queries.SharedCache]] excludes that frame's
+  * build cost from its own wall-clock — not like-for-like against an oracle
+  * engine that recomputes the frame per query. Such queries are re-run COLD
+  * (cache cleared) after the catalog and reported under `cold`, keyed by
+  * query name; the headline `value` stays the warm catalog total (that IS
+  * the library-workflow cost), the cold number is what a per-query
+  * cross-engine comparison must use.
   *
   * Storage hygiene: after each query the session's persistent RDD blocks
   * (eager localCheckpoints, GraphX internal caches) are swept, keeping only
   * frames still live in [[graft.queries.SharedCache]]; after the catalog a
   * final clear+sweep runs and `leaked_rdds` reports what is STILL persisted
   * — the long-lived-session leak check, asserted at 0 by the spec suite.
+  *
+  * Output robustness: the full JSON is also written to the file named by
+  * `json` (default derived from the log path), and the printed line orders
+  * per-query detail FIRST and the summary fields LAST — a harness that
+  * keeps only the tail of the output loses oldest-first, so the totals and
+  * annotations survive truncation.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val logPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOG", "/tmp/graft_bench_stderr.log")
-    val logStream = new java.io.PrintStream(new java.io.FileOutputStream(logPath), true, "UTF-8")
+    val jsonPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "/tmp/graft_bench.json")
+    // buffered: the tee forwards every write() to BOTH sinks, and the
+    // console side is already line-buffered — an unbuffered file sink would
+    // pay one syscall per byte under the autoflush PrintStream
+    val logFile = new java.io.BufferedOutputStream(new java.io.FileOutputStream(logPath), 1 << 16)
+    val logStream = new java.io.PrintStream(logFile, false, "UTF-8")
     val realErr = System.err
     System.setErr(new java.io.PrintStream(new java.io.OutputStream {
       override def write(b: Int): Unit = { realErr.write(b); logStream.write(b) }
@@ -51,7 +73,11 @@ object Bench {
       // buffers make a large in-memory hash map safe
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the per-query block sweep legitimately unpersists
+    // localCheckpoint'd RDDs and Spark WARNs about the truncated lineage on
+    // every one — dozens of noise lines that crowd real failures (and the
+    // JSON line itself) out of a bounded harness tail
+    spark.sparkContext.setLogLevel("ERROR")
     // Warm-up: touch every table once so parquet footer reads, FileIndex
     // listing, and first-touch JVM class loading happen outside the timed
     // region (a steady-state workload has all of these cached).
@@ -59,32 +85,54 @@ object Bench {
       try Tables(spark, sfDir, t).count()
       catch { case e: Throwable => System.err.println(s"[bench] warmup $t: ${e.getMessage}") }
     }
-    // min of two runs per query: the first run of a plan pays whole-stage
-    // codegen JIT (~0.3-0.5 s) that a steady-state workload never sees.
-    val results = SparkEntry.catalog.map { q =>
-      val times = (1 to 2).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try {
-          q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] ${q.name}: ${e.getMessage}")
-            e.printStackTrace() // full trace to the teed log for attribution
-            None
-        }
+    def runOnce(q: graft.queries.QueryDef): Option[Double] = {
+      val t0 = System.nanoTime()
+      try {
+        q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] ${q.name}: ${e.getMessage}")
+          e.printStackTrace() // full trace to the teed log for attribution
+          None
       }
+    }
+    def timeQuery(q: graft.queries.QueryDef): Option[Double] = {
+      // min of two runs per query: the first run of a plan pays whole-stage
+      // codegen JIT (~0.3-0.5 s) that a steady-state workload never sees.
+      val times = (1 to 2).flatMap(_ => runOnce(q))
       // release this query's checkpoint blocks / GraphX caches; shared
       // frames (x18's published pair set, consumed later by x25) survive
       graft.ops.CheckpointBlocks.sweep(spark, graft.queries.SharedCache.liveRddIds)
-      q.name -> times.minOption
+      times.minOption
+    }
+    val served = scala.collection.mutable.ArrayBuffer.empty[String]
+    val results = SparkEntry.catalog.map { q =>
+      val hits0 = graft.queries.SharedCache.hits
+      val t = timeQuery(q)
+      if (graft.queries.SharedCache.hits > hits0) served += q.name
+      q.name -> t
+    }
+    // cache-served queries re-run cold: clear the shared frames before EACH
+    // run (the first cold run repopulates the cache via getOrCompute — a
+    // min-of-2 without the per-run clear would time one cold and one warm
+    // run and report the warm one), so every timed run pays its own full
+    // pipeline, the way the per-query oracle does
+    val cold = served.toSeq.map { name =>
+      val q = SparkEntry.catalog.find(_.name == name)
+      val times = (1 to 2).flatMap { _ =>
+        graft.queries.SharedCache.clear()
+        graft.ops.CheckpointBlocks.sweep(spark)
+        q.flatMap(runOnce)
+      }
+      name -> times.minOption
     }
     graft.queries.SharedCache.clear()
     graft.ops.CheckpointBlocks.sweep(spark)
     val leaked = spark.sparkContext.getPersistentRDDs.size
-    val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + v.map(t => f"$t%.3f").getOrElse("-1") }
-      .mkString("{", ",", "}")
+    def fmt(v: Option[Double]): String = v.map(t => f"$t%.3f").getOrElse("-1")
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val colds = cold.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val failed = results.count(_._2.isEmpty)
     val total = results.flatMap(_._2).sum
     // env-supplied paths go through a real JSON string escape: a quote or
@@ -96,8 +144,17 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"leaked_rdds":$leaked,"log":${js(logPath)},"sf":${js(sfDir)}}""")
+    // per-query map first, summary last: a tail-truncated capture keeps the
+    // END of the line, so totals/annotations must sit there
+    val line = s"""{"queries":$qs,"cold_rerun":$colds,"metric":"total","value":$total,"unit":"sec","failed":$failed,"leaked_rdds":$leaked,"log":${js(logPath)},"json":${js(jsonPath)},"sf":${js(sfDir)}}"""
+    try {
+      val w = new java.io.PrintStream(new java.io.FileOutputStream(jsonPath), false, "UTF-8")
+      try w.println(line) finally w.close()
+    } catch { case e: Throwable => System.err.println(s"[bench] json write: ${e.getMessage}") }
+    println(line)
     spark.stop()
+    System.setErr(realErr) // detach the tee before closing its sink
+    logStream.close()
     if (failed > 0) sys.exit(1)
   }
 }

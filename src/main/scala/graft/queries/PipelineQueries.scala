@@ -75,6 +75,21 @@ object PipelineQueries {
     * so removing ubiquitous ones barely moves its capped Jaccard. */
   private val hotShingleMaxDf = 100L
 
+  /** The ONE parameterization of [[graft.ops.TextDedup.lshPairs]] shared by
+    * the x18 producer and the x25 consumer. The cache key embeds EVERY
+    * parameter (not just minMatch): a future change to either call site
+    * that drifted from the other must miss the cache and recompute, never
+    * silently serve a pair set built under different settings. */
+  private val lshSeeds = 8
+  private val lshRowsPerBand = 2
+  private val lshMinMatch = 6
+  private def lshPairsKey(s: SparkSession, d: String): String =
+    SharedCache.key(s, d,
+      s"lsh_pairs:seeds=$lshSeeds:rowsPerBand=$lshRowsPerBand:minMatch=$lshMinMatch")
+  private def lshPairsBuild(corpus: DataFrame): DataFrame =
+    graft.ops.TextDedup.lshPairs(
+      corpus, seeds = lshSeeds, rowsPerBand = lshRowsPerBand, minMatch = lshMinMatch)
+
   /** Embeddings ∪ id-shifted clone. */
   private def embCorpus(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d).select("vec_id", "embedding")
@@ -732,9 +747,7 @@ object PipelineQueries {
         // once per session, the way a 100 TB pipeline would materialize
         // them once and fan out. x18 stays the honest producer: it always
         // computes fresh pairs, never reads the cache.
-        val pairs = SharedCache.put(
-          SharedCache.key(s, d, "lsh_pairs_m6"),
-          graft.ops.TextDedup.lshPairs(corpus, minMatch = 6))
+        val pairs = SharedCache.put(lshPairsKey(s, d), lshPairsBuild(corpus))
         graft.ops.TextDedup.dedupMappingFromPairs(corpus, pairs)
           .orderBy("doc_id")
       },
@@ -1024,9 +1037,7 @@ object PipelineQueries {
         val corpus = docCorpus(s, d)
         // consume x18's published pair set; compute it standalone when x18
         // hasn't run in this session (same code path, same result)
-        val pairs = SharedCache.getOrCompute(
-          SharedCache.key(s, d, "lsh_pairs_m6"))(
-          graft.ops.TextDedup.lshPairs(corpus, minMatch = 6))
+        val pairs = SharedCache.getOrCompute(lshPairsKey(s, d))(lshPairsBuild(corpus))
         graft.ops.GraphAlgos
           .connectedComponents(
             corpus.select(col("doc_id")), pairs.select(col("a_id"), col("b_id")))
@@ -1209,7 +1220,12 @@ object PipelineQueries {
         val li = lineitem(s, d).select(col("l_returnflag"),
           floor(col("l_extendedprice") * 100).cast(LongType).as("q"))
         val stats = li.groupBy(col("l_returnflag").as("g"))
-          .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"),
+          // BOTH sums go through Decimal(38,0): Spark's sum(LONG) wraps
+          // silently on overflow while DuckDB's sum(BIGINT) promotes to
+          // HUGEINT, and at 100 TB per-group Σq genuinely approaches 2^63 —
+          // the "exact integer moments" claim must hold where it matters
+          .agg(count(lit(1)).as("n"),
+            sum(col("q").cast(DecimalType(38, 0))).as("sq"),
             sum((col("q") * col("q")).cast(DecimalType(38, 0))).as("sqq"))
           .select(col("g"), col("n"),
             (col("sq").cast(DoubleType) / col("n")).as("mean_q"),
