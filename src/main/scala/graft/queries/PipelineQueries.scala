@@ -1252,6 +1252,195 @@ object PipelineQueries {
              |  CAST(count(CASE WHEN abs(q.q - sd.mean_q) > 2.0 * sd.std_q THEN 1 END) AS BIGINT) AS n_outliers,
              |  round(max(CASE WHEN sd.std_q > 0
              |    THEN abs(q.q - sd.mean_q) / sd.std_q ELSE 0.0 END), 6) AS max_z
-             |FROM q JOIN sd USING (g) GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM q JOIN sd USING (g) GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Sliding-window token chunking — the canonical LLM-training prep step
+    // (context-window-sized pieces with overlap). A window starts at every
+    // stride offset below the token count; the tail window may be short.
+    // Scale posture: a pure NARROW op — explode over per-row start offsets,
+    // slice, hash; zero shuffle before the gate's ORDER BY, so it composes
+    // into any scan pipeline for free and parallelizes by input split.
+    QueryDef(
+      "x30_chunking",
+      (s, d) => {
+        val size_ = 32
+        val stride = 24
+        documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 1)
+          .select(col("doc_id"), col("tk"),
+            explode(sequence(lit(0), size(col("tk")) - 1, lit(stride))).as("start"))
+          .select(col("doc_id"),
+            (col("start") / stride).cast(LongType).as("chunk_id"),
+            slice(col("tk"), col("start") + 1, lit(size_)).as("chunk"))
+          .select(col("doc_id"), col("chunk_id"),
+            size(col("chunk")).cast(LongType).as("n_tokens"),
+            md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+              |st AS (SELECT doc_id, tk, unnest(range(0, len(tk), 24)) AS start
+              |  FROM toks WHERE len(tk) >= 1)
+              |SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_id,
+              |  CAST(len(list_slice(tk, start + 1, start + 32)) AS BIGINT) AS n_tokens,
+              |  md5(array_to_string(list_slice(tk, start + 1, start + 32), ' ')) AS chunk_hash
+              |FROM st ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // Stratified deterministic sampling: a fixed FRACTION per stratum
+    // (lang), members chosen by hash rank — reproducible across runs and
+    // engines, and every stratum hits its quota exactly (Bernoulli hash
+    // splits like x17 only hit it in expectation). Scale posture: the
+    // shuffle is by stratum and the per-stratum sort is the real cost; at
+    // 100 TB with billions of rows per stratum the library swaps the exact
+    // rank for a hash-threshold estimated from a quantile sketch — the
+    // exact form is the oracle-checkable contract.
+    QueryDef(
+      "x31_stratified_sample",
+      (s, d) => {
+        val rankW = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+        val langW = Window.partitionBy("lang")
+        documents(s, d)
+          .select(col("lang"), col("doc_id"),
+            md5(concat(col("doc_id").cast("string"), lit(":strat"))).as("h"))
+          .withColumn("rn", row_number().over(rankW))
+          .withColumn("n_lang", count(lit(1)).over(langW))
+          .filter(col("rn") <= ceil(col("n_lang") * 0.2))
+          .select(col("lang"), col("doc_id"), col("rn").cast(LongType).as("rank_in_lang"))
+          .orderBy("lang", "rank_in_lang")
+      },
+      Some("""WITH h AS (SELECT lang, doc_id,
+             |  md5(doc_id::VARCHAR || ':strat') AS h FROM documents),
+             |r AS (SELECT lang, doc_id,
+             |  row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn,
+             |  count(*) OVER (PARTITION BY lang) AS n_lang FROM h)
+             |SELECT lang, doc_id, CAST(rn AS BIGINT) AS rank_in_lang FROM r
+             |WHERE rn <= ceil(n_lang * 0.2) ORDER BY lang, rank_in_lang""".stripMargin)),
+
+    // Boilerplate detection (CCNet-style, per-source): a token is
+    // boilerplate for a source when it appears in ≥90% of that source's
+    // documents (nav menus, footers, disclaimers); each doc reports how
+    // much of it is boilerplate. Scale posture: the df table is one
+    // distinct + one hash agg (shuffles by (doc,tok) then (source,tok));
+    // the flagged set is per-source SMALL by construction (high-df tokens
+    // only) → broadcast back, so the 100 TB token stream is scanned once
+    // and never shuffled for the marking pass; final agg is by doc_id.
+    QueryDef(
+      "x32_boilerplate",
+      (s, d) => {
+        val doc = documents(s, d)
+        val toks = doc.select(col("doc_id"), col("source"),
+          explode(tokens(col("text"))).as("tok"))
+        val dfq = toks.distinct().groupBy("source", "tok")
+          .agg(count(lit(1)).as("df"))
+        val nDocs = doc.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        val bp = dfq.join(broadcast(nDocs), "source")
+          .filter(col("df") >= col("n_docs") * 0.9)
+          .select(col("source"), col("tok"), lit(1L).as("is_bp"))
+        toks.join(broadcast(bp), Seq("source", "tok"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(coalesce(col("is_bp"), lit(0L))).as("n_bp"))
+          .select(col("doc_id"), col("n_tokens").cast(LongType).as("n_tokens"),
+            col("n_bp").cast(LongType).as("n_bp"),
+            (col("n_bp").cast(DoubleType) / col("n_tokens")).as("bp_ratio"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, source, unnest($tokensSql) AS tok
+              |  FROM documents),
+              |dfq AS (SELECT source, tok, count(DISTINCT doc_id) AS df
+              |  FROM toks GROUP BY 1, 2),
+              |nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+              |bp AS (SELECT source, tok FROM dfq JOIN nd USING (source)
+              |  WHERE df >= n_docs * 0.9)
+              |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+              |  CAST(count(b.tok) AS BIGINT) AS n_bp,
+              |  count(b.tok) * 1.0 / count(*) AS bp_ratio
+              |FROM toks t LEFT JOIN bp b ON t.source = b.source AND t.tok = b.tok
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Symmetric int8 embedding quantization (the storage/serving form of a
+    // 100 TB vector corpus): per vector, scale = max|x|/127, q = clamp(
+    // floor(x/scale)), plus the total quantization error in exact nanos.
+    // Float→double widening is exact and both engines then run the SAME
+    // IEEE ops (one divide, one floor) — bit-identical without any decimal
+    // crutch. Scale posture: explode + ONE shuffle by vec_id, where the
+    // window max, the quantization, and the final agg all run inside the
+    // same partitioning — no join, no second exchange, no broadcast of a
+    // table that is huge at scale.
+    QueryDef(
+      "x33_embed_quantize",
+      (s, d) => {
+        val byVec = Window.partitionBy("vec_id")
+        embeddings(s, d)
+          .select(col("vec_id"), explode(col("embedding")).as("xf"))
+          .select(col("vec_id"), col("xf").cast(DoubleType).as("x"))
+          .repartition(col("vec_id"))
+          .withColumn("amax", max(abs(col("x"))).over(byVec))
+          .withColumn("q",
+            when(col("amax") === 0.0, 0L).otherwise(
+              greatest(least(floor(col("x") / (col("amax") / 127.0)).cast(LongType),
+                lit(127L)), lit(-127L))))
+          .withColumn("err", col("x") - col("q") * (col("amax") / 127.0))
+          .groupBy("vec_id")
+          .agg(count(lit(1)).as("n_dims"),
+            sum(col("q")).as("sum_q"),
+            min(col("q")).as("min_q"),
+            max(col("q")).as("max_q"),
+            sum(floor(col("err") * 1e9).cast(LongType)).as("err_nanos"))
+          .select(col("vec_id"), col("n_dims").cast(LongType).as("n_dims"),
+            col("sum_q").cast(LongType).as("sum_q"), col("min_q"), col("max_q"),
+            col("err_nanos").cast(LongType).as("err_nanos"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x
+             |  FROM embeddings),
+             |w AS (SELECT vec_id, x, max(abs(x)) OVER (PARTITION BY vec_id) AS amax FROM ex),
+             |qx AS (SELECT vec_id, x, amax,
+             |  CASE WHEN amax = 0 THEN 0
+             |    ELSE greatest(least(CAST(floor(x / (amax / 127.0)) AS BIGINT), 127), -127)
+             |  END AS q FROM w)
+             |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dims,
+             |  CAST(sum(q) AS BIGINT) AS sum_q,
+             |  CAST(min(q) AS BIGINT) AS min_q, CAST(max(q) AS BIGINT) AS max_q,
+             |  CAST(sum(CAST(floor((x - q * (amax / 127.0)) * 1e9) AS BIGINT)) AS BIGINT) AS err_nanos
+             |FROM qx GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Cross-corpus n-gram novelty: the fraction of a document's distinct
+    // word 3-grams whose FIRST occurrence (min doc_id — ingestion order) is
+    // the document itself. Clones score ~0, fresh text ~1 — the dedup-aware
+    // "is this new content" signal a crawl pipeline ranks by. Runs over the
+    // cloned corpus so both extremes exist. Scale posture: repartition by
+    // shingle once, then the distinct AND the window-min run inside that
+    // one exchange (subset rule: hash(sh) clusters (doc_id, sh)); one more
+    // shuffle for the per-doc rollup. No join — the window-min replaces the
+    // index-self-join formulation and halves the shuffled bytes.
+    QueryDef(
+      "x34_ngram_novelty",
+      (s, d) => {
+        val bySh = Window.partitionBy("sh")
+        docCorpus(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 3)
+          .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
+          .repartition(col("sh"))
+          .distinct()
+          .withColumn("first_doc", min(col("doc_id")).over(bySh))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+          .select(col("doc_id"), col("n_shingles").cast(LongType).as("n_shingles"),
+            col("n_novel").cast(LongType).as("n_novel"),
+            (col("n_novel").cast(DoubleType) / col("n_shingles")).as("novelty"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $corpusSql,
+              |toks AS (SELECT doc_id, $tokensSql AS tk FROM corpus),
+              |shu AS (SELECT doc_id, unnest($shinglesSql) AS sh FROM toks WHERE len(tk) >= 3),
+              |shx AS (SELECT DISTINCT doc_id, sh FROM shu),
+              |f AS (SELECT doc_id, sh, min(doc_id) OVER (PARTITION BY sh) AS first_doc FROM shx)
+              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+              |  CAST(count(CASE WHEN first_doc = doc_id THEN 1 END) AS BIGINT) AS n_novel,
+              |  count(CASE WHEN first_doc = doc_id THEN 1 END) * 1.0 / count(*) AS novelty
+              |FROM f GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

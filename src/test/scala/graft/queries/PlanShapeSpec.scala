@@ -94,6 +94,46 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("x30 chunking is shuffle-free narrow work (explode + slice, no operator exchange)") {
+    val p = plans("x30_chunking")
+    val required = "Exchange hashpartitioning[^\n]*ENSURE_REQUIREMENTS".r.findFirstIn(p)
+    assert(required.isEmpty, s"chunking must not shuffle:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  // operator exchanges only: the fixture loader's REPARTITION_BY_NUM
+  // (parallelizing single-row-group local files) is not operator shuffle
+  private def opExchanges(p: String): Int =
+    "Exchange hashpartitioning[^\n]*".r.findAllIn(p)
+      .count(!_.contains("REPARTITION_BY_NUM"))
+
+  test("x31's rank and quota windows share ONE stratum exchange") {
+    val p = plans("x31_stratified_sample")
+    assert(opExchanges(p) == 1, s"expected one lang exchange, plan:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("x32's boilerplate marking pass broadcasts — the token stream is never re-shuffled for it") {
+    val p = plans("x32_boilerplate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("x33 quantization runs entirely inside one vec_id exchange (no join, no second shuffle)") {
+    val p = plans("x33_embed_quantize")
+    // ≤: when the input is ALREADY hash-partitioned by vec_id (the fixture
+    // loader does this), Catalyst elides the explicit repartition entirely
+    assert(opExchanges(p) <= 1, s"expected only the explicit vec_id repartition, plan:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("x34's distinct and first-occurrence window share the explicit shingle exchange") {
+    val p = plans("x34_ngram_novelty")
+    // one REPARTITION_BY_COL (shingle) + one ENSURE_REQUIREMENTS (doc rollup)
+    assert(opExchanges(p) == 2, s"expected shingle + doc rollup exchanges only, plan:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
   test("x05's only index-sized data movements are one shingle exchange (no index sort)") {
     val p = plans("x05_ngram_jaccard")
     // hash joins + hash aggregates throughout: the only Sort node allowed is
