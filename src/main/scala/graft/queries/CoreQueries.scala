@@ -702,6 +702,35 @@ object CoreQueries {
              |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000) AS has_big
              |FROM customer c
              |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-             |ORDER BY c.c_custkey""".stripMargin))
+             |ORDER BY c.c_custkey""".stripMargin)),
+
+    // Q36 — explicit GROUPING SETS (completing the family: q09 rollup,
+    // q30 cube): arbitrary grouping combinations in ONE pass with
+    // grouping_id disambiguating which set produced each row (the NULLs a
+    // grouping set injects are otherwise indistinguishable from data
+    // NULLs). Spark expands sets inside a single Expand + hash aggregate —
+    // one scan, one shuffle regardless of how many sets. NULLS FIRST is
+    // explicit: Spark defaults ASC to nulls-first, DuckDB to nulls-last.
+    QueryDef(
+      "q36_grouping_sets",
+      (s, d) => {
+        val ord = s"parquet.`$d/orders.parquet`"
+        s.sql(s"""SELECT o_orderstatus, o_orderpriority,
+                 |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+                 |  CAST(count(*) AS BIGINT) AS n,
+                 |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+                 |FROM $ord
+                 |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                 |  (o_orderstatus, o_orderpriority))
+                 |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+             |  (o_orderstatus, o_orderpriority))
+             |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin))
   )
 }

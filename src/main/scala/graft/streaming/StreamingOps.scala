@@ -41,4 +41,35 @@ object StreamingOps {
     if (events.isStreaming) src.dropDuplicatesWithinWatermark(keyCols)
     else src.dropDuplicates(keyCols)
   }
+
+  /** Watermarked stream-STREAM interval join: each left event pairs with
+    * the same user's right-side events landing within (0, window] after
+    * it — funnel/attribution analysis as a streaming join.
+    *
+    * State-boundedness is the whole design: BOTH sides carry a watermark
+    * and the join condition bounds r_ts to a finite interval around l_ts,
+    * which is exactly what lets Structured Streaming compute how long a
+    * buffered row can still match and EVICT it — an equi-only
+    * stream-stream join would grow join state forever. Works identically
+    * on batch frames (how the spec cross-checks it). */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      window: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    def wm(df: DataFrame) =
+      if (df.isStreaming) df.withWatermark("ts", watermark) else df
+    val l = wm(left).select(
+      col("user_id"), col("ts").as("l_ts"),
+      col("event_type").as("l_type"), col("event_id").as("l_id"))
+    val r = wm(right).select(
+      col("user_id").as("r_user"), col("ts").as("r_ts"),
+      col("event_type").as("r_type"), col("event_id").as("r_id"))
+    l.join(r,
+      col("user_id") === col("r_user") &&
+        col("r_ts") > col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $window"))
+      .select(col("user_id"), col("l_id"), col("r_id"),
+        col("l_type"), col("r_type"), col("l_ts"), col("r_ts"))
+  }
 }

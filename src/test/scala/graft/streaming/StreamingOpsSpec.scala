@@ -37,6 +37,23 @@ class StreamingOpsSpec extends SparkSpec {
     assert(stream.except(batch).isEmpty && batch.except(stream).isEmpty)
   }
 
+  test("stream-stream interval join matches the batch join (state-bounded by watermark + interval)") {
+    val batchEvents = Tables.events(spark, sf001)
+    val batch = StreamingOps.intervalJoin(batchEvents, batchEvents)
+    // two INDEPENDENT file streams over the same data — a genuine
+    // stream-stream join, not a self-reference the planner could collapse
+    val dir = Files.createTempDirectory("graft-stream-ij").toString
+    batchEvents.write.mode("overwrite").parquet(dir)
+    def src = spark.readStream.schema(batchEvents.schema).parquet(dir)
+    val q = StreamingOps.intervalJoin(src, src)
+      .writeStream.outputMode("append").format("memory").queryName("ij")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val stream = spark.table("ij")
+    assert(stream.count() == batch.count() && batch.count() > 0)
+    assert(stream.except(batch).isEmpty && batch.except(stream).isEmpty)
+  }
+
   test("dedupWithinWatermark drops duplicate keys on a stream") {
     val dir = Files.createTempDirectory("graft-stream-dedup").toString
     val batchEvents = Tables.events(spark, sf001)
