@@ -22,10 +22,12 @@ import org.apache.spark.sql.SparkSession
   * earlier query via [[graft.queries.SharedCache]] excludes that frame's
   * build cost from its own wall-clock — not like-for-like against an oracle
   * engine that recomputes the frame per query. Such queries are re-run COLD
-  * (cache cleared) after the catalog and reported under `cold`, keyed by
-  * query name; the headline `value` stays the warm catalog total (that IS
-  * the library-workflow cost), the cold number is what a per-query
-  * cross-engine comparison must use.
+  * (cache cleared before every timed run) after the catalog and reported
+  * under `cold_rerun`, keyed by query name; the headline `value` stays the
+  * warm catalog total (that IS the library-workflow cost), the cold number
+  * is what a per-query cross-engine comparison must use. A failed cold
+  * re-run counts toward `failed` and the nonzero exit code like any other
+  * broken query.
   *
   * Storage hygiene: after each query the session's persistent RDD blocks
   * (eager localCheckpoints, GraphX internal caches) are swept, keeping only
@@ -34,7 +36,8 @@ import org.apache.spark.sql.SparkSession
   * — the long-lived-session leak check, asserted at 0 by the spec suite.
   *
   * Output robustness: the full JSON is also written to the file named by
-  * `json` (default derived from the log path), and the printed line orders
+  * `json` (SPARK_GRAFT_BENCH_JSON, default /tmp/graft_bench.json), and the
+  * printed line orders
   * per-query detail FIRST and the summary fields LAST — a harness that
   * keeps only the tail of the output loses oldest-first, so the totals and
   * annotations survive truncation.
@@ -56,6 +59,11 @@ object Bench {
       }
       override def flush(): Unit = { realErr.flush(); logStream.flush() }
     }, true))
+    // abnormal termination (OOM kill signal, spark.stop() throwing) must not
+    // strand the tail of the very stack trace this file exists to attribute
+    // in the 64 KB buffer — the orderly close at the end is still the
+    // normal-path flush
+    sys.addShutdownHook { try logStream.flush() catch { case _: Throwable => } }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -130,10 +138,15 @@ object Bench {
     graft.queries.SharedCache.clear()
     graft.ops.CheckpointBlocks.sweep(spark)
     val leaked = spark.sparkContext.getPersistentRDDs.size
-    def fmt(v: Option[Double]): String = v.map(t => f"$t%.3f").getOrElse("-1")
+    // 2 decimals: per-query noise is ±0.1 s anyway, and the one JSON line
+    // must fit a bounded harness tail even as the catalog grows
+    def fmt(v: Option[Double]): String = v.map(t => f"$t%.2f").getOrElse("-1")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val colds = cold.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val failed = results.count(_._2.isEmpty)
+    // a broken cold path must fail the run like any other broken query:
+    // SCALE.md tells cross-engine readers to use cold_rerun, so a silent -1
+    // there would hide exactly the number the comparison depends on
+    val failed = results.count(_._2.isEmpty) + cold.count(_._2.isEmpty)
     val total = results.flatMap(_._2).sum
     // env-supplied paths go through a real JSON string escape: a quote or
     // backslash in SPARK_GRAFT_BENCH_LOG/SF_DIR must not break the one

@@ -1318,11 +1318,15 @@ object PipelineQueries {
 
     // Boilerplate detection (CCNet-style, per-source): a token is
     // boilerplate for a source when it appears in ≥90% of that source's
-    // documents (nav menus, footers, disclaimers); each doc reports how
-    // much of it is boilerplate. Scale posture: the df table is one
-    // distinct + one hash agg (shuffles by (doc,tok) then (source,tok));
-    // the flagged set is per-source SMALL by construction (high-df tokens
-    // only) → broadcast back, so the 100 TB token stream is scanned once
+    // documents AND in at least 3 of them (nav menus, footers,
+    // disclaimers); each doc reports how much of it is boilerplate. The
+    // absolute-support floor is what keeps the flagged set bounded: without
+    // it every 1–2-document source (the long tail of crawl data) flags its
+    // ENTIRE vocabulary — a broadcast set proportional to corpus
+    // vocabulary, not to genuine boilerplate. Scale posture: the df table
+    // is one distinct + one hash agg (shuffles by (doc,tok) then
+    // (source,tok)); the flagged set — high-df tokens of multi-doc sources
+    // only — broadcasts back, so the 100 TB token stream is scanned once
     // and never shuffled for the marking pass; final agg is by doc_id.
     QueryDef(
       "x32_boilerplate",
@@ -1334,7 +1338,7 @@ object PipelineQueries {
           .agg(count(lit(1)).as("df"))
         val nDocs = doc.groupBy("source").agg(count(lit(1)).as("n_docs"))
         val bp = dfq.join(broadcast(nDocs), "source")
-          .filter(col("df") >= col("n_docs") * 0.9)
+          .filter(col("df") >= greatest(lit(3.0), col("n_docs") * 0.9))
           .select(col("source"), col("tok"), lit(1L).as("is_bp"))
         toks.join(broadcast(bp), Seq("source", "tok"), "left")
           .groupBy("doc_id")
@@ -1351,7 +1355,7 @@ object PipelineQueries {
               |  FROM toks GROUP BY 1, 2),
               |nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
               |bp AS (SELECT source, tok FROM dfq JOIN nd USING (source)
-              |  WHERE df >= n_docs * 0.9)
+              |  WHERE df >= greatest(3.0, n_docs * 0.9))
               |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
               |  CAST(count(b.tok) AS BIGINT) AS n_bp,
               |  count(b.tok) * 1.0 / count(*) AS bp_ratio
