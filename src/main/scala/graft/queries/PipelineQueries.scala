@@ -450,36 +450,17 @@ object PipelineQueries {
               |       WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS pred_lang
               |FROM sc ORDER BY doc_id""".stripMargin)),
 
-    // Quality scoring: token/char stats + a linear quality score.
+    // Quality scoring: token/char stats + a linear quality score, via the
+    // library op (ops.Curation.withQuality — the cross-engine rounding
+    // discipline is documented there; x35 gates the same formula inside
+    // the composed curate() pipeline).
     QueryDef(
       "x09_quality",
-      (s, d) => {
-        val en = Seq("the", "a", "of", "and", "to")
-        documents(s, d)
-          .select(col("doc_id"), col("n_chars"), col("text"), tokens(col("text")).as("tk"))
-          .select(
-            col("doc_id"),
-            size(col("tk")).cast(LongType).as("n_tokens"),
-            aggregate(transform(col("tk"), t => length(t)), lit(0), (a, v) => a + v)
-              .cast(LongType).as("sum_len"),
-            size(filter(col("tk"), t => t.isin(en: _*))).cast(LongType).as("n_stop"),
-            regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]")).cast(LongType).as("n_punct"),
-            col("n_chars"))
-          .select(
-            col("doc_id"),
-            col("n_tokens"),
-            round(col("sum_len") / col("n_tokens").cast(DoubleType), 6).as("avg_tok_len"),
-            round(col("n_punct") / col("n_chars").cast(DoubleType), 6).as("punct_ratio"),
-            round(col("n_stop") / col("n_tokens").cast(DoubleType), 6).as("stop_ratio"))
-          // Weights 0.4/0.3/0.2: products of a 6dp ratio with these end in an
-          // EVEN 7th decimal digit, so round(·,6) never lands on a half-tie
-          // (where Spark HALF_UP and DuckDB binary rounding disagree).
-          .withColumn("quality_score",
-            round(lit(0.4) * col("stop_ratio")
-              + lit(0.3) * (least(col("n_tokens"), lit(100L)) / lit(100.0))
-              + lit(0.2) * (lit(1.0) - col("punct_ratio")), 6))
-          .orderBy("doc_id")
-      },
+      (s, d) =>
+        graft.ops.Curation.withQuality(documents(s, d))
+          .select(col("doc_id"), col("n_tokens"), col("avg_tok_len"),
+            col("punct_ratio"), col("stop_ratio"), col("quality_score"))
+          .orderBy("doc_id"),
       Some(s"""WITH t AS (SELECT doc_id, n_chars, text, $tokensSql AS tk FROM documents),
               |m AS (SELECT doc_id,
               |  CAST(len(tk) AS BIGINT) AS n_tokens,
@@ -1445,6 +1426,41 @@ object PipelineQueries {
               |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
               |  CAST(count(CASE WHEN first_doc = doc_id THEN 1 END) AS BIGINT) AS n_novel,
               |  count(CASE WHEN first_doc = doc_id THEN 1 END) * 1.0 / count(*) AS novelty
-              |FROM f GROUP BY 1 ORDER BY 1""".stripMargin))
+              |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // The COMPOSED curation pipeline (ops.Curation.curate): quality score →
+    // threshold filter → exact dedup (min-id survivor per identical text) →
+    // deterministic hash split, as the one library call a training-data
+    // workflow starts from. The stages are individually gated (x09, x01,
+    // x17); this row gates their COMPOSITION — filter-before-shuffle order,
+    // survivor selection among only the quality-passing copies, and split
+    // assigned on the survivor's id. Runs over the cloned corpus so the
+    // dedup stage has real work. Scale posture: narrow score/filter pass →
+    // ONE content exchange (window-min, no self-join) → narrow split.
+    QueryDef(
+      "x35_curation",
+      (s, d) =>
+        graft.ops.Curation.curate(docCorpus(s, d), minQuality = 0.38, trainFrac = 0.8)
+          .select(col("doc_id"), col("quality_score"), col("split"))
+          .orderBy("doc_id"),
+      Some(s"""WITH $corpusSql,
+              |t AS (SELECT doc_id, n_chars, text, $tokensSql AS tk FROM corpus),
+              |m AS (SELECT doc_id, text,
+              |  CAST(len(tk) AS BIGINT) AS n_tokens,
+              |  CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop,
+              |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_punct,
+              |  n_chars FROM t),
+              |r AS (SELECT doc_id, text,
+              |  round(0.4 * round(n_stop / CAST(n_tokens AS DOUBLE), 6)
+              |    + 0.3 * (least(n_tokens, 100) / 100.0)
+              |    + 0.2 * (1.0 - round(n_punct / CAST(n_chars AS DOUBLE), 6)), 6) AS quality_score
+              |  FROM m),
+              |q AS (SELECT doc_id, text, quality_score FROM r WHERE quality_score >= 0.38),
+              |sv AS (SELECT doc_id, quality_score,
+              |  min(doc_id) OVER (PARTITION BY text) AS keep FROM q)
+              |SELECT doc_id, quality_score,
+              |  CASE WHEN substring(md5(doc_id::VARCHAR || ':split'), 1, 8) < 'cccccccc'
+              |    THEN 'train' ELSE 'val' END AS split
+              |FROM sv WHERE doc_id = keep ORDER BY doc_id""".stripMargin))
   )
 }

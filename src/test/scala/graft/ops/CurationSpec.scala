@@ -1,0 +1,43 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkDocs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text").withColumn("n_chars", length(col("text")).cast("long"))
+
+  // stopword-dense long text scores high; a short stopword-free fragment low
+  private val good = ("the a of and to " * 8).trim
+  private val bad = "zzz"
+
+  test("curate = quality filter -> exact dedup -> deterministic split, composed") {
+    val docs = mkDocs(1L -> good, 2L -> good, 3L -> bad, 4L -> (good + " extra"))
+    val out = Curation.curate(docs, minQuality = 0.38, trainFrac = 0.8)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // 3 dropped by quality; 2 deduped into 1 (min id survives); 4 distinct
+    assert(out.keySet == Set(1L, 4L))
+    // split must equal the standalone Sampling assignment for the same ids
+    val expected = docs.select(col("doc_id"),
+      Sampling.splitColumn(col("doc_id"), "split", 0.8).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(out.forall { case (id, s) => expected(id) == s })
+  }
+
+  test("all copies of a text share one quality score, so dedup order cannot change the answer") {
+    val docs = mkDocs(10L -> good, 11L -> good, 12L -> good)
+    val q = Curation.withQuality(docs).select("doc_id", "quality_score")
+      .as[(Long, Double)].collect().toMap
+    assert(q.values.toSet.size == 1)
+    val survivors = Curation.curate(docs).select("doc_id").as[Long].collect()
+    assert(survivors.toSeq == Seq(10L))
+  }
+
+  test("curate keeps input columns on survivors (library contract: enrich, not project)") {
+    val docs = mkDocs(1L -> good).withColumn("lang", lit("en"))
+    val cols = Curation.curate(docs).columns.toSet
+    assert(Set("doc_id", "text", "n_chars", "lang", "quality_score", "split").subsetOf(cols))
+  }
+}

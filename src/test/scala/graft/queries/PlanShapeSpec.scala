@@ -134,6 +134,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("x35's composed curation is narrow-score -> one content exchange -> narrow split (no join)") {
+    val p = plans("x35_curation")
+    assert(opExchanges(p) == 1, s"expected one text-partition exchange, plan:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
   test("x05's only index-sized data movements are one shingle exchange (no index sort)") {
     val p = plans("x05_ngram_jaccard")
     // hash joins + hash aggregates throughout: the only Sort node allowed is

@@ -20,6 +20,18 @@ class CsvTextRoundTripSpec extends SparkSpec {
     assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
   }
 
+  test("orc round trip is lossless including array columns (columnar alternative to parquet)") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    val src = Tables.embeddings(spark, sf001).select("vec_id", "embedding", "label")
+    src.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() == src.count())
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+    // ORC predicate pushdown reaches the scan like parquet's does
+    val plan = back.filter(col("vec_id") === 7L).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(vec_id), EqualTo(vec_id,7)]"), plan)
+  }
+
   test("text round trip preserves lines and order metadata via row index") {
     val dir = Files.createTempDirectory("graft-text").toString
     val lines = Tables.part(spark, sf001).select(col("p_name")).limit(100)
