@@ -145,8 +145,11 @@ object Bench {
     val colds = cold.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     // a broken cold path must fail the run like any other broken query:
     // SCALE.md tells cross-engine readers to use cold_rerun, so a silent -1
-    // there would hide exactly the number the comparison depends on
-    val failed = results.count(_._2.isEmpty) + cold.count(_._2.isEmpty)
+    // there would hide exactly the number the comparison depends on. failed
+    // counts DISTINCT broken queries — one query broken both warm and cold
+    // is one failure, not two
+    val failed = (results.filter(_._2.isEmpty).map(_._1) ++
+      cold.filter(_._2.isEmpty).map(_._1)).distinct.size
     val total = results.flatMap(_._2).sum
     // env-supplied paths go through a real JSON string escape: a quote or
     // backslash in SPARK_GRAFT_BENCH_LOG/SF_DIR must not break the one

@@ -26,48 +26,61 @@ object Curation {
   val defaultStopwords: Seq[String] = Seq("the", "a", "of", "and", "to")
 
   /** Appends the quality feature columns (n_tokens, avg_tok_len,
-    * punct_ratio, stop_ratio, quality_score) to a documents frame. The
-    * 6dp rounding + 0.4/0.3/0.2 weights are cross-engine safe: products of
-    * a 6dp ratio with these weights end in an even 7th decimal digit, so
-    * round(·,6) never lands on a half-tie (where Spark HALF_UP and binary
-    * rounding disagree). */
+    * punct_ratio, stop_ratio, quality_score) to a documents frame — these
+    * five names are the op's PUBLISHED outputs and replace same-named
+    * input columns (append semantics); internal scratch columns carry a
+    * `__cur_` prefix so they can never silently swallow a caller column.
+    * The 6dp rounding + 0.4/0.3/0.2 weights are cross-engine safe:
+    * products of a 6dp ratio with these weights end in an even 7th decimal
+    * digit, so round(·,6) never lands on a half-tie (where Spark HALF_UP
+    * and binary rounding disagree). */
   def withQuality(docs: DataFrame, stopwords: Seq[String] = defaultStopwords): DataFrame =
     docs
-      .withColumn("tk", TextDedup.tokens(col("text")))
-      .withColumn("n_tokens", size(col("tk")).cast(LongType))
-      .withColumn("sum_len",
-        aggregate(transform(col("tk"), t => length(t)), lit(0), (a, v) => a + v)
+      .withColumn("__cur_tk", TextDedup.tokens(col("text")))
+      .withColumn("n_tokens", size(col("__cur_tk")).cast(LongType))
+      .withColumn("__cur_sum_len",
+        aggregate(transform(col("__cur_tk"), t => length(t)), lit(0), (a, v) => a + v)
           .cast(LongType))
-      .withColumn("n_stop",
-        size(filter(col("tk"), t => t.isin(stopwords: _*))).cast(LongType))
-      .withColumn("n_punct", regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]")).cast(LongType))
-      .withColumn("avg_tok_len", round(col("sum_len") / col("n_tokens").cast(DoubleType), 6))
-      .withColumn("punct_ratio", round(col("n_punct") / col("n_chars").cast(DoubleType), 6))
-      .withColumn("stop_ratio", round(col("n_stop") / col("n_tokens").cast(DoubleType), 6))
+      .withColumn("__cur_n_stop",
+        size(filter(col("__cur_tk"), t => t.isin(stopwords: _*))).cast(LongType))
+      .withColumn("__cur_n_punct",
+        regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]")).cast(LongType))
+      .withColumn("avg_tok_len",
+        round(col("__cur_sum_len") / col("n_tokens").cast(DoubleType), 6))
+      .withColumn("punct_ratio",
+        round(col("__cur_n_punct") / col("n_chars").cast(DoubleType), 6))
+      .withColumn("stop_ratio",
+        round(col("__cur_n_stop") / col("n_tokens").cast(DoubleType), 6))
       .withColumn("quality_score",
         round(lit(0.4) * col("stop_ratio")
           + lit(0.3) * (least(col("n_tokens"), lit(100L)) / lit(100.0))
           + lit(0.2) * (lit(1.0) - col("punct_ratio")), 6))
-      .drop("tk", "sum_len", "n_stop", "n_punct")
+      .drop("__cur_tk", "__cur_sum_len", "__cur_n_stop", "__cur_n_punct")
 
   /** The composed pipeline: quality-filter → exact dedup (min-doc_id
     * survivor per identical text) → deterministic train/val split.
-    * Returns one row per SURVIVING document: the input columns plus
-    * quality_score and split. */
+    * Returns one row per SURVIVING document: the input columns (the
+    * published names `quality_score` and `split` replace same-named
+    * inputs; `withQuality`'s intermediate feature columns are not kept)
+    * plus quality_score and split. */
   def curate(
       docs: DataFrame,
       minQuality: Double = 0.38,
       trainFrac: Double = 0.8,
       stopwords: Seq[String] = defaultStopwords): DataFrame = {
     val byText = Window.partitionBy("text")
+    val features = Seq("n_tokens", "avg_tok_len", "punct_ratio", "stop_ratio")
+    // feature columns the CALLER brought in survive; only the ones this
+    // call appended are stripped back off
+    val callerHad = features.filter(docs.columns.contains)
     withQuality(docs, stopwords)
       .filter(col("quality_score") >= minQuality)
       // survivor = min doc_id among quality-passing copies: a window-min
       // over the content partition, not a groupBy + self-join — the corpus
       // crosses the wire once
-      .withColumn("keep", min(col("doc_id")).over(byText))
-      .filter(col("doc_id") === col("keep"))
-      .drop("keep", "n_tokens", "avg_tok_len", "punct_ratio", "stop_ratio")
+      .withColumn("__cur_keep", min(col("doc_id")).over(byText))
+      .filter(col("doc_id") === col("__cur_keep"))
+      .drop("__cur_keep" +: features.filterNot(callerHad.contains): _*)
       .withColumn("split", Sampling.splitColumn(col("doc_id"), "split", trainFrac))
   }
 }

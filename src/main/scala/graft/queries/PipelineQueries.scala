@@ -83,12 +83,14 @@ object PipelineQueries {
   private val lshSeeds = 8
   private val lshRowsPerBand = 2
   private val lshMinMatch = 6
+  private val lshReliable = false
   private def lshPairsKey(s: SparkSession, d: String): String =
     SharedCache.key(s, d,
-      s"lsh_pairs:seeds=$lshSeeds:rowsPerBand=$lshRowsPerBand:minMatch=$lshMinMatch")
+      s"lsh_pairs:seeds=$lshSeeds:rowsPerBand=$lshRowsPerBand" +
+        s":minMatch=$lshMinMatch:reliable=$lshReliable")
   private def lshPairsBuild(corpus: DataFrame): DataFrame =
-    graft.ops.TextDedup.lshPairs(
-      corpus, seeds = lshSeeds, rowsPerBand = lshRowsPerBand, minMatch = lshMinMatch)
+    graft.ops.TextDedup.lshPairs(corpus, seeds = lshSeeds,
+      rowsPerBand = lshRowsPerBand, minMatch = lshMinMatch, reliable = lshReliable)
 
   /** Embeddings ∪ id-shifted clone. */
   private def embCorpus(s: SparkSession, d: String): DataFrame = {
