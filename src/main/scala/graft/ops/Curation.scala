@@ -15,8 +15,9 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * /root/reference/main.py:365-383) to corpus-level hygiene.
   *
   * Scale posture: scoring is a narrow per-row pass (no shuffle); the dedup
-  * stage is ONE exchange by content (window-min over text partitions — no
-  * self-join, no second shuffle of the corpus); the split column is a
+  * stage is ONE exchange keyed by md5(text) (window-min over content-hash
+  * partitions — no self-join, no second shuffle of the corpus, no multi-KB
+  * shuffle keys); the split column is a
   * narrow hash expression. A 100 TB curate() is therefore scan → shuffle →
   * scan, with the quality filter applied BEFORE the shuffle so dropped
   * documents never move.
@@ -27,15 +28,25 @@ object Curation {
 
   /** Appends the quality feature columns (n_tokens, avg_tok_len,
     * punct_ratio, stop_ratio, quality_score) to a documents frame — these
-    * five names are the op's PUBLISHED outputs and replace same-named
-    * input columns (append semantics); internal scratch columns carry a
-    * `__cur_` prefix so they can never silently swallow a caller column.
+    * five names are the op's PUBLISHED outputs; if the input already has a
+    * column with one of these names its VALUES are replaced by the op's
+    * recomputed ones (only the name survives). Internal scratch columns
+    * carry a `__cur_` prefix so they can never silently swallow a caller
+    * column.
+    *
+    * Required input columns: `text` (string). `n_chars` is used when
+    * present (trusting the source's stored count) and derived as
+    * `length(text)` when absent.
+    *
     * The 6dp rounding + 0.4/0.3/0.2 weights are cross-engine safe:
     * products of a 6dp ratio with these weights end in an even 7th decimal
     * digit, so round(·,6) never lands on a half-tie (where Spark HALF_UP
     * and binary rounding disagree). */
-  def withQuality(docs: DataFrame, stopwords: Seq[String] = defaultStopwords): DataFrame =
-    docs
+  def withQuality(docs: DataFrame, stopwords: Seq[String] = defaultStopwords): DataFrame = {
+    val withChars =
+      if (docs.columns.contains("n_chars")) docs
+      else docs.withColumn("n_chars", length(col("text")).cast(LongType))
+    withChars
       .withColumn("__cur_tk", TextDedup.tokens(col("text")))
       .withColumn("n_tokens", size(col("__cur_tk")).cast(LongType))
       .withColumn("__cur_sum_len",
@@ -56,31 +67,41 @@ object Curation {
           + lit(0.3) * (least(col("n_tokens"), lit(100L)) / lit(100.0))
           + lit(0.2) * (lit(1.0) - col("punct_ratio")), 6))
       .drop("__cur_tk", "__cur_sum_len", "__cur_n_stop", "__cur_n_punct")
+  }
 
   /** The composed pipeline: quality-filter → exact dedup (min-doc_id
     * survivor per identical text) → deterministic train/val split.
     * Returns one row per SURVIVING document: the input columns (the
     * published names `quality_score` and `split` replace same-named
-    * inputs; `withQuality`'s intermediate feature columns are not kept)
-    * plus quality_score and split. */
+    * inputs; feature columns the caller brought in keep their NAMES but
+    * carry the op's recomputed values; feature columns the caller did not
+    * have are stripped back off) plus quality_score and split. */
   def curate(
       docs: DataFrame,
       minQuality: Double = 0.38,
       trainFrac: Double = 0.8,
       stopwords: Seq[String] = defaultStopwords): DataFrame = {
-    val byText = Window.partitionBy("text")
+    // The dedup exchange is keyed by the CONTENT HASH, not the raw text:
+    // identical text ⇒ identical md5, so survivor semantics are unchanged
+    // (collisions are the same accepted risk as exact dedup's hash agg),
+    // while the shuffle hashes/sorts a fixed 32-char key instead of
+    // multi-KB document bodies — at 100 TB, raw-text keys waste comparator
+    // time and skew partition sizes on boilerplate-heavy corpora.
+    val byContent = Window.partitionBy(md5(col("text").cast("binary")))
     val features = Seq("n_tokens", "avg_tok_len", "punct_ratio", "stop_ratio")
-    // feature columns the CALLER brought in survive; only the ones this
-    // call appended are stripped back off
+    // feature NAMES the caller brought in survive (with recomputed values);
+    // only the names this call introduced are stripped back off
     val callerHad = features.filter(docs.columns.contains)
+    val hadChars = docs.columns.contains("n_chars")
     withQuality(docs, stopwords)
       .filter(col("quality_score") >= minQuality)
       // survivor = min doc_id among quality-passing copies: a window-min
       // over the content partition, not a groupBy + self-join — the corpus
       // crosses the wire once
-      .withColumn("__cur_keep", min(col("doc_id")).over(byText))
+      .withColumn("__cur_keep", min(col("doc_id")).over(byContent))
       .filter(col("doc_id") === col("__cur_keep"))
-      .drop("__cur_keep" +: features.filterNot(callerHad.contains): _*)
+      .drop(("__cur_keep" +: features.filterNot(callerHad.contains)) ++
+        (if (hadChars) Nil else Seq("n_chars")): _*)
       .withColumn("split", Sampling.splitColumn(col("doc_id"), "split", trainFrac))
   }
 }

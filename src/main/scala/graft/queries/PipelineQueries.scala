@@ -1311,6 +1311,12 @@ object PipelineQueries {
     // (source,tok)); the flagged set — high-df tokens of multi-doc sources
     // only — broadcasts back, so the 100 TB token stream is scanned once
     // and never shuffled for the marking pass; final agg is by doc_id.
+    // The df≥max(3, 0.9·n_docs) floor bounds the flagged set heuristically,
+    // not structurally — a corpus of many large near-template sources could
+    // still exceed driver memory under the forced broadcast; a production
+    // caller should count bp first and fall back to a shuffled join above
+    // a row threshold (the broadcast is kept here because the gate corpus
+    // is known-small and the plan pin asserts the single-scan shape).
     QueryDef(
       "x32_boilerplate",
       (s, d) => {

@@ -40,4 +40,15 @@ class CurationSpec extends SparkSpec {
     val cols = Curation.curate(docs).columns.toSet
     assert(Set("doc_id", "text", "n_chars", "lang", "quality_score", "split").subsetOf(cols))
   }
+
+  test("withQuality derives n_chars from length(text) when the input lacks the column") {
+    val bare = Seq(1L -> good, 2L -> bad).toDF("doc_id", "text")
+    val q = Curation.withQuality(bare)
+      .select("doc_id", "quality_score").as[(Long, Double)].collect().toMap
+    val fromChars = Curation.withQuality(mkDocs(1L -> good, 2L -> bad))
+      .select("doc_id", "quality_score").as[(Long, Double)].collect().toMap
+    assert(q == fromChars)
+    // and the derived scratch column is not leaked onto curate's output
+    assert(!Curation.curate(bare).columns.contains("n_chars"))
+  }
 }

@@ -134,9 +134,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
-  test("x35's composed curation is narrow-score -> one content exchange -> narrow split (no join)") {
+  test("x35's composed curation is narrow-score -> one content-HASH exchange -> narrow split (no join)") {
     val p = plans("x35_curation")
-    assert(opExchanges(p) == 1, s"expected one text-partition exchange, plan:\n$p")
+    assert(opExchanges(p) == 1, s"expected one content-hash exchange, plan:\n$p")
+    // the dedup exchange must be keyed by md5(text) — Catalyst projects
+    // the window partition expression into a `_w0` column, so assert the
+    // exchange key is that projected hash and never the raw multi-KB text
+    // column (comparator cost + partition skew at scale)
+    val exch = "Exchange hashpartitioning\\([^\n]*".r.findAllIn(p)
+      .filter(!_.contains("REPARTITION_BY_NUM")).toSeq
+    assert(exch.forall(e => !e.contains("text#")), s"dedup exchange keyed by raw text:\n$exch")
+    assert(p.contains("md5"), s"content-hash key missing from plan:\n$p")
     assert(!p.contains("Join"), p)
   }
 

@@ -48,7 +48,7 @@ class StreamingOpsSpec extends SparkSpec {
     val q = StreamingOps.intervalJoin(src, src)
       .writeStream.outputMode("append").format("memory").queryName("ij")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not terminate within 120s")
     val stream = spark.table("ij")
     assert(stream.count() == batch.count() && batch.count() > 0)
     assert(stream.except(batch).isEmpty && batch.except(stream).isEmpty)
