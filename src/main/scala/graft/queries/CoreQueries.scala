@@ -731,6 +731,109 @@ object CoreQueries {
              |FROM orders
              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
              |  (o_orderstatus, o_orderpriority))
-             |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin))
+             |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
+
+    // Q37 — SUBTREE AGGREGATION over a PARENT_OF hierarchy: the ontology
+    // user's "how many concepts under this node, and what do they sum to?"
+    // (the reference materializes only 1-hop PARENT_OF edges,
+    // /root/reference/main.py:81-93 — rollups over the implied DAG are the
+    // analytic capability SURVEY §2.2 derives from it). Hierarchy is a
+    // deterministic 5-ary tree over customer keys (parent = ⌊key/5⌋, keys
+    // 1–4 are roots → 5 levels of fan-out at sf0.01). Self-pairs are
+    // unioned into the closure so every node appears in ONE aggregation —
+    // no left join, no null-coalescing of the decimal sum. Scale posture:
+    // closure is |levels| co-partitioned hash joins (bucket the edge table
+    // by child_id at 100 TB); the rollup is one shuffle by ancestor.
+    QueryDef(
+      "q37_subtree_agg",
+      (s, d) => {
+        val nodes = customer(s, d).select(
+          col("c_custkey").cast(LongType).as("node_id"), col("c_acctbal"))
+        val edges = nodes.filter(col("node_id") >= 5).select(
+          col("node_id").as("child_id"),
+          floor(col("node_id") / 5).cast(LongType).as("parent_id"))
+        TransitiveClosure.closure(edges)
+          .select("child_id", "ancestor_id")
+          .unionByName(nodes.select(
+            col("node_id").as("child_id"), col("node_id").as("ancestor_id")))
+          .join(nodes.select(col("node_id").as("child_id"), col("c_acctbal")), "child_id")
+          .groupBy("ancestor_id")
+          .agg(
+            count(when(col("child_id") =!= col("ancestor_id"), 1)).as("n_desc"),
+            dsum(col("c_acctbal")).as("subtree_bal"))
+          .select(
+            col("ancestor_id").as("node_id"),
+            col("n_desc").cast(LongType).as("n_desc"),
+            col("subtree_bal"))
+          .orderBy("node_id")
+      },
+      Some("""WITH RECURSIVE edges AS (
+             |  SELECT CAST(c_custkey AS BIGINT) AS child_id,
+             |         CAST(c_custkey // 5 AS BIGINT) AS parent_id
+             |  FROM customer WHERE c_custkey >= 5),
+             |anc AS (
+             |  SELECT child_id, parent_id AS ancestor_id FROM edges
+             |  UNION
+             |  SELECT a.child_id, e.parent_id FROM anc a
+             |  JOIN edges e ON a.ancestor_id = e.child_id),
+             |pairs AS (
+             |  SELECT child_id, ancestor_id FROM anc
+             |  UNION ALL
+             |  SELECT CAST(c_custkey AS BIGINT), CAST(c_custkey AS BIGINT) FROM customer)
+             |SELECT p.ancestor_id AS node_id,
+             |  CAST(count(CASE WHEN p.child_id <> p.ancestor_id THEN 1 END) AS BIGINT) AS n_desc,
+             |  CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS subtree_bal
+             |FROM pairs p JOIN customer c ON p.child_id = c.c_custkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Q38 — PATH-TO-ROOT lineage: each node's ordered ancestor chain as a
+    // root-first string ("what is this concept's lineage?" over the same
+    // implied hierarchy, /root/reference/main.py:81-93). Self-pairs at
+    // depth 0 union into the closure, so the lineage is one
+    // sort_array(collect_list) per node — depth-descending struct sort puts
+    // the root first and the node itself last; depths are unique per node
+    // in a tree, so the order is total and both engines agree. Scale
+    // posture: the per-node chain is bounded by tree height (~20), so
+    // collect_list state is O(height), never O(corpus).
+    QueryDef(
+      "q38_path_to_root",
+      (s, d) => {
+        val nodes = customer(s, d)
+          .select(col("c_custkey").cast(LongType).as("node_id"))
+        val edges = nodes.filter(col("node_id") >= 5).select(
+          col("node_id").as("child_id"),
+          floor(col("node_id") / 5).cast(LongType).as("parent_id"))
+        TransitiveClosure.closure(edges)
+          .unionByName(nodes.select(
+            col("node_id").as("child_id"), col("node_id").as("ancestor_id"),
+            lit(0L).as("depth")))
+          .groupBy("child_id")
+          .agg(
+            concat_ws("/",
+              transform(
+                sort_array(collect_list(struct(col("depth"), col("ancestor_id"))), asc = false),
+                c => c.getField("ancestor_id").cast("string"))).as("lineage"),
+            max(col("depth")).cast(LongType).as("depth"))
+          .select(col("child_id").as("node_id"), col("lineage"), col("depth"))
+          .orderBy("node_id")
+      },
+      Some("""WITH RECURSIVE edges AS (
+             |  SELECT CAST(c_custkey AS BIGINT) AS child_id,
+             |         CAST(c_custkey // 5 AS BIGINT) AS parent_id
+             |  FROM customer WHERE c_custkey >= 5),
+             |anc AS (
+             |  SELECT child_id, parent_id AS ancestor_id, CAST(1 AS BIGINT) AS depth FROM edges
+             |  UNION ALL
+             |  SELECT a.child_id, e.parent_id, a.depth + 1 FROM anc a
+             |  JOIN edges e ON a.ancestor_id = e.child_id),
+             |pairs AS (
+             |  SELECT child_id, ancestor_id, depth FROM anc
+             |  UNION ALL
+             |  SELECT CAST(c_custkey AS BIGINT), CAST(c_custkey AS BIGINT),
+             |         CAST(0 AS BIGINT) FROM customer)
+             |SELECT child_id AS node_id,
+             |  string_agg(CAST(ancestor_id AS VARCHAR), '/' ORDER BY depth DESC) AS lineage,
+             |  CAST(max(depth) AS BIGINT) AS depth
+             |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
