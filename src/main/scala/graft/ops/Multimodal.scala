@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
   * Decode status, honestly: formats whose decoding is pure byte arithmetic
   * (PPM P6, uncompressed 24-bit BMP, PCM WAV) are decoded FOR REAL by
   * [[Multimodal.HeaderDecoder]] — no codec library involved, so the
-  * environment's missing media libs don't block them. Compressed codecs
-  * (JPEG/PNG/H.264/MP3…) genuinely need external libraries that are not in
+  * environment's missing media libs don't block them. PNG is ALSO real
+  * ([[Multimodal.Png]]): deflate/zlib ships in the JDK, so chunk CRCs,
+  * inflation, and type-0 unfiltering need no external codec. Entropy-coded
+  * codecs (JPEG/H.264/MP3…) genuinely need external libraries that are not in
   * the offline dependency budget; those stay behind [[Multimodal.Decoder]]
   * with [[Multimodal.FakeDecoder]] as the deterministic stand-in, so the
   * Spark-side plumbing (schema, batching, partitioning, frame explode) is
@@ -36,6 +38,117 @@ object Multimodal {
   trait Decoder extends Serializable {
     def decode(bytes: Array[Byte]): (String, Int, Int) // (format, width, height)
     def frameFeature(bytes: Array[Byte], frameIdx: Int): Array[Float]
+  }
+
+  /** Typed result of a REAL PNG decode; `bit_depth`/`pixel_hex` are None
+    * when the blob fell back to [[FakeDecoder]] (corrupt or out of scope). */
+  final case class PngMeta(
+      media_id: Long,
+      format: String,
+      width: Long,
+      height: Long,
+      bit_depth: Option[Long],
+      pixel_hex: Option[String])
+
+  /** REAL PNG decoding with zero codec libraries: chunk walking, CRC-32
+    * validation, and zlib inflation are all JDK built-ins
+    * (`java.util.zip.{CRC32, Inflater}`), and type-0 (None) scanline
+    * unfiltering is pure byte arithmetic. Scope: 8-bit greyscale (color
+    * type 0) and truecolor (type 2), non-interlaced, filter-type-0 rows —
+    * exactly the shapes constructible as stored-block deflate streams in
+    * SQL on both engines, which is what lets x36 oracle-gate this decode
+    * end to end. Anything else (interlace, 16-bit, palette, filtered rows)
+    * returns None and the caller routes to [[FakeDecoder]] — same
+    * corrupt-blob honesty as the other real decoders: one bad blob in a
+    * 100 TB scrape must degrade, not kill the stage. */
+  object Png {
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+    private def be32(b: Array[Byte], i: Int): Long =
+      (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+    private val Sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+
+    def isPng(b: Array[Byte]): Boolean =
+      b.length >= 8 && Sig.indices.forall(i => u8(b, i) == Sig(i))
+
+    /** Full structural decode → (width, height, bitDepth, colorType,
+      * unfiltered pixel bytes), or None on ANY violation: bad signature,
+      * truncated/oversized chunk, CRC-32 mismatch (every chunk, ancillary
+      * included), bad zlib stream or Adler-32 (the Inflater checks it),
+      * inflated size ≠ h·(1+w·bpp), or a non-zero scanline filter type. */
+    def decode(bytes: Array[Byte]): Option[(Int, Int, Int, Int, Array[Byte])] = {
+      if (!isPng(bytes)) return None
+      var w = -1; var h = -1; var depth = -1; var ctype = -1
+      var seenIhdr = false; var seenIend = false
+      val idat = new java.io.ByteArrayOutputStream()
+      val crc = new java.util.zip.CRC32
+      var i = 8
+      while (!seenIend) {
+        if (i + 12 > bytes.length) return None
+        val len = be32(bytes, i)
+        if (len > bytes.length - i - 12) return None
+        val n = len.toInt
+        crc.reset(); crc.update(bytes, i + 4, 4 + n)
+        if (crc.getValue != be32(bytes, i + 8 + n)) return None
+        val tag = new String(bytes, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        tag match {
+          case "IHDR" =>
+            if (n != 13) return None
+            w = be32(bytes, i + 8).toInt; h = be32(bytes, i + 12).toInt
+            depth = u8(bytes, i + 16); ctype = u8(bytes, i + 17)
+            // compression / filter method / interlace must all be 0
+            if (u8(bytes, i + 18) != 0 || u8(bytes, i + 19) != 0 || u8(bytes, i + 20) != 0)
+              return None
+            seenIhdr = true
+          case "IDAT" => idat.write(bytes, i + 8, n)
+          case "IEND" => seenIend = true
+          case _ => () // ancillary chunks: skipped, but their CRC was checked
+        }
+        i += 12 + n
+      }
+      if (!seenIhdr || w <= 0 || h <= 0 || w > (1 << 15) || h > (1 << 15) ||
+        depth != 8 || (ctype != 0 && ctype != 2)) return None
+      val bpp = if (ctype == 2) 3 else 1
+      val stride = 1 + w * bpp
+      val raw = new Array[Byte](h * stride)
+      val inf = new java.util.zip.Inflater() // zlib-wrapped: verifies Adler-32
+      try {
+        inf.setInput(idat.toByteArray)
+        if (inf.inflate(raw) != raw.length || !inf.finished()) return None
+      } catch { case _: java.util.zip.DataFormatException => return None }
+      finally inf.end()
+      val pix = new Array[Byte](h * w * bpp)
+      var r = 0
+      while (r < h) {
+        if (raw(r * stride) != 0) return None // only filter None in scope
+        System.arraycopy(raw, r * stride + 1, pix, r * w * bpp, w * bpp)
+        r += 1
+      }
+      Some((w, h, depth, ctype, pix))
+    }
+  }
+
+  /** (media_id, media: binary) → real PNG decode per row; fallback rows
+    * carry [[FakeDecoder]] dimensions and null depth/pixels, so a caller
+    * can route on `bit_depth IS NULL` exactly like the `fake-` format
+    * prefix elsewhere. */
+  def pngMeta(media: DataFrame): Dataset[PngMeta] = {
+    implicit val enc = Encoders.product[PngMeta]
+    media.select(col("media_id").cast("long"), col("media"))
+      .mapPartitions { (it: Iterator[Row]) =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          Png.decode(bytes) match {
+            case Some((w, h, d, ct, pix)) =>
+              val fmt = if (ct == 2) "image/png-rgb" else "image/png-gray"
+              PngMeta(id, fmt, w.toLong, h.toLong, Some(d.toLong),
+                Some(pix.map("%02X".format(_)).mkString))
+            case None =>
+              val (fmt, w, h) = FakeDecoder.decode(bytes)
+              PngMeta(id, fmt, w.toLong, h.toLong, None, None)
+          }
+        }
+      }
   }
 
   /** Deterministic fake: derives dimensions from the first bytes and a
@@ -143,7 +256,10 @@ object Multimodal {
     }
 
     def decode(bytes: Array[Byte]): (String, Int, Int) =
-      if (isPpm(bytes))
+      if (Png.isPng(bytes))
+        Png.decode(bytes).map { case (w, h, _, _, _) => ("image/png", w, h) }
+          .getOrElse(FakeDecoder.decode(bytes))
+      else if (isPpm(bytes))
         ppmHeader(bytes).map { case (w, h, _) => ("image/ppm", w, h) }
           .getOrElse(FakeDecoder.decode(bytes))
       else if (isBmp(bytes)) {
@@ -175,7 +291,17 @@ object Multimodal {
       * never "real" stats over misinterpreted bytes. Past-the-end frames on
       * VALID blobs yield the zero vector (empty window). */
     def frameFeature(bytes: Array[Byte], frameIdx: Int): Array[Float] =
-      if (isPcm16Wav(bytes)) wavDataSpan(bytes) match {
+      if (Png.isPng(bytes)) Png.decode(bytes) match {
+        // 256-byte windows over the UNFILTERED pixel payload — same frame
+        // convention as PPM/BMP, but on post-inflate bytes
+        case Some((_, _, _, _, pix)) =>
+          val start = frameIdx.toLong * 256
+          val end = math.min(pix.length.toLong - 1, start + 255)
+          if (frameIdx < 0 || start > end) Array(0f, 0f, 0f, 0f)
+          else stats((start to end).iterator.map(i => u8(pix, i.toInt) / 255.0))
+        case None => FakeDecoder.frameFeature(bytes, frameIdx)
+      }
+      else if (isPcm16Wav(bytes)) wavDataSpan(bytes) match {
         case Some((dOff, dEnd)) =>
           // s16le PCM window of 256 samples per frame
           val start = dOff.toLong + frameIdx.toLong * 512

@@ -163,6 +163,20 @@ object PipelineQueries {
   private def leFieldD(off: Int, n: Int): String =
     (0 until n).map(j => s"${byteAtD(off + j)} * ${1L << (8 * j)}").mkString("(", " + ", ")")
 
+  // ——— x36 helpers: big-endian variants (PNG stores ints big-endian) ———
+
+  private def be32S(e: String) =
+    s"concat(${hbS(s"(($e) div 16777216) % 256")}, ${hbS(s"(($e) div 65536) % 256")}, " +
+      s"${hbS(s"(($e) div 256) % 256")}, ${hbS(s"($e) % 256")})"
+  private def be32D(e: String) =
+    s"(${hbD(s"(($e) // 16777216) % 256")} || ${hbD(s"(($e) // 65536) % 256")} || " +
+      s"${hbD(s"(($e) // 256) % 256")} || ${hbD(s"($e) % 256")})"
+
+  /** DuckDB: big-endian integer spanning `n` bytes at offset `off`. */
+  private def beFieldD(off: Int, n: Int): String =
+    (0 until n).map(j => s"${byteAtD(off + j)} * ${1L << (8 * (n - 1 - j))}")
+      .mkString("(", " + ", ")")
+
   val all: Seq[QueryDef] = Seq(
 
     // ——— Deduplication ———
@@ -1469,6 +1483,95 @@ object PipelineQueries {
               |SELECT doc_id, quality_score,
               |  CASE WHEN substring(md5(doc_id::VARCHAR || ':split'), 1, 8) < 'cccccccc'
               |    THEN 'train' ELSE 'val' END AS split
-              |FROM sv WHERE doc_id = keep ORDER BY doc_id""".stripMargin))
+              |FROM sv WHERE doc_id = keep ORDER BY doc_id""".stripMargin)),
+
+    // REAL PNG decode, oracle-gated end to end (x27's dual-dialect builder
+    // pattern, extended to a COMPRESSED container): each doc_id < 24
+    // becomes a deterministic PNG — 8-bit gray / 8-bit RGB / corrupt IDAT
+    // CRC / filter-type-1 rows, by doc_id % 4 — whose zlib stream uses
+    // STORED deflate blocks, so both engines can construct it byte-by-byte
+    // in SQL with no codec anywhere. Spark additionally computes the REAL
+    // CRC-32 (builtin crc32) and Adler-32 (exact integer sums over the
+    // payload formula) so its blob is a VALID PNG, then decodes it through
+    // Multimodal.Png: JDK Inflater (which verifies that Adler), chunk-CRC
+    // validation (which rejects the kind-2 corruption), type-0 unfilter
+    // (which rejects kind 3). DuckDB never parses checksum fields — it
+    // re-extracts width/height/bit-depth (big-endian IHDR reads) and the
+    // pixel bytes (stored-block scanline arithmetic at byte 48) from the
+    // same hex layout, with checksum placeholders zeroed. A decoder bug in
+    // inflation, unfiltering, offsets, or CRC policy breaks the hash match.
+    QueryDef(
+      "x36_png_decode",
+      (s, d) => {
+        val pix = "CASE WHEN p % stride = 0 THEN CAST(CASE WHEN kind = 3 THEN 1 ELSE 0 END AS BIGINT) " +
+          "ELSE (doc_id * 13 + p * 7) % 256 END"
+        val base = documents(s, d).filter(col("doc_id") < 24)
+          .select(col("doc_id"), (col("doc_id") % 4).as("kind"),
+            (col("doc_id") % 5 + 1).cast(LongType).as("w"),
+            (col("doc_id") % 3 + 1).cast(LongType).as("h"))
+          .withColumn("bpp", expr("CASE WHEN kind = 1 THEN CAST(3 AS BIGINT) ELSE CAST(1 AS BIGINT) END"))
+          .withColumn("stride", expr("1 + w * bpp"))
+          .withColumn("L", expr("h * stride"))
+          .withColumn("payload_hex",
+            expr(s"array_join(transform(sequence(CAST(0 AS BIGINT), L - 1), p -> ${hbS(pix)}), '')"))
+          // Adler-32 over the payload: A = (1 + Σb) mod 65521,
+          // B = (L + Σ(L−p)·b_p) mod 65521 — exact integer sums, so the
+          // SQL-built checksum is the one the JDK Inflater then verifies
+          .withColumn("adler", expr(
+            s"((L + aggregate(sequence(CAST(0 AS BIGINT), L - 1), CAST(0 AS BIGINT), " +
+              s"(acc, p) -> acc + (L - p) * ($pix))) % 65521) * 65536 + " +
+              s"(1 + aggregate(sequence(CAST(0 AS BIGINT), L - 1), CAST(0 AS BIGINT), " +
+              s"(acc, p) -> acc + ($pix))) % 65521"))
+          .withColumn("zlib_hex", expr(
+            s"concat('780101', ${le16S("L")}, ${le16S("65535 - L")}, payload_hex, ${be32S("adler")})"))
+          .withColumn("ihdr_hex", expr(
+            s"concat(${be32S("w")}, ${be32S("h")}, '08', " +
+              "CASE WHEN kind = 1 THEN '02' ELSE '00' END, '000000')"))
+          .withColumn("crc_idat", expr(
+            "CASE WHEN kind = 2 THEN crc32(unhex(concat('49444154', zlib_hex))) ^ 255 " +
+              "ELSE crc32(unhex(concat('49444154', zlib_hex))) END"))
+          .withColumn("hx", expr(
+            s"concat('89504E470D0A1A0A', '0000000D49484452', ihdr_hex, " +
+              s"${be32S("crc32(unhex(concat('49484452', ihdr_hex)))")}, " +
+              s"${be32S("L + 11")}, '49444154', zlib_hex, ${be32S("crc_idat")}, " +
+              "'0000000049454E44AE426082')"))
+        graft.ops.Multimodal.pngMeta(
+          base.select(col("doc_id").as("media_id"), unhex(col("hx")).as("media")))
+          .select(col("media_id"), col("format"), col("width"), col("height"),
+            col("bit_depth"), col("pixel_hex"))
+          .orderBy("media_id")
+      },
+      Some {
+        val pixD = "CASE WHEN q % stride = 0 THEN (CASE WHEN kind = 3 THEN 1 ELSE 0 END) " +
+          "ELSE (doc_id * 13 + q * 7) % 256 END"
+        s"""WITH b AS (SELECT doc_id, doc_id % 4 AS kind,
+           |  CAST(doc_id % 5 + 1 AS BIGINT) AS w, CAST(doc_id % 3 + 1 AS BIGINT) AS h,
+           |  CAST(CASE WHEN doc_id % 4 = 1 THEN 3 ELSE 1 END AS BIGINT) AS bpp
+           |  FROM documents WHERE doc_id < 24),
+           |p AS (SELECT *, 1 + w * bpp AS stride, h * (1 + w * bpp) AS L FROM b),
+           |hxt AS (SELECT doc_id, kind, w, h, bpp, stride, L,
+           |  '89504E470D0A1A0A' || '0000000D49484452' ||
+           |  ${be32D("w")} || ${be32D("h")} || '08' ||
+           |  CASE WHEN kind = 1 THEN '02' ELSE '00' END || '000000' || '00000000' ||
+           |  ${be32D("L + 11")} || '49444154' || '780101' ||
+           |  ${le16D("L")} || ${le16D("65535 - L")} ||
+           |  array_to_string(list_transform(range(0, L), q -> ${hbD(pixD)}), '') ||
+           |  '00000000' || '00000000' || '0000000049454E44AE426082' AS hx FROM p)
+           |SELECT doc_id AS media_id,
+           |  CASE WHEN kind IN (2, 3) THEN
+           |      CASE WHEN ${byteAtD(0)} % 2 = 0 THEN 'img/fake-rgb' ELSE 'img/fake-gray' END
+           |    WHEN kind = 1 THEN 'image/png-rgb' ELSE 'image/png-gray' END AS format,
+           |  CAST(CASE WHEN kind IN (2, 3) THEN 16 + ${byteAtD(0)} % 64
+           |    ELSE ${beFieldD(16, 4)} END AS BIGINT) AS width,
+           |  CAST(CASE WHEN kind IN (2, 3) THEN 16 + ${byteAtD(1)} % 64
+           |    ELSE ${beFieldD(20, 4)} END AS BIGINT) AS height,
+           |  CAST(CASE WHEN kind IN (2, 3) THEN NULL
+           |    ELSE ${byteAtD(24)} END AS BIGINT) AS bit_depth,
+           |  CASE WHEN kind IN (2, 3) THEN NULL
+           |    ELSE array_to_string(list_transform(range(0, h),
+           |      r -> substr(hx, (99 + r * stride * 2)::INT, (w * bpp * 2)::INT)), '')
+           |  END AS pixel_hex
+           |FROM hxt ORDER BY media_id""".stripMargin
+      })
   )
 }

@@ -158,6 +158,93 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.nonEmpty && frames.forall(_.feature.length == 4))
   }
 
+  // Builds a REAL PNG with the JDK Deflater (genuinely compressed stream,
+  // not the stored blocks the x36 SQL builders use — so the decoder is
+  // proven on both encodings) and real CRC-32s.
+  private def pngBytes(
+      w: Int, h: Int, colorType: Int, pixels: Array[Byte],
+      filterType: Byte = 0, corruptCrc: Boolean = false): Array[Byte] = {
+    val bpp = if (colorType == 2) 3 else 1
+    val stride = 1 + w * bpp
+    val raw = new Array[Byte](h * stride)
+    for (r <- 0 until h) {
+      raw(r * stride) = filterType
+      System.arraycopy(pixels, r * w * bpp, raw, r * stride + 1, w * bpp)
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val n = defl.deflate(buf)
+    defl.end()
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val out = new java.io.ByteArrayOutputStream()
+    def chunk(tag: String, data: Array[Byte], corrupt: Boolean = false): Unit = {
+      out.write(be32(data.length.toLong))
+      val td = tag.getBytes("US-ASCII") ++ data
+      out.write(td)
+      val c = new java.util.zip.CRC32(); c.update(td)
+      out.write(be32(c.getValue ^ (if (corrupt) 255L else 0L)))
+    }
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    chunk("IHDR", be32(w.toLong) ++ be32(h.toLong) ++ Array[Byte](8, colorType.toByte, 0, 0, 0))
+    chunk("IDAT", buf.take(n), corrupt = corruptCrc)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  test("Png.decode: real inflate + unfilter round-trips gray and RGB pixels") {
+    val gray = Array.tabulate[Byte](3 * 2)(i => (i * 40 + 5).toByte)
+    Multimodal.Png.decode(pngBytes(3, 2, 0, gray)) match {
+      case Some((w, h, d, ct, pix)) =>
+        assert((w, h, d, ct) == (3, 2, 8, 0) && pix.toSeq == gray.toSeq)
+      case None => fail("gray png did not decode")
+    }
+    val rgb = Array.tabulate[Byte](2 * 2 * 3)(i => (250 - i * 17).toByte)
+    Multimodal.Png.decode(pngBytes(2, 2, 2, rgb)) match {
+      case Some((w, h, d, ct, pix)) =>
+        assert((w, h, d, ct) == (2, 2, 8, 2) && pix.toSeq == rgb.toSeq)
+      case None => fail("rgb png did not decode")
+    }
+    assert(Multimodal.HeaderDecoder.decode(pngBytes(3, 2, 0, gray)) == ("image/png", 3, 2))
+  }
+
+  test("Png.decode: corrupt CRC, non-zero filter, and truncation all fall back, never throw") {
+    val gray = Array.tabulate[Byte](3 * 2)(i => i.toByte)
+    val good = pngBytes(3, 2, 0, gray)
+    assert(Multimodal.Png.decode(pngBytes(3, 2, 0, gray, corruptCrc = true)).isEmpty)
+    assert(Multimodal.Png.decode(pngBytes(3, 2, 0, gray, filterType = 1)).isEmpty)
+    assert(Multimodal.Png.decode(good.take(20)).isEmpty)
+    assert(Multimodal.Png.decode(good.take(40)).isEmpty)
+    // bad zlib: flip a byte INSIDE the IDAT payload and fix up its CRC so
+    // only the inflate/Adler layer can catch it
+    val idatStart = 8 + 25
+    val bad = good.clone()
+    bad(idatStart + 8 + 2) = (bad(idatStart + 8 + 2) ^ 0x55).toByte
+    val dataLen = ((bad(idatStart) & 0xff) << 24) | ((bad(idatStart + 1) & 0xff) << 16) |
+      ((bad(idatStart + 2) & 0xff) << 8) | (bad(idatStart + 3) & 0xff)
+    val c = new java.util.zip.CRC32(); c.update(bad, idatStart + 4, 4 + dataLen)
+    val v = c.getValue
+    bad(idatStart + 8 + dataLen) = ((v >> 24) & 0xff).toByte
+    bad(idatStart + 9 + dataLen) = ((v >> 16) & 0xff).toByte
+    bad(idatStart + 10 + dataLen) = ((v >> 8) & 0xff).toByte
+    bad(idatStart + 11 + dataLen) = (v & 0xff).toByte
+    assert(Multimodal.Png.decode(bad).isEmpty)
+  }
+
+  test("pngMeta: real rows carry pixel hex, fallback rows carry fake dims + null depth") {
+    val gray = Array.tabulate[Byte](2 * 2)(i => (i * 60).toByte)
+    val df = Seq(
+      (1L, pngBytes(2, 2, 0, gray)),
+      (2L, pngBytes(2, 2, 0, gray, corruptCrc = true))).toDF("media_id", "media")
+    val out = Multimodal.pngMeta(df).collect().sortBy(_.media_id)
+    assert(out(0).format == "image/png-gray" && out(0).bit_depth.contains(8L))
+    assert(out(0).pixel_hex.contains(gray.map("%02X".format(_)).mkString))
+    assert(out(1).format.startsWith("img/fake") && out(1).bit_depth.isEmpty)
+    assert(out(1).width == 25L && out(1).height == 32L) // FakeDecoder on 0x89,'P'
+  }
+
   test("sliceFrames: exact byte windows, codegen-native plan (no mapPartitions)") {
     val bytes = (0 until 250).map(_.toByte).toArray
     val df = Seq((1L, bytes)).toDF("media_id", "media")
