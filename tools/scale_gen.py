@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Scale generator for the graft bench — reproduces SCALE.md's ~sf1 dataset.
+
+Usage:  python3 tools/scale_gen.py SRC_DIR OUT_DIR FACTOR
+e.g.:   python3 tools/scale_gen.py /root/testdata/sf0.1 /tmp/sf1synth 10
+
+Replicates the fact tables FACTOR times with replica-shifted keys while
+copying the dimension tables byte-identically, so every join in the catalog
+still resolves and replica 0 is byte-identical to the source:
+
+- orders / lineitem: o_orderkey / l_orderkey shifted by
+  replica * (max(o_orderkey)+1) — the join key moves IN STEP on both sides;
+  o_custkey / l_partkey / l_suppkey stay in the dimension key range.
+- documents: doc_id shifted by replica * (max(doc_id)+1); for replicas > 0
+  every 5th token gets a per-replica suffix and n_chars is recomputed.
+  WHY: cross-replica docs must NOT be near-duplicates, or the LSH/Jaccard/
+  SimHash pair stages grow quadratically on fake duplicates that real
+  corpora don't have (the dedup queries' cost would be dominated by an
+  artifact of the generator, not by scale).
+- embeddings: vec_id shifted likewise; every element nudged by
+  replica * 1e-3 for replicas > 0 — same non-near-dup reasoning for the
+  embedding near-dup / ANN queries.
+- region nation customer supplier part events: straight file copies
+  (events.parquet carries TIMESTAMP(NANOS) — a rewrite through any engine
+  would change the physical type, and graft.Tables.events depends on it).
+
+Then benchmark with:
+  SPARK_GRAFT_SF_DIR=OUT_DIR SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Bench"
+and the DuckDB side with the oracle_sql.json a Verify run dumps.
+"""
+import os
+import shutil
+import sys
+
+import duckdb
+
+COPY_AS_IS = ["region", "nation", "customer", "supplier", "part", "events"]
+
+
+def write(con, query, out_dir, table):
+    con.sql(f"COPY ({query}) TO '{out_dir}/{table}.parquet' (FORMAT PARQUET)")
+    n = con.sql(f"SELECT count(*) FROM '{out_dir}/{table}.parquet'").fetchone()[0]
+    print(f"  {table}: {n} rows")
+
+
+def main():
+    if len(sys.argv) != 4:
+        sys.exit(__doc__)
+    src, out, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    assert factor >= 1
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+
+    for t in COPY_AS_IS:
+        shutil.copyfile(f"{src}/{t}.parquet", f"{out}/{t}.parquet")
+        print(f"  {t}: copied as-is")
+
+    k_ord = con.sql(
+        f"SELECT max(o_orderkey) + 1 FROM '{src}/orders.parquet'").fetchone()[0]
+    write(con, f"""
+        SELECT d.* REPLACE (o_orderkey + r * {k_ord} AS o_orderkey)
+        FROM '{src}/orders.parquet' d, range({factor}) t(r)""", out, "orders")
+    write(con, f"""
+        SELECT d.* REPLACE (l_orderkey + r * {k_ord} AS l_orderkey)
+        FROM '{src}/lineitem.parquet' d, range({factor}) t(r)""", out, "lineitem")
+
+    k_doc = con.sql(
+        f"SELECT max(doc_id) + 1 FROM '{src}/documents.parquet'").fetchone()[0]
+    # DuckDB list lambdas: (tok, i) -> ... with 1-based index i
+    perturbed = """CASE WHEN r = 0 THEN text ELSE array_to_string(
+        list_transform(string_split(text, ' '),
+            (tok, i) -> CASE WHEN i % 5 = 1 THEN tok || '~r' || r::VARCHAR
+                        ELSE tok END), ' ') END"""
+    write(con, f"""
+        SELECT doc_id + r * {k_doc} AS doc_id,
+               {perturbed} AS text,
+               lang, source,
+               CAST(length({perturbed}) AS BIGINT) AS n_chars
+        FROM '{src}/documents.parquet', range({factor}) t(r)""", out, "documents")
+
+    k_vec = con.sql(
+        f"SELECT max(vec_id) + 1 FROM '{src}/embeddings.parquet'").fetchone()[0]
+    write(con, f"""
+        SELECT vec_id + r * {k_vec} AS vec_id,
+               CASE WHEN r = 0 THEN embedding
+                    ELSE list_transform(embedding,
+                         x -> CAST(x + r * 0.001 AS FLOAT)) END AS embedding,
+               label
+        FROM '{src}/embeddings.parquet', range({factor}) t(r)""", out, "embeddings")
+    print(f"done: {out} at {factor}x {src}")
+
+
+if __name__ == "__main__":
+    main()
