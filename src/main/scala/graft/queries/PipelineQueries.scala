@@ -1572,6 +1572,69 @@ object PipelineQueries {
            |      r -> substr(hx, (99 + r * stride * 2)::INT, (w * bpp * 2)::INT)), '')
            |  END AS pixel_hex
            |FROM hxt ORDER BY media_id""".stripMargin
+      }),
+
+    // APPROXIMATE profiling — the 100 TB form of x20. Sketch outputs can't
+    // be hash-compared across engines (each engine's HLL/quantile digest
+    // differs), so the gate pins the ERROR CONTRACT instead: the Spark side
+    // computes both the sketches and the exact answers and emits per-column
+    // booleans — nd_ok: approx_count_distinct(rsd=0.02) within 5% of exact
+    // (±2.5σ of the documented rsd); md_ok: approx_percentile(accuracy
+    // 10000, rank error ≤ 1e-4) verified by RANK, tie-safely — count(v <
+    // m)/n ≤ 0.5+ε and count(v ≤ m)/n ≥ 0.5−ε with ε = 0.01, because on
+    // tied data (l_quantity has ~50 distinct values) no value-space or
+    // one-sided-rank check is guaranteed to hold. The oracle recomputes the
+    // exact columns and asserts the booleans TRUE — a sketch drifting out
+    // of contract fails the row. Plan shape is the one a 100 TB profile
+    // actually runs: ONE tall stack scan → one grouped pass (sketches +
+    // algebraic stats), plus a rank-verification pass joining the tiny
+    // per-column medians back by broadcast; the exact n_distinct/median
+    // machinery here is the verification harness, not the scale path — a
+    // production caller keeps only the sketch columns and skips pass two.
+    QueryDef(
+      "x37_profile_approx",
+      (s, d) => {
+        val cols = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+        val stackExpr = s"stack(${cols.size}, " +
+          cols.map(c => s"'$c', $c").mkString(", ") + ") AS (col_name, v)"
+        val tall = lineitem(s, d).selectExpr(stackExpr)
+        val agg = tall.groupBy("col_name").agg(
+          count(lit(1)).as("n_rows"),
+          count(col("v")).as("n_non_null"),
+          countDistinct(col("v")).as("n_distinct"),
+          round(min(col("v")).cast(DoubleType), 6).as("min_v"),
+          round(max(col("v")).cast(DoubleType), 6).as("max_v"),
+          round(dsum(col("v")).cast(DoubleType) / count(col("v")), 6).as("mean_v"),
+          approx_count_distinct(col("v"), 0.02).as("nd_approx"),
+          expr("approx_percentile(v, 0.5, 10000)").as("md_approx"))
+        val rank = tall
+          .join(broadcast(agg.select(col("col_name"), col("md_approx"))), "col_name")
+          .groupBy("col_name").agg(
+            sum(when(col("v") < col("md_approx"), 1L).otherwise(0L)).as("n_lt"),
+            sum(when(col("v") <= col("md_approx"), 1L).otherwise(0L)).as("n_le"),
+            count(col("v")).as("n_v"))
+        agg.join(rank, "col_name")
+          .select(col("col_name").as("column"), col("n_rows"), col("n_non_null"),
+            col("n_distinct"), col("min_v"), col("max_v"), col("mean_v"),
+            (abs(col("nd_approx") - col("n_distinct")) <=
+              greatest(lit(1.0), col("n_distinct") * 0.05)).as("nd_ok"),
+            (col("n_lt") <= (lit(0.51) * col("n_v")) &&
+              col("n_le") >= (lit(0.49) * col("n_v"))).as("md_ok"))
+          .orderBy("column")
+      },
+      Some {
+        val cols = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+        val tall = cols
+          .map(c => s"SELECT '$c' AS col_name, $c AS v FROM lineitem")
+          .mkString("\nUNION ALL\n")
+        s"""WITH t AS ($tall)
+           |SELECT col_name AS "column", count(*) AS n_rows, count(v) AS n_non_null,
+           |  count(DISTINCT v) AS n_distinct,
+           |  round(CAST(min(v) AS DOUBLE), 6) AS min_v,
+           |  round(CAST(max(v) AS DOUBLE), 6) AS max_v,
+           |  round(CAST(sum(CAST(v AS DECIMAL(18,4))) AS DOUBLE) / count(v), 6) AS mean_v,
+           |  TRUE AS nd_ok, TRUE AS md_ok
+           |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
       })
   )
 }
