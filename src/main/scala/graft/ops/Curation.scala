@@ -69,38 +69,60 @@ object Curation {
       .drop("__cur_tk", "__cur_sum_len", "__cur_n_stop", "__cur_n_punct")
   }
 
-  /** The composed pipeline: quality-filter → exact dedup (min-doc_id
-    * survivor per identical text) → deterministic train/val split.
-    * Returns one row per SURVIVING document: the input columns (the
-    * published names `quality_score` and `split` replace same-named
-    * inputs; feature columns the caller brought in keep their NAMES but
-    * carry the op's recomputed values; feature columns the caller did not
-    * have are stripped back off) plus quality_score and split. */
+  /** The composed pipeline: quality-filter → dedup (min-doc_id survivor)
+    * → deterministic train/val split. Returns one row per SURVIVING
+    * document: the input columns (the published names `quality_score` and
+    * `split` replace same-named inputs; feature columns the caller brought
+    * in keep their NAMES but carry the op's recomputed values; feature
+    * columns the caller did not have are stripped back off) plus
+    * quality_score and split.
+    *
+    * Dedup granularity: by default EXACT (identical text); pass
+    * `nearDupMapping` — the (doc_id, canonical_id) frame
+    * [[TextDedup.dedupMapping]] produces — to dedup by NEAR-DUP COMPONENT
+    * instead: the survivor is the min doc_id among the quality-passing
+    * members of each LSH component (identical texts always land in one
+    * component, so near-dup mode subsumes exact mode). The mapping is
+    * consumed between the filter and split stages; docs absent from it
+    * dedup as singletons. */
   def curate(
       docs: DataFrame,
       minQuality: Double = 0.38,
       trainFrac: Double = 0.8,
-      stopwords: Seq[String] = defaultStopwords): DataFrame = {
-    // The dedup exchange is keyed by the CONTENT HASH, not the raw text:
-    // identical text ⇒ identical md5, so survivor semantics are unchanged
-    // (collisions are the same accepted risk as exact dedup's hash agg),
-    // while the shuffle hashes/sorts a fixed 32-char key instead of
-    // multi-KB document bodies — at 100 TB, raw-text keys waste comparator
-    // time and skew partition sizes on boilerplate-heavy corpora.
-    val byContent = Window.partitionBy(md5(col("text").cast("binary")))
+      stopwords: Seq[String] = defaultStopwords,
+      nearDupMapping: Option[DataFrame] = None): DataFrame = {
     val features = Seq("n_tokens", "avg_tok_len", "punct_ratio", "stop_ratio")
     // feature NAMES the caller brought in survive (with recomputed values);
     // only the names this call introduced are stripped back off
     val callerHad = features.filter(docs.columns.contains)
     val hadChars = docs.columns.contains("n_chars")
-    withQuality(docs, stopwords)
+    val scored = withQuality(docs, stopwords)
       .filter(col("quality_score") >= minQuality)
-      // survivor = min doc_id among quality-passing copies: a window-min
-      // over the content partition, not a groupBy + self-join — the corpus
+    // The dedup exchange is keyed by the CONTENT HASH (or the component
+    // id), never the raw text: identical text ⇒ identical md5, so survivor
+    // semantics are unchanged (collisions are the same accepted risk as
+    // exact dedup's hash agg), while the shuffle hashes/sorts a fixed-width
+    // key instead of multi-KB document bodies — at 100 TB, raw-text keys
+    // waste comparator time and skew partition sizes on boilerplate-heavy
+    // corpora. The quality filter ran BEFORE this exchange, so dropped
+    // documents never move.
+    val keyed = nearDupMapping match {
+      case Some(m) =>
+        scored
+          .join(m.select(col("doc_id"), col("canonical_id")), Seq("doc_id"), "left")
+          .withColumn("__cur_key",
+            coalesce(col("canonical_id"), col("doc_id")).cast("string"))
+          .drop("canonical_id")
+      case None =>
+        scored.withColumn("__cur_key", md5(col("text").cast("binary")))
+    }
+    keyed
+      // survivor = min doc_id among quality-passing members: a window-min
+      // over the key partition, not a groupBy + self-join — the corpus
       // crosses the wire once
-      .withColumn("__cur_keep", min(col("doc_id")).over(byContent))
+      .withColumn("__cur_keep", min(col("doc_id")).over(Window.partitionBy("__cur_key")))
       .filter(col("doc_id") === col("__cur_keep"))
-      .drop(("__cur_keep" +: features.filterNot(callerHad.contains)) ++
+      .drop(("__cur_key" +: "__cur_keep" +: features.filterNot(callerHad.contains)) ++
         (if (hadChars) Nil else Seq("n_chars")): _*)
       .withColumn("split", Sampling.splitColumn(col("doc_id"), "split", trainFrac))
   }

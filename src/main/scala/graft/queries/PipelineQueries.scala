@@ -105,11 +105,12 @@ object PipelineQueries {
   private val signBucketSql: String =
     (1 to 8).map(i => s"(CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
 
-  /** Shared oracle for x18 AND x25: connected components over the LSH pair
-    * set via a recursive CTE, canonicalized to the min doc_id per
-    * component — the engine-differential check for BOTH the DataFrame
-    * label-propagation path (x18) and the GraphX Pregel path (x25). */
-  private val dedupComponentsSql =
+  /** Shared oracle CTE chain for x18, x25, AND x38: connected components
+    * over the LSH pair set via a recursive CTE, canonicalized to the min
+    * doc_id per component (`cmap`) — the engine-differential check for the
+    * DataFrame label-propagation path (x18), the GraphX Pregel path (x25),
+    * and the near-dup-aware curation composition (x38). */
+  private val dedupComponentsCtes =
     s"""WITH RECURSIVE $corpusSql,
        |${minhashSigSql("corpus")},
        |band AS (SELECT doc_id, CAST(floor(seed / 2) AS BIGINT) AS band,
@@ -126,8 +127,12 @@ object PipelineQueries {
        |reach(id, rid) AS (
        |  SELECT doc_id, doc_id FROM corpus
        |  UNION
-       |  SELECT adj.s, reach.rid FROM adj JOIN reach ON adj.t = reach.id)
-       |SELECT id AS doc_id, min(rid) AS canonical_id FROM reach GROUP BY id
+       |  SELECT adj.s, reach.rid FROM adj JOIN reach ON adj.t = reach.id),
+       |cmap AS (SELECT id AS doc_id, min(rid) AS canonical_id FROM reach GROUP BY id)""".stripMargin
+
+  private val dedupComponentsSql =
+    s"""$dedupComponentsCtes
+       |SELECT doc_id, canonical_id FROM cmap
        |ORDER BY doc_id""".stripMargin
 
   // ——— x27 helpers: dialect-paired hex builders so BOTH engines construct
@@ -1635,6 +1640,51 @@ object PipelineQueries {
            |  round(CAST(sum(CAST(v AS DECIMAL(18,4))) AS DOUBLE) / count(v), 6) AS mean_v,
            |  TRUE AS nd_ok, TRUE AS md_ok
            |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
-      })
+      }),
+
+    // NEAR-DUP-aware composed curation: x35's pipeline with the dedup stage
+    // upgraded from identical-text to LSH COMPONENT — quality filter →
+    // survivor = min doc_id over the near-dup component among the
+    // quality-passing members (TextDedup.dedupMapping consumed between the
+    // filter and split stages) → deterministic split. Gated over the cloned
+    // corpus so components have real multi-doc structure. The pair frame is
+    // the session-shared one (x18 publishes it; standalone sessions build
+    // it once here) — the 100 TB shape: materialize pairs once, fan out to
+    // dedup, components, and curation. The oracle recomputes the components
+    // with the x18 recursive CTE and the quality/split formulas with the
+    // x35 SQL, so the COMPOSITION (filter-before-dedup ordering, component
+    // survivor choice, split on the survivor's id) is engine-checked.
+    QueryDef(
+      "x38_curation_neardup",
+      (s, d) => {
+        val corpus = docCorpus(s, d)
+        val pairs = SharedCache.getOrCompute(lshPairsKey(s, d))(lshPairsBuild(corpus))
+        val mapping = graft.ops.TextDedup.dedupMappingFromPairs(corpus, pairs)
+        graft.ops.Curation
+          .curate(corpus, minQuality = 0.38, trainFrac = 0.8,
+            nearDupMapping = Some(mapping))
+          .select(col("doc_id"), col("quality_score"), col("split"))
+          .orderBy("doc_id")
+      },
+      Some(s"""$dedupComponentsCtes,
+              |t AS (SELECT doc_id, n_chars, text, $tokensSql AS tk FROM corpus),
+              |m2 AS (SELECT doc_id,
+              |  CAST(len(tk) AS BIGINT) AS n_tokens,
+              |  CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop,
+              |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_punct,
+              |  n_chars FROM t),
+              |r AS (SELECT doc_id,
+              |  round(0.4 * round(n_stop / CAST(n_tokens AS DOUBLE), 6)
+              |    + 0.3 * (least(n_tokens, 100) / 100.0)
+              |    + 0.2 * (1.0 - round(n_punct / CAST(n_chars AS DOUBLE), 6)), 6) AS quality_score
+              |  FROM m2),
+              |q AS (SELECT doc_id, quality_score FROM r WHERE quality_score >= 0.38),
+              |sv AS (SELECT q.doc_id, q.quality_score,
+              |  min(q.doc_id) OVER (PARTITION BY c.canonical_id) AS keep
+              |  FROM q JOIN cmap c ON q.doc_id = c.doc_id)
+              |SELECT doc_id, quality_score,
+              |  CASE WHEN substring(md5(doc_id::VARCHAR || ':split'), 1, 8) < 'cccccccc'
+              |    THEN 'train' ELSE 'val' END AS split
+              |FROM sv WHERE doc_id = keep ORDER BY doc_id""".stripMargin))
   )
 }

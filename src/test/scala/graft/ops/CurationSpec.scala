@@ -41,6 +41,26 @@ class CurationSpec extends SparkSpec {
     assert(Set("doc_id", "text", "n_chars", "lang", "quality_score", "split").subsetOf(cols))
   }
 
+  test("curate with a near-dup mapping picks one survivor per COMPONENT, not per text") {
+    // 1 and 2 have different texts but are declared near-dups by the
+    // mapping; 4 is unmapped and must dedup as a singleton
+    val docs = mkDocs(1L -> good, 2L -> (good + " tail"), 4L -> (good + " other"))
+    val mapping = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "canonical_id")
+    val out = Curation.curate(docs, nearDupMapping = Some(mapping))
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 4L))
+    // exact mode keeps both texts of the pair — near-dup mode is stricter
+    val exact = Curation.curate(docs).select("doc_id").as[Long].collect().toSet
+    assert(exact == Set(1L, 2L, 4L))
+    // survivor choice considers only QUALITY-PASSING members: when the
+    // component's min id fails the filter, the next passing member survives
+    val docs2 = mkDocs(1L -> bad, 2L -> good)
+    val mapping2 = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "canonical_id")
+    val out2 = Curation.curate(docs2, nearDupMapping = Some(mapping2))
+      .select("doc_id").as[Long].collect().toSet
+    assert(out2 == Set(2L))
+  }
+
   test("withQuality derives n_chars from length(text) when the input lacks the column") {
     val bare = Seq(1L -> good, 2L -> bad).toDF("doc_id", "text")
     val q = Curation.withQuality(bare)
