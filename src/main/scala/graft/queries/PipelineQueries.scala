@@ -1603,22 +1603,35 @@ object PipelineQueries {
         val stackExpr = s"stack(${cols.size}, " +
           cols.map(c => s"'$c', $c").mkString(", ") + ") AS (col_name, v)"
         val tall = lineitem(s, d).selectExpr(stackExpr)
+        // PLAN TRAP, measured: countDistinct must NOT share an agg with the
+        // object-backed sketches. Spark's single-distinct rewrite makes
+        // every co-located aggregate partial-evaluate per (col_name, v)
+        // group — ~600k QuantileSummaries/HLL buffers instead of 4 — which
+        // ran 48 s where this split shape runs ~3.5 s at sf0.1. So: pass 1
+        // is the pure sketch+algebraic profile (the ONLY pass a production
+        // caller runs — codegen stats + two sketch buffers per column,
+        // 1.5 s); pass 2 fuses the exact-distinct and rank verification
+        // into one agg of codegen-safe aggregates (two-stage distinct over
+        // plain sums is the normal cheap plan), consuming pass 1's medians
+        // by broadcast from the 4-row checkpoint (without the checkpoint
+        // each consumer re-runs the sketch aggregation).
         val agg = tall.groupBy("col_name").agg(
           count(lit(1)).as("n_rows"),
           count(col("v")).as("n_non_null"),
-          countDistinct(col("v")).as("n_distinct"),
           round(min(col("v")).cast(DoubleType), 6).as("min_v"),
           round(max(col("v")).cast(DoubleType), 6).as("max_v"),
           round(dsum(col("v")).cast(DoubleType) / count(col("v")), 6).as("mean_v"),
           approx_count_distinct(col("v"), 0.02).as("nd_approx"),
           expr("approx_percentile(v, 0.5, 10000)").as("md_approx"))
-        val rank = tall
+          .localCheckpoint(eager = true)
+        val verify = tall
           .join(broadcast(agg.select(col("col_name"), col("md_approx"))), "col_name")
           .groupBy("col_name").agg(
+            countDistinct(col("v")).as("n_distinct"),
             sum(when(col("v") < col("md_approx"), 1L).otherwise(0L)).as("n_lt"),
             sum(when(col("v") <= col("md_approx"), 1L).otherwise(0L)).as("n_le"),
             count(col("v")).as("n_v"))
-        agg.join(rank, "col_name")
+        agg.join(verify, "col_name")
           .select(col("col_name").as("column"), col("n_rows"), col("n_non_null"),
             col("n_distinct"), col("min_v"), col("max_v"), col("mean_v"),
             (abs(col("nd_approx") - col("n_distinct")) <=
