@@ -35,18 +35,19 @@ object Curation {
     * column.
     *
     * Required input columns: `text` (string). `n_chars` is used when
-    * present (trusting the source's stored count) and derived as
-    * `length(text)` when absent.
+    * present (trusting the source's stored count) and derived internally
+    * as `length(text)` when absent — the derived value is scratch and is
+    * NOT added to the output.
     *
     * The 6dp rounding + 0.4/0.3/0.2 weights are cross-engine safe:
     * products of a 6dp ratio with these weights end in an even 7th decimal
     * digit, so round(·,6) never lands on a half-tie (where Spark HALF_UP
     * and binary rounding disagree). */
-  def withQuality(docs: DataFrame, stopwords: Seq[String] = defaultStopwords): DataFrame = {
-    val withChars =
-      if (docs.columns.contains("n_chars")) docs
-      else docs.withColumn("n_chars", length(col("text")).cast(LongType))
-    withChars
+  def withQuality(docs: DataFrame, stopwords: Seq[String] = defaultStopwords): DataFrame =
+    docs
+      .withColumn("__cur_nc",
+        (if (docs.columns.contains("n_chars")) col("n_chars")
+         else length(col("text"))).cast(LongType))
       .withColumn("__cur_tk", TextDedup.tokens(col("text")))
       .withColumn("n_tokens", size(col("__cur_tk")).cast(LongType))
       .withColumn("__cur_sum_len",
@@ -59,15 +60,14 @@ object Curation {
       .withColumn("avg_tok_len",
         round(col("__cur_sum_len") / col("n_tokens").cast(DoubleType), 6))
       .withColumn("punct_ratio",
-        round(col("__cur_n_punct") / col("n_chars").cast(DoubleType), 6))
+        round(col("__cur_n_punct") / col("__cur_nc").cast(DoubleType), 6))
       .withColumn("stop_ratio",
         round(col("__cur_n_stop") / col("n_tokens").cast(DoubleType), 6))
       .withColumn("quality_score",
         round(lit(0.4) * col("stop_ratio")
           + lit(0.3) * (least(col("n_tokens"), lit(100L)) / lit(100.0))
           + lit(0.2) * (lit(1.0) - col("punct_ratio")), 6))
-      .drop("__cur_tk", "__cur_sum_len", "__cur_n_stop", "__cur_n_punct")
-  }
+      .drop("__cur_nc", "__cur_tk", "__cur_sum_len", "__cur_n_stop", "__cur_n_punct")
 
   /** The composed pipeline: quality-filter → dedup (min-doc_id survivor)
     * → deterministic train/val split. Returns one row per SURVIVING
@@ -95,7 +95,6 @@ object Curation {
     // feature NAMES the caller brought in survive (with recomputed values);
     // only the names this call introduced are stripped back off
     val callerHad = features.filter(docs.columns.contains)
-    val hadChars = docs.columns.contains("n_chars")
     val scored = withQuality(docs, stopwords)
       .filter(col("quality_score") >= minQuality)
     // The dedup exchange is keyed by the CONTENT HASH (or the component
@@ -108,11 +107,15 @@ object Curation {
     // documents never move.
     val keyed = nearDupMapping match {
       case Some(m) =>
+        // the mapping column joins in under a scratch name so a caller
+        // whose frame ALREADY carries canonical_id (the natural shape after
+        // a TextDedup join) never hits an ambiguous-reference error
         scored
-          .join(m.select(col("doc_id"), col("canonical_id")), Seq("doc_id"), "left")
+          .join(m.select(col("doc_id"), col("canonical_id").as("__cur_can")),
+            Seq("doc_id"), "left")
           .withColumn("__cur_key",
-            coalesce(col("canonical_id"), col("doc_id")).cast("string"))
-          .drop("canonical_id")
+            coalesce(col("__cur_can"), col("doc_id")).cast("string"))
+          .drop("__cur_can")
       case None =>
         scored.withColumn("__cur_key", md5(col("text").cast("binary")))
     }
@@ -122,8 +125,7 @@ object Curation {
       // crosses the wire once
       .withColumn("__cur_keep", min(col("doc_id")).over(Window.partitionBy("__cur_key")))
       .filter(col("doc_id") === col("__cur_keep"))
-      .drop(("__cur_key" +: "__cur_keep" +: features.filterNot(callerHad.contains)) ++
-        (if (hadChars) Nil else Seq("n_chars")): _*)
+      .drop("__cur_key" +: "__cur_keep" +: features.filterNot(callerHad.contains): _*)
       .withColumn("split", Sampling.splitColumn(col("doc_id"), "split", trainFrac))
   }
 }

@@ -105,11 +105,20 @@ object Multimodal {
         }
         i += 12 + n
       }
-      if (!seenIhdr || w <= 0 || h <= 0 || w > (1 << 15) || h > (1 << 15) ||
-        depth != 8 || (ctype != 0 && ctype != 2)) return None
+      if (!seenIhdr || w <= 0 || h <= 0 || depth != 8 || (ctype != 0 && ctype != 2))
+        return None
       val bpp = if (ctype == 2) 3 else 1
-      val stride = 1 + w * bpp
-      val raw = new Array[Byte](h * stride)
+      // Long arithmetic + a 64 MiB raw-size cap BEFORE any allocation: a
+      // tiny valid-CRC header claiming 32768×32768 must neither overflow
+      // Int (h·stride would go negative → uncatchable
+      // NegativeArraySizeException) nor allocate a ~3 GiB buffer the IDAT
+      // data can't possibly fill — either way one hostile blob would kill
+      // the stage instead of degrading
+      val strideL = 1L + w.toLong * bpp
+      val rawLen = h.toLong * strideL
+      if (rawLen > (1L << 26)) return None
+      val stride = strideL.toInt
+      val raw = new Array[Byte](rawLen.toInt)
       val inf = new java.util.zip.Inflater() // zlib-wrapped: verifies Adler-32
       try {
         inf.setInput(idat.toByteArray)
@@ -137,7 +146,9 @@ object Multimodal {
       .mapPartitions { (it: Iterator[Row]) =>
         it.map { r =>
           val id = r.getLong(0)
-          val bytes = r.getAs[Array[Byte]](1)
+          // null blob (missing scrape) → empty bytes → fake-decoder row,
+          // never an NPE that kills the task
+          val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
           Png.decode(bytes) match {
             case Some((w, h, d, ct, pix)) =>
               val fmt = if (ct == 2) "image/png-rgb" else "image/png-gray"

@@ -61,6 +61,15 @@ class CurationSpec extends SparkSpec {
     assert(out2 == Set(2L))
   }
 
+  test("near-dup mode tolerates an input frame that already carries canonical_id") {
+    val docs = mkDocs(1L -> good, 2L -> (good + " tail"))
+      .withColumn("canonical_id", lit(99L)) // caller's column, must survive untouched
+    val mapping = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "canonical_id")
+    val out = Curation.curate(docs, nearDupMapping = Some(mapping))
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L))
+    assert(out.select("canonical_id").as[Long].collect().toSeq == Seq(99L))
+  }
+
   test("withQuality derives n_chars from length(text) when the input lacks the column") {
     val bare = Seq(1L -> good, 2L -> bad).toDF("doc_id", "text")
     val q = Curation.withQuality(bare)

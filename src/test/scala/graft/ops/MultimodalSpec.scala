@@ -233,6 +233,36 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.Png.decode(bad).isEmpty)
   }
 
+  test("Png.decode: a valid-CRC header bomb (huge dims) degrades instead of overflowing/allocating") {
+    // craft sig + IHDR(40000x40000, rgb) + IEND with CORRECT CRCs and no
+    // IDAT — only the size cap can reject it, and it must return None
+    // rather than throw NegativeArraySizeException or allocate ~4 GiB
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    for ((tag, data) <- Seq(
+        "IHDR" -> (be32(40000L) ++ be32(40000L) ++ Array[Byte](8, 2, 0, 0, 0)),
+        "IEND" -> Array.emptyByteArray)) {
+      out.write(be32(data.length.toLong))
+      val td = tag.getBytes("US-ASCII") ++ data
+      out.write(td)
+      val c = new java.util.zip.CRC32(); c.update(td)
+      out.write(be32(c.getValue))
+    }
+    assert(Multimodal.Png.decode(out.toByteArray).isEmpty)
+  }
+
+  test("pngMeta: a null media blob degrades to the fake row, never an NPE") {
+    val gray = Array.tabulate[Byte](2 * 2)(i => (i * 60).toByte)
+    val df = Seq((1L, pngBytes(2, 2, 0, gray)), (2L, null: Array[Byte]))
+      .toDF("media_id", "media")
+    val out = Multimodal.pngMeta(df).collect().sortBy(_.media_id)
+    assert(out(0).format == "image/png-gray")
+    assert(out(1).format.startsWith("img/fake") && out(1).bit_depth.isEmpty)
+  }
+
   test("pngMeta: real rows carry pixel hex, fallback rows carry fake dims + null depth") {
     val gray = Array.tabulate[Byte](2 * 2)(i => (i * 60).toByte)
     val df = Seq(

@@ -17,9 +17,16 @@ still resolves and replica 0 is byte-identical to the source:
   SimHash pair stages grow quadratically on fake duplicates that real
   corpora don't have (the dedup queries' cost would be dominated by an
   artifact of the generator, not by scale).
-- embeddings: vec_id shifted likewise; every element nudged by
-  replica * 1e-3 for replicas > 0 — same non-near-dup reasoning for the
-  embedding near-dup / ANN queries.
+- embeddings: vec_id shifted likewise; for replicas > 0 each element is
+  rescaled by a deterministic element-AND-replica-dependent factor (1.5x on
+  alternating positions, sign flip on ~1/13 of positions) — same
+  non-near-dup reasoning for the embedding near-dup / ANN queries. A
+  constant additive nudge would NOT work: it preserves direction, so
+  replicas keep cosine >= 0.999 and the near-dup pair stage goes quadratic
+  on generator artifacts; the element-wise rescale drops cross-replica
+  cosine well below the 0.99 near-dup threshold (~0.97 from the scale
+  pattern alone, lower once sign flips differ) and perturbs the sign-LSH
+  bucket of most replicas.
 - region nation customer supplier part events: straight file copies
   (events.parquet carries TIMESTAMP(NANOS) — a rewrite through any engine
   would change the physical type, and graft.Tables.events depends on it).
@@ -84,7 +91,10 @@ def main():
         SELECT vec_id + r * {k_vec} AS vec_id,
                CASE WHEN r = 0 THEN embedding
                     ELSE list_transform(embedding,
-                         x -> CAST(x + r * 0.001 AS FLOAT)) END AS embedding,
+                         (x, i) -> CAST(x * (1 + 0.5 * ((i + r) % 2))
+                                          * (CASE WHEN (i * 7 + r) % 13 = 0
+                                             THEN -1 ELSE 1 END) AS FLOAT))
+               END AS embedding,
                label
         FROM '{src}/embeddings.parquet', range({factor}) t(r)""", out, "embeddings")
     print(f"done: {out} at {factor}x {src}")
