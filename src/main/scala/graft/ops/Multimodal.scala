@@ -266,6 +266,21 @@ object Multimodal {
       else None
     }
 
+    /** All PCM s16le samples of a canonical WAV blob (channel-interleaved
+      * when stereo), or None when the blob is not a decodable PCM16 WAV —
+      * the SAME classification decode() uses, so a blob that routes to the
+      * fake there never yields "real" samples here. A trailing odd byte in
+      * a (corrupt) data chunk is dropped rather than misread. */
+    def pcm16Samples(bytes: Array[Byte]): Option[Array[Int]] =
+      if (bytes == null || !isPcm16Wav(bytes)) None
+      else wavDataSpan(bytes).map { case (off, end) =>
+        val n = (end - off) / 2
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) { out(i) = le16(bytes, off + 2 * i).toShort.toInt; i += 1 }
+        out
+      }
+
     def decode(bytes: Array[Byte]): (String, Int, Int) =
       if (Png.isPng(bytes))
         Png.decode(bytes).map { case (w, h, _, _, _) => ("image/png", w, h) }
@@ -359,6 +374,52 @@ object Multimodal {
           md.reset()
           val sum = md.digest(bytes).map("%02x".format(_)).mkString
           MediaMeta(id, bytes.length.toLong, fmt, w, h, sum)
+        }
+      }
+  }
+
+  /** Per-clip audio features over REAL decoded PCM s16le samples. All four
+    * features are INTEGER-exact (sum of squares, not RMS; peak amplitude,
+    * not dB) so the numbers are bit-stable across engines and partitionings
+    * — a caller wanting RMS/loudness derives it as sqrt(sum_sq/n_samples)
+    * in one narrow projection. Blobs that are not decodable PCM16 WAVs
+    * (per [[HeaderDecoder]]'s classification) yield `valid = false` with
+    * zeroed features instead of throwing: a 100 TB scrape WILL contain
+    * corrupt audio and one bad row must not kill the stage. */
+  final case class PcmFeatures(
+      media_id: Long,
+      valid: Boolean,
+      n_samples: Long,
+      sum_sq: Long,
+      peak: Long,
+      zero_crossings: Long)
+
+  /** (media_id: Long, media: binary) → one [[PcmFeatures]] row per blob.
+    * Narrow per-row decode (zero shuffle): each clip's samples are visited
+    * once in a single pass, state is O(1) per row, and clips never cross
+    * partitions — the shape that holds at any corpus size. */
+  def pcmFeatures(media: DataFrame): Dataset[PcmFeatures] = {
+    implicit val enc = Encoders.product[PcmFeatures]
+    media.select(col("media_id").cast("long"), col("media"))
+      .mapPartitions { (it: Iterator[Row]) =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          HeaderDecoder.pcm16Samples(bytes) match {
+            case Some(s) =>
+              var sq = 0L; var peak = 0L; var zc = 0L
+              var i = 0
+              while (i < s.length) {
+                val v = s(i).toLong
+                sq += v * v
+                val a = math.abs(v)
+                if (a > peak) peak = a
+                if (i > 0 && ((s(i - 1) < 0) != (v < 0))) zc += 1
+                i += 1
+              }
+              PcmFeatures(id, valid = true, s.length.toLong, sq, peak, zc)
+            case None => PcmFeatures(id, valid = false, 0L, 0L, 0L, 0L)
+          }
         }
       }
   }

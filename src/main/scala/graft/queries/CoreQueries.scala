@@ -846,6 +846,35 @@ object CoreQueries {
              |SELECT child_id AS node_id,
              |  string_agg(CAST(ancestor_id AS VARCHAR), '/' ORDER BY depth DESC) AS lineage,
              |  CAST(max(depth) AS BIGINT) AS depth
-             |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Q39 — LATERAL correlated subquery (top-2 orders per customer): the
+    // declarative "for each row, run this parameterized subquery" form.
+    // Spark decorrelates the correlated ORDER BY ... LIMIT into a
+    // WindowGroupLimit(row_number ≤ 2) with a PARTIAL pass before the
+    // o_custkey exchange — each map task keeps ≤2 rows per key, so the
+    // shuffle carries O(customers), not O(orders). That is exactly the
+    // top-k-per-group physical plan (q13) reached from the lateral-join
+    // surface; no nested-loop per-row execution survives optimization.
+    // The ordering is fully tiebroken (price DESC, orderkey) — group-limit
+    // results are only cross-engine deterministic under a total order.
+    QueryDef(
+      "q39_lateral_topk",
+      (s, d) => {
+        val cust = s"parquet.`$d/customer.parquet`"
+        val ord = s"parquet.`$d/orders.parquet`"
+        s.sql(s"""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+                 |FROM $cust c JOIN LATERAL (
+                 |  SELECT o_orderkey, o_totalprice FROM $ord
+                 |  WHERE o_custkey = c.c_custkey
+                 |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+                 |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+      },
+      Some("""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+             |FROM customer c JOIN LATERAL (
+             |  SELECT o_orderkey, o_totalprice FROM orders
+             |  WHERE o_custkey = c.c_custkey
+             |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o ON true
+             |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin))
   )
 }

@@ -1698,6 +1698,120 @@ object PipelineQueries {
               |SELECT doc_id, quality_score,
               |  CASE WHEN substring(md5(doc_id::VARCHAR || ':split'), 1, 8) < 'cccccccc'
               |    THEN 'train' ELSE 'val' END AS split
-              |FROM sv WHERE doc_id = keep ORDER BY doc_id""".stripMargin))
+              |FROM sv WHERE doc_id = keep ORDER BY doc_id""".stripMargin)),
+
+    // Contamination at the 100 TB posture: x19's exact semi-join with the
+    // benchmark side carried as a broadcast BLOOM FILTER (~10 bits/shingle
+    // regardless of shingle width) + a narrow mightContain prefilter, then
+    // an exact confirm join over only the surviving candidates (see
+    // ops/BloomJoin.scala for the full posture argument). The prefilter
+    // sits UPSTREAM of the (doc_id, sh) dedup exchange — unlike x19, where
+    // the distinct shuffles EVERY corpus shingle, here both wide ops
+    // (distinct and confirm join) see only the candidate fraction; the
+    // non-matching bulk of the corpus dies in the narrow scan stage.
+    // Blooms have no false negatives and the confirm kills the false
+    // positives, so the answer is BIT-IDENTICAL to x19 — gated by the SAME
+    // oracle SQL, which is exactly the point: the scale path must not
+    // change the answer.
+    QueryDef(
+      "x39_contamination_bloom",
+      (s, d) => {
+        val all = documents(s, d)
+        def shingles(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("doc_id"), tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 3)
+          .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
+        val bench = shingles(all.filter(col("doc_id") < 50)).select("sh").distinct()
+        // expectedItems bounds the BENCH side (fixed id range → bounded set);
+        // an underestimate only raises realized fpp, never drops a member
+        graft.ops.BloomJoin
+          .semiJoin(shingles(all.filter(col("doc_id") >= 50)), bench, "sh",
+            expectedItems = 1L << 14, fpp = 0.01)
+          .distinct()
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shared"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+              |sh AS (SELECT DISTINCT doc_id, sh FROM (
+              |  SELECT doc_id, unnest($shinglesSql) AS sh FROM t WHERE len(tk) >= 3) u),
+              |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 50)
+              |SELECT s.doc_id, count(*) AS n_shared FROM sh s JOIN bench b ON s.sh = b.sh
+              |WHERE s.doc_id >= 50 GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
+    // REAL audio decode-and-featurize: deterministic PCM16 WAVs are built
+    // byte-identically in BOTH engines (x27's dual-dialect hex-builder
+    // pattern, sample i = (doc_id*7919 + i*104729) mod 2^16 stored s16le),
+    // Spark decodes them through Multimodal.pcmFeatures — a REAL chunk-walk
+    // + two's-complement sample parse (ops/Multimodal.scala pcm16Samples) —
+    // and DuckDB independently re-parses the sample count from the data-size
+    // header field and every sample from the hex bytes, then recomputes the
+    // same integer features (sum of squares / peak / zero crossings — all
+    // integer-exact, so cross-engine hashable). Corrupt rows (kind 4)
+    // exercise the valid=false fallback. The decode is a narrow per-row
+    // map: zero shuffle before the final ORDER BY.
+    QueryDef(
+      "x40_audio_features",
+      (s, d) => {
+        val base = documents(s, d).filter(col("doc_id") < 40)
+          .select(col("doc_id"),
+            (col("doc_id") % 5).as("kind"),
+            ((col("doc_id") % 29) + 4).cast("int").as("n"),
+            ((col("doc_id") % 50) * 100 + 8000).cast("int").as("rate"))
+        val sampHex = "aggregate(sequence(0, n - 1), '', (acc, i) -> concat(acc, " +
+          le16S("(doc_id * 7919 + i * 104729) % 65536") + "))"
+        val wavHex = s"concat('52494646', ${le32S("36 + 2 * n")}, " +
+          s"'57415645666D742010000000', '01000100', ${le32S("rate")}, " +
+          s"${le32S("rate * 2")}, '02001000', '64617461', ${le32S("2 * n")}, $sampHex)"
+        val corruptHex = s"concat(${hbS("doc_id % 256")}, ${hbS("(doc_id * 11) % 256")})"
+        val blobs = base
+          .withColumn("hx", expr(
+            s"CASE WHEN CAST(kind AS INT) = 4 THEN $corruptHex ELSE $wavHex END"))
+          .select(col("doc_id").as("media_id"), unhex(col("hx")).as("media"))
+        graft.ops.Multimodal.pcmFeatures(blobs)
+          .select(col("media_id"), col("valid"), col("n_samples"),
+            col("sum_sq"), col("peak"), col("zero_crossings"))
+          .orderBy("media_id")
+      },
+      Some {
+        // hex digit value at 1-based char position `p` of hx (p may be an
+        // expression — the sample offset is per-row data)
+        def hAt(p: String) = s"(instr('0123456789ABCDEF', substr(hx, $p, 1)) - 1)"
+        // s16le sample i: low byte at blob offset 44+2i (hex chars 89+4i,
+        // 90+4i), high byte at 45+2i (chars 91+4i, 92+4i)
+        val rawExpr = s"((${hAt("89 + 4*i")} * 16 + ${hAt("90 + 4*i")}) + " +
+          s"256 * (${hAt("91 + 4*i")} * 16 + ${hAt("92 + 4*i")}))"
+        s"""WITH b AS (SELECT doc_id, doc_id % 5 AS kind, doc_id % 29 + 4 AS n,
+           |  (doc_id % 50) * 100 + 8000 AS rate FROM documents WHERE doc_id < 40),
+           |idx AS (SELECT doc_id, unnest(range(0, n)) AS i FROM b),
+           |samp AS (SELECT doc_id, i, (doc_id * 7919 + i * 104729) % 65536 AS sv FROM idx),
+           |dh AS (SELECT doc_id, string_agg(${le16D("sv")}, '' ORDER BY i) AS dhex
+           |  FROM samp GROUP BY 1),
+           |hxt AS (SELECT b.doc_id, kind,
+           |  CASE WHEN kind = 4 THEN ${hbD("b.doc_id % 256")} || ${hbD("(b.doc_id * 11) % 256")}
+           |  ELSE '52494646' || ${le32D("36 + 2*n")} || '57415645666D742010000000' ||
+           |    '01000100' || ${le32D("rate")} || ${le32D("rate * 2")} || '02001000' ||
+           |    '64617461' || ${le32D("2*n")} || dhex END AS hx
+           |  FROM b JOIN dh ON b.doc_id = dh.doc_id),
+           |par AS (SELECT doc_id, kind, hx,
+           |  CASE WHEN kind = 4 THEN 0 ELSE ${leFieldD(40, 4)} // 2 END AS ns FROM hxt),
+           |sidx AS (SELECT doc_id, hx, unnest(range(0, ns)) AS i FROM par),
+           |sraw AS (SELECT doc_id, i, $rawExpr AS raw FROM sidx),
+           |sgn AS (SELECT doc_id, i,
+           |  CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v FROM sraw),
+           |zc AS (SELECT doc_id, i, v,
+           |  lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM sgn),
+           |feat AS (SELECT doc_id, count(*) AS n_samples, sum(v * v) AS sum_sq,
+           |  max(abs(v)) AS peak,
+           |  sum(CASE WHEN pv IS NOT NULL AND ((pv < 0) <> (v < 0)) THEN 1 ELSE 0 END)
+           |    AS zero_crossings
+           |  FROM zc GROUP BY 1)
+           |SELECT p.doc_id AS media_id, (kind <> 4) AS valid,
+           |  CAST(coalesce(f.n_samples, 0) AS BIGINT) AS n_samples,
+           |  CAST(coalesce(f.sum_sq, 0) AS BIGINT) AS sum_sq,
+           |  CAST(coalesce(f.peak, 0) AS BIGINT) AS peak,
+           |  CAST(coalesce(f.zero_crossings, 0) AS BIGINT) AS zero_crossings
+           |FROM par p LEFT JOIN feat f ON p.doc_id = f.doc_id ORDER BY media_id""".stripMargin
+      })
   )
 }

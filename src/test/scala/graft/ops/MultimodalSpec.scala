@@ -286,4 +286,53 @@ class MultimodalSpec extends SparkSpec {
     val plan = Multimodal.sliceFrames(df, 100).queryExecution.executedPlan.toString
     assert(!plan.contains("DeserializeToObject") && plan.contains("Generate"), plan)
   }
+
+  test("pcm16Samples: real two's-complement parse, LIST-chunk walk, classification parity") {
+    val d = Multimodal.HeaderDecoder
+    // known samples round-trip exactly, sign included
+    val vals = Array[Short](0, 1, -1, 32767, -32768, 12345, -12345)
+    val bb = java.nio.ByteBuffer.allocate(44 + vals.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + vals.length * 2).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(16000).putShort(2).putShort(16)
+      .put("data".getBytes).putInt(vals.length * 2)
+    vals.foreach(bb.putShort)
+    val wav = bb.array()
+    assert(d.pcm16Samples(wav).get.toSeq == vals.map(_.toInt).toSeq)
+    // a data chunk behind a LIST chunk is still found (real chunk walk)
+    val spliced = java.nio.ByteBuffer.allocate(wav.length + 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put(wav, 0, 36).put("LIST".getBytes).putInt(4).put("INFO".getBytes)
+      .put(wav, 36, wav.length - 36).array()
+    assert(d.pcm16Samples(spliced).get.toSeq == vals.map(_.toInt).toSeq)
+    // a corrupt odd-length data chunk drops the trailing byte, never misreads
+    val odd = wav.clone(); odd(40) = (vals.length * 2 - 1).toByte
+    assert(d.pcm16Samples(odd).get.length == vals.length - 1)
+    // classification parity with decode(): null / junk / non-PCM yield None
+    assert(d.pcm16Samples(null).isEmpty)
+    assert(d.pcm16Samples("junk".getBytes).isEmpty)
+    val float32 = wav.clone(); float32(20) = 3 // IEEE-float format tag
+    assert(d.pcm16Samples(float32).isEmpty)
+  }
+
+  test("pcmFeatures: integer-exact features, corrupt rows degrade to valid=false") {
+    // samples chosen so every feature is hand-checkable:
+    //   5, -3, 0, -3  →  sum_sq = 25+9+0+9 = 43, peak = 5,
+    //   crossings at 5→-3, -3→0, and 0→-3 (0 counts as non-negative) = 3
+    val vals = Array[Short](5, -3, 0, -3)
+    val bb = java.nio.ByteBuffer.allocate(44 + vals.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + vals.length * 2).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(16000).putShort(2).putShort(16)
+      .put("data".getBytes).putInt(vals.length * 2)
+    vals.foreach(bb.putShort)
+    val df = Seq((1L, bb.array()), (2L, "nope".getBytes), (3L, null))
+      .toDF("media_id", "media")
+    val out = Multimodal.pcmFeatures(df).collect().sortBy(_.media_id)
+    assert(out(0) == Multimodal.PcmFeatures(1L, valid = true, 4L, 43L, 5L, 3L))
+    assert(out(1) == Multimodal.PcmFeatures(2L, valid = false, 0L, 0L, 0L, 0L))
+    assert(out(2) == Multimodal.PcmFeatures(3L, valid = false, 0L, 0L, 0L, 0L))
+  }
 }

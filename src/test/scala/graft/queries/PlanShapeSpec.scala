@@ -134,6 +134,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("q39's lateral LIMIT decorrelates to a partial WindowGroupLimit — no per-row subquery") {
+    val p = plans("q39_lateral_topk")
+    // the map-side Partial pass keeps ≤k rows per key BEFORE the exchange,
+    // so the shuffle carries O(groups), not O(orders)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert("WindowGroupLimit[^\n]*Partial".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("x40's audio decode is a narrow per-row map — zero operator shuffle before the sort") {
+    val p = plans("x40_audio_features")
+    assert(opExchanges(p) == 0, s"decode must not shuffle:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
   test("x35's composed curation is narrow-score -> one content-HASH exchange -> narrow split (no join)") {
     val p = plans("x35_curation")
     assert(opExchanges(p) == 1, s"expected one content-hash exchange, plan:\n$p")

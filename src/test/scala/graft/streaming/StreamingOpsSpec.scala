@@ -20,7 +20,7 @@ class StreamingOpsSpec extends SparkSpec {
       .queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), s"stream $name did not terminate within 120s")
     spark.table(name)
   }
 
@@ -63,7 +63,7 @@ class StreamingOpsSpec extends SparkSpec {
     val q = StreamingOps.dedupWithinWatermark(src, Seq("event_id"))
       .writeStream.outputMode("append").format("memory").queryName("dedup")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "dedup stream did not terminate within 120s")
     assert(spark.table("dedup").count() == batchEvents.count())
   }
 }
