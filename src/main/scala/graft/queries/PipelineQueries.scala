@@ -1812,6 +1812,112 @@ object PipelineQueries {
            |  CAST(coalesce(f.peak, 0) AS BIGINT) AS peak,
            |  CAST(coalesce(f.zero_crossings, 0) AS BIGINT) AS zero_crossings
            |FROM par p LEFT JOIN feat f ON p.doc_id = f.doc_id ORDER BY media_id""".stripMargin
-      })
+      }),
+
+    // Asymmetric shingle CONTAINMENT dedup: |A∩B|/|A| (and /|B|) over the
+    // same capped inverted index as x05. Jaccard misses subset duplication
+    // by construction — a 12-token excerpt inside a 200-token original
+    // shares ~10 shingles, Jaccard ≈ 0.05, containment(excerpt) = 1.0 —
+    // and excerpt/quote/boilerplate-prefix duplication is exactly what a
+    // web-scrape curation pass must catch. The gate corpus manufactures
+    // true subset pairs (each doc ∪ its first-12-token truncation at
+    // +20000): prefix truncation preserves the shingle-subset property, so
+    // every truncated doc is a guaranteed containment-1.0 hit. Plan shape
+    // is x05's: ONE shingle exchange serves dedup, df-cap, and the pair
+    // self-join; hash joins/aggs throughout; the df cap bounds the
+    // per-shingle pair fan-out (capped-containment semantics, the oracle
+    // applies the identical cap — see x05's rationale).
+    QueryDef(
+      "x41_containment",
+      (s, d) => {
+        val doc = documents(s, d)
+        val trunc = doc.select((col("doc_id") + 20000).as("doc_id"),
+          array_join(slice(tokens(col("text")), 1, 12), " ").as("text"))
+        val corpus = doc.select("doc_id", "text").unionByName(trunc)
+        val raw = corpus
+          .select(col("doc_id"), tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 3)
+          .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
+          .repartition(col("sh"))
+          .dropDuplicates("doc_id", "sh")
+        val dfTab = raw.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= hotShingleMaxDf).select("sh")
+        val ex = raw.join(dfTab.hint("shuffle_hash"), Seq("sh"), "left_semi")
+          .localCheckpoint(eager = true)
+        val nTab = ex.groupBy("doc_id").agg(count(lit(1)).cast(LongType).as("n"))
+        ex.as("a")
+          .join(ex.as("b").hint("shuffle_hash"),
+            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .agg(count(lit(1)).as("i"))
+          .join(nTab.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
+          .join(nTab.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
+          .withColumn("cont_a", round(col("i") / col("na").cast(DoubleType), 6))
+          .withColumn("cont_b", round(col("i") / col("nb").cast(DoubleType), 6))
+          .filter(greatest(col("cont_a"), col("cont_b")) >= 0.9)
+          .select("a_id", "b_id", "cont_a", "cont_b")
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""WITH corpus AS (SELECT doc_id, text FROM documents
+              |  UNION ALL SELECT doc_id + 20000 AS doc_id,
+              |    array_to_string(($tokensSql)[1:12], ' ') AS text FROM documents),
+              |toks AS (SELECT doc_id, $tokensSql AS tk FROM corpus),
+              |sh0 AS (SELECT DISTINCT doc_id, sh FROM (
+              |  SELECT doc_id, unnest($shinglesSql) AS sh FROM toks WHERE len(tk) >= 3) u),
+              |heavy AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > $hotShingleMaxDf),
+              |sh AS (SELECT doc_id, sh FROM sh0 s
+              |  WHERE NOT EXISTS (SELECT 1 FROM heavy h WHERE h.sh = s.sh)),
+              |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+              |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i FROM sh a
+              |  JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+              |SELECT a_id, b_id,
+              |  round(i / CAST(sa.n AS DOUBLE), 6) AS cont_a,
+              |  round(i / CAST(sb.n AS DOUBLE), 6) AS cont_b
+              |FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+              |WHERE greatest(round(i / CAST(sa.n AS DOUBLE), 6),
+              |               round(i / CAST(sb.n AS DOUBLE), 6)) >= 0.9
+              |ORDER BY a_id, b_id""".stripMargin)),
+
+    // Heavy-hitter token frequencies via a MERGEABLE count-min sketch with
+    // an oracle-gated error contract (the x37 pattern for frequencies).
+    // The 100 TB shape: each partition folds its tokens into a fixed
+    // ~eps⁻¹-cell sketch, partials merge associatively up the tree (one
+    // ~50 KB binary reaches the driver — token cardinality never does),
+    // then candidates are probed against the broadcast sketch. CMS
+    // guarantees estimate ≥ true and, at confidence 0.999 per probe,
+    // estimate ≤ true + eps·N — both bounds CHECKED per row and asserted
+    // TRUE by the oracle, which recomputes the exact counts; the seed is
+    // fixed, so the gate is deterministic. The exact top-20 candidate pass
+    // here is the verification harness, not the scale path (a production
+    // caller feeds the probe from per-partition local top-k unions).
+    QueryDef(
+      "x42_freq_sketch",
+      (s, d) => {
+        val toks = documents(s, d)
+          .select(explode(tokens(col("text"))).as("tok"))
+          .filter(length(col("tok")) > 0)
+        val eps = 0.001
+        // two driver-side actions, both O(1)-sized results: the merged
+        // sketch binary and the scalar token total for the eps·N bound
+        val skBytes = toks
+          .agg(expr(s"count_min_sketch(tok, ${eps}d, 0.999d, 1)")).head().getAs[Array[Byte]](0)
+        val nTotal = toks.count()
+        val sk = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(skBytes))
+        val bc = s.sparkContext.broadcast(sk)
+        val est = udf((t: String) => bc.value.estimateCount(t))
+        val bound = math.ceil(eps * nTotal).toLong
+        toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+          .orderBy(desc("n_exact"), col("tok")).limit(20)
+          .withColumn("n_est", est(col("tok")))
+          .select(col("tok"), col("n_exact"),
+            (col("n_est") >= col("n_exact")).as("lower_ok"),
+            (col("n_est") <= col("n_exact") + lit(bound)).as("upper_ok"))
+          .orderBy(desc("n_exact"), col("tok"))
+      },
+      Some(s"""WITH toks AS (SELECT unnest($tokensSql) AS tok FROM documents),
+              |t AS (SELECT tok FROM toks WHERE len(tok) > 0)
+              |SELECT tok, count(*) AS n_exact, TRUE AS lower_ok, TRUE AS upper_ok
+              |FROM t GROUP BY tok ORDER BY n_exact DESC, tok LIMIT 20""".stripMargin))
   )
 }

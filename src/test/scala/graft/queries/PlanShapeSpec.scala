@@ -171,4 +171,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(sorts <= 1, s"unexpected index-sized sort in x05 ($sorts sorts):\n$p")
     assert(p.contains("ShuffledHashJoin"), p)
   }
+
+  test("x41 containment keeps x05's index shape (hash joins, one result sort)") {
+    val p = plans("x41_containment")
+    val sorts = "Sort \\[".r.findAllIn(p).length
+    assert(sorts <= 1, s"unexpected index-sized sort in x41 ($sorts sorts):\n$p")
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x42's result stage is sketch-probe narrow work over the exact candidates (no re-agg of tokens)") {
+    val p = plans("x42_freq_sketch")
+    // one token aggregation feeds the top-20; the probe is a projection —
+    // no join, no second pass over the token stream
+    assert(!p.contains("Join"), p)
+    assert(p.contains("TakeOrderedAndProject") || p.contains("GlobalLimit"), p)
+  }
 }
