@@ -204,6 +204,74 @@ object Multimodal {
 
     private def isPpm(b: Array[Byte]) =
       b.length > 10 && b(0) == 'P' && b(1) == '6' && (b(2) == ' ' || b(2) == '\n')
+
+    private def isJpeg(b: Array[Byte]) =
+      b.length >= 4 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8 && u8(b, 2) == 0xff
+
+    /** (width, height, nComponents) from the first SOF0/1/2 frame header
+      * via a bounds-checked marker walk — JPEG DIMENSIONS are plain
+      * big-endian header fields, no entropy decoding involved, so metadata
+      * extraction is real even though pixel decode stays behind the codec
+      * stub. Standalone markers (RST/TEM) carry no length; EOI or SOS
+      * before any SOF means no parseable frame header → None (fake
+      * fallback). Only 8-bit precision is accepted — 12/16-bit JPEGs are
+      * rare scan shapes the byte-window feature path could misreport. */
+    private def jpegDims(b: Array[Byte]): Option[(Int, Int, Int)] = {
+      var i = 2
+      while (i + 4 <= b.length) {
+        if (u8(b, i) != 0xff) return None
+        val m = u8(b, i + 1)
+        if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) i += 2
+        else if (m == 0xd9 || m == 0xda) return None // EOI/SOS before SOF
+        else {
+          val len = (u8(b, i + 2) << 8) | u8(b, i + 3)
+          if (len < 2 || i + 2 + len > b.length) return None
+          if (m == 0xc0 || m == 0xc1 || m == 0xc2) {
+            if (len < 8) return None
+            val prec = u8(b, i + 4)
+            val h = (u8(b, i + 5) << 8) | u8(b, i + 6)
+            val w = (u8(b, i + 7) << 8) | u8(b, i + 8)
+            val nc = u8(b, i + 9)
+            return if (prec == 8 && w > 0 && h > 0 && nc > 0) Some((w, h, nc))
+            else None
+          }
+          i += 2 + len
+        }
+      }
+      None
+    }
+
+    /** Cheap magic test before the full MP3 parse: a leading ID3v2 tag or
+      * an MPEG-1 Layer III frame sync. */
+    private def looksMp3(b: Array[Byte]) =
+      (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') ||
+        (b.length >= 4 && u8(b, 0) == 0xff && (u8(b, 1) & 0xfe) == 0xfa)
+
+    /** MPEG-1 Layer III frame header → (sampleRate, channels, bitrateKbps,
+      * frameBytes). Container metadata is byte arithmetic: the bitrate and
+      * sample-rate TABLES are part of the public MPEG-1 header spec, not of
+      * any entropy decoder. A leading ID3v2 tag is skipped via its
+      * syncsafe 28-bit size (each size byte must have bit 7 clear).
+      * Free-format (bitrate index 0), the reserved indices, and non-MPEG1
+      * or non-Layer-III syncs all return None → fake fallback. */
+    private def mp3Header(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+      var i = 0
+      if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+        if ((u8(b, 6) | u8(b, 7) | u8(b, 8) | u8(b, 9)) >= 0x80) return None
+        i = 10 + ((u8(b, 6) << 21) | (u8(b, 7) << 14) | (u8(b, 8) << 7) | u8(b, 9))
+      }
+      if (i < 0 || i + 4 > b.length) return None
+      // byte1 = 111 11 01 x : sync + MPEG-1 (11) + Layer III (01) + protection
+      if (u8(b, i) != 0xff || (u8(b, i + 1) & 0xfe) != 0xfa) return None
+      val br = u8(b, i + 2) >> 4
+      val sr = (u8(b, i + 2) >> 2) & 3
+      val pad = (u8(b, i + 2) >> 1) & 1
+      val mode = u8(b, i + 3) >> 6
+      if (br == 0 || br == 15 || sr == 3) return None
+      val bitrate = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)(br)
+      val rate = Array(44100, 48000, 32000)(sr)
+      Some((rate, if (mode == 3) 1 else 2, bitrate, 144 * bitrate * 1000 / rate + pad))
+    }
     /** 'BM' magic alone is NOT enough for the real path: an OS/2
       * BITMAPCOREHEADER puts dims at different offsets, and 32bpp or
       * RLE/compressed payloads would make the fixed-offset reads (and the

@@ -39,7 +39,10 @@ object CoreQueries {
       TransitiveClosure.closure(edges)
     }
 
-  val all: Seq[QueryDef] = Seq(
+  // lazy: `base`/`more` are textually later vals; object init runs top-down
+  lazy val all: Seq[QueryDef] = base ++ more
+
+  private val base: Seq[QueryDef] = Seq(
     // Q1 — scan + project (reference R3 projection, main.py:60-77)
     QueryDef(
       "q01_scan_project",
@@ -876,5 +879,41 @@ object CoreQueries {
              |  WHERE o_custkey = c.c_custkey
              |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o ON true
              |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin))
+  )
+
+  /** Q40 and later live in a second Seq only to keep the first under the
+    * JVM's 64 KB method-size limit for the enclosing class initializer. */
+  private val more: Seq[QueryDef] = Seq(
+
+    // Q40 — inverse-distribution aggregate family (percentile_cont /
+    // percentile_disc / median): the data-card staple q07's moments miss.
+    // percentile_cont interpolates linearly between order statistics at
+    // rank p·(n−1); both engines compute it from exact sorted order
+    // statistics (Spark `percentile`, DuckDB `quantile_cont`), and the
+    // interpolation is the same one IEEE expression, so 6 dp rounding
+    // makes it gate-stable. percentile_disc takes the FIRST value whose
+    // cumulative distribution reaches p — no interpolation, so it's
+    // exact on both sides (DuckDB: quantile_disc). Scale posture: exact
+    // percentiles sort each group; at 100 TB swap to approx_percentile
+    // with an error contract — that swap is ALREADY gated as x37, so this
+    // row pins the exact semantics the approx form is contracted against.
+    QueryDef(
+      "q40_percentile_family",
+      (s, d) => lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 6).as("p25"),
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_quantity, 0.75)"), 6).as("p75"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").as("med_disc"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 6).as("price_p90"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+             |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+             |  round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+             |  quantile_disc(l_quantity, 0.5) AS med_disc,
+             |  round(quantile_cont(l_extendedprice, 0.9), 6) AS price_p90
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -1918,6 +1918,193 @@ object PipelineQueries {
       Some(s"""WITH toks AS (SELECT unnest($tokensSql) AS tok FROM documents),
               |t AS (SELECT tok FROM toks WHERE len(tok) > 0)
               |SELECT tok, count(*) AS n_exact, TRUE AS lower_ok, TRUE AS upper_ok
-              |FROM t GROUP BY tok ORDER BY n_exact DESC, tok LIMIT 20""".stripMargin))
+              |FROM t GROUP BY tok ORDER BY n_exact DESC, tok LIMIT 20""".stripMargin)),
+
+    // Temperature-scaled source-mixture sampling — the "training mix" step:
+    // given per-source token masses T_s, allot each source a token budget
+    // proportional to T_s^(1/2) (temperature flattening: big sources are
+    // downweighted, small ones upweighted, the standard move when blending
+    // multi-source corpora), then select docs deterministically by hash
+    // rank until the budget fills. Cross-engine determinism: sqrt is one
+    // correctly-rounded IEEE op; each sqrt(T_s) is rounded to 6 dp and
+    // summed as DECIMAL(38,6) (exact, associative) so the normalizer Z is
+    // identical in both engines; weight = sqrt_s/Z and budget = ⌊w·B⌋ are
+    // then single IEEE ops on identical doubles; the take-while itself
+    // (cumulative tokens ≤ budget over md5-rank order) is all exact
+    // integers. Plan shape: per-source stats are one small agg joined back
+    // as a broadcast; the cumulative-sum window and the final per-source
+    // rollup share ONE source exchange (the groupBy reuses the window's
+    // hash partitioning). 100 TB posture: the window sorts each source's
+    // docs — for a mega-source, swap the exact cumsum for a sketch-quantile
+    // hash threshold (x31's documented swap); determinism is unaffected.
+    QueryDef(
+      "x43_mixture_sample",
+      (s, d) => {
+        val docs = documents(s, d)
+          .select(col("doc_id"), col("source"),
+            size(tokens(col("text"))).cast(LongType).as("n_tok"),
+            md5(concat(lit("mix"), col("doc_id").cast("string")).cast("binary")).as("h"))
+        val st = docs.groupBy("source")
+          .agg(sum("n_tok").as("t_s"),
+            round(sqrt(sum("n_tok").cast(DoubleType)), 6)
+              .cast(DecimalType(38, 6)).as("sq"))
+        val tot = st.agg(sum("t_s").as("t_tot"), sum("sq").as("z"))
+        val bud = st.crossJoin(broadcast(tot))
+          .withColumn("w", col("sq").cast(DoubleType) / col("z").cast(DoubleType))
+          .withColumn("budget_tokens",
+            floor(col("w") * floor(col("t_tot").cast(DoubleType) * 0.5)).cast(LongType))
+          .select(col("source"), col("t_s").cast(LongType).as("src_tokens"),
+            col("budget_tokens"))
+        val wCum = Window.partitionBy("source").orderBy("h", "doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val kept = docs.join(broadcast(bud), "source")
+          .withColumn("cum", sum("n_tok").over(wCum))
+          .filter(col("cum") <= col("budget_tokens"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("kept_docs"), sum("n_tok").as("kept_tokens"),
+            sum("doc_id").as("kept_id_sum"))
+        bud.join(kept, Seq("source"), "left")
+          .select(col("source"), col("src_tokens"), col("budget_tokens"),
+            coalesce(col("kept_docs"), lit(0L)).cast(LongType).as("kept_docs"),
+            coalesce(col("kept_tokens"), lit(0L)).cast(LongType).as("kept_tokens"),
+            coalesce(col("kept_id_sum"), lit(0L)).cast(LongType).as("kept_id_sum"))
+          .orderBy("source")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, source, len($tokensSql) AS n_tok,
+              |  md5('mix' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+              |st AS (SELECT source, sum(n_tok) AS t_s,
+              |  CAST(round(sqrt(CAST(sum(n_tok) AS DOUBLE)), 6) AS DECIMAL(38,6)) AS sq
+              |  FROM tk GROUP BY 1),
+              |tot AS (SELECT sum(t_s) AS t_tot, sum(sq) AS z FROM st),
+              |bud AS (SELECT source, t_s, CAST(floor(
+              |    (CAST(sq AS DOUBLE) / CAST(z AS DOUBLE)) *
+              |    floor(CAST(t_tot AS DOUBLE) * 0.5)) AS BIGINT) AS budget_tokens
+              |  FROM st, tot),
+              |cum AS (SELECT source, doc_id, n_tok,
+              |  sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+              |    ROWS UNBOUNDED PRECEDING) AS cum FROM tk),
+              |keep AS (SELECT c.source, c.doc_id, c.n_tok
+              |  FROM cum c JOIN bud b USING (source) WHERE c.cum <= b.budget_tokens)
+              |SELECT b.source, CAST(b.t_s AS BIGINT) AS src_tokens, b.budget_tokens,
+              |  CAST(count(k.doc_id) AS BIGINT) AS kept_docs,
+              |  CAST(coalesce(sum(k.n_tok), 0) AS BIGINT) AS kept_tokens,
+              |  CAST(coalesce(sum(k.doc_id), 0) AS BIGINT) AS kept_id_sum
+              |FROM bud b LEFT JOIN keep k USING (source)
+              |GROUP BY 1, 2, 3 ORDER BY source""".stripMargin)),
+
+    // Bigram-LM fluency scoring — the CCNet-style "perplexity filter" a
+    // web-scrape pipeline runs after boilerplate removal: train add-one-
+    // smoothed bigram probabilities ON the corpus itself, then score each
+    // doc by its mean per-bigram probability p(w2|w1) = (c(w1w2)+1) /
+    // (c(w1·)+V). Deliberately log-free: ln()'s last ulp differs across
+    // libms, so the score stays in probability space — each per-bigram
+    // probability is one exact-integer IEEE division rounded to 9 dp,
+    // summed as DECIMAL(38,9) (exact), and the mean is a single
+    // deterministic division (x28's determinism recipe). Plan shape: the
+    // bigram stream shuffles exactly twice — into the count agg (whose
+    // exchange the probability join REUSES — x05's one-exchange trick) and
+    // into the per-doc rollup; the prefix counts c(w1·) derive from the
+    // SMALL bigram-count table (Σ c2 grouped by first word), never from a
+    // second stream scan; V and the count tables are agg-sized frames.
+    QueryDef(
+      "x44_lm_quality",
+      (s, d) => {
+        val t = documents(s, d).filter(col("text").isNotNull)
+          .select(col("doc_id"), tokens(col("text")).as("tk"))
+        val bgs = t.filter(size(col("tk")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(tk) - 2), i -> " +
+              "named_struct('w1', tk[i], 'bg', concat(tk[i], ' ', tk[i+1])))")).as("s"))
+          .select(col("doc_id"), col("s.w1").as("w1"), col("s.bg").as("bg"))
+        val c2 = bgs.groupBy("bg").agg(min("w1").as("w1"), count(lit(1)).as("c2"))
+        val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
+        val vocab = t.select(explode(col("tk")).as("tok"))
+          .agg(countDistinct("tok").as("v"))
+        val ctab = c2.join(c1, "w1").crossJoin(broadcast(vocab))
+          .withColumn("p",
+            round((col("c2") + 1).cast(DoubleType) /
+              (col("c1") + col("v")).cast(DoubleType), 9).cast(DecimalType(18, 9)))
+          .select("bg", "p")
+        bgs.join(ctab, "bg")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast(LongType).as("n_bigrams"),
+            round(sum(col("p")).cast(DoubleType) / count(lit(1)), 6).as("lm_score"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $tokensSql AS tk FROM documents
+              |  WHERE text IS NOT NULL),
+              |bg AS (SELECT doc_id, tk[i] AS w1, tk[i] || ' ' || tk[i+1] AS bg
+              |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+              |        FROM t WHERE len(tk) >= 2) u),
+              |c2 AS (SELECT bg, min(w1) AS w1, count(*) AS c2 FROM bg GROUP BY 1),
+              |c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+              |v AS (SELECT count(DISTINCT tok) AS v
+              |  FROM (SELECT unnest(tk) AS tok FROM t) u),
+              |ct AS (SELECT c2.bg, CAST(round(
+              |    CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE), 9)
+              |    AS DECIMAL(18,9)) AS p
+              |  FROM c2 JOIN c1 USING (w1) CROSS JOIN v)
+              |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+              |  round(CAST(sum(ct.p) AS DOUBLE) / count(*), 6) AS lm_score
+              |FROM bg b JOIN ct USING (bg) GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
+    // SemDeDup (semantic dedup, Abbas et al. 2023 pattern): cluster the
+    // embeddings, then prune near-identical pairs WITHIN each cluster —
+    // the move that makes embedding dedup sub-quadratic at corpus scale:
+    // the pairwise cosine test is confined to cluster-local candidates
+    // (cross-cluster near-dups are the accepted miss, exactly the paper's
+    // trade; x06's sign-LSH is the recall-oriented alternative).
+    // Assignment is x07's max_by hash-agg (the shuffle carries n rows, not
+    // n×k); the within-cluster pair join is cluster-keyed, never
+    // all-pairs; a vector is a duplicate iff a LOWER-id cluster-mate has
+    // rounded cosine ≥ τ = 0.99 — the min-id survivor rule every dedup
+    // path here uses. The id-shifted clone corpus guarantees positives: a
+    // clone's embedding is identical, so it co-clusters with its original
+    // (same ccos per centroid, same tie-break) and cosines to 1.0.
+    QueryDef(
+      "x45_semdedup",
+      (s, d) => {
+        val e = embCorpus(s, d)
+        val cent = e.filter(col("vec_id") % 83 === 2 && col("vec_id") < 10000)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
+        val assigned = e.crossJoin(broadcast(cent))
+          .withColumn("ccos", VectorFunctions.cosine(col("embedding"), col("c_emb")))
+          .groupBy("vec_id")
+          .agg(max_by(
+            struct(col("cent_id"), col("embedding")),
+            struct(col("ccos"), (-col("cent_id")).as("tie"))).as("best"))
+          .select(col("vec_id"), col("best.cent_id").as("cent_id"),
+            col("best.embedding").as("embedding"))
+        val dup = assigned.as("a")
+          .join(assigned.as("b").hint("shuffle_hash"),
+            col("a.cent_id") === col("b.cent_id") && col("b.vec_id") < col("a.vec_id"))
+          .filter(round(VectorFunctions.cosine(col("a.embedding"), col("b.embedding")), 6)
+            >= 0.99)
+          .select(col("a.vec_id").as("vec_id")).distinct()
+        assigned.join(dup.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cent_id"),
+            coalesce(col("is_dup"), lit(false)).as("is_dup"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH corpus AS (SELECT vec_id, embedding FROM embeddings
+             |  UNION ALL SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings),
+             |e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+             |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+             |  FROM corpus),
+             |cent AS (SELECT vec_id AS cent_id, emb AS c_emb, norm AS c_norm FROM e
+             |  WHERE vec_id % 83 = 2 AND vec_id < 10000),
+             |ac AS (SELECT e.vec_id, cent.cent_id, e.emb, e.norm,
+             |  row_number() OVER (PARTITION BY e.vec_id
+             |    ORDER BY list_dot_product(e.emb, cent.c_emb) / (e.norm * cent.c_norm)
+             |      DESC, cent.cent_id) AS arn
+             |  FROM e CROSS JOIN cent),
+             |assigned AS (SELECT vec_id, cent_id, emb, norm FROM ac WHERE arn = 1)
+             |SELECT a.vec_id AS vec_id, a.cent_id AS cent_id,
+             |  coalesce(bool_or(
+             |    round(list_dot_product(a.emb, b.emb) / (a.norm * b.norm), 6) >= 0.99),
+             |    FALSE) AS is_dup
+             |FROM assigned a LEFT JOIN assigned b
+             |  ON b.cent_id = a.cent_id AND b.vec_id < a.vec_id
+             |GROUP BY 1, 2 ORDER BY 1""".stripMargin))
   )
 }
