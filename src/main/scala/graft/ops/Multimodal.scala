@@ -353,6 +353,14 @@ object Multimodal {
       if (Png.isPng(bytes))
         Png.decode(bytes).map { case (w, h, _, _, _) => ("image/png", w, h) }
           .getOrElse(FakeDecoder.decode(bytes))
+      else if (isJpeg(bytes))
+        jpegDims(bytes).map { case (w, h, _) => ("image/jpeg", w, h) }
+          .getOrElse(FakeDecoder.decode(bytes))
+      else if (looksMp3(bytes))
+        // (sampleRate, channels) in the (width, height) slots — the same
+        // "dimensions" convention the WAV branch uses
+        mp3Header(bytes).map { case (rate, ch, _, _) => ("audio/mp3", rate, ch) }
+          .getOrElse(FakeDecoder.decode(bytes))
       else if (isPpm(bytes))
         ppmHeader(bytes).map { case (w, h, _) => ("image/ppm", w, h) }
           .getOrElse(FakeDecoder.decode(bytes))
@@ -383,7 +391,10 @@ object Multimodal {
       * frameIdx can never index out of bounds — consistent with decode():
       * a blob decode() would fall back on gets the FAKE feature here too,
       * never "real" stats over misinterpreted bytes. Past-the-end frames on
-      * VALID blobs yield the zero vector (empty window). */
+      * VALID blobs yield the zero vector (empty window). JPEG/MP3 blobs
+      * take the fake path here BY DESIGN: their metadata decode is real
+      * (header fields are byte arithmetic), but per-frame features would
+      * need the entropy decoder that stays behind the codec stub. */
     def frameFeature(bytes: Array[Byte], frameIdx: Int): Array[Float] =
       if (Png.isPng(bytes)) Png.decode(bytes) match {
         // 256-byte windows over the UNFILTERED pixel payload — same frame

@@ -182,6 +182,13 @@ object PipelineQueries {
     (0 until n).map(j => s"${byteAtD(off + j)} * ${1L << (8 * (n - 1 - j))}")
       .mkString("(", " + ", ")")
 
+  // ——— x46 helpers: 16-bit big-endian builders (JPEG header fields) ———
+
+  private def be16S(e: String) =
+    s"concat(${hbS(s"(($e) div 256) % 256")}, ${hbS(s"($e) % 256")})"
+  private def be16D(e: String) =
+    s"(${hbD(s"(($e) // 256) % 256")} || ${hbD(s"($e) % 256")})"
+
   val all: Seq[QueryDef] = Seq(
 
     // ——— Deduplication ———
@@ -2105,6 +2112,105 @@ object PipelineQueries {
              |    FALSE) AS is_dup
              |FROM assigned a LEFT JOIN assigned b
              |  ON b.cent_id = a.cent_id AND b.vec_id < a.vec_id
-             |GROUP BY 1, 2 ORDER BY 1""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
+
+    // REAL JPEG + MP3 header metadata, oracle-gated end to end (the x27
+    // pattern extended to the two headline entropy-coded formats): JPEG
+    // dimensions live in the SOF frame header and MP3 rate/channels in the
+    // MPEG-1 frame header — both plain byte arithmetic (plus the public
+    // MPEG-1 bitrate/sample-rate index tables), NO entropy decoding — so
+    // metadata extraction is real even though pixel/audio decode stays
+    // behind the codec stub. Blobs are built byte-identically in BOTH
+    // engines: a JPEG whose SOF0 sits behind a variable-length COM chunk
+    // (so the gate exercises the marker WALK, not a fixed offset), an MP3
+    // as a raw MPEG-1 Layer III frame, an MP3 behind an ID3v2 tag with a
+    // syncsafe (7-bit-byte) size, and a corrupt JPEG (SOS before any SOF →
+    // fake fallback). DuckDB independently re-parses every field back out
+    // of the hex — COM length → SOF offset → big-endian dims; syncsafe tag
+    // size → frame offset → index bits → TABLE lookups — so the decoder's
+    // byte arithmetic is engine-differentially checked. Narrow per-row op,
+    // zero shuffle before the final ORDER BY.
+    QueryDef(
+      "x46_av_headers",
+      (s, d) => {
+        val base = documents(s, d).filter(col("doc_id") < 24)
+          .select(col("doc_id"),
+            (col("doc_id") % 4).as("kind"),
+            expr("CAST(100 + (doc_id * 7) % 900 AS INT)").as("w"),
+            expr("CAST(50 + (doc_id * 3) % 500 AS INT)").as("h"),
+            expr("CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS INT)").as("nc"),
+            expr("CAST(doc_id % 7 + 1 AS INT)").as("k"),
+            expr("CAST(1 + doc_id % 14 AS INT)").as("bri"),
+            expr("CAST(doc_id % 3 AS INT)").as("sri"),
+            expr("CAST((doc_id div 3) % 2 AS INT)").as("pad"),
+            expr("CAST((doc_id * 5) % 4 AS INT)").as("mode"),
+            expr("CAST(doc_id % 40 AS INT)").as("taglen"))
+        val frameHex = s"concat('FFFB', ${hbS("bri * 16 + sri * 4 + pad * 2")}, " +
+          s"${hbS("mode * 64")}, 'DEADBEEF')"
+        val jpegHex = s"concat('FFD8', 'FFFE', ${be16S("2 + k")}, repeat('4A', k), " +
+          s"'FFC0', ${be16S("8 + 3 * nc")}, '08', ${be16S("h")}, ${be16S("w")}, " +
+          s"${hbS("nc")}, CASE WHEN nc = 3 THEN '011100021100031100' ELSE '011100' END, " +
+          "'FFDA0002')"
+        val id3Hex = s"concat('494433', '0400', '00', '000000', ${hbS("taglen")}, " +
+          s"repeat('00', taglen), $frameHex)"
+        val blobs = base
+          .withColumn("hx", expr(
+            s"CASE CAST(kind AS INT) WHEN 0 THEN $jpegHex WHEN 1 THEN $frameHex " +
+              s"WHEN 2 THEN $id3Hex ELSE 'FFD8FFDA0002' END"))
+          .select(col("doc_id").as("media_id"), unhex(col("hx")).as("media"))
+        graft.ops.Multimodal.extractMeta(blobs, graft.ops.Multimodal.HeaderDecoder)
+          .select(col("media_id"), col("format"),
+            col("width").cast(LongType), col("height").cast(LongType),
+            col("n_bytes"))
+          .orderBy("media_id")
+      },
+      Some {
+        def hAt(p: String) = s"(instr('0123456789ABCDEF', substr(hx, $p, 1)) - 1)"
+        def byteAtE(o: String) = s"(${hAt(s"2*($o) + 1")} * 16 + ${hAt(s"2*($o) + 2")})"
+        val frameHexD = s"('FFFB' || ${hbD("bri * 16 + sri * 4 + pad * 2")} || " +
+          s"${hbD("mode * 64")} || 'DEADBEEF')"
+        val jpegHexD = s"('FFD8' || 'FFFE' || ${be16D("2 + k")} || repeat('4A', k) || " +
+          s"'FFC0' || ${be16D("8 + 3 * nc")} || '08' || ${be16D("h")} || ${be16D("w")} || " +
+          s"${hbD("nc")} || CASE WHEN nc = 3 THEN '011100021100031100' ELSE '011100' END || " +
+          "'FFDA0002')"
+        val id3HexD = s"('494433' || '0400' || '00' || '000000' || ${hbD("taglen")} || " +
+          s"repeat('00', taglen) || $frameHexD)"
+        // MP3 frame-header byte offset: 0 for a raw frame, past the ID3v2
+        // tag otherwise (syncsafe 28-bit size re-parsed from bytes 6..9)
+        val srIdx = s"((${byteAtE("f + 2")} // 4) % 4)"
+        val chMode = s"(${byteAtE("f + 3")} // 64)"
+        s"""WITH b AS (SELECT doc_id, doc_id % 4 AS kind,
+           |  100 + (doc_id * 7) % 900 AS w, 50 + (doc_id * 3) % 500 AS h,
+           |  CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS nc, doc_id % 7 + 1 AS k,
+           |  1 + doc_id % 14 AS bri, doc_id % 3 AS sri, (doc_id // 3) % 2 AS pad,
+           |  (doc_id * 5) % 4 AS mode, doc_id % 40 AS taglen
+           |  FROM documents WHERE doc_id < 24),
+           |hxt AS (SELECT doc_id, kind, CASE kind::INT
+           |    WHEN 0 THEN $jpegHexD WHEN 1 THEN $frameHexD
+           |    WHEN 2 THEN $id3HexD ELSE 'FFD8FFDA0002' END AS hx FROM b),
+           |par AS (SELECT doc_id, kind, hx,
+           |  CASE WHEN kind = 0
+           |    THEN 4 + ${byteAtE("4")} * 256 + ${byteAtE("5")} ELSE 0 END AS sof,
+           |  CASE WHEN kind = 2 THEN 10 + ${byteAtE("6")} * 2097152 +
+           |    ${byteAtE("7")} * 16384 + ${byteAtE("8")} * 128 + ${byteAtE("9")}
+           |    ELSE 0 END AS f
+           |  FROM hxt)
+           |SELECT doc_id AS media_id,
+           |  CASE kind WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'audio/mp3'
+           |    WHEN 2 THEN 'audio/mp3'
+           |    ELSE CASE WHEN ${byteAtE("0")} % 2 = 0 THEN 'img/fake-rgb'
+           |      ELSE 'img/fake-gray' END END AS format,
+           |  CAST(CASE kind
+           |    WHEN 0 THEN ${byteAtE("sof + 7")} * 256 + ${byteAtE("sof + 8")}
+           |    WHEN 3 THEN 16 + ${byteAtE("0")} % 64
+           |    ELSE CASE $srIdx WHEN 0 THEN 44100 WHEN 1 THEN 48000
+           |      WHEN 2 THEN 32000 END END AS BIGINT) AS width,
+           |  CAST(CASE kind
+           |    WHEN 0 THEN ${byteAtE("sof + 5")} * 256 + ${byteAtE("sof + 6")}
+           |    WHEN 3 THEN 16 + ${byteAtE("1")} % 64
+           |    ELSE CASE WHEN $chMode = 3 THEN 1 ELSE 2 END END AS BIGINT) AS height,
+           |  CAST(len(hx) // 2 AS BIGINT) AS n_bytes
+           |FROM par ORDER BY media_id""".stripMargin
+      })
   )
 }

@@ -114,6 +114,70 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  private def jpegBlob(w: Int, h: Int, nc: Int, comLen: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def b(xs: Int*): Unit = xs.foreach(x => out.write(x & 0xff))
+    b(0xff, 0xd8)                                      // SOI
+    b(0xff, 0xfe, (2 + comLen) >> 8, (2 + comLen) & 0xff) // COM, variable length
+    (0 until comLen).foreach(_ => b('J'))
+    b(0xff, 0xc0, 0, 8 + 3 * nc, 8, h >> 8, h & 0xff, w >> 8, w & 0xff, nc) // SOF0
+    (1 to nc).foreach(c => b(c, 0x11, 0))
+    b(0xff, 0xda, 0, 2)                                // SOS
+    out.toByteArray
+  }
+
+  private def mp3Frame(bri: Int, sri: Int, pad: Int, mode: Int): Array[Byte] =
+    Array(0xff, 0xfb, (bri << 4) | (sri << 2) | (pad << 1), mode << 6,
+      0xde, 0xad, 0xbe, 0xef).map(_.toByte)
+
+  private def id3Wrapped(tagLen: Int, frame: Array[Byte]): Array[Byte] =
+    "ID3".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0, 0, 0, tagLen.toByte) ++
+      Array.fill[Byte](tagLen)(0) ++ frame
+
+  test("HeaderDecoder: JPEG dims from SOF behind a marker walk; bad shapes fake") {
+    val d = Multimodal.HeaderDecoder
+    // SOF0 sits behind a variable-length COM chunk: the walk must skip it
+    assert(d.decode(jpegBlob(640, 480, 3, 5)) == (("image/jpeg", 640, 480)))
+    assert(d.decode(jpegBlob(31, 997, 1, 1)) == (("image/jpeg", 31, 997)))
+    // SOS before any SOF: no parseable frame header → fake
+    assert(d.decode(Array(0xff, 0xd8, 0xff, 0xda, 0, 2).map(_.toByte))._1
+      .startsWith("img/fake"))
+    // truncated: COM length runs past the end → fake, no AIOOBE
+    assert(d.decode(Array(0xff, 0xd8, 0xff, 0xfe, 0x7f, 0x00).map(_.toByte))._1
+      .startsWith("img/fake"))
+    // 12-bit precision SOF is out of scope → fake
+    val prec12 = jpegBlob(64, 64, 3, 2)
+    prec12(2 + 4 + 2 + 4) = 12 // precision byte inside SOF0
+    assert(d.decode(prec12)._1.startsWith("img/fake"))
+    // metadata is real but frame features need the entropy decoder → fake
+    val j = jpegBlob(64, 64, 3, 2)
+    assert(d.frameFeature(j, 0).toSeq ==
+      Multimodal.FakeDecoder.frameFeature(j, 0).toSeq)
+  }
+
+  test("HeaderDecoder: MP3 frame header incl. ID3v2 skip; reserved shapes fake") {
+    val d = Multimodal.HeaderDecoder
+    // raw MPEG-1 Layer III frames: sample-rate table + channel mode
+    assert(d.decode(mp3Frame(9, 0, 0, 0)) == (("audio/mp3", 44100, 2)))
+    assert(d.decode(mp3Frame(14, 1, 1, 3)) == (("audio/mp3", 48000, 1)))
+    assert(d.decode(mp3Frame(1, 2, 0, 2)) == (("audio/mp3", 32000, 2)))
+    // frame behind an ID3v2 tag (syncsafe size)
+    assert(d.decode(id3Wrapped(17, mp3Frame(9, 2, 0, 3))) == (("audio/mp3", 32000, 1)))
+    // free-format bitrate, reserved bitrate, reserved sample rate → fake
+    assert(d.decode(mp3Frame(0, 0, 0, 0))._1.startsWith("img/fake"))
+    assert(d.decode(mp3Frame(15, 0, 0, 0))._1.startsWith("img/fake"))
+    assert(d.decode(mp3Frame(9, 3, 0, 0))._1.startsWith("img/fake"))
+    // corrupt syncsafe size (bit 7 set) → fake, not a wild offset read
+    val badSync = id3Wrapped(17, mp3Frame(9, 0, 0, 0))
+    badSync(9) = 0x80.toByte
+    assert(d.decode(badSync)._1.startsWith("img/fake"))
+    // ID3 tag whose declared size runs past the end → fake, no AIOOBE
+    assert(d.decode(id3Wrapped(100, Array.emptyByteArray))._1.startsWith("img/fake"))
+    // MPEG-2 sync (version bits 10) is out of scope → fake
+    val v2 = mp3Frame(9, 0, 0, 0); v2(1) = 0xf3.toByte
+    assert(d.decode(v2)._1.startsWith("img/fake"))
+  }
+
   test("HeaderDecoder: WAV data chunk found behind a LIST chunk") {
     val base = wavBlob(8000, 1, 100)
     // splice a LIST chunk (12 bytes: id + size + 4-byte payload) before data
