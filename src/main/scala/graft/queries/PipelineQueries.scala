@@ -1951,10 +1951,15 @@ object PipelineQueries {
           .select(col("doc_id"), col("source"),
             size(tokens(col("text"))).cast(LongType).as("n_tok"),
             md5(concat(lit("mix"), col("doc_id").cast("string")).cast("binary")).as("h"))
+        // sources-sized stats frame, MATERIALIZED once: tot, bud, and the
+        // final rollup join all read the checkpoint — without it each
+        // consumer re-derives the aggregation and the corpus is scanned
+        // three times (x05's `ex` trick, applied to the small side)
         val st = docs.groupBy("source")
           .agg(sum("n_tok").as("t_s"),
             round(sqrt(sum("n_tok").cast(DoubleType)), 6)
               .cast(DecimalType(38, 6)).as("sq"))
+          .localCheckpoint(eager = true)
         val tot = st.agg(sum("t_s").as("t_tot"), sum("sq").as("z"))
         val bud = st.crossJoin(broadcast(tot))
           .withColumn("w", col("sq").cast(DoubleType) / col("z").cast(DoubleType))
@@ -1970,7 +1975,9 @@ object PipelineQueries {
           .groupBy("source")
           .agg(count(lit(1)).as("kept_docs"), sum("n_tok").as("kept_tokens"),
             sum("doc_id").as("kept_id_sum"))
-        bud.join(kept, Seq("source"), "left")
+        // kept is post-agg (≤ |sources| rows): broadcast it so the final
+        // left join never plans a sort-merge of two tiny frames
+        bud.join(broadcast(kept), Seq("source"), "left")
           .select(col("source"), col("src_tokens"), col("budget_tokens"),
             coalesce(col("kept_docs"), lit(0L)).cast(LongType).as("kept_docs"),
             coalesce(col("kept_tokens"), lit(0L)).cast(LongType).as("kept_tokens"),
@@ -2003,36 +2010,45 @@ object PipelineQueries {
     // web-scrape pipeline runs after boilerplate removal: train add-one-
     // smoothed bigram probabilities ON the corpus itself, then score each
     // doc by its mean per-bigram probability p(w2|w1) = (c(w1w2)+1) /
-    // (c(w1·)+V). Deliberately log-free: ln()'s last ulp differs across
-    // libms, so the score stays in probability space — each per-bigram
-    // probability is one exact-integer IEEE division rounded to 9 dp,
-    // summed as DECIMAL(38,9) (exact), and the mean is a single
-    // deterministic division (x28's determinism recipe). Plan shape: the
-    // bigram stream shuffles exactly twice — into the count agg (whose
-    // exchange the probability join REUSES — x05's one-exchange trick) and
-    // into the per-doc rollup; the prefix counts c(w1·) derive from the
-    // SMALL bigram-count table (Σ c2 grouped by first word), never from a
-    // second stream scan; V and the count tables are agg-sized frames.
+    // (c(w1·)+V), with V = the number of distinct conditioning prefixes.
+    // Deliberately log-free: ln()'s last ulp differs across libms, so the
+    // score stays in probability space — each per-bigram probability is
+    // one exact-integer IEEE division rounded to 9 dp, summed as
+    // DECIMAL(38,9) (exact), and the mean is a single deterministic
+    // division (x28's determinism recipe). Plan shape: the bigram stream
+    // is parsed from the docs ONCE and materialized (x05's `ex` trick),
+    // and the count table — the trained LM "model" — is materialized too,
+    // so training is one pass and neither is re-derived per consumer; all
+    // aggregates stay HASH aggregates (the prefix is derived from the
+    // bigram string AFTER counting, because carrying it through min()
+    // would force a sort-based aggregate — an index-sized sort); prefix
+    // counts c(w1·) and V derive from the SMALL count table, never from a
+    // second stream scan; total stream movement = one count-agg exchange,
+    // one probability join, one map-side-reduced per-doc rollup.
     QueryDef(
       "x44_lm_quality",
       (s, d) => {
-        val t = documents(s, d).filter(col("text").isNotNull)
+        val ex = documents(s, d).filter(col("text").isNotNull)
           .select(col("doc_id"), tokens(col("text")).as("tk"))
-        val bgs = t.filter(size(col("tk")) >= 2)
+          .filter(size(col("tk")) >= 2)
           .select(col("doc_id"), explode(expr(
             "transform(sequence(0, size(tk) - 2), i -> " +
-              "named_struct('w1', tk[i], 'bg', concat(tk[i], ' ', tk[i+1])))")).as("s"))
-          .select(col("doc_id"), col("s.w1").as("w1"), col("s.bg").as("bg"))
-        val c2 = bgs.groupBy("bg").agg(min("w1").as("w1"), count(lit(1)).as("c2"))
-        val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
-        val vocab = t.select(explode(col("tk")).as("tok"))
-          .agg(countDistinct("tok").as("v"))
-        val ctab = c2.join(c1, "w1").crossJoin(broadcast(vocab))
+              "concat(tk[i], ' ', tk[i+1]))")).as("bg"))
+          .localCheckpoint(eager = true)
+        val c2 = ex.groupBy("bg").agg(count(lit(1)).as("c2"))
+          .localCheckpoint(eager = true)
+        val c1 = c2.select(substring_index(col("bg"), " ", 1).as("w1"), col("c2"))
+          .groupBy("w1").agg(sum("c2").as("c1"))
+        val vocab = c1.agg(count(lit(1)).as("v"))
+        val ctab = c2.select(col("bg"), substring_index(col("bg"), " ", 1).as("w1"),
+            col("c2"))
+          .join(c1.hint("shuffle_hash"), "w1")
+          .crossJoin(broadcast(vocab))
           .withColumn("p",
             round((col("c2") + 1).cast(DoubleType) /
               (col("c1") + col("v")).cast(DoubleType), 9).cast(DecimalType(18, 9)))
           .select("bg", "p")
-        bgs.join(ctab, "bg")
+        ex.join(ctab.hint("shuffle_hash"), "bg")
           .groupBy("doc_id")
           .agg(count(lit(1)).cast(LongType).as("n_bigrams"),
             round(sum(col("p")).cast(DoubleType) / count(lit(1)), 6).as("lm_score"))
@@ -2040,17 +2056,17 @@ object PipelineQueries {
       },
       Some(s"""WITH t AS (SELECT doc_id, $tokensSql AS tk FROM documents
               |  WHERE text IS NOT NULL),
-              |bg AS (SELECT doc_id, tk[i] AS w1, tk[i] || ' ' || tk[i+1] AS bg
+              |bg AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS bg
               |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
               |        FROM t WHERE len(tk) >= 2) u),
-              |c2 AS (SELECT bg, min(w1) AS w1, count(*) AS c2 FROM bg GROUP BY 1),
-              |c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
-              |v AS (SELECT count(DISTINCT tok) AS v
-              |  FROM (SELECT unnest(tk) AS tok FROM t) u),
+              |c2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY 1),
+              |c1 AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c2) AS c1
+              |  FROM c2 GROUP BY 1),
+              |v AS (SELECT count(*) AS v FROM c1),
               |ct AS (SELECT c2.bg, CAST(round(
               |    CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE), 9)
               |    AS DECIMAL(18,9)) AS p
-              |  FROM c2 JOIN c1 USING (w1) CROSS JOIN v)
+              |  FROM c2 JOIN c1 ON split_part(c2.bg, ' ', 1) = c1.w1 CROSS JOIN v)
               |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
               |  round(CAST(sum(ct.p) AS DOUBLE) / count(*), 6) AS lm_score
               |FROM bg b JOIN ct USING (bg) GROUP BY 1 ORDER BY doc_id""".stripMargin)),

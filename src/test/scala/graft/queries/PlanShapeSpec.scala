@@ -187,4 +187,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
     assert(p.contains("TakeOrderedAndProject") || p.contains("GlobalLimit"), p)
   }
+
+  test("x43's cumsum window and rollup share one source exchange; stats join as broadcasts") {
+    val p = plans("x43_mixture_sample")
+    // the checkpointed stats frame keeps the corpus at ONE scan: without it
+    // every stats consumer re-derives the aggregation from the raw docs
+    assert("FileScan parquet".r.findAllIn(p).length == 1, s"documents scanned more than once:\n$p")
+    assert(opExchanges(p) == 1, s"expected only the window's source exchange, plan:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("x44's LM aggregates are all hash aggregates (no index-sized sort, no window)") {
+    val p = plans("x44_lm_quality")
+    // min(w1) through the count agg would force SortAggregate over the
+    // full bigram index — the prefix must derive from the bg string instead
+    assert(!p.contains("SortAggregate"), s"sort-based aggregate over the bigram index:\n$p")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert("Sort \\[".r.findAllIn(p).length <= 1, p)
+  }
+
+  test("x45's pair stage is cluster-keyed (hash join, never all-pairs)") {
+    val p = plans("x45_semdedup")
+    assert(p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x46's header decode is a narrow per-row map — zero operator shuffle before the sort") {
+    val p = plans("x46_av_headers")
+    assert(opExchanges(p) == 0, s"decode must not shuffle:\n$p")
+    assert(!p.contains("Join"), p)
+  }
 }
