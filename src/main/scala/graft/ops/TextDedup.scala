@@ -43,17 +43,7 @@ object TextDedup {
   /** LSH candidate pairs: bands of `rowsPerBand` signature rows; pairs share
     * a band bucket. Returns (a_id, b_id, n_match) with a_id < b_id. */
   def lshCandidatePairs(docs: DataFrame, seeds: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    require(seeds % rowsPerBand == 0)
-    val nBands = seeds / rowsPerBand
-    val bandSig = (0 until nBands).map { b =>
-      val members = (0 until rowsPerBand).map(r => s"sigs[${b * rowsPerBand + r}]").mkString(", ")
-      // order-insensitive digest of the band's members
-      s"concat_ws('|', array_sort(array($members)))"
-    }
-    val bands = minhashSignatureArrays(docs, seeds)
-      .select(col("doc_id"), col("sigs"), posexplode(expr(
-        s"array(${bandSig.mkString(", ")})")))
-      .select(col("doc_id"), col("sigs"), col("pos").as("band"), col("col").as("bsig"))
+    val bands = bandFrame(docs, seeds, rowsPerBand)
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
@@ -66,6 +56,45 @@ object TextDedup {
         size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y), p => p))
           .cast("long").as("n_match"))
   }
+
+  /** (doc_id, sigs, band, bsig): one row per document per LSH band, with an
+    * order-insensitive digest of the band's signature members. */
+  private def bandFrame(docs: DataFrame, seeds: Int, rowsPerBand: Int): DataFrame = {
+    require(seeds % rowsPerBand == 0)
+    val nBands = seeds / rowsPerBand
+    val bandSig = (0 until nBands).map { b =>
+      val members = (0 until rowsPerBand).map(r => s"sigs[${b * rowsPerBand + r}]").mkString(", ")
+      // order-insensitive digest of the band's members
+      s"concat_ws('|', array_sort(array($members)))"
+    }
+    minhashSignatureArrays(docs, seeds)
+      .select(col("doc_id"), col("sigs"), posexplode(expr(
+        s"array(${bandSig.mkString(", ")})")))
+      .select(col("doc_id"), col("sigs"), col("pos").as("band"), col("col").as("bsig"))
+  }
+
+  /** LSH candidate pairs ACROSS two corpora — new batch × existing index
+    * ONLY, never new×new or index×index: the incremental-ingestion shape,
+    * where today's crawl is deduped against yesterday's corpus and the
+    * pair-stage cost scales with the BATCH, not the corpus squared. In
+    * production the index side's band table is precomputed once and stored
+    * (it is a pure function of the index corpus); here it derives inline.
+    * Returns (new_id, index_id, n_match). */
+  def crossLshCandidatePairs(
+      newDocs: DataFrame,
+      indexDocs: DataFrame,
+      seeds: Int = 8,
+      rowsPerBand: Int = 2): DataFrame =
+    bandFrame(newDocs, seeds, rowsPerBand).as("a")
+      .join(bandFrame(indexDocs, seeds, rowsPerBand).as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig"))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("index_id"),
+        col("a.sigs").as("sa"), col("b.sigs").as("sb"))
+      .groupBy("new_id", "index_id")
+      .agg(first(col("sa")).as("sa"), first(col("sb")).as("sb"))
+      .select(col("new_id"), col("index_id"),
+        size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y), p => p))
+          .cast("long").as("n_match"))
 
   /** Sign-LSH bucket over the first `bits` embedding dimensions. */
   def signBucket(emb: Column, bits: Int = 8): Column =

@@ -2227,6 +2227,71 @@ object PipelineQueries {
            |    ELSE CASE WHEN $chMode = 3 THEN 1 ELSE 2 END END AS BIGINT) AS height,
            |  CAST(len(hx) // 2 AS BIGINT) AS n_bytes
            |FROM par ORDER BY media_id""".stripMargin
-      })
+      }),
+
+    // INCREMENTAL dedup — today's crawl against yesterday's corpus (the
+    // production shape every batch dedup op here ultimately feeds): each
+    // NEW doc is flagged dup_exact (content hash present in the index) and
+    // dup_near (shares an LSH band bucket with an index doc at ≥ 6/8
+    // signature agreement). The pair stage is
+    // TextDedup.crossLshCandidatePairs — new × index ONLY, never new×new
+    // or index×index, so cost scales with the BATCH, not corpus²; in
+    // production the index's band table and hash set are precomputed and
+    // stored (pure functions of the index corpus). The exact probe
+    // broadcasts the distinct index-hash set — at 100 TB swap to x39's
+    // Bloom-prefiltered semi-join; the LSH join stays a bucket hash join
+    // either way. The gate batch manufactures all three outcomes: exact
+    // clones of index docs (+20000), one-token-appended near-dups
+    // (+30000, same shingle mass → bands still collide), and the fresh
+    // tail (doc_id ≥ 250) that may or may not match — whatever both
+    // engines agree it does.
+    QueryDef(
+      "x47_incremental_dedup",
+      (s, d) => {
+        val all = documents(s, d).select("doc_id", "text")
+        val idx = all.filter(col("doc_id") < 250)
+        val newb = all.filter(col("doc_id") < 100)
+          .select((col("doc_id") + 20000).as("doc_id"), col("text"))
+          .unionByName(all.filter(col("doc_id") >= 100 && col("doc_id") < 150)
+            .select((col("doc_id") + 30000).as("doc_id"),
+              concat(col("text"), lit(" zzz")).as("text")))
+          .unionByName(all.filter(col("doc_id") >= 250))
+        val near = graft.ops.TextDedup.crossLshCandidatePairs(newb, idx)
+          .filter(col("n_match") >= 6)
+          .select(col("new_id").as("doc_id")).distinct()
+        val idxHashes = idx.select(md5(col("text").cast("binary")).as("h")).distinct()
+        newb.withColumn("nh", md5(col("text").cast("binary")))
+          .join(broadcast(idxHashes), col("nh") === col("h"), "left")
+          .select(col("doc_id"), col("h").isNotNull.as("dup_exact"))
+          .join(near.withColumn("dup_near", lit(true)), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("dup_exact"),
+            coalesce(col("dup_near"), lit(false)).as("dup_near"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH idx AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+              |newb AS (SELECT doc_id + 20000 AS doc_id, text FROM documents WHERE doc_id < 100
+              |  UNION ALL SELECT doc_id + 30000, text || ' zzz' FROM documents
+              |    WHERE doc_id >= 100 AND doc_id < 150
+              |  UNION ALL SELECT doc_id, text FROM documents WHERE doc_id >= 250),
+              |corpus AS (SELECT * FROM newb UNION ALL SELECT * FROM idx),
+              |${minhashSigSql("corpus")},
+              |band AS (SELECT doc_id, CAST(floor(seed / 2) AS BIGINT) AS band,
+              |  min(mh) || '|' || max(mh) AS bsig FROM sig GROUP BY 1, 2),
+              |cand AS (SELECT DISTINCT a.doc_id AS n_id, b.doc_id AS i_id FROM band a
+              |  JOIN band b ON a.band = b.band AND a.bsig = b.bsig
+              |  AND a.doc_id >= 250 AND b.doc_id < 250),
+              |pm AS (SELECT c.n_id, c.i_id,
+              |  count(CASE WHEN sa.mh = sb.mh THEN 1 END) AS n_match
+              |  FROM cand c JOIN sig sa ON sa.doc_id = c.n_id
+              |  JOIN sig sb ON sb.doc_id = c.i_id AND sb.seed = sa.seed
+              |  GROUP BY 1, 2),
+              |near AS (SELECT DISTINCT n_id AS doc_id FROM pm WHERE n_match >= 6),
+              |ih AS (SELECT DISTINCT md5(text) AS h FROM idx)
+              |SELECT n.doc_id, (ih.h IS NOT NULL) AS dup_exact,
+              |  (near.doc_id IS NOT NULL) AS dup_near
+              |FROM newb n
+              |LEFT JOIN ih ON md5(n.text) = ih.h
+              |LEFT JOIN near ON near.doc_id = n.doc_id
+              |ORDER BY n.doc_id""".stripMargin))
   )
 }

@@ -27,6 +27,26 @@ class TextDedupSpec extends SparkSpec {
     assert(m(10L) == m(11L) || (m(10L) == 10L && m(11L) == 11L))
   }
 
+  test("crossLshCandidatePairs = full pair set restricted to cross pairs (incremental shape)") {
+    val newb = docs.filter(col("doc_id").isin(2L, 11L, 20L))
+    val idx = docs.filter(!col("doc_id").isin(2L, 11L, 20L))
+    val cross = TextDedup.crossLshCandidatePairs(newb, idx)
+      .as[(Long, Long, Long)].collect().toSet
+    // the symmetric full-corpus pair set, restricted to (new, index) pairs
+    val full = TextDedup.lshCandidatePairs(docs)
+      .as[(Long, Long, Long)].collect()
+      .flatMap { case (a, b, n) => Seq((a, b, n), (b, a, n)) }
+      .filter { case (a, b, _) =>
+        Set(2L, 11L, 20L).contains(a) && !Set(2L, 11L, 20L).contains(b) }
+      .toSet
+    assert(cross == full, s"cross=$cross full=$full")
+    // the exact clone MUST collide with its index twins on every seed
+    assert(cross.exists { case (a, b, n) => a == 2L && (b == 1L || b == 3L) && n == 8L })
+    // and no new×new or index×index pair can appear by construction
+    assert(cross.forall { case (a, b, _) =>
+      Set(2L, 11L, 20L).contains(a) && !Set(2L, 11L, 20L).contains(b) })
+  }
+
   test("dedupSurvivors keeps one doc per cluster, exact copies collapse") {
     val kept = TextDedup.dedupSurvivors(docs, minMatch = 6)
       .select("doc_id").as[Long].collect().toSet
