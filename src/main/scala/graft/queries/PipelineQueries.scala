@@ -2081,14 +2081,23 @@ object PipelineQueries {
     // n×k); the within-cluster pair join is cluster-keyed, never
     // all-pairs; a vector is a duplicate iff a LOWER-id cluster-mate has
     // rounded cosine ≥ τ = 0.99 — the min-id survivor rule every dedup
-    // path here uses. The id-shifted clone corpus guarantees positives: a
+    // path here uses. The centroid count SCALES with the corpus (every
+    // 83rd vector), so expected cluster occupancy is a constant ~83 and
+    // the quadratic-within-cluster pair stage stays LINEAR in corpus size
+    // — a fixed centroid count would make cluster size, and the pair
+    // stage, grow quadratically. (Clone ids ≥ 10000 duplicate some
+    // centroid embeddings; ties break to the lowest cent_id identically in
+    // both engines, so that is harmless.) At extreme scale the pseudo-
+    // sample swaps for trained k-means centroids (x23, k ≈ √n or corpus/
+    // target-occupancy) and, past broadcastable k, two-level coarse→fine
+    // assignment. The id-shifted clone corpus guarantees positives: a
     // clone's embedding is identical, so it co-clusters with its original
     // (same ccos per centroid, same tie-break) and cosines to 1.0.
     QueryDef(
       "x45_semdedup",
       (s, d) => {
         val e = embCorpus(s, d)
-        val cent = e.filter(col("vec_id") % 83 === 2 && col("vec_id") < 10000)
+        val cent = e.filter(col("vec_id") % 83 === 2)
           .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
         val assigned = e.crossJoin(broadcast(cent))
           .withColumn("ccos", VectorFunctions.cosine(col("embedding"), col("c_emb")))
@@ -2115,7 +2124,7 @@ object PipelineQueries {
              |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
              |  FROM corpus),
              |cent AS (SELECT vec_id AS cent_id, emb AS c_emb, norm AS c_norm FROM e
-             |  WHERE vec_id % 83 = 2 AND vec_id < 10000),
+             |  WHERE vec_id % 83 = 2),
              |ac AS (SELECT e.vec_id, cent.cent_id, e.emb, e.norm,
              |  row_number() OVER (PARTITION BY e.vec_id
              |    ORDER BY list_dot_product(e.emb, cent.c_emb) / (e.norm * cent.c_norm)
