@@ -11,13 +11,17 @@ still resolves and replica 0 is byte-identical to the source:
 - orders / lineitem: o_orderkey / l_orderkey shifted by
   replica * (max(o_orderkey)+1) — the join key moves IN STEP on both sides;
   o_custkey / l_partkey / l_suppkey stay in the dimension key range.
-- documents: doc_id shifted by replica * (max(doc_id)+1); for replicas > 0
+- documents: doc_id shifted by replica * (max(doc_id)+1+1e6) — the extra
+  1e6 keeps replica ranges clear of the +10000/+20000/+30000 clone ids the
+  gated dedup queries synthesize (see the stride comment below); for
+  replicas > 0
   every 5th token gets a per-replica suffix and n_chars is recomputed.
   WHY: cross-replica docs must NOT be near-duplicates, or the LSH/Jaccard/
   SimHash pair stages grow quadratically on fake duplicates that real
   corpora don't have (the dedup queries' cost would be dominated by an
   artifact of the generator, not by scale).
-- embeddings: vec_id shifted likewise; for replicas > 0 each element is
+- embeddings: vec_id shifted likewise (same 1e6 headroom); for replicas > 0
+  each element is
   rescaled by a deterministic element-AND-replica-dependent factor (1.5x on
   alternating positions, sign flip on ~1/13 of positions) — same
   non-near-dup reasoning for the embedding near-dup / ANN queries. A
@@ -71,8 +75,17 @@ def main():
         SELECT d.* REPLACE (l_orderkey + r * {k_ord} AS l_orderkey)
         FROM '{src}/lineitem.parquet' d, range({factor}) t(r)""", out, "lineitem")
 
+    # doc_id / vec_id replica stride needs headroom above max(id)+1: several
+    # gated queries synthesize clones at id + 10000/20000/30000, so a stride
+    # of exactly max+1 lets replica r's ORIGINALS land on replica r-k's CLONE
+    # range (e.g. sf0.1: max doc_id 4999, replica 2 originals = 10000..14999 =
+    # replica 0's +10000 clones). Colliding ids merge unrelated docs inside
+    # one group, manufacturing a fake near-dup blowup in the LSH pair stages.
+    # 1,000,000 of headroom keeps every replica's [originals .. +30000 clones]
+    # window disjoint from the next replica's.
     k_doc = con.sql(
-        f"SELECT max(doc_id) + 1 FROM '{src}/documents.parquet'").fetchone()[0]
+        f"SELECT max(doc_id) + 1 + 1000000 FROM '{src}/documents.parquet'"
+    ).fetchone()[0]
     # DuckDB list lambdas: (tok, i) -> ... with 1-based index i
     perturbed = """CASE WHEN r = 0 THEN text ELSE array_to_string(
         list_transform(string_split(text, ' '),
@@ -86,7 +99,8 @@ def main():
         FROM '{src}/documents.parquet', range({factor}) t(r)""", out, "documents")
 
     k_vec = con.sql(
-        f"SELECT max(vec_id) + 1 FROM '{src}/embeddings.parquet'").fetchone()[0]
+        f"SELECT max(vec_id) + 1 + 1000000 FROM '{src}/embeddings.parquet'"
+    ).fetchone()[0]
     write(con, f"""
         SELECT vec_id + r * {k_vec} AS vec_id,
                CASE WHEN r = 0 THEN embedding
