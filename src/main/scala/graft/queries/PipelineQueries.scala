@@ -2301,6 +2301,100 @@ object PipelineQueries {
               |FROM newb n
               |LEFT JOIN ih ON md5(n.text) = ih.h
               |LEFT JOIN near ON near.doc_id = n.doc_id
-              |ORDER BY n.doc_id""".stripMargin))
+              |ORDER BY n.doc_id""".stripMargin)),
+
+    // SEQUENCE PACKING — the last stage of a pretraining data pipeline:
+    // concatenate each source's token stream (docs in doc_id order) and
+    // slice it into fixed L-token packs, emitting which token span of which
+    // document lands where. x30 chunks WITHIN a document; packing is the
+    // ACROSS-document form every trainer actually consumes (docs cross pack
+    // boundaries; no padding waste). Pure integer arithmetic over ONE
+    // exchange: hash-partition by source, per-source running token offset
+    // (window cumsum), then a narrow explode of each doc's spanned pack
+    // range. Per-source packing is sequential by construction — at 100 TB
+    // sub-shard the stream (source, xxhash64(doc_id) % k) and pack each
+    // shard independently: pack order within a corpus is arbitrary-but-
+    // deterministic, so shard-local packing is semantically identical and
+    // restores full parallelism (the same argument x17 makes for splits).
+    QueryDef(
+      "x48_sequence_packing",
+      (s, d) => {
+        val L = 64L
+        val w = Window.partitionBy("source").orderBy("doc_id")
+        documents(s, d)
+          .select(col("source"), col("doc_id"),
+            size(tokens(col("text"))).cast(LongType).as("n_tok"))
+          .withColumn("end_off", sum(col("n_tok")).over(w))
+          .withColumn("start_off", col("end_off") - col("n_tok"))
+          .withColumn("pack_id",
+            explode(sequence(expr(s"start_off div $L"), expr(s"(end_off - 1) div $L"))))
+          .select(col("source"), col("pack_id").cast(LongType).as("pack_id"),
+            col("doc_id"),
+            greatest(lit(0L), col("pack_id") * L - col("start_off")).as("doc_tok_lo"),
+            least(col("n_tok"), (col("pack_id") + 1L) * L - col("start_off")).as("doc_tok_hi"),
+            (col("start_off") + greatest(lit(0L), col("pack_id") * L - col("start_off"))
+              - col("pack_id") * L).as("pack_off"))
+          .orderBy("source", "pack_id", "doc_id")
+      },
+      Some(s"""WITH t AS (SELECT source, doc_id,
+              |  CAST(len($tokensSql) AS BIGINT) AS n_tok FROM documents),
+              |o AS (SELECT source, doc_id, n_tok,
+              |  CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS end_off
+              |  FROM t),
+              |s AS (SELECT *, end_off - n_tok AS start_off FROM o),
+              |e AS (SELECT source, doc_id, n_tok, start_off,
+              |  unnest(range(start_off // 64, (end_off - 1) // 64 + 1)) AS pack_id FROM s)
+              |SELECT source, CAST(pack_id AS BIGINT) AS pack_id, doc_id,
+              |  CAST(greatest(0, pack_id * 64 - start_off) AS BIGINT) AS doc_tok_lo,
+              |  CAST(least(n_tok, (pack_id + 1) * 64 - start_off) AS BIGINT) AS doc_tok_hi,
+              |  CAST(start_off + greatest(0, pack_id * 64 - start_off) - pack_id * 64 AS BIGINT)
+              |    AS pack_off
+              |FROM e ORDER BY source, pack_id, doc_id""".stripMargin)),
+
+    // N-GRAM DECONTAMINATION RATIO — the published eval-decontamination
+    // recipe (per-document fraction of distinct n-grams that appear
+    // anywhere in a benchmark set, flag above a threshold). x19/x39 catch
+    // EXACT benchmark strings and x41 scores doc-vs-doc containment; this
+    // is the doc-vs-CORPUS form used in practice: the benchmark's distinct
+    // shingle set is tiny relative to the training corpus, so it
+    // BROADCASTS and the corpus never shuffles for the membership probe —
+    // the only exchanges are the per-doc distinct/count aggregates, keyed
+    // by (doc_id, sh) then doc_id, both map-side-partial hash aggregates.
+    // At 100 TB the broadcast side is the eval suite (MBs), the posture
+    // holds as-is; if the benchmark ever outgrows broadcast, x39's Bloom
+    // prefilter is the drop-in (same left-join shape).
+    QueryDef(
+      "x49_decontamination",
+      (s, d) => {
+        val grams = documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 3)
+          .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
+        val bench = grams.filter(col("doc_id") % 17 === 3).select("sh").distinct()
+        grams.filter(col("doc_id") % 17 =!= 3)
+          .dropDuplicates("doc_id", "sh")
+          .join(broadcast(bench.withColumn("hit", lit(1L))), Seq("sh"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+          .select(col("doc_id"), col("n_grams"), col("n_hit"),
+            round(col("n_hit") / col("n_grams").cast(DoubleType), 6).as("overlap_ratio"),
+            (round(col("n_hit") / col("n_grams").cast(DoubleType), 6) >= 0.2)
+              .as("contaminated"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+              |g AS (SELECT DISTINCT doc_id, sh FROM (
+              |  SELECT doc_id, unnest($shinglesSql) AS sh FROM t WHERE len(tk) >= 3) u),
+              |b AS (SELECT DISTINCT sh FROM g WHERE doc_id % 17 = 3),
+              |tr AS (SELECT g.doc_id, (b.sh IS NOT NULL) AS hit FROM g
+              |  LEFT JOIN b ON g.sh = b.sh WHERE g.doc_id % 17 <> 3)
+              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+              |  CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+              |  round(sum(CASE WHEN hit THEN 1 ELSE 0 END)
+              |    / CAST(count(*) AS DOUBLE), 6) AS overlap_ratio,
+              |  (round(sum(CASE WHEN hit THEN 1 ELSE 0 END)
+              |    / CAST(count(*) AS DOUBLE), 6) >= 0.2) AS contaminated
+              |FROM tr GROUP BY 1 ORDER BY doc_id""".stripMargin))
   )
 }

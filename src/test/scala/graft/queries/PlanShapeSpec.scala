@@ -218,4 +218,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(opExchanges(p) == 0, s"decode must not shuffle:\n$p")
     assert(!p.contains("Join"), p)
   }
+
+  test("x48 packing is one source exchange + window + narrow explode (no join, no index sort)") {
+    val p = plans("x48_sequence_packing")
+    assert(opExchanges(p) == 1, s"expected only the window's source exchange, plan:\n$p")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    // the window's partition sort and the presentation ORDER BY are the
+    // only sorts; nothing sorts the exploded (doc × pack) rows
+    assert("Sort \\[".r.findAllIn(p).length <= 2, p)
+  }
+
+  test("x49's benchmark probe broadcasts — the training-corpus grams never shuffle for membership") {
+    val p = plans("x49_decontamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
