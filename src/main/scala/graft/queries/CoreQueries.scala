@@ -6,7 +6,7 @@ import graft.ops.TransitiveClosure
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 import QueryDef.dsum
 
 /** The declared query inventory Q1–Q27 from SURVEY.md §2.4. Each query
@@ -914,6 +914,70 @@ object CoreQueries {
              |  round(quantile_cont(l_quantity, 0.75), 6) AS p75,
              |  quantile_disc(l_quantity, 0.5) AS med_disc,
              |  round(quantile_cont(l_extendedprice, 0.9), 6) AS price_p90
-             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Q41 — RANGE-frame window (trailing 1-hour per-user sum/count): the
+    // value-based frame family q11 (ROWS) and q29 (tumbling buckets) don't
+    // cover — a RANGE frame's extent depends on the ORDER value, not row
+    // position. Frames are expressed over exact epoch MICROSECONDS on both
+    // engines (events.parquet carries nanosecond timestamps; Spark's
+    // TimestampType truncates to µs, so the frame bound must be computed on
+    // the same truncated integer both sides — q23's discipline). The framed
+    // sum goes through DECIMAL so peer-order inside the frame can't change
+    // the double. Scale posture: one exchange on user_id; frames are
+    // per-user and time-bounded, so state per partition is bounded by the
+    // densest hour, not history — the same argument the streaming
+    // watermarked windows make.
+    QueryDef(
+      "q41_range_frame_window",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("us"))
+          .rangeBetween(-3600000000L, 0L)
+        events(s, d)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("us"), col("value"))
+          .select(col("event_id"), col("user_id"),
+            count(lit(1)).over(w).cast(LongType).as("w_n"),
+            sum(col("value").cast(DecimalType(18, 4))).over(w)
+              .cast(DoubleType).as("w_sum"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events)
+             |SELECT event_id, user_id,
+             |  CAST(count(*) OVER w AS BIGINT) AS w_n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS w_sum
+             |FROM e
+             |WINDOW w AS (PARTITION BY user_id ORDER BY us
+             |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin)),
+
+    // Q42 — UNPIVOT (wide→long reshape), the inverse of q31's pivot and the
+    // missing half of the reshape surface: metric columns melt into
+    // (metric, value) rows. Spark's Dataset.unpivot is a narrow projection
+    // (each input row expands to k rows, no shuffle); the only exchange is
+    // the upstream aggregate's. Values go through dsum so the melted
+    // doubles are engine-exact.
+    QueryDef(
+      "q42_unpivot",
+      (s, d) =>
+        lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_price"),
+            dsum(col("l_discount")).as("sum_disc"))
+          .unpivot(
+            Array(col("l_returnflag")),
+            Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+            "metric", "value")
+          .orderBy("l_returnflag", "metric"),
+      Some("""WITH agg AS (SELECT l_returnflag,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+             |  CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l_returnflag, metric, value
+             |FROM (UNPIVOT agg ON sum_qty, sum_price, sum_disc INTO NAME metric VALUE value)
+             |ORDER BY l_returnflag, metric""".stripMargin))
   )
 }

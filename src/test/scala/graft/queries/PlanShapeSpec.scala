@@ -235,4 +235,57 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q41's RANGE frame runs inside one user_id exchange (no join, no second shuffle)") {
+    val p = plans("q41_range_frame_window")
+    assert(p.contains("RangeFrame"), p)
+    assert(opExchanges(p) == 1, s"expected one user_id exchange, plan:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q42's unpivot is a narrow Expand over the aggregate (no extra exchange)") {
+    val p = plans("q42_unpivot")
+    assert(p.contains("Expand"), p)
+    assert(opExchanges(p) == 1, s"expected only the groupBy exchange, plan:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("x50's posting lists are bounded-buffer aggregates sharing the loader's doc partitioning") {
+    val p = plans("x50_inverted_index")
+    assert(p.contains("TopKStringsAggregator"), p)
+    assert(!p.contains("Window"), p)
+    // the (tok, doc_id) tf aggregate rides the existing doc_id clustering;
+    // the ONLY operator exchange is the tok rollup
+    assert(opExchanges(p) == 1, s"expected one tok exchange, plan:\n$p")
+    assert("Sort \\[".r.findAllIn(p).length <= 1, p)
+  }
+
+  test("x51's BM25 stats all broadcast; the top-20 is TakeOrdered, not a global sort") {
+    val p = plans("x51_bm25_retrieval")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x52's islands and per-doc stats are stacked aggregates inside ONE doc_id exchange") {
+    val p = plans("x52_span_dedup")
+    // exactly one Window (the dup-run cumsum) — a second Window or a
+    // row_number branch would re-shuffle the window stream per metric
+    assert("Window \\[".r.findAllIn(p).length == 1, p)
+    // window exchanges are keyed by hash/doc_id, never the window text
+    val exch = "Exchange hashpartitioning\\([^\n]*".r.findAllIn(p)
+      .filter(!_.contains("REPARTITION_BY_NUM")).toSeq
+    assert(exch.forall(e => !e.contains("col#") && !e.contains("text#")),
+      s"exchange keyed by raw window text:\n$exch")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x53's version diff joins 16-byte digests on doc_id — corpus bytes never cross the join") {
+    val p = plans("x53_snapshot_diff")
+    assert(p.contains("FullOuter"), p)
+    // md5 is computed scan-side, below the join: no exchange carries text
+    val exch = "Exchange hashpartitioning\\([^\n]*".r.findAllIn(p)
+      .filter(!_.contains("REPARTITION_BY_NUM")).toSeq
+    assert(exch.forall(e => !e.contains("text#")), s"exchange carries raw text:\n$exch")
+  }
 }
