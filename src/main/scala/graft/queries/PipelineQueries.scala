@@ -2617,6 +2617,95 @@ object PipelineQueries {
              |       WHEN v2.doc_id IS NULL THEN 'removed'
              |       WHEN h1 <> h2 THEN 'modified' ELSE 'unchanged' END AS status
              |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // BPE MERGE-PAIR COUNTING — the inner loop of byte-pair-encoding
+    // tokenizer training (Sennrich et al.): count adjacent symbol pairs
+    // across the corpus weighted by word frequency and surface the top
+    // merge candidates. The classic implementation iterates a dict on one
+    // machine; the distributed form aggregates the word table (NOT the
+    // token stream — pair explosion runs over |vocab| rows, with corpus
+    // multiplicity carried by the freq weight). Both exchanges (word freq,
+    // pair sum) partial-combine map-side; top-20 is TakeOrdered. At
+    // 100 TB successive BPE iterations re-run this with the word table
+    // re-segmented by the merges learned so far — each iteration stays
+    // vocab-sized after the first freq aggregate.
+    QueryDef(
+      "x54_bpe_merge_pairs",
+      (s, d) => {
+        val wf = documents(s, d)
+          .select(explode(tokens(col("text"))).as("w"))
+          .filter(col("w") =!= "")
+          .groupBy("w").agg(count(lit(1)).cast(LongType).as("freq"))
+        val top = wf.filter(length(col("w")) >= 2)
+          .select(explode(
+            expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+            .as("pair"), col("freq"))
+          .groupBy("pair").agg(sum(col("freq")).cast(LongType).as("n"))
+          .orderBy(col("n").desc, col("pair")).limit(20)
+        top.withColumn("rn",
+            row_number().over(Window.orderBy(col("n").desc, col("pair"))).cast(LongType))
+          .select(col("rn"), col("pair"), col("n"))
+          .orderBy("rn")
+      },
+      Some(s"""WITH toks AS (SELECT unnest($tokensSql) AS w FROM documents),
+              |wf AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM toks WHERE w <> '' GROUP BY 1),
+              |pairs AS (SELECT unnest(list_transform(range(1, len(w)),
+              |  i -> substr(w, CAST(i AS INT), 2))) AS pair, freq FROM wf WHERE len(w) >= 2),
+              |pc AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM pairs GROUP BY 1),
+              |r AS (SELECT pair, n,
+              |  CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rn FROM pc)
+              |SELECT rn, pair, n FROM r WHERE rn <= 20 ORDER BY rn""".stripMargin)),
+
+    // TOKEN CO-OCCURRENCE LIFT — phrase/collocation detection (the
+    // word2vec-era PMI recipe) with the score kept RATIONAL: lift =
+    // P(a,b)/(P(a)P(b)) = n_ab·N / (n_a·n_b) — exact integers into one
+    // IEEE division, no log() (x51's determinism discipline). Pair
+    // candidates come from a per-document self-join over DISTINCT doc
+    // tokens: keyed by doc_id, so the pair space is Σ_doc (distinct
+    // tokens)² — bounded per document, linear in corpus size, never
+    // vocab² across documents. The unary count tables broadcast; the
+    // n_ab ≥ 5 support floor prunes the tail before scoring; top-20 is
+    // TakeOrdered. At 100 TB the same shape runs with a df-capped
+    // vocabulary (x05's hot-shingle argument) to bound the per-doc fanout.
+    QueryDef(
+      "x55_cooccurrence_lift",
+      (s, d) => {
+        val dtf = documents(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+          .filter(col("tok") =!= "").distinct()
+        val n = dtf.agg(countDistinct("doc_id").cast(LongType).as("n_docs"))
+        val u = dtf.groupBy("tok").agg(count(lit(1)).cast(LongType).as("n_t"))
+        val p = dtf.select(col("doc_id"), col("tok").as("tok_a"))
+          .join(dtf.select(col("doc_id"), col("tok").as("tok_b")), Seq("doc_id"))
+          .filter(col("tok_a") < col("tok_b"))
+          .groupBy("tok_a", "tok_b").agg(count(lit(1)).cast(LongType).as("n_ab"))
+          .filter(col("n_ab") >= 5)
+        val top = p
+          .join(broadcast(u.select(col("tok").as("tok_a"), col("n_t").as("n_t_a"))), Seq("tok_a"))
+          .join(broadcast(u.select(col("tok").as("tok_b"), col("n_t").as("n_t_b"))), Seq("tok_b"))
+          .crossJoin(broadcast(n))
+          .withColumn("lift", round(
+            (col("n_ab") * col("n_docs")) / (col("n_t_a") * col("n_t_b")).cast(DoubleType), 6))
+          .orderBy(col("lift").desc, col("tok_a"), col("tok_b")).limit(20)
+        top.withColumn("rn",
+            row_number().over(Window.orderBy(col("lift").desc, col("tok_a"), col("tok_b")))
+              .cast(LongType))
+          .select(col("rn"), col("tok_a"), col("tok_b"), col("n_ab"), col("lift"))
+          .orderBy("rn")
+      },
+      Some(s"""WITH dt AS (SELECT DISTINCT doc_id, unnest($tokensSql) AS tok FROM documents),
+              |dtf AS (SELECT doc_id, tok FROM dt WHERE tok <> ''),
+              |n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM dtf),
+              |u AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_t FROM dtf GROUP BY 1),
+              |p AS (SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(count(*) AS BIGINT) AS n_ab
+              |  FROM dtf a JOIN dtf b ON a.doc_id = b.doc_id AND a.tok < b.tok GROUP BY 1, 2),
+              |sc AS (SELECT tok_a, tok_b, n_ab,
+              |  round((n_ab * n.n_docs) / CAST(ua.n_t * ub.n_t AS DOUBLE), 6) AS lift
+              |  FROM p JOIN u ua ON ua.tok = p.tok_a JOIN u ub ON ub.tok = p.tok_b CROSS JOIN n
+              |  WHERE n_ab >= 5),
+              |r AS (SELECT *, CAST(row_number() OVER (ORDER BY lift DESC, tok_a, tok_b) AS BIGINT) AS rn
+              |  FROM sc)
+              |SELECT rn, tok_a, tok_b, n_ab, lift FROM r WHERE rn <= 20 ORDER BY rn""".stripMargin))
   )
 }

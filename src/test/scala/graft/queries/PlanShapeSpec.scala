@@ -280,6 +280,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("x54's pair explosion runs over the word table — two partial-combined exchanges, top-20 TakeOrdered") {
+    val p = plans("x54_bpe_merge_pairs")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(opExchanges(p) == 2, s"expected word-freq + pair exchanges only, plan:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("x55's pair candidates stay doc-keyed; unary stats broadcast; top-20 TakeOrdered") {
+    val p = plans("x55_cooccurrence_lift")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // only the rank-of-20 window exists — ranking never touches the pair table
+    assert("Window \\[".r.findAllIn(p).length == 1, p)
+  }
+
   test("x53's version diff joins 16-byte digests on doc_id — corpus bytes never cross the join") {
     val p = plans("x53_snapshot_diff")
     assert(p.contains("FullOuter"), p)
