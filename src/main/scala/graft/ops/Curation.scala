@@ -48,15 +48,16 @@ object Curation {
       .withColumn("__cur_nc",
         (if (docs.columns.contains("n_chars")) col("n_chars")
          else length(col("text"))).cast(LongType))
-      .withColumn("__cur_tk", TextDedup.tokens(col("text")))
-      .withColumn("n_tokens", size(col("__cur_tk")).cast(LongType))
-      .withColumn("__cur_sum_len",
-        aggregate(transform(col("__cur_tk"), t => length(t)), lit(0), (a, v) => a + v)
-          .cast(LongType))
-      .withColumn("__cur_n_stop",
-        size(filter(col("__cur_tk"), t => t.isin(stopwords: _*))).cast(LongType))
-      .withColumn("__cur_n_punct",
-        regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]")).cast(LongType))
+      // all four statistics in ONE fused codegen pass — the composable
+      // lambda form (aggregate/transform/filter) is CodegenFallback and
+      // was the catalog's worst genuine cross-engine ratio at ~sf1; the
+      // expression's semantics contract is pinned by TextStatsSpec
+      .withColumn("__cur_st",
+        graft.functions.TextStats.stats(col("text"), stopwords))
+      .withColumn("n_tokens", col("__cur_st").getField("n_tokens"))
+      .withColumn("__cur_sum_len", col("__cur_st").getField("sum_tok_len"))
+      .withColumn("__cur_n_stop", col("__cur_st").getField("n_stop"))
+      .withColumn("__cur_n_punct", col("__cur_st").getField("n_punct"))
       .withColumn("avg_tok_len",
         round(col("__cur_sum_len") / col("n_tokens").cast(DoubleType), 6))
       .withColumn("punct_ratio",
@@ -67,7 +68,7 @@ object Curation {
         round(lit(0.4) * col("stop_ratio")
           + lit(0.3) * (least(col("n_tokens"), lit(100L)) / lit(100.0))
           + lit(0.2) * (lit(1.0) - col("punct_ratio")), 6))
-      .drop("__cur_nc", "__cur_tk", "__cur_sum_len", "__cur_n_stop", "__cur_n_punct")
+      .drop("__cur_nc", "__cur_st", "__cur_sum_len", "__cur_n_stop", "__cur_n_punct")
 
   /** The composed pipeline: quality-filter → dedup (min-doc_id survivor)
     * → deterministic train/val split. Returns one row per SURVIVING
