@@ -978,6 +978,59 @@ object CoreQueries {
              |  FROM lineitem GROUP BY 1)
              |SELECT l_returnflag, metric, value
              |FROM (UNPIVOT agg ON sum_qty, sum_price, sum_disc INTO NAME metric VALUE value)
-             |ORDER BY l_returnflag, metric""".stripMargin))
+             |ORDER BY l_returnflag, metric""".stripMargin)),
+
+    // Q43 — ordered funnel analysis (view → click → purchase with a 1-day
+    // step deadline): the behavioral-analytics staple no other row covers —
+    // each step's timestamp must follow the PREVIOUS user-specific step,
+    // so it is not expressible as independent aggregates. Earliest-next-
+    // step semantics: t1 = first view; t2 = first click in (t1, t1+1d];
+    // t3 = first purchase in (t2, t2+1d]. Times are exact epoch micros
+    // (q23/q41 discipline). Scale posture: three conditional min
+    // aggregates chained by user_id-keyed joins — every join and
+    // aggregate shares ONE user_id partitioning (no broadcast of
+    // user-cardinality frames, which at 100 TB are as big as the fact
+    // table); per-user state is three longs, never an event buffer.
+    QueryDef(
+      "q43_funnel_steps",
+      (s, d) => {
+        val day = 86400000000L
+        val e = events(s, d).select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        val u = e.select("user_id").distinct()
+        val s1 = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("us")).as("t1"))
+        val s2 = e.join(s1, Seq("user_id"))
+          .filter(col("event_type") === "click" &&
+            col("us") > col("t1") && col("us") <= col("t1") + day)
+          .groupBy("user_id").agg(min(col("us")).as("t2"))
+        val s3 = e.join(s2, Seq("user_id"))
+          .filter(col("event_type") === "purchase" &&
+            col("us") > col("t2") && col("us") <= col("t2") + day)
+          .groupBy("user_id").agg(min(col("us")).as("t3"))
+        u.join(s1, Seq("user_id"), "left")
+          .join(s2, Seq("user_id"), "left")
+          .join(s3, Seq("user_id"), "left")
+          .select(col("user_id"), col("t1"), col("t2"), col("t3"),
+            when(col("t1").isNull, 0L)
+              .otherwise(lit(1L)
+                + when(col("t2").isNotNull, 1L).otherwise(0L)
+                + when(col("t3").isNotNull, 1L).otherwise(0L)).as("steps"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+             |u AS (SELECT DISTINCT user_id FROM e),
+             |s1 AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+             |s2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN s1 USING (user_id)
+             |  WHERE event_type = 'click' AND us > t1 AND us <= t1 + 86400000000 GROUP BY 1),
+             |s3 AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN s2 USING (user_id)
+             |  WHERE event_type = 'purchase' AND us > t2 AND us <= t2 + 86400000000 GROUP BY 1)
+             |SELECT u.user_id, t1, t2, t3,
+             |  CAST(CASE WHEN t1 IS NULL THEN 0
+             |       ELSE 1 + (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)
+             |             + (CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) END AS BIGINT) AS steps
+             |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+             |  LEFT JOIN s3 USING (user_id)
+             |ORDER BY user_id""".stripMargin))
   )
 }
