@@ -17,11 +17,20 @@ object TextDedup {
   /** Whitespace tokens; trim-then-split keeps it lambda-free (codegen'd). */
   def tokens(c: Column): Column = split(trim(lower(c)), "\\s+")
 
-  /** Word n-gram shingle expression over a token-array column named `tk`. */
+  /** Word n-gram shingle expression over a token-array column named `tk`.
+    * Kept for reference/SQL-twin readability; library paths use the fused
+    * codegen [[graft.functions.WordShingles]] via [[shingles]] — the
+    * lambda form here is interpreted (CodegenFallback) per shingle. */
   def shinglesExpr(n: Int = 3): String = {
     val parts = (0 until n).map(i => s"tk[i+$i]").mkString(", ")
     s"transform(sequence(0, size(tk) - $n), i -> concat_ws(' ', $parts))"
   }
+
+  /** Word n-gram shingles from a token-array column — one fused codegen
+    * pass (identical strings to [[shinglesExpr]] on its guarded
+    * `size(tk) >= n` domain; empty array below it). */
+  def shingles(tk: Column, n: Int = 3): Column =
+    graft.functions.WordShingles.shingles(tk, n)
 
   /** (doc_id, seed, mh): per-seed MinHash of word-3-gram shingles.
     * Lexicographic min over md5 hex == numeric min (fixed width). */
@@ -29,7 +38,7 @@ object TextDedup {
     docs
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .filter(size(col("tk")) >= 3)
-      .select(col("doc_id"), explode(expr(shinglesExpr())).as("sh"))
+      .select(col("doc_id"), explode(shingles(col("tk"))).as("sh"))
       .withColumn("seed", explode(sequence(lit(0L), lit(seeds - 1L))))
       .groupBy("doc_id", "seed")
       .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("sh")))).as("mh"))

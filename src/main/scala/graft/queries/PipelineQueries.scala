@@ -42,9 +42,9 @@ object PipelineQueries {
 
   private val tokensSql = "string_split_regex(trim(lower(text)), '\\s+')"
 
-  /** Word 3-gram shingles from a `tk` token-array column (expr form: dynamic
-    * array indexing needs SQL lambdas). Spark arrays are 0-based. */
-  private val shinglesExpr = graft.ops.TextDedup.shinglesExpr(3)
+  // Word 3-gram shingles come from the fused codegen expression
+  // graft.ops.TextDedup.shingles (WordShingles) — the SQL-lambda form it
+  // replaced lives on in TextDedup.shinglesExpr for twin readability.
 
   /** DuckDB twin (1-based; range end-exclusive): same shingle count/order. */
   private val shinglesSql =
@@ -303,7 +303,7 @@ object PipelineQueries {
         val raw = docCorpus(s, d)
           .select(col("doc_id"), tokens(col("text")).as("tk"))
           .filter(size(col("tk")) >= 3)
-          .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
+          .select(col("doc_id"), explode(graft.ops.TextDedup.shingles(col("tk"))).as("sh"))
           // ONE shuffle serves everything downstream: partitioning by sh
           // alone co-locates equal (doc_id, sh) rows, so the distinct
           // aggregate, the per-sh document-frequency aggregate, the
@@ -774,7 +774,7 @@ object PipelineQueries {
         def shingleSet(df: org.apache.spark.sql.DataFrame) = df
           .select(col("doc_id"), tokens(col("text")).as("tk"))
           .filter(size(col("tk")) >= 3)
-          .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
+          .select(col("doc_id"), explode(graft.ops.TextDedup.shingles(col("tk"))).as("sh"))
           .distinct()
         val bench = shingleSet(all.filter(col("doc_id") < 50)).select("sh").distinct()
         shingleSet(all.filter(col("doc_id") >= 50))
@@ -1440,7 +1440,7 @@ object PipelineQueries {
         docCorpus(s, d)
           .select(col("doc_id"), tokens(col("text")).as("tk"))
           .filter(size(col("tk")) >= 3)
-          .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
+          .select(col("doc_id"), explode(graft.ops.TextDedup.shingles(col("tk"))).as("sh"))
           .repartition(col("sh"))
           .distinct()
           .withColumn("first_doc", min(col("doc_id")).over(bySh))
@@ -1727,7 +1727,7 @@ object PipelineQueries {
         def shingles(df: org.apache.spark.sql.DataFrame) = df
           .select(col("doc_id"), tokens(col("text")).as("tk"))
           .filter(size(col("tk")) >= 3)
-          .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
+          .select(col("doc_id"), explode(graft.ops.TextDedup.shingles(col("tk"))).as("sh"))
         val bench = shingles(all.filter(col("doc_id") < 50)).select("sh").distinct()
         // expectedItems bounds the BENCH side (fixed id range → bounded set);
         // an underestimate only raises realized fpp, never drops a member
@@ -1844,7 +1844,7 @@ object PipelineQueries {
         val raw = corpus
           .select(col("doc_id"), tokens(col("text")).as("tk"))
           .filter(size(col("tk")) >= 3)
-          .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
+          .select(col("doc_id"), explode(graft.ops.TextDedup.shingles(col("tk"))).as("sh"))
           .repartition(col("sh"))
           .dropDuplicates("doc_id", "sh")
         val dfTab = raw.groupBy("sh").agg(count(lit(1)).as("df"))
@@ -2369,7 +2369,7 @@ object PipelineQueries {
         val grams = documents(s, d)
           .select(col("doc_id"), tokens(col("text")).as("tk"))
           .filter(size(col("tk")) >= 3)
-          .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
+          .select(col("doc_id"), explode(graft.ops.TextDedup.shingles(col("tk"))).as("sh"))
         val bench = grams.filter(col("doc_id") % 17 === 3).select("sh").distinct()
         grams.filter(col("doc_id") % 17 =!= 3)
           .dropDuplicates("doc_id", "sh")
@@ -2529,7 +2529,7 @@ object PipelineQueries {
           .select(col("doc_id"), tokens(col("text")).as("tk"))
           .filter(size(col("tk")) >= 8)
           .select(col("doc_id"),
-            posexplode(expr(graft.ops.TextDedup.shinglesExpr(8))))
+            posexplode(graft.ops.TextDedup.shingles(col("tk"), 8)))
           .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("pos"),
             md5(col("col").cast("binary")).as("h"))
         val dh = w.groupBy("h", "doc_id").agg(count(lit(1)).as("c"))
