@@ -535,7 +535,7 @@ object PipelineQueries {
           .select(col("doc_id"), tokens(col("text")).as("tk"))
           .filter(size(col("tk")) >= 2)
           .select(col("doc_id"),
-            explode(expr("transform(sequence(0, size(tk) - 2), i -> concat_ws(' ', tk[i], tk[i+1]))")).as("bg"))
+            explode(graft.ops.TextDedup.shingles(col("tk"), 2)).as("bg"))
           .select(col("doc_id"), md5(col("bg").cast("binary")).as("h"))
           .groupBy("doc_id")
           .agg(kmin(col("h")).as("fps"))
@@ -2031,9 +2031,8 @@ object PipelineQueries {
         val ex = documents(s, d).filter(col("text").isNotNull)
           .select(col("doc_id"), tokens(col("text")).as("tk"))
           .filter(size(col("tk")) >= 2)
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(0, size(tk) - 2), i -> " +
-              "concat(tk[i], ' ', tk[i+1]))")).as("bg"))
+          .select(col("doc_id"),
+            explode(graft.ops.TextDedup.shingles(col("tk"), 2)).as("bg"))
           .localCheckpoint(eager = true)
         val c2 = ex.groupBy("bg").agg(count(lit(1)).as("c2"))
           .localCheckpoint(eager = true)
