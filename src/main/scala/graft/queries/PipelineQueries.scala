@@ -453,12 +453,15 @@ object PipelineQueries {
         val de = Seq("der", "die", "das", "und", "ist")
         val fr = Seq("le", "la", "les", "et", "est")
         val es = Seq("el", "los", "las", "y", "es")
-        def score(list: Seq[String]) =
-          size(filter(col("tk"), t => t.isin(list: _*))).cast(LongType)
+        // all four set counts in ONE fused token scan (TokenSetCounts) —
+        // the per-set filter(isin) form walks the array interpreted, ×4
         documents(s, d)
           .select(col("doc_id"), tokens(col("text")).as("tk"))
+          .withColumn("__sc",
+            graft.functions.TokenSetCounts.counts(col("tk"), Seq(en, de, fr, es)))
           .select(col("doc_id"),
-            score(en).as("s_en"), score(de).as("s_de"), score(fr).as("s_fr"), score(es).as("s_es"))
+            col("__sc")(0).as("s_en"), col("__sc")(1).as("s_de"),
+            col("__sc")(2).as("s_fr"), col("__sc")(3).as("s_es"))
           .withColumn("pred_lang",
             when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") && col("s_en") >= col("s_es"), "en")
               .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es"), "de")
