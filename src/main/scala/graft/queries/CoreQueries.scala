@@ -1031,6 +1031,87 @@ object CoreQueries {
              |             + (CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) END AS BIGINT) AS steps
              |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
              |  LEFT JOIN s3 USING (user_id)
-             |ORDER BY user_id""".stripMargin))
+             |ORDER BY user_id""".stripMargin)),
+
+    // PAGERANK over the customer↔supplier trade graph (symmetrized
+    // directed edges from orders⋈lineitem), 5 unrolled power iterations —
+    // the influence-ranking member of the graph-analytics family (q26
+    // integrity, q27/q37/q38 hierarchy, x18/x25 components). Symmetrizing
+    // removes dangling-mass bookkeeping (every node has out-degree ≥ 1)
+    // while keeping the ranking informative: hubs are high-fanout nodes.
+    //
+    // Cross-engine parity: each edge contribution rank/outdeg is ONE IEEE
+    // double division (bit-identical both engines), summed exactly as
+    // DECIMAL(18,8) (dsum discipline — engine-dependent double summation
+    // order never appears), then one shared 0.15 + 0.85·x double tree.
+    //
+    // Scale posture: the edge table shuffles ONCE (explicit dst
+    // repartition; ReuseExchange serves all 5 iterations from that single
+    // exchange) and each iteration is edges ⋈ broadcast(ranks) ⋈
+    // broadcast(degrees) → a dst-clustered aggregate that reuses the
+    // edge partitioning — no per-iteration edge shuffle. Ranks/degree
+    // frames are |nodes|-sized (≪ |edges|); when nodes outgrow broadcast
+    // at 100 TB, co-partition ranks by node and edges by src and the
+    // iteration becomes one sort-merge join per step — the standard
+    // trade, noted here because the broadcast form is the right default.
+    QueryDef(
+      "q44_pagerank",
+      (s, d) => {
+        val e0 = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+          .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("src"),
+            concat(lit("s"), col("l_suppkey")).as("dst"))
+          .distinct()
+        // symmetrize via explode, not self-union — the distinct edge set is
+        // derived (scan + shuffle) ONCE and each row fans out to both
+        // directions narrowly
+        val edges = e0
+          .select(explode(array(
+            struct(col("src"), col("dst")),
+            struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+          .repartition(col("dst"))
+        val deg = edges.groupBy("src").agg(count(lit(1)).cast(LongType).as("outdeg"))
+        var ranks = deg.select(col("src").as("node"), lit(1.0).as("pr"))
+        for (_ <- 1 to 5) {
+          ranks = edges
+            .join(broadcast(ranks), edges("src") === ranks("node"))
+            .join(broadcast(deg), Seq("src"))
+            .groupBy("dst")
+            .agg(sum((col("pr") / col("outdeg")).cast(DecimalType(18, 8)))
+              .cast(DoubleType).as("m"))
+            .select(col("dst").as("node"),
+              (lit(0.15) + lit(0.85) * col("m")).as("pr"))
+        }
+        ranks
+          .select(col("node"), round(col("pr"), 6).as("pr"))
+          .orderBy(col("pr").desc, col("node")).limit(20)
+          .withColumn("rn",
+            row_number().over(Window.orderBy(col("pr").desc, col("node"))).cast(LongType))
+          .select(col("rn"), col("node"), col("pr"))
+          .orderBy("rn")
+      },
+      Some("""WITH e0 AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+             |  's' || CAST(l_suppkey AS VARCHAR) AS dst
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+             |edges AS (SELECT src, dst FROM e0
+             |  UNION ALL SELECT dst AS src, src AS dst FROM e0),
+             |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY 1),
+             |r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) AS pr FROM deg),
+             |r1 AS (SELECT e.dst AS node, 0.15 + 0.85 * CAST(sum(CAST(r.pr / d.outdeg AS DECIMAL(18,8))) AS DOUBLE) AS pr
+             |  FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY 1),
+             |r2 AS (SELECT e.dst AS node, 0.15 + 0.85 * CAST(sum(CAST(r.pr / d.outdeg AS DECIMAL(18,8))) AS DOUBLE) AS pr
+             |  FROM edges e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY 1),
+             |r3 AS (SELECT e.dst AS node, 0.15 + 0.85 * CAST(sum(CAST(r.pr / d.outdeg AS DECIMAL(18,8))) AS DOUBLE) AS pr
+             |  FROM edges e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY 1),
+             |r4 AS (SELECT e.dst AS node, 0.15 + 0.85 * CAST(sum(CAST(r.pr / d.outdeg AS DECIMAL(18,8))) AS DOUBLE) AS pr
+             |  FROM edges e JOIN r3 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY 1),
+             |r5 AS (SELECT e.dst AS node, 0.15 + 0.85 * CAST(sum(CAST(r.pr / d.outdeg AS DECIMAL(18,8))) AS DOUBLE) AS pr
+             |  FROM edges e JOIN r4 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY 1),
+             |top AS (SELECT node, round(pr, 6) AS pr FROM r5),
+             |r AS (SELECT *, CAST(row_number() OVER (ORDER BY pr DESC, node) AS BIGINT) AS rn
+             |  FROM top)
+             |SELECT rn, node, pr FROM r WHERE rn <= 20 ORDER BY rn""".stripMargin))
   )
 }

@@ -2708,6 +2708,74 @@ object PipelineQueries {
               |  WHERE n_ab >= 5),
               |r AS (SELECT *, CAST(row_number() OVER (ORDER BY lift DESC, tok_a, tok_b) AS BIGINT) AS rn
               |  FROM sc)
-              |SELECT rn, tok_a, tok_b, n_ab, lift FROM r WHERE rn <= 20 ORDER BY rn""".stripMargin))
+              |SELECT rn, tok_a, tok_b, n_ab, lift FROM r WHERE rn <= 20 ORDER BY rn""".stripMargin)),
+
+    // LENGTH-BUCKETED BATCH ASSEMBLY — the trainer stage between x43's
+    // mixture budgeting and x48's token packing: group documents into
+    // fixed-size batches and account the padding cost (a batch pads every
+    // member to its longest doc). Sorting by length before batching is the
+    // standard padding-waste fix; this query quantifies it per source —
+    // padded token cost of length-sorted batches vs natural (doc_id-order)
+    // batches. All-integer arithmetic, so the oracle is exact.
+    //
+    // Plan shape: the per-doc (source, doc_id, n_tok) frame is tokenized
+    // ONCE and localCheckpoint'd (docs-sized metadata, ~3 longs/doc — at
+    // 100 TB swap for a persisted intermediate table; checkpoint BEFORE
+    // the windows because checkpointing drops partitioning metadata).
+    // Both rankings window-partition by source, and every downstream
+    // aggregate groups by (source, …) — HashPartitioning(source)
+    // satisfies each ClusteredDistribution, so the whole query runs in
+    // ONE source-keyed exchange (pinned in PlanShapeSpec); the two
+    // branches' identical exchanges dedupe via ReuseExchange. Per-source
+    // sequentiality is inherent to the semantics (same as x48); at 100 TB
+    // sub-shard the ranking key to (source, hash(doc_id) % k) — batch
+    // membership is arbitrary-but-deterministic, padding accounting is
+    // unchanged in expectation.
+    QueryDef(
+      "x56_length_batching",
+      (s, d) => {
+        val B = 16
+        val docs = documents(s, d)
+          .select(col("source"), col("doc_id"),
+            size(tokens(col("text"))).cast(LongType).as("n_tok"))
+          .localCheckpoint(eager = true)
+        val wLen = Window.partitionBy("source").orderBy(col("n_tok").desc, col("doc_id"))
+        val wNat = Window.partitionBy("source").orderBy("doc_id")
+        val assigned = docs
+          .withColumn("b_len", ((row_number().over(wLen) - 1) / lit(B)).cast(LongType))
+          .withColumn("b_nat", ((row_number().over(wNat) - 1) / lit(B)).cast(LongType))
+        val sorted = assigned.groupBy("source", "b_len")
+          .agg(count(lit(1)).as("c"), max("n_tok").as("m"), sum("n_tok").as("t"))
+          .groupBy("source")
+          .agg(count(lit(1)).cast(LongType).as("n_batches"),
+            sum(col("c")).cast(LongType).as("n_docs"),
+            sum(col("t")).cast(LongType).as("n_tokens"),
+            sum(col("c") * col("m")).cast(LongType).as("sorted_padded"))
+        val naive = assigned.groupBy("source", "b_nat")
+          .agg(count(lit(1)).as("c"), max("n_tok").as("m"))
+          .groupBy("source")
+          .agg(sum(col("c") * col("m")).cast(LongType).as("naive_padded"))
+        sorted.join(broadcast(naive), "source")
+          .select(col("source"), col("n_docs"), col("n_tokens"), col("n_batches"),
+            col("sorted_padded"), col("naive_padded"),
+            (col("naive_padded") - col("sorted_padded")).as("saved_tokens"))
+          .orderBy("source")
+      },
+      Some(s"""WITH t AS (SELECT source, doc_id,
+              |  CAST(len($tokensSql) AS BIGINT) AS n_tok FROM documents),
+              |a AS (SELECT source, doc_id, n_tok,
+              |  (row_number() OVER (PARTITION BY source ORDER BY n_tok DESC, doc_id) - 1) // 16 AS b_len,
+              |  (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1) // 16 AS b_nat
+              |  FROM t),
+              |sb AS (SELECT source, b_len, count(*) AS c, max(n_tok) AS m, sum(n_tok) AS tt
+              |  FROM a GROUP BY 1, 2),
+              |s1 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_batches,
+              |  CAST(sum(c) AS BIGINT) AS n_docs, CAST(sum(tt) AS BIGINT) AS n_tokens,
+              |  CAST(sum(c * m) AS BIGINT) AS sorted_padded FROM sb GROUP BY 1),
+              |nb AS (SELECT source, b_nat, count(*) AS c, max(n_tok) AS m FROM a GROUP BY 1, 2),
+              |s2 AS (SELECT source, CAST(sum(c * m) AS BIGINT) AS naive_padded FROM nb GROUP BY 1)
+              |SELECT s1.source, n_docs, n_tokens, n_batches, sorted_padded, naive_padded,
+              |  naive_padded - sorted_padded AS saved_tokens
+              |FROM s1 JOIN s2 ON s1.source = s2.source ORDER BY s1.source""".stripMargin))
   )
 }

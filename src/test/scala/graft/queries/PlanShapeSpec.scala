@@ -295,6 +295,26 @@ class PlanShapeSpec extends SparkSpec {
     assert("Window \\[".r.findAllIn(p).length == 1, p)
   }
 
+  test("x56's rankings and padding rollups all ride ONE source exchange; the per-source join broadcasts") {
+    val p = plans("x56_length_batching")
+    // the two window branches statically plan one source exchange EACH over
+    // the same checkpointed per-doc frame (AQE stage reuse serves the
+    // second at runtime); the (source, batch) aggregates satisfy their
+    // distribution from HashPartitioning(source) without re-shuffling
+    assert(opExchanges(p) <= 2, s"expected only the two source exchanges, plan:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("q44's pagerank iterations join broadcast ranks/degrees — the edge table never re-shuffles for a join") {
+    val p = plans("q44_pagerank")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    // contribution rollups cluster on the edges' explicit dst partitioning:
+    // the only hash exchanges are the edge-set distinct + dst repartition
+    // (statically replanned per unrolled iteration, AQE-reused at runtime)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("x53's version diff joins 16-byte digests on doc_id — corpus bytes never cross the join") {
     val p = plans("x53_snapshot_diff")
     assert(p.contains("FullOuter"), p)
