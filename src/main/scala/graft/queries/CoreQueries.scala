@@ -1112,6 +1112,79 @@ object CoreQueries {
              |top AS (SELECT node, round(pr, 6) AS pr FROM r5),
              |r AS (SELECT *, CAST(row_number() OVER (ORDER BY pr DESC, node) AS BIGINT) AS rn
              |  FROM top)
-             |SELECT rn, node, pr FROM r WHERE rn <= 20 ORDER BY rn""".stripMargin))
+             |SELECT rn, node, pr FROM r WHERE rn <= 20 ORDER BY rn""".stripMargin)),
+
+    // WEIGHTED SINGLE-SOURCE SHORTEST PATH — q44's iterative pattern on the
+    // min-plus semiring (Bellman-Ford, 4 relaxation rounds from supplier
+    // 's1' over the same symmetrized trade graph, edge weight = min
+    // lineitem price in exact CENTS). All-integer arithmetic: the oracle
+    // parity needs no float discipline at all. Unreached nodes after 4
+    // rounds are simply absent (standard frontier semantics).
+    //
+    // Scale posture mirrors q44: the weighted edge set is derived and
+    // dst-shuffled ONCE (AQE-reused across rounds); each round joins the
+    // |reached|-sized distance frame by broadcast and min-aggregates on
+    // the edges' dst clustering; the relax-vs-keep combine is a min over
+    // the union of two nodes-sized frames. Beyond broadcastable frontiers
+    // use GraphAlgos' Pregel (x25's path) — this is the DataFrame-native
+    // form with an exact SQL twin.
+    QueryDef(
+      "q45_shortest_path",
+      (s, d) => {
+        val ew = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+          .join(lineitem(s, d)
+            .select(col("l_orderkey"), col("l_suppkey"),
+              // x29's cents discipline: floor(x·100) — identical doubles
+              // → identical longs; a bare double→BIGINT cast truncates in
+              // Spark but rounds in DuckDB
+              floor(col("l_extendedprice") * 100).cast(LongType).as("cents")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("src"),
+            concat(lit("s"), col("l_suppkey")).as("dst"), col("cents"))
+          .groupBy("src", "dst").agg(min("cents").as("w"))
+        val edges = ew
+          .select(explode(array(
+            struct(col("src"), col("dst"), col("w")),
+            struct(col("dst").as("src"), col("src").as("dst"), col("w")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
+          .repartition(col("dst"))
+        var dist = edges.sparkSession.range(1).select(lit("s1").as("node"), lit(0L).as("dist"))
+        for (_ <- 1 to 4) {
+          val relaxed = edges
+            .join(broadcast(dist), edges("src") === dist("node"))
+            .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+            .groupBy("node").agg(min("dist").as("dist"))
+          dist = relaxed.unionByName(dist)
+            .groupBy("node").agg(min("dist").as("dist"))
+        }
+        dist
+          .orderBy(col("dist"), col("node")).limit(20)
+          .withColumn("rn",
+            row_number().over(Window.orderBy(col("dist"), col("node"))).cast(LongType))
+          .select(col("rn"), col("node"), col("dist"))
+          .orderBy("rn")
+      },
+      Some("""WITH ew AS (SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+             |  's' || CAST(l_suppkey AS VARCHAR) AS dst,
+             |  min(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS w
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey GROUP BY 1, 2),
+             |edges AS (SELECT src, dst, w FROM ew
+             |  UNION ALL SELECT dst AS src, src AS dst, w FROM ew),
+             |d0 AS (SELECT 's1' AS node, CAST(0 AS BIGINT) AS dist),
+             |d1 AS (SELECT node, min(dist) AS dist FROM (
+             |  SELECT e.dst AS node, d.dist + e.w AS dist FROM edges e JOIN d0 d ON e.src = d.node
+             |  UNION ALL SELECT node, dist FROM d0) GROUP BY 1),
+             |d2 AS (SELECT node, min(dist) AS dist FROM (
+             |  SELECT e.dst AS node, d.dist + e.w AS dist FROM edges e JOIN d1 d ON e.src = d.node
+             |  UNION ALL SELECT node, dist FROM d1) GROUP BY 1),
+             |d3 AS (SELECT node, min(dist) AS dist FROM (
+             |  SELECT e.dst AS node, d.dist + e.w AS dist FROM edges e JOIN d2 d ON e.src = d.node
+             |  UNION ALL SELECT node, dist FROM d2) GROUP BY 1),
+             |d4 AS (SELECT node, min(dist) AS dist FROM (
+             |  SELECT e.dst AS node, d.dist + e.w AS dist FROM edges e JOIN d3 d ON e.src = d.node
+             |  UNION ALL SELECT node, dist FROM d3) GROUP BY 1),
+             |r AS (SELECT node, dist,
+             |  CAST(row_number() OVER (ORDER BY dist, node) AS BIGINT) AS rn FROM d4)
+             |SELECT rn, node, dist FROM r WHERE rn <= 20 ORDER BY rn""".stripMargin))
   )
 }

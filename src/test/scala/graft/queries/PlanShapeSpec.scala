@@ -315,6 +315,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q45's relaxation rounds keep every join broadcast — the weighted edge table never re-shuffles") {
+    val p = plans("q45_shortest_path")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("x53's version diff joins 16-byte digests on doc_id — corpus bytes never cross the join") {
     val p = plans("x53_snapshot_diff")
     assert(p.contains("FullOuter"), p)
