@@ -2776,6 +2776,69 @@ object PipelineQueries {
               |s2 AS (SELECT source, CAST(sum(c * m) AS BIGINT) AS naive_padded FROM nb GROUP BY 1)
               |SELECT s1.source, n_docs, n_tokens, n_batches, sorted_padded, naive_padded,
               |  naive_padded - sorted_padded AS saved_tokens
-              |FROM s1 JOIN s2 ON s1.source = s2.source ORDER BY s1.source""".stripMargin))
+              |FROM s1 JOIN s2 ON s1.source = s2.source ORDER BY s1.source""".stripMargin)),
+
+    // BPE MERGE APPLICATION — the tokenizer-APPLY inner loop x54's
+    // merge-pair counting trains: encode every vocabulary word under a
+    // fixed ordered merge list and account the corpus-weighted token
+    // savings. Symbols ride an angle-bracket representation ('<t><h>') so
+    // each merge is ONE exact replace-all — adjacent occurrences share no
+    // characters (the space-joined form's overlap trap), and replace
+    // scans left-to-right in both engines, which IS BPE's apply order for
+    // a merge. Post-encode token count = '<' occurrences, pure string
+    // arithmetic. The encoded string itself is in the gate, so the oracle
+    // checks the actual merge application, not just the counts.
+    //
+    // Scale posture (x54's argument): everything past the word rollup is
+    // vocabulary-sized — corpus multiplicity is carried by freq, the
+    // encode is a narrow per-word pass, and the top-20 is TakeOrdered;
+    // ONE operator exchange, no join (plan-pinned). Successive tokenizer
+    // iterations (count pairs → extend merges → re-encode) alternate x54
+    // and this query over the same vocab table.
+    QueryDef(
+      "x57_bpe_encode",
+      (s, d) => {
+        val merges = Seq(("t", "h"), ("e", "r"), ("i", "n"), ("a", "t"), ("o", "r"))
+        val vocab = documents(s, d)
+          .select(explode(tokens(col("text"))).as("word"))
+          .filter(col("word") =!= "")
+          .groupBy("word").agg(count(lit(1)).cast(LongType).as("freq"))
+        val spaced = vocab.withColumn("s",
+          regexp_replace(col("word"), "(.)", "<$1>"))
+        val encoded = merges.foldLeft(spaced) { case (df, (a, b)) =>
+          df.withColumn("s", expr(s"replace(s, '<$a><$b>', '<$a$b>')"))
+        }
+        encoded
+          .select(col("word"), col("freq"), col("s").as("encoded"),
+            length(col("word")).cast(LongType).as("n_before"),
+            (length(col("s")) - length(expr("replace(s, '<', '')")))
+              .cast(LongType).as("n_after"))
+          .withColumn("saved_total", col("freq") * (col("n_before") - col("n_after")))
+          .orderBy(col("saved_total").desc, col("word")).limit(20)
+          .withColumn("rn",
+            row_number().over(Window.orderBy(col("saved_total").desc, col("word")))
+              .cast(LongType))
+          .select(col("rn"), col("word"), col("freq"), col("encoded"),
+            col("n_before"), col("n_after"), col("saved_total"))
+          .orderBy("rn")
+      },
+      Some(s"""WITH w AS (SELECT unnest($tokensSql) AS word FROM documents),
+              |f AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w
+              |  WHERE word <> '' GROUP BY 1),
+              |e AS (SELECT word, freq,
+              |  replace(replace(replace(replace(replace(
+              |    regexp_replace(word, '(.)', '<\\1>', 'g'),
+              |    '<t><h>', '<th>'), '<e><r>', '<er>'), '<i><n>', '<in>'),
+              |    '<a><t>', '<at>'), '<o><r>', '<or>') AS s
+              |  FROM f),
+              |c AS (SELECT word, freq, s AS encoded,
+              |  CAST(length(word) AS BIGINT) AS n_before,
+              |  CAST(length(s) - length(replace(s, '<', '')) AS BIGINT) AS n_after
+              |  FROM e),
+              |t AS (SELECT *, freq * (n_before - n_after) AS saved_total FROM c),
+              |r AS (SELECT *, CAST(row_number() OVER (ORDER BY saved_total DESC, word) AS BIGINT) AS rn
+              |  FROM t)
+              |SELECT rn, word, freq, encoded, n_before, n_after, saved_total
+              |FROM r WHERE rn <= 20 ORDER BY rn""".stripMargin))
   )
 }

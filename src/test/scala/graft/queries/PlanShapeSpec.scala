@@ -322,6 +322,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("x57's encode is a narrow pass over the vocab rollup — one exchange, no join, top-20 TakeOrdered") {
+    val p = plans("x57_bpe_encode")
+    assert(opExchanges(p) == 1, s"expected the word rollup exchange only, plan:\n$p")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("x53's version diff joins 16-byte digests on doc_id — corpus bytes never cross the join") {
     val p = plans("x53_snapshot_diff")
     assert(p.contains("FullOuter"), p)
