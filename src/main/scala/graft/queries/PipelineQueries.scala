@@ -1634,13 +1634,22 @@ object PipelineQueries {
           approx_count_distinct(col("v"), 0.02).as("nd_approx"),
           expr("approx_percentile(v, 0.5, 10000)").as("md_approx"))
           .localCheckpoint(eager = true)
-        val verify = tall
+        // pass 2 pre-aggregates to (col_name, v, cnt): the map-side partial
+        // collapses duplicate values BEFORE the exchange (l_quantity/
+        // discount/tax have O(10) distinct values), and one value-grouped
+        // frame then serves the exact-distinct count AND the rank sums —
+        // where a countDistinct co-located with the conditional sums makes
+        // Spark's single-distinct rewrite push every tall row through the
+        // shuffle (measured at 10×: 7.0 → 5.0 s; sf0.1 unchanged, where
+        // the pass-1 sketch aggregation dominates)
+        val verify = tall.filter(col("v").isNotNull)
+          .groupBy("col_name", "v").agg(count(lit(1)).as("cnt"))
           .join(broadcast(agg.select(col("col_name"), col("md_approx"))), "col_name")
           .groupBy("col_name").agg(
-            countDistinct(col("v")).as("n_distinct"),
-            sum(when(col("v") < col("md_approx"), 1L).otherwise(0L)).as("n_lt"),
-            sum(when(col("v") <= col("md_approx"), 1L).otherwise(0L)).as("n_le"),
-            count(col("v")).as("n_v"))
+            count(lit(1)).as("n_distinct"),
+            sum(when(col("v") < col("md_approx"), col("cnt")).otherwise(0L)).as("n_lt"),
+            sum(when(col("v") <= col("md_approx"), col("cnt")).otherwise(0L)).as("n_le"),
+            sum(col("cnt")).as("n_v"))
         agg.join(verify, "col_name")
           .select(col("col_name").as("column"), col("n_rows"), col("n_non_null"),
             col("n_distinct"), col("min_v"), col("max_v"), col("mean_v"),
