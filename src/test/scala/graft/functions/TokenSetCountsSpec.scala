@@ -34,10 +34,11 @@ class TokenSetCountsSpec extends SparkSpec {
     val df = Seq(
       (1L, Seq("a", "und", "a", "zz")),
       (2L, Seq.empty[String]),
-      (3L, Seq("nope"))
+      (3L, Seq("nope")),
+      (4L, Seq("a", null, "und"))  // null tokens count for no set
     ).toDF("id", "tk")
     val out = df.select(col("id"), TokenSetCounts.counts(col("tk"), sets).as("c"))
       .orderBy("id").collect().map(_.getSeq[Long](1).toList).toList
-    assert(out == List(List(2, 1, 4), List(0, 0, 0), List(0, 0, 0)))
+    assert(out == List(List(2, 1, 4), List(0, 0, 0), List(0, 0, 0), List(1, 1, 2)))
   }
 }
