@@ -2848,6 +2848,64 @@ object PipelineQueries {
               |r AS (SELECT *, CAST(row_number() OVER (ORDER BY saved_total DESC, word) AS BIGINT) AS rn
               |  FROM t)
               |SELECT rn, word, freq, encoded, n_before, n_after, saved_total
-              |FROM r WHERE rn <= 20 ORDER BY rn""".stripMargin))
+              |FROM r WHERE rn <= 20 ORDER BY rn""".stripMargin)),
+
+    // EMBEDDING COVARIANCE (upper-triangle Gram/covariance matrix) — the
+    // whitening/diagnostic pass an embedding pipeline runs before PCA or
+    // quantizer training (diag = per-dimension variance, off-diag =
+    // correlated dimensions; x21/x33's family). One corpus pass: exact
+    // second moments Σxᵢxⱼ per (i,j) plus first moments Σxᵢ, covariance
+    // derived in the d²-sized frame as E[xy] − μₓμᵧ with one shared IEEE
+    // expression tree (products in double, sums in DECIMAL(18,8) — dsum
+    // discipline, engine summation order never shows).
+    //
+    // Scale shape: the pair stream is generated NARROWLY (posexplode ×
+    // slice chain — no self-join of the exploded stream, no lambda) and
+    // hash-aggregates with map-side partial combine, so the only exchange
+    // carries ≤ d(d+1)/2 = 2080 rows per partition REGARDLESS of corpus
+    // size; moments join in the tiny final frame by broadcast. At 100 TB
+    // this is a linear scan with a constant-width shuffle — the textbook
+    // distributed Gram matrix.
+    QueryDef(
+      "x58_embedding_covariance",
+      (s, d) => {
+        val dim = 64
+        val x = embeddings(s, d)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "xi")))
+        val moments = x.groupBy("i").agg(
+          sum(col("xi").cast(DoubleType).cast(DecimalType(18, 8))).as("sx"),
+          count(lit(1)).as("n"))
+        val pairs = embeddings(s, d)
+          .select(col("embedding"), posexplode(col("embedding")).as(Seq("i", "xi")))
+          .select(col("i"), col("xi"),
+            posexplode(slice(col("embedding"), col("i") + 1, lit(dim) - col("i"))).as(Seq("p", "xj")))
+          .select(col("i"), (col("i") + col("p")).as("j"),
+            (col("xi").cast(DoubleType) * col("xj").cast(DoubleType)).as("xy"))
+          .groupBy("i", "j")
+          .agg(sum(col("xy").cast(DecimalType(18, 8))).as("sxy"))
+        pairs
+          .join(broadcast(moments.select(col("i"), col("sx").as("sx_i"), col("n"))), Seq("i"))
+          .join(broadcast(moments.select(col("i").as("j"), col("sx").as("sx_j"))), Seq("j"))
+          .select(col("i").cast(LongType).as("i"), col("j").cast(LongType).as("j"),
+            col("n"),
+            round(
+              col("sxy").cast(DoubleType) / col("n")
+                - (col("sx_i").cast(DoubleType) / col("n"))
+                * (col("sx_j").cast(DoubleType) / col("n")), 6).as("cov"))
+          .orderBy("i", "j")
+      },
+      Some("""WITH x AS (SELECT vec_id,
+             |  CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+             |  unnest(embedding) AS xi FROM embeddings),
+             |m AS (SELECT i, sum(CAST(CAST(xi AS DOUBLE) AS DECIMAL(18,8))) AS sx,
+             |  CAST(count(*) AS BIGINT) AS n FROM x GROUP BY 1),
+             |p AS (SELECT a.i AS i, b.i AS j,
+             |  sum(CAST(CAST(a.xi AS DOUBLE) * CAST(b.xi AS DOUBLE) AS DECIMAL(18,8))) AS sxy
+             |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i GROUP BY 1, 2)
+             |SELECT p.i AS i, p.j AS j, mi.n,
+             |  round(CAST(sxy AS DOUBLE) / mi.n
+             |    - (CAST(mi.sx AS DOUBLE) / mi.n) * (CAST(mj.sx AS DOUBLE) / mi.n), 6) AS cov
+             |FROM p JOIN m mi ON mi.i = p.i JOIN m mj ON mj.i = p.j
+             |ORDER BY i, j""".stripMargin))
   )
 }

@@ -329,6 +329,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("x58's Gram matrix shuffles only d²-bounded partials — pair generation is narrow, moments broadcast") {
+    val p = plans("x58_embedding_covariance")
+    // the (i,j) second-moment agg + the per-i first-moment agg (statically
+    // planned once per broadcast side — AQE stage reuse serves the second);
+    // all partial-combine, so each exchange carries ≤ d² rows per partition
+    assert(opExchanges(p) <= 3, s"expected pair + moment exchanges only, plan:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
+
   test("x53's version diff joins 16-byte digests on doc_id — corpus bytes never cross the join") {
     val p = plans("x53_snapshot_diff")
     assert(p.contains("FullOuter"), p)
