@@ -1185,6 +1185,49 @@ object CoreQueries {
              |  UNION ALL SELECT node, dist FROM d3) GROUP BY 1),
              |r AS (SELECT node, dist,
              |  CAST(row_number() OVER (ORDER BY dist, node) AS BIGINT) AS rn FROM d4)
-             |SELECT rn, node, dist FROM r WHERE rn <= 20 ORDER BY rn""".stripMargin))
+             |SELECT rn, node, dist FROM r WHERE rn <= 20 ORDER BY rn""".stripMargin)),
+
+    // WINSORIZED MEAN — robust-statistics completion of q40's percentile
+    // family (the data-QA summary x20/x29 feed): per group, clamp to
+    // [p05, p95] and average. The clamp bounds are the 6 dp-ROUNDED
+    // interpolated percentiles on BOTH sides — q40's established
+    // cross-engine surface — because raw interpolations can differ in the
+    // last ulp and a clamped value IS the bound, entering the sum
+    // verbatim. Clamped sums go through DECIMAL(18,6) (bounds have 6 dp),
+    // raw means through dsum's DECIMAL(18,4).
+    //
+    // Scale posture: x29's shape — one exact-percentile pass (the
+    // documented approx_percentile swap applies at 100 TB), group stats
+    // broadcast back, then one narrow clamp + grouped sum. No window, no
+    // sort of the fact table.
+    QueryDef(
+      "q46_winsorized_mean",
+      (s, d) => {
+        val st = lineitem(s, d).groupBy("l_returnflag").agg(
+          round(expr("percentile(l_extendedprice, 0.05)"), 6).as("p05"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95"))
+        lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice"))
+          .join(broadcast(st), "l_returnflag")
+          .withColumn("w", least(greatest(col("l_extendedprice"), col("p05")), col("p95")))
+          .groupBy("l_returnflag", "p05", "p95")
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("w").cast(DecimalType(18, 6))).cast(DoubleType)
+              / count(lit(1)), 6).as("win_mean"),
+            round(dsum(col("l_extendedprice")) / count(lit(1)), 6).as("mean_raw"))
+          .select(col("l_returnflag"), col("p05"), col("p95"), col("n"),
+            col("win_mean"), col("mean_raw"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH st AS (SELECT l_returnflag,
+             |  round(quantile_cont(l_extendedprice, 0.05), 6) AS p05,
+             |  round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l.l_returnflag, p05, p95, CAST(count(*) AS BIGINT) AS n,
+             |  round(CAST(sum(CAST(least(greatest(l_extendedprice, p05), p95)
+             |    AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS win_mean,
+             |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             |    / count(*), 6) AS mean_raw
+             |FROM lineitem l JOIN st USING (l_returnflag)
+             |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin))
   )
 }
