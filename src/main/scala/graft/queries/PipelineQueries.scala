@@ -2906,6 +2906,68 @@ object PipelineQueries {
              |  round(CAST(sxy AS DOUBLE) / mi.n
              |    - (CAST(mi.sx AS DOUBLE) / mi.n) * (CAST(mj.sx AS DOUBLE) / mi.n), 6) AS cov
              |FROM p JOIN m mi ON mi.i = p.i JOIN m mj ON mj.i = p.j
-             |ORDER BY i, j""".stripMargin))
+             |ORDER BY i, j""".stripMargin)),
+
+    // FUZZY KEY JOIN (edit-distance ≤ 1 entity resolution) — the record-
+    // linkage operator none of the set-similarity dedups cover: match two
+    // key columns allowing one character edit, via SYMMETRIC-DELETE
+    // blocking (the SymSpell construction). Each key emits itself plus its
+    // |key| single-deletion variants; two keys within one substitution/
+    // insertion/deletion ALWAYS share a variant, so the candidate space is
+    // linear in Σ|key| and an equi-join on the variant — NEVER a cross
+    // product with a distance predicate. The exact levenshtein verify
+    // (identical DP both engines) runs only on blocked candidates.
+    // Fixture: customers vs a deterministically one-char-perturbed clone,
+    // which also produces cross-entity near-matches, so the verify
+    // genuinely rejects blocked-but-distant pairs.
+    //
+    // 100 TB posture: variant generation is a narrow ~|key|× fan-out; the
+    // only exchange of candidate-scale data is the variant equi-join
+    // (partial-deduped by the pre-join DISTINCT), hot variants are
+    // bounded by key length and the key-population frequency of each
+    // deletion bucket — the documented skew lever is variant salting,
+    // x22's pattern.
+    QueryDef(
+      "x59_fuzzy_join",
+      (s, d) => {
+        def variants(df: DataFrame) = df
+          .select(col("id"), col("name"),
+            explode(concat(array(col("name")),
+              expr("transform(sequence(1, length(name)), i -> " +
+                "concat(substr(name, 1, i - 1), substr(name, i + 1, length(name))))")))
+              .as("v"))
+        val base = customer(s, d)
+          .select(col("c_custkey").cast(LongType).as("id"), col("c_name").as("name"))
+        // perturbation position derived BEFORE the id shift, explicitly on
+        // both sides (DuckDB lateral alias resolution could otherwise bind
+        // the modulo to the shifted id)
+        val pert = base
+          .withColumn("p", (col("id") % length(col("name"))).cast("int"))
+          .select((col("id") + 100000L).as("id"),
+            expr("concat(substr(name, 1, p), 'x', substr(name, p + 2, length(name)))").as("name"))
+        variants(base).select(col("id").as("a_id"), col("name").as("a_name"), col("v"))
+          .join(variants(pert).select(col("id").as("b_id"), col("name").as("b_name"), col("v")),
+            Seq("v"))
+          .select("a_id", "b_id", "a_name", "b_name").distinct()
+          .withColumn("dist", levenshtein(col("a_name"), col("b_name")).cast(LongType))
+          .filter(col("dist") <= 1)
+          .select(col("a_id"), col("b_id"), col("dist"))
+          .orderBy("a_id", "b_id")
+      },
+      Some("""WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS name FROM customer),
+             |pert0 AS (SELECT id, name, CAST(id % length(name) AS INT) AS p FROM base),
+             |pert AS (SELECT id + 100000 AS id,
+             |  substr(name, 1, p) || 'x' || substr(name, p + 2) AS name FROM pert0),
+             |av AS (SELECT id, name, unnest(list_prepend(name,
+             |  list_transform(range(1, length(name) + 1),
+             |    i -> substr(name, 1, i - 1) || substr(name, i + 1)))) AS v FROM base),
+             |bv AS (SELECT id, name, unnest(list_prepend(name,
+             |  list_transform(range(1, length(name) + 1),
+             |    i -> substr(name, 1, i - 1) || substr(name, i + 1)))) AS v FROM pert),
+             |cand AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id,
+             |  a.name AS a_name, b.name AS b_name FROM av a JOIN bv b ON a.v = b.v)
+             |SELECT a_id, b_id, CAST(levenshtein(a_name, b_name) AS BIGINT) AS dist
+             |FROM cand WHERE levenshtein(a_name, b_name) <= 1
+             |ORDER BY a_id, b_id""".stripMargin))
   )
 }
