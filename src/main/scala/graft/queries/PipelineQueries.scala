@@ -2968,6 +2968,67 @@ object PipelineQueries {
              |  a.name AS a_name, b.name AS b_name FROM av a JOIN bv b ON a.v = b.v)
              |SELECT a_id, b_id, CAST(levenshtein(a_name, b_name) AS BIGINT) AS dist
              |FROM cand WHERE levenshtein(a_name, b_name) <= 1
-             |ORDER BY a_id, b_id""".stripMargin))
+             |ORDER BY a_id, b_id""".stripMargin)),
+
+    // Z-ORDER LAYOUT ACCOUNTING — the lakehouse data-skipping primitive
+    // (Delta/Iceberg OPTIMIZE ZORDER): interleave two quantized dimensions
+    // into a Morton code, range-bucket rows by it, and measure each
+    // bucket's (quantity × price) bounding box against natural key-order
+    // bucketing. Tight boxes are WHY multi-dimensional min/max pruning
+    // skips files; the natural order's boxes cover the whole space. The
+    // 16-term bit-interleave is one shared integer expression (>> & <<
+    // parenthesized identically in both dialects) — all-integer, exact.
+    //
+    // Scale shape: NO global sort or window — z-range bucketing is
+    // exactly how a distributed OPTIMIZE ZORDER writes files (range
+    // partition by z, write per partition), so the accounting runs as two
+    // narrow projections + two grouped aggregates, one broadcast scalar
+    // (max orderkey) for the natural buckets, and a 16-row join. At
+    // 100 TB swap the fixed z ranges for sampled range bounds — the same
+    // repartitionByRange machinery every sort-based write already uses.
+    QueryDef(
+      "x60_zorder_layout",
+      (s, d) => {
+        val zExpr = (0 until 8).map(k =>
+          s"((((qb >> $k) & 1) << ${2 * k + 1}) | (((pb >> $k) & 1) << ${2 * k}))")
+          .mkString(" | ")
+        val li = lineitem(s, d)
+          .select(col("l_orderkey"),
+            expr("((CAST(floor(l_quantity) AS BIGINT) - 1) * 256) div 50").as("qb"),
+            least(lit(255L), expr("CAST(floor(l_extendedprice) AS BIGINT) div 410")).as("pb"))
+          .withColumn("z", expr(zExpr))
+        val mx = li.agg(max("l_orderkey").as("mxk"))
+        val zb = li.groupBy(expr("z div 4096").as("file_id"))
+          .agg(count(lit(1)).as("n_z"),
+            ((max("qb") - min("qb") + 1) * (max("pb") - min("pb") + 1)).as("area_z"))
+        val nb = li.crossJoin(broadcast(mx))
+          .groupBy(expr("(l_orderkey * 16) div (mxk + 1)").as("file_id"))
+          .agg(count(lit(1)).as("n_nat"),
+            ((max("qb") - min("qb") + 1) * (max("pb") - min("pb") + 1)).as("area_nat"))
+        zb.join(nb, Seq("file_id"))
+          .select(col("file_id").cast(LongType).as("file_id"),
+            col("n_z"), col("area_z"), col("n_nat"), col("area_nat"))
+          .orderBy("file_id")
+      },
+      Some {
+        val zExpr = (0 until 8).map(k =>
+          s"((((qb >> $k) & 1) << ${2 * k + 1}) | (((pb >> $k) & 1) << ${2 * k}))")
+          .mkString(" | ")
+        s"""WITH li AS (SELECT l_orderkey,
+           |  ((CAST(floor(l_quantity) AS BIGINT) - 1) * 256) // 50 AS qb,
+           |  least(255, CAST(floor(l_extendedprice) AS BIGINT) // 410) AS pb
+           |  FROM lineitem),
+           |lz AS (SELECT *, $zExpr AS z FROM li),
+           |mx AS (SELECT max(l_orderkey) AS mxk FROM lineitem),
+           |zb AS (SELECT z // 4096 AS file_id, CAST(count(*) AS BIGINT) AS n_z,
+           |  CAST((max(qb) - min(qb) + 1) * (max(pb) - min(pb) + 1) AS BIGINT) AS area_z
+           |  FROM lz GROUP BY 1),
+           |nb AS (SELECT (l_orderkey * 16) // (mxk + 1) AS file_id,
+           |  CAST(count(*) AS BIGINT) AS n_nat,
+           |  CAST((max(qb) - min(qb) + 1) * (max(pb) - min(pb) + 1) AS BIGINT) AS area_nat
+           |  FROM lz CROSS JOIN mx GROUP BY 1)
+           |SELECT CAST(zb.file_id AS BIGINT) AS file_id, n_z, area_z, n_nat, area_nat
+           |FROM zb JOIN nb ON zb.file_id = nb.file_id ORDER BY file_id""".stripMargin
+      })
   )
 }
