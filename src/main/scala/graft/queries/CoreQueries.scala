@@ -1228,6 +1228,49 @@ object CoreQueries {
              |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
              |    / count(*), 6) AS mean_raw
              |FROM lineitem l JOIN st USING (l_returnflag)
-             |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin))
+             |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin)),
+
+    // COHORT RETENTION — the product-analytics staple q43's funnel doesn't
+    // cover: bucket users by first-activity week, then for each (cohort,
+    // week-offset) the fraction of the cohort still active. Weeks are
+    // exact integer epoch-microsecond divisions (q23's µs discipline), so
+    // everything is integer until the one final rounded division.
+    //
+    // Scale posture: one user-keyed aggregate for cohort assignment, the
+    // (user, week) activity pairs deduped with map-side partial combine,
+    // cohort map joined by BROADCAST (users ≪ events; the documented
+    // fallback past broadcastable user counts is a sort-merge join on
+    // user_id, which shares the activity dedup's partitioning), and
+    // cohort sizes joined onto the cohort-offset matrix — a frame bounded
+    // by weeks², independent of event volume.
+    QueryDef(
+      "q47_cohort_retention",
+      (s, d) => {
+        val ev = events(s, d)
+          .select(col("user_id"),
+            (unix_micros(col("ts")) / lit(604800000000L)).cast(LongType).as("w"))
+        val cohort = ev.groupBy("user_id").agg(min("w").as("cw"))
+        val sizes = cohort.groupBy("cw").agg(count(lit(1)).as("n_users"))
+        ev.distinct()
+          .join(broadcast(cohort), "user_id")
+          .select(col("cw"), (col("w") - col("cw")).as("off"), col("user_id"))
+          .groupBy("cw", "off").agg(countDistinct("user_id").as("n_active"))
+          .join(broadcast(sizes), "cw")
+          .select(col("cw").as("cohort_week"), col("off").as("week_offset"),
+            col("n_active"), col("n_users"),
+            round(col("n_active") / col("n_users").cast(DoubleType), 6).as("retention"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""WITH ev AS (SELECT DISTINCT user_id,
+             |  CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS w FROM events),
+             |cohort AS (SELECT user_id, min(w) AS cw FROM ev GROUP BY 1),
+             |sizes AS (SELECT cw, CAST(count(*) AS BIGINT) AS n_users FROM cohort GROUP BY 1),
+             |act AS (SELECT c.cw, e.w - c.cw AS off,
+             |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+             |  FROM ev e JOIN cohort c USING (user_id) GROUP BY 1, 2)
+             |SELECT a.cw AS cohort_week, a.off AS week_offset, n_active, n_users,
+             |  round(n_active / CAST(n_users AS DOUBLE), 6) AS retention
+             |FROM act a JOIN sizes s ON s.cw = a.cw
+             |ORDER BY cohort_week, week_offset""".stripMargin))
   )
 }
