@@ -39,6 +39,43 @@ object CoreQueries {
       TransitiveClosure.closure(edges)
     }
 
+  /** q48/q49's nation trade graph: canonically-oriented (a<b) unordered
+    * nation pairs with above-average customer→supplier lineitem volume.
+    * The relative threshold keeps density comparable at every SF. One
+    * orderkey shuffle + broadcast dim lookups + an entity-sized pair agg;
+    * the avg cut is a broadcast of a 1-row aggregate. */
+  private def tradeEdges(s: SparkSession, d: String): DataFrame = {
+    val cn = customer(s, d).select(col("c_custkey"), col("c_nationkey").as("cn"))
+    val sn = supplier(s, d).select(col("s_suppkey"), col("s_nationkey").as("sn"))
+    val pairs = lineitem(s, d).select("l_orderkey", "l_suppkey")
+      .join(
+        orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cn), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("cn") =!= col("sn"))
+      .groupBy(
+        least(col("cn"), col("sn")).as("a"),
+        greatest(col("cn"), col("sn")).as("b"))
+      .agg(count(lit(1)).as("w"))
+    pairs
+      .crossJoin(broadcast(pairs.agg(avg(col("w")).as("avg_w"))))
+      .filter(col("w") > col("avg_w"))
+      .select("a", "b", "w")
+  }
+
+  /** DuckDB twin of [[tradeEdges]] (defines CTE `ed(a, b, w)`). */
+  private val tradeEdgesSql =
+    """pairs AS (SELECT least(c.c_nationkey, s.s_nationkey) AS a,
+      |    greatest(c.c_nationkey, s.s_nationkey) AS b,
+      |    CAST(count(*) AS BIGINT) AS w
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  WHERE c.c_nationkey <> s.s_nationkey GROUP BY 1, 2),
+      |ed AS (SELECT a, b, w FROM pairs, (SELECT avg(w) AS avg_w FROM pairs)
+      |  WHERE w > avg_w)""".stripMargin
+
   // lazy: `base`/`more` are textually later vals; object init runs top-down
   lazy val all: Seq[QueryDef] = base ++ more
 
@@ -1271,6 +1308,154 @@ object CoreQueries {
              |SELECT a.cw AS cohort_week, a.off AS week_offset, n_active, n_users,
              |  round(n_active / CAST(n_users AS DOUBLE), 6) AS retention
              |FROM act a JOIN sizes s ON s.cw = a.cw
-             |ORDER BY cohort_week, week_offset""".stripMargin))
+             |ORDER BY cohort_week, week_offset""".stripMargin)),
+
+    // TRIANGLE COUNTING (q48) over the nation trade graph — the canonical
+    // graph-analytics kernel the GraphX/components family (x18/x25, q44/q45)
+    // doesn't cover. Edges: unordered nation pairs whose customer→supplier
+    // lineitem volume is above the global average (a relative threshold, so
+    // the graph stays similarly dense at every scale factor).
+    //
+    // Scale posture: the ONLY data-sized stage is the edge derivation —
+    // lineitem⋈orders shuffles on orderkey once, the customer/supplier
+    // nation lookups broadcast (documented fallback: sort-merge on the key
+    // when the entity tables outgrow broadcast), and the pair aggregate
+    // collapses to ≤ nations² rows with map-side partial combine. The cubic
+    // triangle enumeration then runs entirely on that entity-sized,
+    // canonically-oriented (a<b<c) edge list via two broadcast self-joins —
+    // the standard compact-forward algorithm shape, never touching fact
+    // rows again.
+    QueryDef(
+      "q48_triangle_count",
+      (s, d) => {
+        val e = tradeEdges(s, d)
+        val e2 = e.select(col("a").as("b2"), col("b").as("c"))
+        val e3 = e.select(col("a").as("a3"), col("b").as("c3"))
+        val tris = e
+          .join(broadcast(e2), col("b") === col("b2"))
+          .join(broadcast(e3), col("a") === col("a3") && col("c") === col("c3"))
+          .select("a", "b", "c")
+        val members = tris.select(col("a").as("nk"))
+          .unionAll(tris.select(col("b").as("nk")))
+          .unionAll(tris.select(col("c").as("nk")))
+        members
+          .join(
+            broadcast(nation(s, d).select(col("n_nationkey"), col("n_name"))),
+            col("nk") === col("n_nationkey"))
+          .groupBy("n_name").agg(count(lit(1)).as("tri_count"))
+          .orderBy("n_name")
+      },
+      Some(s"""WITH $tradeEdgesSql,
+             |tri AS (SELECT e1.a, e1.b, e2.b AS c
+             |  FROM ed e1 JOIN ed e2 ON e2.a = e1.b
+             |  JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b),
+             |members AS (SELECT a AS nk FROM tri UNION ALL SELECT b FROM tri
+             |  UNION ALL SELECT c FROM tri)
+             |SELECT n_name, CAST(count(*) AS BIGINT) AS tri_count
+             |FROM members JOIN nation ON n_nationkey = nk
+             |GROUP BY 1 ORDER BY n_name""".stripMargin)),
+
+    // LABEL PROPAGATION COMMUNITIES (q49) — synchronous weighted LPA on the
+    // same trade graph: each round every node adopts the label with the
+    // highest incident edge weight among its neighbours (tie → smallest
+    // label), unrolled THREE synchronous rounds so both engines compute the
+    // identical deterministic fixpoint prefix. Differs from the components
+    // family (x18/x25): labels move by weighted vote, not connectivity, so
+    // a connected graph still fractures into communities.
+    //
+    // Scale posture: the fact-table stage is shared with q48 (one orderkey
+    // shuffle + broadcast dim lookups + entity-sized pair agg). Each LPA
+    // round is a join against the entity-sized symmetrized edge list — on a
+    // data-sized graph the per-round exchange is the x18 iterative shape
+    // (hash-partitioned on node id, AQE-reused); here it is broadcast.
+    QueryDef(
+      "q49_label_propagation",
+      (s, d) => {
+        val sym = {
+          val e = tradeEdges(s, d)
+          e.select(col("a").as("src"), col("b").as("dst"), col("w"))
+            .unionAll(e.select(col("b").as("src"), col("a").as("dst"), col("w")))
+        }
+        val rankW = Window.partitionBy("nk")
+          .orderBy(col("wt").desc, col("lab").asc)
+        var lab = sym.select(col("src").as("nk")).distinct()
+          .select(col("nk"), col("nk").as("lab"))
+        for (_ <- 1 to 3) {
+          lab = sym
+            .join(broadcast(lab.withColumnRenamed("nk", "src")), "src")
+            .groupBy(col("dst").as("nk"), col("lab"))
+            .agg(sum("w").as("wt"))
+            .withColumn("rn", row_number().over(rankW))
+            .filter(col("rn") === 1)
+            .select("nk", "lab")
+        }
+        lab
+          .join(
+            broadcast(nation(s, d).select(col("n_nationkey"), col("n_name"))),
+            col("nk") === col("n_nationkey"))
+          .select(col("n_name"), col("lab").as("community"))
+          .orderBy("n_name")
+      },
+      Some {
+        def round(prev: String, cur: String) =
+          s"""c$cur AS (SELECT s.dst AS nk, l.lab, sum(s.w) AS wt
+             |  FROM sym s JOIN l$prev l ON l.nk = s.src GROUP BY 1, 2),
+             |l$cur AS (SELECT nk, lab FROM (SELECT nk, lab,
+             |    row_number() OVER (PARTITION BY nk ORDER BY wt DESC, lab) AS rn
+             |  FROM c$cur) WHERE rn = 1)""".stripMargin
+        s"""WITH $tradeEdgesSql,
+           |sym AS (SELECT a AS src, b AS dst, w FROM ed
+           |  UNION ALL SELECT b AS src, a AS dst, w FROM ed),
+           |l0 AS (SELECT DISTINCT src AS nk, src AS lab FROM sym),
+           |${round("0", "1")},
+           |${round("1", "2")},
+           |${round("2", "3")}
+           |SELECT n_name, lab AS community FROM l3
+           |JOIN nation ON n_nationkey = nk ORDER BY n_name""".stripMargin
+      }),
+
+    // SCD TYPE-2 DIMENSION BUILD (q50) — the warehouse-versioning staple:
+    // collapse each user's event-type stream into change rows (drop
+    // consecutive duplicates via lag), then version them with
+    // [valid_from, valid_to) intervals (lead; open intervals closed by a
+    // far-future sentinel, the standard SCD2 high-date). Total order inside
+    // a user is (ts, event_id) so concurrent-timestamp rows are
+    // deterministic.
+    //
+    // Scale posture: both windows partition BY USER — bounded partitions,
+    // one hash exchange on user_id that Catalyst reuses for the second
+    // window (same partition spec), no global sort until the final output
+    // ORDER BY.
+    QueryDef(
+      "q50_scd2_versions",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("prev", lag("event_type", 1).over(w))
+          .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+          .withColumn("version", row_number().over(w))
+          .withColumn(
+            "valid_to",
+            coalesce(
+              lead("ts", 1).over(w),
+              lit("2100-01-01 00:00:00").cast("timestamp")))
+          .select(
+            col("user_id"), col("version").cast(LongType).as("version"),
+            col("event_type"), col("ts").as("valid_from"), col("valid_to"))
+          .orderBy("user_id", "version")
+      },
+      Some("""WITH seq AS (SELECT user_id, ts, event_id, event_type,
+             |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             |  FROM events),
+             |chg AS (SELECT user_id, ts, event_id, event_type FROM seq
+             |  WHERE prev IS NULL OR prev <> event_type),
+             |v AS (SELECT user_id, event_type, ts AS valid_from,
+             |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version,
+             |  coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+             |    TIMESTAMP '2100-01-01 00:00:00') AS valid_to
+             |  FROM chg)
+             |SELECT user_id, version, event_type, valid_from, valid_to
+             |FROM v ORDER BY user_id, version""".stripMargin))
   )
 }
