@@ -3029,6 +3029,151 @@ object PipelineQueries {
            |  FROM lz CROSS JOIN mx GROUP BY 1)
            |SELECT CAST(zb.file_id AS BIGINT) AS file_id, n_z, area_z, n_nat, area_nat
            |FROM zb JOIN nb ON zb.file_id = nb.file_id ORDER BY file_id""".stripMargin
+      }),
+
+    // HASHED-FEATURE LINEAR CLASSIFIER (x61) — the fastText-style quality
+    // model shape: token → hashed bucket (first 3 md5 hex digits, 4096
+    // dims) → fixed integer weight per bucket → mean weight as the
+    // decision score. The weight table is a deterministic function of the
+    // bucket id (an affine hash into [−512, 512)) so BOTH engines own the
+    // identical "model" without shipping one; swapping in trained weights
+    // is a broadcast-joined 4096-row table, same plan shape.
+    //
+    // Determinism: weights are integers summed exactly; the score is ONE
+    // IEEE division at the end (the x44 log-free discipline). Scale: one
+    // explode + one codegen md5 + a doc_id-keyed agg with map-side partial
+    // sums — the minhash shape, linear in corpus size, no joins.
+    QueryDef(
+      "x61_quality_classifier",
+      (s, d) => {
+        val dig = (i: Int) =>
+          s"(instr('0123456789abcdef', substring(hx, $i, 1)) - 1)"
+        documents(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+          .withColumn("hx", md5(col("tok").cast("binary")))
+          .withColumn("b",
+            expr(s"${dig(1)} * 256 + ${dig(2)} * 16 + ${dig(3)}"))
+          .withColumn("wn", expr("(b * 193 + 71) % 1024 - 512"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_toks"), sum("wn").as("sw"))
+          .select(
+            col("doc_id"), col("n_toks"),
+            round((lit(8.0) * col("sw")) / (lit(1024.0) * col("n_toks")), 6)
+              .as("quality_z"),
+            when((lit(8.0) * col("sw")) / (lit(1024.0) * col("n_toks")) > 0, "keep")
+              .otherwise("drop").as("label"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val dig = (i: Int) => s"(strpos('0123456789abcdef', substr(hx, $i, 1)) - 1)"
+        s"""WITH t0 AS (SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
+           |th AS (SELECT doc_id, md5(tok) AS hx FROM t0),
+           |tb AS (SELECT doc_id,
+           |  ${dig(1)} * 256 + ${dig(2)} * 16 + ${dig(3)} AS b FROM th),
+           |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+           |  CAST(sum((b * 193 + 71) % 1024 - 512) AS BIGINT) AS sw FROM tb GROUP BY 1)
+           |SELECT doc_id, n_toks,
+           |  round((8.0 * sw) / (1024.0 * n_toks), 6) AS quality_z,
+           |  CASE WHEN (8.0 * sw) / (1024.0 * n_toks) > 0 THEN 'keep' ELSE 'drop' END AS label
+           |FROM agg ORDER BY doc_id""".stripMargin
+      }),
+
+    // CHARACTER-BIGRAM DIVERSITY FILTER (x62) — the exact, log-free
+    // Rényi-2 surrogate for the compression-ratio quality heuristic:
+    // publish per-doc bigram moments (n, distinct, Σc²) from the fused
+    // one-pass BigramDiversity Expression, derive the effective alphabet
+    // size n²/Σc² (monotone in Rényi-2 entropy), and flag repetitive docs.
+    // The Spark side is ZERO-shuffle per row (codegen scan); the DuckDB
+    // twin is the explode + two-aggregate formulation — so the gate also
+    // differentially checks the fused expression against the compositional
+    // semantics, the TextStats pattern.
+    QueryDef(
+      "x62_bigram_diversity",
+      (s, d) =>
+        documents(s, d)
+          .select(col("doc_id"),
+            graft.functions.BigramDiversity.diversity(col("text")).as("bd"))
+          .select(
+            col("doc_id"),
+            col("bd.n_bigrams").as("n_bigrams"),
+            col("bd.n_distinct").as("n_distinct"),
+            col("bd.sum_sq").as("sum_sq"))
+          .filter(col("n_bigrams") > 0)
+          .withColumn("eff_alphabet",
+            round(
+              (col("n_bigrams") * col("n_bigrams")).cast(DoubleType) /
+                col("sum_sq").cast(DoubleType), 6))
+          .withColumn("repetitive", col("eff_alphabet") < 64.0)
+          .orderBy("doc_id"),
+      Some("""WITH bg AS (SELECT doc_id,
+             |  list_transform(range(1, len(text)), i -> substr(text, i, 2)) AS bgs
+             |  FROM documents WHERE len(text) >= 2),
+             |cnt AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS c
+             |  FROM (SELECT doc_id, unnest(bgs) AS bg FROM bg) GROUP BY 1, 2),
+             |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+             |  CAST(count(*) AS BIGINT) AS n_distinct,
+             |  CAST(sum(c * c) AS BIGINT) AS sum_sq FROM cnt GROUP BY 1)
+             |SELECT doc_id, n_bigrams, n_distinct, sum_sq,
+             |  round(CAST(n_bigrams * n_bigrams AS DOUBLE) / CAST(sum_sq AS DOUBLE), 6)
+             |    AS eff_alphabet,
+             |  CAST(n_bigrams * n_bigrams AS DOUBLE) / CAST(sum_sq AS DOUBLE) < 64.0
+             |    AS repetitive
+             |FROM agg ORDER BY doc_id""".stripMargin)),
+
+    // CONTENT-DEFINED CHUNK DEDUP (x63) — chunk-level dedup accounting
+    // over the cloned corpus: CDC-split every document (CdcChunks, the
+    // one-pass codegen scan; boundaries are position-local so both engines
+    // can evaluate them independently per position), hash each chunk, and
+    // report per-source chunk dedup ratios. Chunk identity is md5 of the
+    // chunk text, so storage-level dedup (the CAS/backup use case) and
+    // training-corpus near-dup accounting share one mechanism.
+    //
+    // Scale: explode + codegen md5 + ONE source-keyed aggregate with
+    // map-side partials; distinct-chunk counting inside the agg is exact
+    // (count distinct md5) — the documented 100 TB swap is
+    // approx_count_distinct (HLL), the x20→x37 pattern.
+    QueryDef(
+      "x63_cdc_chunk_dedup",
+      (s, d) =>
+        docCorpus(s, d)
+          .select(col("source"),
+            explode(graft.functions.CdcChunks.chunks(col("text"))).as("chunk"))
+          .select(col("source"), md5(col("chunk").cast("binary")).as("ch"),
+            length(col("chunk")).as("clen"))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_chunks"),
+            countDistinct(col("ch")).as("n_distinct"),
+            (count(lit(1)) - countDistinct(col("ch"))).as("n_dup"),
+            round(sum(col("clen")).cast(DoubleType) / count(lit(1)), 6)
+              .as("avg_chunk_len"))
+          .orderBy("source"),
+      Some {
+        val pows = Seq(27512614111L, 887503681L, 28629151L, 923521L,
+          29791L, 961L, 31L, 1L)
+        val hashExpr = pows.zipWithIndex.map { case (p, k) =>
+          // ascii() is INT32 in DuckDB; the 31^k weights overflow it
+          s"CAST(ascii(substr(text, CAST(p AS INTEGER) - ${7 - k}, 1)) AS BIGINT) * $p"
+        }.mkString(" + ")
+        s"""WITH $corpusSql,
+           |cuts AS (SELECT doc_id, source, text, len(text) AS L,
+           |  list_filter(range(8, len(text) + 1), p -> ($hashExpr) % 64 = 0) AS cps
+           |  FROM corpus WHERE len(text) > 0),
+           |bnds AS (SELECT doc_id, source, text,
+           |  [CAST(0 AS BIGINT)] || cps ||
+           |    CASE WHEN len(cps) > 0 AND cps[-1] = L THEN []
+           |         ELSE [CAST(L AS BIGINT)] END AS bs FROM cuts),
+           |chunks AS (SELECT source,
+           |  unnest(list_transform(range(1, len(bs)),
+           |    i -> substr(text, CAST(bs[i] AS INTEGER) + 1,
+           |                CAST(bs[i + 1] - bs[i] AS INTEGER)))) AS chunk
+           |  FROM bnds),
+           |ch AS (SELECT source, md5(chunk) AS h, len(chunk) AS clen FROM chunks)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+           |  CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+           |  CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_dup,
+           |  round(sum(clen) / CAST(count(*) AS DOUBLE), 6) AS avg_chunk_len
+           |FROM ch GROUP BY 1 ORDER BY source""".stripMargin
       })
   )
 }
