@@ -313,7 +313,7 @@ object Multimodal {
     }
 
     /** PPM header ints (w, h, maxval) + offset where pixel data starts. */
-    private def ppmHeader(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    private[ops] def ppmHeader(b: Array[Byte]): Option[(Int, Int, Int)] = {
       var i = 2
       val vals = new Array[Int](3)
       var v = 0

@@ -3174,6 +3174,77 @@ object PipelineQueries {
            |  CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_dup,
            |  round(sum(clen) / CAST(count(*) AS DOUBLE), 6) AS avg_chunk_len
            |FROM ch GROUP BY 1 ORDER BY source""".stripMargin
-      })
+      }),
+
+    // PERCEPTUAL IMAGE NEAR-DUP (x64) — dHash over REAL decoded P6 PPM
+    // pixels (ImageHash.dhashPpm: header parse + 72 nearest-neighbor
+    // luminance reads per image), the image twin of text exact-dedup x01.
+    // Fixture: deterministic PPMs built byte-identically per the x27
+    // dual-dialect pattern, each with a perturbed clone whose LAST pixel
+    // byte differs — a genuine near-duplicate (different blob, same hash,
+    // because the nearest-neighbor grid never samples the final pixel for
+    // w,h ≥ 10). The DuckDB twin recomputes grid luminances independently
+    // from the generative pixel formula and folds the same 64 bits — so
+    // Spark's header/offset arithmetic in the real decode path is
+    // engine-differentially checked.
+    //
+    // Scale: blob synthesis is per-row narrow; the decode is O(72) byte
+    // reads per image regardless of size (mapPartitions, no shuffle); the
+    // dedup is a hash-window over ≤ |images| rows.
+    QueryDef(
+      "x64_image_dhash",
+      (s, d) => {
+        val base = documents(s, d).filter(col("doc_id") < 24)
+          .select(col("doc_id"),
+            (lit(10) + col("doc_id") % 28).cast("int").as("w"),
+            (lit(10) + col("doc_id") % 14).cast("int").as("h"))
+        val both = base.withColumn("pert", lit(0))
+          .unionByName(base.withColumn("pert", lit(1)))
+        val headHex = "hex(CAST(concat('P6', char(10), CAST(w AS STRING), ' ', " +
+          "CAST(h AS STRING), char(10), '255', char(10)) AS BINARY))"
+        val pxHex = "array_join(transform(sequence(0, w * h * 3 - 1), i -> " +
+          "lpad(hex((doc_id * 7 + i * 13 + " +
+          "IF(pert = 1 AND i = w * h * 3 - 1, 1, 0)) % 256), 2, '0')), '')"
+        val blobs = both
+          .withColumn("hx", expr(s"concat($headHex, $pxHex)"))
+          .select((col("doc_id") + col("pert") * 100).as("media_id"),
+            unhex(col("hx")).as("media"))
+        graft.ops.ImageHash.dhashes(blobs)
+          .select(col("media_id"), col("dhash"))
+          .withColumn("n_same",
+            count(lit(1)).over(Window.partitionBy("dhash")))
+          .orderBy("media_id")
+      },
+      Some("""WITH b AS (SELECT doc_id, 10 + doc_id % 28 AS w, 10 + doc_id % 14 AS h
+             |  FROM documents WHERE doc_id < 24),
+             |m AS (SELECT doc_id, w, h, pert, doc_id + 100 * pert AS media_id
+             |  FROM b, (SELECT unnest([0, 1]) AS pert)),
+             |g AS (SELECT media_id, doc_id, w, h, pert, r1.gx, r2.gy,
+             |    (r1.gx * w) // 9 AS sx, (r2.gy * h) // 8 AS sy
+             |  FROM m, range(0, 9) r1(gx), range(0, 8) r2(gy)),
+             |px AS (SELECT media_id, gx, gy,
+             |    ((doc_id * 7 + ((sy * w + sx) * 3 + 0) * 13 +
+             |      CASE WHEN pert = 1 AND (sy * w + sx) * 3 + 0 = w * h * 3 - 1 THEN 1 ELSE 0 END) % 256) AS c0,
+             |    ((doc_id * 7 + ((sy * w + sx) * 3 + 1) * 13 +
+             |      CASE WHEN pert = 1 AND (sy * w + sx) * 3 + 1 = w * h * 3 - 1 THEN 1 ELSE 0 END) % 256) AS c1,
+             |    ((doc_id * 7 + ((sy * w + sx) * 3 + 2) * 13 +
+             |      CASE WHEN pert = 1 AND (sy * w + sx) * 3 + 2 = w * h * 3 - 1 THEN 1 ELSE 0 END) % 256) AS c2
+             |  FROM g),
+             |lum AS (SELECT media_id, gx, gy,
+             |    (299 * c0 + 587 * c1 + 114 * c2) // 1000 AS lum FROM px),
+             |bits AS (SELECT l1.media_id, l1.gy * 8 + l1.gx AS k,
+             |    CASE WHEN l2.lum > l1.lum THEN 1 ELSE 0 END AS bit
+             |  FROM lum l1 JOIN lum l2 ON l2.media_id = l1.media_id
+             |    AND l2.gy = l1.gy AND l2.gx = l1.gx + 1
+             |  WHERE l1.gx < 8),
+             |hsh AS (SELECT media_id,
+             |    CAST(sum(CASE WHEN k >= 32 THEN bit * (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END) AS BIGINT) AS hi,
+             |    CAST(sum(CASE WHEN k < 32 THEN bit * (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS lo
+             |  FROM bits GROUP BY 1),
+             |hx AS (SELECT media_id,
+             |    lower(lpad(hex(hi), 8, '0') || lpad(hex(lo), 8, '0')) AS dhash FROM hsh)
+             |SELECT media_id, dhash,
+             |  CAST(count(*) OVER (PARTITION BY dhash) AS BIGINT) AS n_same
+             |FROM hx ORDER BY media_id""".stripMargin))
   )
 }
