@@ -1456,6 +1456,200 @@ object CoreQueries {
              |    TIMESTAMP '2100-01-01 00:00:00') AS valid_to
              |  FROM chg)
              |SELECT user_id, version, event_type, valid_from, valid_to
-             |FROM v ORDER BY user_id, version""".stripMargin))
+             |FROM v ORDER BY user_id, version""".stripMargin)),
+
+    // CORRELATION / LINEAR REGRESSION AGGREGATES (q51) — the bivariate
+    // completion of the stats family (q40 percentiles, q46 winsorized mean,
+    // x29 z-scores): per-group corr(x,y), regr_slope, regr_intercept, r²
+    // over lineitem (x = quantity, y = extendedprice). Built-in corr() is
+    // float-summation-order nondeterministic across engines, so the five
+    // moments (Σx, Σy, Σxy, Σx², Σy²) are summed as EXACT decimals (inputs
+    // have ≤2 dp; products ≤4 dp — decimal addition is associative), then
+    // cast once to double and pushed through ONE shared IEEE expression
+    // tree (x58's discipline). sqrt IS used — unlike log/pow it is
+    // correctly-rounded by IEEE 754 in both engines, so identical inputs
+    // give identical outputs.
+    //
+    // Scale posture: one partial-combined hash agg over the fact table
+    // (5 decimal sums + a count), derived columns on the GROUP-sized frame.
+    QueryDef(
+      "q51_corr_regr",
+      (s, d) => {
+        val x = col("l_quantity").cast(DecimalType(18, 2))
+        val y = col("l_extendedprice").cast(DecimalType(18, 2))
+        val n = col("n").cast(DoubleType)
+        def m(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+        val covN = n * m(col("sxy")) - m(col("sx")) * m(col("sy"))
+        val varXN = n * m(col("sxx")) - m(col("sx")) * m(col("sx"))
+        val varYN = n * m(col("syy")) - m(col("sy")) * m(col("sy"))
+        lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(x).as("sx"), sum(y).as("sy"),
+            sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+          .select(
+            col("l_returnflag"), col("n"),
+            round(covN / varXN, 6).as("slope"),
+            round((m(col("sy")) - (covN / varXN) * m(col("sx"))) / n, 6)
+              .as("intercept"),
+            round(covN / sqrt(varXN * varYN), 6).as("corr"),
+            round((covN / sqrt(varXN * varYN)) * (covN / sqrt(varXN * varYN)), 6)
+              .as("r2"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH mo AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+             |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+             |  sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+             |  sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+             |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
+             |  FROM lineitem GROUP BY 1),
+             |dd AS (SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+             |  CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+             |  CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd,
+             |  CAST(syy AS DOUBLE) AS syyd FROM mo),
+             |dv AS (SELECT l_returnflag, n, nd, sxd, syd,
+             |  nd * sxyd - sxd * syd AS covn,
+             |  nd * sxxd - sxd * sxd AS varxn,
+             |  nd * syyd - syd * syd AS varyn FROM dd)
+             |SELECT l_returnflag, n,
+             |  round(covn / varxn, 6) AS slope,
+             |  round((syd - (covn / varxn) * sxd) / nd, 6) AS intercept,
+             |  round(covn / sqrt(varxn * varyn), 6) AS corr,
+             |  round((covn / sqrt(varxn * varyn)) * (covn / sqrt(varxn * varyn)), 6) AS r2
+             |FROM dv ORDER BY l_returnflag""".stripMargin)),
+
+    // EQUI-WIDTH HISTOGRAM (q52) — the width_bucket/binning staple the
+    // profiling family (x20/x37) summarizes but never exposes as a
+    // distribution: 16 equal-width buckets over o_totalprice with per-bucket
+    // counts and decimal-exact sums. Bucket assignment is ONE shared IEEE
+    // expression ((v−mn)·16/(mx−mn), floored, max clamped into the last
+    // bucket) — identical tree both engines, no libm.
+    //
+    // Scale posture: the min/max pass is a 1-row aggregate broadcast back
+    // (scan #1), bucket assign is narrow, the bucket agg is partial-combined
+    // into ≤16 rows (scan #2) — two scans, zero data-sized shuffles. The
+    // single-pass 100 TB swap (fixed/sampled bounds, x60's range trick) is
+    // documented here.
+    QueryDef(
+      "q52_histogram",
+      (s, d) => {
+        val o = orders(s, d).select("o_totalprice")
+        val bounds = o.agg(
+          min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"))
+        o.crossJoin(broadcast(bounds))
+          .withColumn("bucket",
+            least(
+              floor((col("o_totalprice") - col("mn")) * lit(16.0)
+                / (col("mx") - col("mn"))),
+              lit(15L)).cast(LongType))
+          .groupBy("bucket")
+          .agg(
+            count(lit(1)).as("n"),
+            dsum(col("o_totalprice"), 2).as("sum_price"))
+          .withColumn("frac_lo", round(col("bucket") * lit(1.0) / 16.0, 6))
+          .select(col("bucket"), col("frac_lo"), col("n"), col("sum_price"))
+          .orderBy("bucket")
+      },
+      Some("""WITH b AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders),
+             |asg AS (SELECT least(CAST(floor((o_totalprice - mn) * 16.0 / (mx - mn)) AS BIGINT),
+             |    15) AS bucket, o_totalprice FROM orders, b)
+             |SELECT bucket, round(bucket * 1.0 / 16.0, 6) AS frac_lo,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM asg GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // GAPS-AND-ISLANDS SEQUENCE DETECTION (q53) — per-user runs of
+    // CONSECUTIVE activity days (the classic islands idiom: day −
+    // row_number() is constant within an island). x52 used the same trick
+    // on within-doc duplicate runs; this is the core-SQL calendar form.
+    // All-integer (epoch-µs // 86400000000 day numbers, q23's discipline).
+    //
+    // Scale posture: ONE user_id exchange total — the dedup-to-distinct-days
+    // step is a lag-filter on the user window (not a (user, day) groupBy,
+    // which would add a second exchange), the island row_number rides the
+    // same window, and both downstream aggregates group on supersets of
+    // user_id, which HashPartitioning(user_id) already satisfies (the
+    // subset rule) — plan-pinned in PlanShapeSpec.
+    QueryDef(
+      "q53_activity_islands",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("day")
+        events(s, d)
+          .select(col("user_id"),
+            (unix_micros(col("ts")) / lit(86400000000L)).cast(LongType).as("day"))
+          .withColumn("prev", lag("day", 1).over(w))
+          .filter(col("prev").isNull || col("prev") =!= col("day"))
+          .withColumn("anchor", col("day") - row_number().over(w))
+          .groupBy("user_id", "anchor")
+          .agg(count(lit(1)).as("len"))
+          .groupBy("user_id")
+          .agg(
+            sum(col("len")).cast(LongType).as("n_days"),
+            count(lit(1)).as("n_islands"),
+            max(col("len")).cast(LongType).as("max_island"))
+          .orderBy("user_id")
+      },
+      Some("""WITH dd AS (SELECT DISTINCT user_id,
+             |  CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events),
+             |isl AS (SELECT user_id, day,
+             |  day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS anchor FROM dd),
+             |runs AS (SELECT user_id, anchor, CAST(count(*) AS BIGINT) AS len
+             |  FROM isl GROUP BY 1, 2)
+             |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_days,
+             |  CAST(count(*) AS BIGINT) AS n_islands,
+             |  CAST(max(len) AS BIGINT) AS max_island
+             |FROM runs GROUP BY 1 ORDER BY user_id""".stripMargin)),
+
+    // INTERVAL-OVERLAP SWEEP LINE (q54) — maximum concurrent open orders
+    // per priority class: each order holds an interval
+    // [orderdate, orderdate + (1 + orderkey%28) days); the sweep emits
+    // +1/−1 deltas and takes the max prefix sum. End-exclusive semantics ⇒
+    // at an exact boundary instant the −1 sorts before the +1 (delta asc in
+    // the same ORDER BY). All-integer.
+    //
+    // Scale posture: the sweep window partitions by the priority class —
+    // a COARSE key (5 partitions), the documented trade: a per-class
+    // timeline is sequential by nature; past per-partition memory, split
+    // the timeline into coarse time buckets, sweep each, and prefix-add the
+    // per-bucket net sums (an x48-style two-level pass). The event stream
+    // is a union of two narrow projections; per-class output is 1 row.
+    QueryDef(
+      "q54_interval_overlap",
+      (s, d) => {
+        val o = orders(s, d).select(
+          col("o_orderpriority").as("prio"), col("o_orderkey"),
+          // o_orderdate is parquet TIMESTAMP_NTZ; the UTC session zone makes
+          // the ntz→ltz cast the same epoch DuckDB's epoch_us reads directly
+          (unix_micros(col("o_orderdate").cast("timestamp")) / lit(86400000000L))
+            .cast(LongType).as("d0"))
+          .withColumn("d1", col("d0") + lit(1L) + pmod(col("o_orderkey"), lit(28L)))
+        val evs = o.select(col("prio"), col("o_orderkey"), col("d0").as("day"),
+            lit(1L).as("delta"))
+          .unionByName(o.select(col("prio"), col("o_orderkey"),
+            col("d1").as("day"), lit(-1L).as("delta")))
+        val w = Window.partitionBy("prio")
+          .orderBy(col("day"), col("delta"), col("o_orderkey"))
+        evs
+          .withColumn("open", sum(col("delta")).over(w))
+          .groupBy("prio")
+          .agg(
+            (count(lit(1)) / 2).cast(LongType).as("n_intervals"),
+            max(col("open")).cast(LongType).as("max_concurrent"))
+          .orderBy("prio")
+      },
+      Some("""WITH o AS (SELECT o_orderpriority AS prio, o_orderkey,
+             |  CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS d0,
+             |  CAST(epoch_us(o_orderdate) // 86400000000 + 1 + o_orderkey % 28 AS BIGINT) AS d1
+             |  FROM orders),
+             |ev AS (SELECT prio, o_orderkey, d0 AS day, CAST(1 AS BIGINT) AS delta FROM o
+             |  UNION ALL SELECT prio, o_orderkey, d1, -1 FROM o),
+             |sw AS (SELECT prio, delta,
+             |  sum(delta) OVER (PARTITION BY prio ORDER BY day, delta, o_orderkey) AS open
+             |  FROM ev)
+             |SELECT prio, CAST(count(*) / 2 AS BIGINT) AS n_intervals,
+             |  CAST(max(open) AS BIGINT) AS max_concurrent
+             |FROM sw GROUP BY 1 ORDER BY prio""".stripMargin))
   )
 }

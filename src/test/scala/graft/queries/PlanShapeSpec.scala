@@ -347,4 +347,34 @@ class PlanShapeSpec extends SparkSpec {
       .filter(!_.contains("REPARTITION_BY_NUM")).toSeq
     assert(exch.forall(e => !e.contains("text#")), s"exchange carries raw text:\n$exch")
   }
+
+  test("q53's dedup, islands window, and both rollups all ride ONE user_id exchange") {
+    val p = plans("q53_activity_islands")
+    // lag-filter + row_number share the user window; the (user, anchor) and
+    // (user) aggregates are satisfied by HashPartitioning(user_id) (subset
+    // rule) — a (user, day) groupBy-dedup would have cost a second exchange
+    assert(opExchanges(p) == 1, s"expected one user_id exchange, plan:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q54's sweep line is one priority-keyed window pass (no join)") {
+    val p = plans("q54_interval_overlap")
+    assert(opExchanges(p) == 1, s"expected one prio exchange, plan:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q51's regression moments are one partial-combined hash aggregate") {
+    val p = plans("q51_corr_regr")
+    assert(opExchanges(p) == 1, s"expected one returnflag agg exchange, plan:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
+
+  test("q52's histogram is two scans: broadcast bounds + ≤16-row bucket agg") {
+    val p = plans("q52_histogram")
+    // the min/max scalar rides a SinglePartition exchange (not counted);
+    // the only hash exchange is the 16-bucket aggregate
+    assert(opExchanges(p) == 1, s"expected the bucket agg exchange only, plan:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
 }
