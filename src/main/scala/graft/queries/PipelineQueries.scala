@@ -2407,7 +2407,7 @@ object PipelineQueries {
               |  (round(sum(CASE WHEN hit THEN 1 ELSE 0 END)
               |    / CAST(count(*) AS DOUBLE), 6) >= 0.2) AS contaminated
               |FROM tr GROUP BY 1 ORDER BY doc_id""".stripMargin))
-  ) ++ retrieval
+  ) ++ retrieval ++ corpusEval
 
   /** x50+ live in a second Seq to keep the primary catalog initializer
     * under the JVM's 64 KB method-size limit (the CoreQueries split). */
@@ -3246,5 +3246,332 @@ object PipelineQueries {
              |SELECT media_id, dhash,
              |  CAST(count(*) OVER (PARTITION BY dhash) AS BIGINT) AS n_same
              |FROM hx ORDER BY media_id""".stripMargin))
+  )
+
+  /** x65+ — third Seq (the retrieval initializer is near the JVM's 64 KB
+    * method-size limit). */
+  private lazy val corpusEval: Seq[QueryDef] = Seq(
+
+    // ROBUST WINNOWING FINGERPRINTS (x65) — the MOSS local-fingerprinting
+    // scheme: every window of 4 consecutive char-5-gram hashes selects its
+    // minimum, so any shared substring of ≥ 8 chars is GUARANTEED to share
+    // a fingerprint (the detection floor x11's global k-min sketch cannot
+    // promise). Corpus = documents ∪ a partial clone set (doc_id%3=0,
+    // +10000) so shared_frac separates true clones (1.0) from background.
+    //
+    // Scale posture: position explode + codegen md5 are narrow; the
+    // winnowing window AND the (doc, fp) distinct ride ONE doc_id exchange
+    // (distinct groups on a superset of the window key — subset rule); the
+    // only other exchange is fp-keyed and carries 8-hex-char fingerprints,
+    // never text (x53's digest discipline). Plan-pinned.
+    QueryDef(
+      "x65_winnowing",
+      (s, d) => {
+        val doc = documents(s, d).select(col("doc_id"), col("text"))
+        val corpus = doc.unionByName(
+          documents(s, d).filter(col("doc_id") % 3 === 0)
+            .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        val w4 = Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(Window.currentRow, 3)
+        val fps = corpus
+          .filter(length(col("text")) >= 8)
+          .select(col("doc_id"), col("text"),
+            (length(col("text")) - 7).cast(LongType).as("n_win"))
+          .select(col("doc_id"), col("n_win"),
+            explode(sequence(lit(1L), col("n_win") + lit(3L))).as("pos"),
+            col("text"))
+          .withColumn("h",
+            expr("substring(md5(cast(substring(text, pos, 5) as binary)), 1, 8)"))
+          .withColumn("fp", min(col("h")).over(w4))
+          .filter(col("pos") <= col("n_win"))
+          .select("doc_id", "fp").distinct()
+        fps
+          .withColumn("n_docs_fp",
+            count(lit(1)).over(Window.partitionBy("fp")))
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_fp"),
+            sum(when(col("n_docs_fp") > 1, 1L).otherwise(0L))
+              .cast(LongType).as("n_shared"))
+          .withColumn("shared_frac",
+            round(col("n_shared") / col("n_fp").cast(DoubleType), 6))
+          .orderBy("doc_id")
+      },
+      Some("""WITH corpus AS (SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id % 3 = 0),
+             |base AS (SELECT doc_id, text, CAST(len(text) - 7 AS BIGINT) AS n_win
+             |  FROM corpus WHERE len(text) >= 8),
+             |kg AS (SELECT doc_id, n_win, CAST(p AS BIGINT) AS pos,
+             |  substr(md5(substr(text, CAST(p AS INTEGER), 5)), 1, 8) AS h
+             |  FROM base, unnest(range(1, n_win + 4)) AS t(p)),
+             |wn AS (SELECT doc_id, n_win, pos,
+             |  min(h) OVER (PARTITION BY doc_id ORDER BY pos
+             |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp FROM kg),
+             |fps AS (SELECT DISTINCT doc_id, fp FROM wn WHERE pos <= n_win),
+             |sh AS (SELECT doc_id, fp,
+             |  count(*) OVER (PARTITION BY fp) AS n_docs_fp FROM fps)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+             |  CAST(sum(CASE WHEN n_docs_fp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+             |  round(sum(CASE WHEN n_docs_fp > 1 THEN 1 ELSE 0 END)
+             |    / CAST(count(*) AS DOUBLE), 6) AS shared_frac
+             |FROM sh GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
+    // URL / DOMAIN ANALYSIS (x66) — the crawl-curation step before any
+    // text filter: parse registrable host, path segments, and query params
+    // out of each document's URL, then aggregate corpus composition per
+    // domain. URLs are synthesized deterministically from fixture columns;
+    // Spark parses with the REAL `parse_url` expression while the oracle
+    // re-parses with independent regexes — so Spark's URL semantics (host
+    // vs path vs query-param extraction) are engine-differentially checked.
+    //
+    // Scale posture: synthesis + parse are narrow codegen; ONE host-keyed
+    // partial-combined aggregate; output is domain-sized.
+    QueryDef(
+      "x66_domain_stats",
+      (s, d) => {
+        val u = documents(s, d).withColumn("url",
+          concat(lit("https://"), col("source"), lit(".example.org/"),
+            col("lang"), lit("/doc-"), col("doc_id").cast("string"),
+            lit("?ref="), upper(col("source")),
+            lit("&page="), pmod(col("doc_id"), lit(7L)).cast("string")))
+        u.select(col("doc_id"), col("n_chars"),
+            parse_url(col("url"), lit("HOST")).as("host"),
+            parse_url(col("url"), lit("PATH")).as("path"),
+            parse_url(col("url"), lit("QUERY"), lit("page"))
+              .cast(LongType).as("page"))
+          .groupBy("host")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(split(col("path"), "/").getItem(1)).as("n_langs"),
+            max(col("page")).as("max_page"),
+            sum(col("n_chars")).cast(LongType).as("total_chars"))
+          .orderBy("host")
+      },
+      Some("""WITH u AS (SELECT doc_id, n_chars,
+             |  'https://' || source || '.example.org/' || lang || '/doc-' || doc_id
+             |    || '?ref=' || upper(source) || '&page=' || (doc_id % 7) AS url
+             |  FROM documents),
+             |p AS (SELECT doc_id, n_chars,
+             |  regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+             |  regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+             |  CAST(regexp_extract(url, '[?&]page=([0-9]+)', 1) AS BIGINT) AS page
+             |  FROM u)
+             |SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(count(DISTINCT string_split(path, '/')[2]) AS BIGINT) AS n_langs,
+             |  max(page) AS max_page,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+             |FROM p GROUP BY 1 ORDER BY host""".stripMargin)),
+
+    // GOPHER-STYLE REPETITION SIGNALS (x67) — the published Rao et al.
+    // repetition filters x26 (consecutive collapse) and x62 (char-bigram
+    // entropy) don't cover: per doc, the fraction of tokens claimed by the
+    // single most frequent token, and the fraction of word-3-gram
+    // OCCURRENCES that are duplicates within the doc. Both are exact
+    // integer ratios → one IEEE division each (no libm).
+    //
+    // Scale posture: the token and trigram branches each stack two hash
+    // aggregates keyed by doc_id-supersets, so BOTH ride the loader's
+    // doc_id clustering with ZERO operator exchanges; the final doc_id
+    // join is exchange-free for the same reason (plan-pinned: no
+    // hash-exchange at all).
+    QueryDef(
+      "x67_gopher_repetition",
+      (s, d) => {
+        val tokStats = documents(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(sum(col("c")).cast(LongType).as("n_tokens"),
+            max(col("c")).cast(LongType).as("top_c"))
+        val tris = documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 3)
+          .select(col("doc_id"),
+            explode(graft.ops.TextDedup.shingles(col("tk"))).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(sum(col("c")).cast(LongType).as("n_tri"),
+            sum(when(col("c") >= 2, col("c")).otherwise(0L))
+              .cast(LongType).as("dup_tri"))
+        tokStats.join(tris, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            round(col("top_c") / col("n_tokens").cast(DoubleType), 6)
+              .as("top_tok_frac"),
+            coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+            round(coalesce(col("dup_tri"), lit(0L))
+              / greatest(coalesce(col("n_tri"), lit(0L)), lit(1L))
+                .cast(DoubleType), 6).as("dup_tri_frac"))
+          .withColumn("flagged",
+            col("top_tok_frac") > 0.2 || col("dup_tri_frac") > 0.3)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t0 AS (SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
+             |tc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+             |  FROM t0 GROUP BY 1, 2),
+             |ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             |  CAST(max(c) AS BIGINT) AS top_c FROM tc GROUP BY 1),
+             |tk0 AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+             |g0 AS (SELECT doc_id, unnest($shinglesSql) AS g FROM tk0
+             |  WHERE len(tk) >= 3),
+             |gc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+             |  FROM g0 GROUP BY 1, 2),
+             |gs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tri,
+             |  CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_tri
+             |  FROM gc GROUP BY 1),
+             |j AS (SELECT ts.doc_id, n_tokens,
+             |  round(top_c / CAST(n_tokens AS DOUBLE), 6) AS top_tok_frac,
+             |  coalesce(n_tri, 0) AS n_tri,
+             |  round(coalesce(dup_tri, 0)
+             |    / CAST(greatest(coalesce(n_tri, 0), 1) AS DOUBLE), 6) AS dup_tri_frac
+             |  FROM ts LEFT JOIN gs ON ts.doc_id = gs.doc_id)
+             |SELECT doc_id, n_tokens, top_tok_frac, CAST(n_tri AS BIGINT) AS n_tri,
+             |  dup_tri_frac,
+             |  (top_tok_frac > 0.2 OR dup_tri_frac > 0.3) AS flagged
+             |FROM j ORDER BY doc_id""".stripMargin)),
+
+    // VOCABULARY COVERAGE / OOV RATE (x68) — tokenizer-eval staple: build
+    // the top-500 corpus vocabulary (count desc, token asc — a total order,
+    // so the rank-500 boundary is deterministic in both engines), then
+    // score every document's out-of-vocabulary token rate against it.
+    //
+    // Scale posture: vocab = one tok-keyed partial-combined agg +
+    // TakeOrdered(500) (never a global sort); the 500-row vocab broadcasts
+    // into the probe, whose per-doc aggregate rides the loader's doc_id
+    // clustering — the corpus never shuffles for membership (x19/x49's
+    // broadcast-probe argument). Plan-pinned.
+    QueryDef(
+      "x68_vocab_coverage",
+      (s, d) => {
+        val toks = documents(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("tok")).limit(500)
+          .select(col("tok"), lit(1L).as("in_v"))
+        toks.join(broadcast(vocab), Seq("tok"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(coalesce(col("in_v"), lit(0L))).cast(LongType).as("n_covered"))
+          .withColumn("oov_rate",
+            round(lit(1.0) - col("n_covered") / col("n_tokens").cast(DoubleType), 6))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t0 AS (SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
+             |vocab AS (SELECT tok FROM (SELECT tok, count(*) AS cnt FROM t0
+             |  GROUP BY 1 ORDER BY cnt DESC, tok LIMIT 500)),
+             |pr AS (SELECT doc_id, t0.tok,
+             |  CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END AS in_v
+             |  FROM t0 LEFT JOIN vocab v ON t0.tok = v.tok)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |  CAST(sum(in_v) AS BIGINT) AS n_covered,
+             |  round(1.0 - sum(in_v) / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+             |FROM pr GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
+    // ANN RECALL@10 MEASUREMENT (x69) — the quality gate every approximate
+    // index needs next to its speed gate: for a deterministic query sample
+    // (vec_id % 23 = 0), compare sign-LSH-bucketed ANN (4-bit buckets, the
+    // x06 family) against brute-force ground truth, reporting per-query
+    // candidate count, hits, and recall@10. Similarity reuses the fused
+    // CosineSimilarity expression whose IEEE parity with the oracle's
+    // list_dot_product formula q21 already gates.
+    //
+    // Scale posture: the query sample broadcasts into BOTH the ground-truth
+    // pass (query-partitioned top-10 windows over |Q|×n candidate rows —
+    // the documented brute-force cost that motivates the bucketed path) and
+    // the bucket pass (candidates only within the query's bucket); the
+    // recall join is per-(query, neighbor) over ≤ 10·|Q| rows.
+    QueryDef(
+      "x69_ann_recall",
+      (s, d) => {
+        val e = embeddings(s, d).select("vec_id", "embedding")
+        val q = e.filter(pmod(col("vec_id"), lit(23L)) === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            graft.ops.TextDedup.signBucket(col("embedding"), 4).as("q_bkt"))
+        val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+          graft.ops.TextDedup.signBucket(col("embedding"), 4).as("c_bkt"))
+        val wq = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
+        val gt = c.join(broadcast(q)).filter(col("c_id") =!= col("q_id"))
+          .withColumn("sim", VectorFunctions.cosine(col("q_emb"), col("c_emb")))
+          .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 10)
+          .select("q_id", "c_id")
+        val cand = c.join(broadcast(q), col("c_bkt") === col("q_bkt"))
+          .filter(col("c_id") =!= col("q_id"))
+        val ivf = cand
+          .withColumn("sim", VectorFunctions.cosine(col("q_emb"), col("c_emb")))
+          .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 10)
+          .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+        val nCand = cand.groupBy("q_id").agg(count(lit(1)).as("n_cand"))
+        gt.join(ivf, Seq("q_id", "c_id"), "left")
+          .groupBy("q_id")
+          .agg(sum(coalesce(col("hit"), lit(0L))).cast(LongType).as("n_hits"))
+          .join(broadcast(nCand), Seq("q_id"), "left")
+          .select(col("q_id"), coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+            col("n_hits"),
+            round(col("n_hits") / lit(10.0), 6).as("recall"))
+          .orderBy("q_id")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+             |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm,
+             |  ${(1 to 4).map(i => s"(CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")} AS bkt
+             |  FROM embeddings),
+             |q AS (SELECT vec_id AS q_id, emb AS q_emb, norm AS q_norm, bkt AS q_bkt
+             |  FROM e WHERE vec_id % 23 = 0),
+             |gt AS (SELECT q_id, c_id FROM (SELECT q_id, c.vec_id AS c_id,
+             |    row_number() OVER (PARTITION BY q_id ORDER BY
+             |      list_dot_product(q_emb, c.emb) / (q_norm * c.norm) DESC, c.vec_id) AS rn
+             |  FROM q JOIN e c ON c.vec_id <> q_id) WHERE rn <= 10),
+             |cand AS (SELECT q_id, q_emb, q_norm, c.vec_id AS c_id, c.emb AS c_emb,
+             |    c.norm AS c_norm FROM q JOIN e c ON c.bkt = q_bkt AND c.vec_id <> q_id),
+             |ivf AS (SELECT q_id, c_id, 1 AS hit FROM (SELECT q_id, c_id,
+             |    row_number() OVER (PARTITION BY q_id ORDER BY
+             |      list_dot_product(q_emb, c_emb) / (q_norm * c_norm) DESC, c_id) AS rn
+             |  FROM cand) WHERE rn <= 10),
+             |nc AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_cand FROM cand GROUP BY 1),
+             |hits AS (SELECT g.q_id, CAST(sum(coalesce(i.hit, 0)) AS BIGINT) AS n_hits
+             |  FROM gt g LEFT JOIN ivf i ON g.q_id = i.q_id AND g.c_id = i.c_id
+             |  GROUP BY 1)
+             |SELECT h.q_id AS q_id, coalesce(nc.n_cand, 0) AS n_cand, h.n_hits,
+             |  round(h.n_hits / 10.0, 6) AS recall
+             |FROM hits h LEFT JOIN nc ON h.q_id = nc.q_id ORDER BY h.q_id""".stripMargin)),
+
+    // DETERMINISTIC TRAINING-ORDER SHUFFLE (x70) — the reproducible global
+    // permutation a training run needs (data order is part of the
+    // experiment): permutation key = md5("order:" || doc_id), shard = first
+    // hex nibble (16 shards), within-shard order = (key, doc_id). The gate
+    // pins the PERMUTATION itself via an order-sensitive checksum
+    // (Σ rank·doc_id — any transposition changes it), not just shard counts.
+    //
+    // Scale posture: key/shard assignment is narrow codegen (x17's
+    // argument); the rank window partitions by shard — at 100 TB, shards
+    // become (shard, hash-subshard) with per-subshard ranks offset by
+    // broadcast subshard counts (x48's two-level pass); the checksum uses
+    // exact integer arithmetic (DECIMAL swap documented past 2^63).
+    QueryDef(
+      "x70_training_order",
+      (s, d) => {
+        val w = Window.partitionBy("shard").orderBy("k", "doc_id")
+        documents(s, d).select(col("doc_id"))
+          .withColumn("k",
+            md5(concat(lit("order:"), col("doc_id").cast("string")).cast("binary")))
+          .withColumn("shard",
+            (expr("instr('0123456789abcdef', substring(k, 1, 1))") - 1)
+              .cast(LongType))
+          .withColumn("rank", row_number().over(w).cast(LongType))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("rank") * col("doc_id")).cast(LongType).as("order_checksum"),
+            min(col("k")).as("first_key"), max(col("k")).as("last_key"))
+          .orderBy("shard")
+      },
+      Some("""WITH a AS (SELECT doc_id, md5('order:' || doc_id) AS k FROM documents),
+             |sh AS (SELECT doc_id, k,
+             |  CAST(instr('0123456789abcdef', substr(k, 1, 1)) - 1 AS BIGINT) AS shard
+             |  FROM a),
+             |r AS (SELECT doc_id, k, shard,
+             |  CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS BIGINT) AS rank
+             |  FROM sh)
+             |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(rank * doc_id) AS BIGINT) AS order_checksum,
+             |  min(k) AS first_key, max(k) AS last_key
+             |FROM r GROUP BY 1 ORDER BY shard""".stripMargin))
   )
 }

@@ -369,6 +369,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("Window"), p)
   }
 
+  test("x65's winnowing window and (doc, fp) distinct share the doc exchange; no exchange carries text") {
+    val p = plans("x65_winnowing")
+    // union breaks the loader clustering → one doc_id exchange (window +
+    // distinct, subset rule), one fp exchange (share counts), one doc
+    // rollup exchange — and every one moves 8-hex fingerprints, never text
+    assert(opExchanges(p) <= 3, s"expected doc + fp + rollup exchanges only, plan:\n$p")
+    assert(!p.contains("Join"), p)
+    val exch = "Exchange hashpartitioning\\([^\n]*".r.findAllIn(p)
+      .filter(!_.contains("REPARTITION_BY_NUM")).toSeq
+    assert(exch.forall(e => !e.contains("text#")), s"exchange carries raw text:\n$exch")
+  }
+
+  test("x67's token and trigram branches plus their join all ride the loader's doc clustering") {
+    val p = plans("x67_gopher_repetition")
+    assert(opExchanges(p) == 0, s"expected zero operator exchanges, plan:\n$p")
+  }
+
+  test("x68's vocabulary is TakeOrdered + broadcast; the corpus never shuffles for membership") {
+    val p = plans("x68_vocab_coverage")
+    assert(opExchanges(p) == 1, s"expected the vocab tok agg exchange only, plan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("x70's rank window and shard rollup share one shard exchange") {
+    val p = plans("x70_training_order")
+    assert(opExchanges(p) == 1, s"expected one shard exchange, plan:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("x69's query sample broadcasts into both passes (no shuffled query join)") {
+    val p = plans("x69_ann_recall")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q52's histogram is two scans: broadcast bounds + ≤16-row bucket agg") {
     val p = plans("q52_histogram")
     // the min/max scalar rides a SinglePartition exchange (not counted);
