@@ -1650,6 +1650,89 @@ object CoreQueries {
              |  FROM ev)
              |SELECT prio, CAST(count(*) / 2 AS BIGINT) AS n_intervals,
              |  CAST(max(open) AS BIGINT) AS max_concurrent
-             |FROM sw GROUP BY 1 ORDER BY prio""".stripMargin))
+             |FROM sw GROUP BY 1 ORDER BY prio""".stripMargin)),
+
+    // K-CORE DECOMPOSITION (q55) — iterative peeling on the trade graph:
+    // drop every node with degree < 3, recompute, repeat (3 unrolled
+    // rounds — the deterministic fixpoint prefix, q49's discipline). The
+    // 3-core is the standard dense-subgraph primitive next to triangles
+    // (q48) and communities (q49): a node survives only if 3 of its
+    // NEIGHBORS also keep surviving, which no single degree filter catches.
+    //
+    // Scale posture: the fact-sized stage is tradeEdges (shared derivation:
+    // one orderkey shuffle + broadcast dims); each peel round is an
+    // entity-sized degree agg + two broadcast semi joins against the ≤
+    // nations-sized survivor set. On a data-sized graph the rounds become
+    // the x18 iterative shape (hash-partitioned edges, AQE-reused).
+    QueryDef(
+      "q55_kcore",
+      (s, d) => {
+        val e = tradeEdges(s, d)
+        var edges = e.select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+        for (_ <- 1 to 3) {
+          val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+            .filter(col("deg") >= 3).select("src")
+          edges = edges
+            .join(broadcast(keep), Seq("src"), "left_semi")
+            .join(broadcast(keep.withColumnRenamed("src", "dst")),
+              Seq("dst"), "left_semi")
+        }
+        val deg3 = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        nation(s, d)
+          .join(deg3, col("n_nationkey") === col("src"), "left")
+          .select(col("n_name"), col("src").isNotNull.as("in_core3"),
+            coalesce(col("deg"), lit(0L)).cast(LongType).as("deg"))
+          .orderBy("n_name")
+      },
+      Some {
+        def peel(prev: String, cur: String) =
+          s"""k$cur AS (SELECT src FROM (SELECT src, count(*) AS deg
+             |  FROM e$prev GROUP BY 1) WHERE deg >= 3),
+             |e$cur AS (SELECT s.src, s.dst FROM e$prev s
+             |  JOIN k$cur a ON s.src = a.src JOIN k$cur b ON s.dst = b.src)""".stripMargin
+        s"""WITH $tradeEdgesSql,
+           |e0 AS (SELECT a AS src, b AS dst FROM ed
+           |  UNION ALL SELECT b, a FROM ed),
+           |${peel("0", "1")},
+           |${peel("1", "2")},
+           |${peel("2", "3")},
+           |d3 AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e3 GROUP BY 1)
+           |SELECT n_name, (d3.src IS NOT NULL) AS in_core3,
+           |  coalesce(deg, 0) AS deg
+           |FROM nation LEFT JOIN d3 ON n_nationkey = d3.src
+           |ORDER BY n_name""".stripMargin
+      }),
+
+    // BIT / BOOLEAN AGGREGATE FAMILY (q56) — bit_and/bit_or/bit_xor and
+    // bool_and/bool_or complete the aggregation surface next to the
+    // arithmetic (q07), distinct (q08), grouping (q09/q30/q36), and
+    // inverse-distribution (q40) families. All-integer/boolean — exact on
+    // both engines by construction.
+    //
+    // Scale posture: one partial-combined hash aggregate (every one of
+    // these aggregates is associative+commutative, so map-side combine
+    // applies); group-sized output.
+    QueryDef(
+      "q56_bit_aggs",
+      (s, d) =>
+        lineitem(s, d)
+          .withColumn("mask", pmod(col("l_orderkey"), lit(255L)))
+          .groupBy("l_linestatus")
+          .agg(
+            count(lit(1)).as("n"),
+            expr("bit_and(mask)").as("m_and"),
+            expr("bit_or(mask)").as("m_or"),
+            expr("bit_xor(mask)").as("m_xor"),
+            expr("bool_and(l_quantity > 0)").as("all_pos"),
+            expr("bool_or(l_discount > 0.06)").as("any_disc"))
+          .orderBy("l_linestatus"),
+      Some("""SELECT l_linestatus, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(bit_and(l_orderkey % 255) AS BIGINT) AS m_and,
+             |  CAST(bit_or(l_orderkey % 255) AS BIGINT) AS m_or,
+             |  CAST(bit_xor(l_orderkey % 255) AS BIGINT) AS m_xor,
+             |  bool_and(l_quantity > 0) AS all_pos,
+             |  bool_or(l_discount > 0.06) AS any_disc
+             |FROM lineitem GROUP BY 1 ORDER BY l_linestatus""".stripMargin))
   )
 }

@@ -3572,6 +3572,118 @@ object PipelineQueries {
              |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
              |  CAST(sum(rank * doc_id) AS BIGINT) AS order_checksum,
              |  min(k) AS first_key, max(k) AS last_key
-             |FROM r GROUP BY 1 ORDER BY shard""".stripMargin))
+             |FROM r GROUP BY 1 ORDER BY shard""".stripMargin)),
+
+    // TRAIN/VAL SPLIT LEAKAGE AUDIT (x71) — the eval-integrity check that
+    // composes x17 (hash split) with x01 (exact dedup) and x18 (LSH
+    // components): a val document leaks when its EXACT content hash, or
+    // its NEAR-DUP component, contains a train document. The cloned corpus
+    // guarantees positive leaks (a doc and its clone hash-split
+    // independently). Consumes the session-shared LSH pair frame
+    // (SharedCache, x18/x25/x38's frame — computed once per session).
+    //
+    // Scale posture: split + md5 are narrow; the frame is pruned to
+    // (doc_id, split, h, can) BEFORE the audit joins, so the two grouped
+    // has-train tables and their probe joins exchange 16-byte digests and
+    // ids, never text; both stats tables key the same way as their probe
+    // side (h→h, can→can), so each join reuses its aggregate's exchange.
+    QueryDef(
+      "x71_split_leakage",
+      (s, d) => {
+        val corpus = docCorpus(s, d)
+        val pairs = SharedCache.getOrCompute(lshPairsKey(s, d))(lshPairsBuild(corpus))
+        val mapping = graft.ops.TextDedup.dedupMappingFromPairs(corpus, pairs)
+        val withCan = corpus
+          .withColumn("split",
+            graft.ops.Sampling.splitColumn(col("doc_id"), "split", 0.8))
+          .withColumn("h", md5(col("text").cast("binary")))
+          .join(mapping.select(col("doc_id"), col("canonical_id")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"), col("split"), col("h"),
+            coalesce(col("canonical_id"), col("doc_id")).as("can"))
+        val isTrain = when(col("split") === "train", 1L).otherwise(0L)
+        val hstat = withCan.groupBy("h").agg(max(isTrain).as("h_has_train"))
+        val cstat = withCan.groupBy("can").agg(max(isTrain).as("c_has_train"))
+        withCan.filter(col("split") === "val")
+          .join(hstat, Seq("h"))
+          .join(cstat, Seq("can"))
+          .select(col("doc_id"),
+            (col("h_has_train") === 1L).as("exact_leak"),
+            (col("c_has_train") === 1L).as("neardup_leak"))
+          .orderBy("doc_id")
+      },
+      Some(s"""$dedupComponentsCtes,
+             |sp AS (SELECT c.doc_id,
+             |  CASE WHEN substring(md5(c.doc_id::VARCHAR || ':split'), 1, 8) < 'cccccccc'
+             |    THEN 'train' ELSE 'val' END AS split,
+             |  md5(c.text) AS h, cmap.canonical_id AS can
+             |  FROM corpus c JOIN cmap ON c.doc_id = cmap.doc_id),
+             |hs AS (SELECT h, max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS ht
+             |  FROM sp GROUP BY 1),
+             |cs AS (SELECT can, max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS ct
+             |  FROM sp GROUP BY 1)
+             |SELECT sp.doc_id, (ht = 1) AS exact_leak, (ct = 1) AS neardup_leak
+             |FROM sp JOIN hs ON sp.h = hs.h JOIN cs ON sp.can = cs.can
+             |WHERE split = 'val' ORDER BY sp.doc_id""".stripMargin)),
+
+    // PER-DIMENSION EMBEDDING STANDARDIZATION (x72) — the whitening-prep
+    // transform x58's covariance diagnoses: z = (x − μ)/σ per dimension,
+    // gated on the TRANSFORM's output moments. μ/σ come from exact decimal
+    // first/second moments cast once to double (x58's shared-IEEE-tree
+    // discipline; sqrt is correctly-rounded); the verification re-sums
+    // floor-quantized z and z² (x21/x29's floor discipline — floor is
+    // exact in both engines), so summation order never shows.
+    //
+    // Scale posture: posexplode is narrow; the per-dim stats agg is a
+    // 64-row partial-combined exchange broadcast back; the z pass and its
+    // per-dim verification agg are one more bounded exchange — constant
+    // width regardless of corpus size, the x58 argument.
+    QueryDef(
+      "x72_embed_standardize",
+      (s, d) => {
+        val dims = embeddings(s, d)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+          .select(col("vec_id"), col("i").cast(LongType).as("i"),
+            col("x").cast(DoubleType).as("xd"))
+        val stats = dims.groupBy("i")
+          .agg(count(lit(1)).as("n"),
+            sum(col("xd").cast(DecimalType(18, 8))).as("sx"),
+            sum((col("xd") * col("xd")).cast(DecimalType(18, 8))).as("sxx"))
+          .select(col("i"), col("n"),
+            (col("sx").cast(DoubleType) / col("n")).as("mu"),
+            sqrt(col("sxx").cast(DoubleType) / col("n")
+              - (col("sx").cast(DoubleType) / col("n"))
+                * (col("sx").cast(DoubleType) / col("n"))).as("sigma"))
+        dims.join(broadcast(stats), Seq("i"))
+          .withColumn("z", (col("xd") - col("mu")) / col("sigma"))
+          .groupBy("i")
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("z") * lit(1000000.0)).cast(LongType)).as("szq"),
+            sum(floor(col("z") * col("z") * lit(1000000.0)).cast(LongType))
+              .as("szzq"))
+          .select(col("i"), col("n"),
+            round(col("szq") / col("n").cast(DoubleType) / lit(1000000.0), 6)
+              .as("mean_z"),
+            round(col("szzq") / col("n").cast(DoubleType) / lit(1000000.0), 6)
+              .as("var_z"))
+          .orderBy("i")
+      },
+      Some("""WITH x AS (SELECT vec_id,
+             |  CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+             |  CAST(unnest(embedding) AS DOUBLE) AS xd FROM embeddings),
+             |m AS (SELECT i, CAST(count(*) AS BIGINT) AS n,
+             |  sum(CAST(xd AS DECIMAL(18,8))) AS sx,
+             |  sum(CAST(xd * xd AS DECIMAL(18,8))) AS sxx FROM x GROUP BY 1),
+             |st AS (SELECT i, n, CAST(sx AS DOUBLE) / n AS mu,
+             |  sqrt(CAST(sxx AS DOUBLE) / n
+             |    - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)) AS sigma
+             |  FROM m),
+             |z AS (SELECT x.i, (xd - mu) / sigma AS z FROM x JOIN st ON x.i = st.i)
+             |SELECT i, CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(CAST(floor(z * 1000000.0) AS BIGINT))
+             |    / CAST(count(*) AS DOUBLE) / 1000000.0, 6) AS mean_z,
+             |  round(sum(CAST(floor(z * z * 1000000.0) AS BIGINT))
+             |    / CAST(count(*) AS DOUBLE) / 1000000.0, 6) AS var_z
+             |FROM z GROUP BY 1 ORDER BY i""".stripMargin))
   )
 }

@@ -406,6 +406,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q55's peel rounds are all BROADCAST semi joins (no shuffled survivor join)") {
+    val p = plans("q55_kcore")
+    assert(!p.contains("SortMergeJoin LeftSemi") && !p.contains("ShuffledHashJoin LeftSemi"), p)
+    assert("BroadcastHashJoin [^\n]*LeftSemi".r.findAllIn(p).length >= 6, p)
+  }
+
+  test("q56's bit/bool family is one partial-combined hash aggregate") {
+    val p = plans("q56_bit_aggs")
+    assert(opExchanges(p) == 1, s"expected one linestatus agg exchange, plan:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
+
+  test("x71's audit joins move digests and ids, never text") {
+    val p = plans("x71_split_leakage")
+    val exch = "Exchange hashpartitioning\\([^\n]*".r.findAllIn(p)
+      .filter(!_.contains("REPARTITION_BY_NUM")).toSeq
+    assert(exch.forall(e => !e.contains("text#")), s"exchange carries raw text:\n$exch")
+  }
+
+  test("x72's stats broadcast back; every exchange is dimension-bounded") {
+    val p = plans("x72_embed_standardize")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(opExchanges(p) <= 2, s"expected the two 64-row dim aggs only, plan:\n$p")
+  }
+
   test("q52's histogram is two scans: broadcast bounds + ≤16-row bucket agg") {
     val p = plans("q52_histogram")
     // the min/max scalar rides a SinglePartition exchange (not counted);
