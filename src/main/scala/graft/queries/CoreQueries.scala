@@ -1668,8 +1668,13 @@ object CoreQueries {
       "q55_kcore",
       (s, d) => {
         val e = tradeEdges(s, d)
+        // The symmetrized edge frame is referenced ~3^rounds times by the
+        // nested peel joins; localCheckpoint (TransitiveClosure's
+        // discipline) materializes the entity-sized (≤ nations²) frame ONCE
+        // so no round re-derives the fact-sized tradeEdges scan.
         var edges = e.select(col("a").as("src"), col("b").as("dst"))
           .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+          .localCheckpoint(true)
         for (_ <- 1 to 3) {
           val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
             .filter(col("deg") >= 3).select("src")
@@ -1733,6 +1738,102 @@ object CoreQueries {
              |  CAST(bit_xor(l_orderkey % 255) AS BIGINT) AS m_xor,
              |  bool_and(l_quantity > 0) AS all_pos,
              |  bool_or(l_discount > 0.06) AS any_disc
-             |FROM lineitem GROUP BY 1 ORDER BY l_linestatus""".stripMargin))
+             |FROM lineitem GROUP BY 1 ORDER BY l_linestatus""".stripMargin)),
+
+    // TIME-WEIGHTED AVERAGE (q57) — the metric a plain avg() gets wrong on
+    // irregular event streams: each observed value is weighted by how long
+    // it was "held" (until the user's next event), i.e. the rectangle rule
+    // over the event timeline. Standard telemetry/finance analytics (TWAP).
+    //
+    // Exactness: dt is all-integer µs (q23's discipline); value is
+    // floor-quantized to 1e-6 (x21/x29's floor discipline) and the weighted
+    // sum runs vq·dt through Decimal(38,0) — vq·dt reaches ~1e21, past
+    // int64, so Spark casts BEFORE the multiply and DuckDB goes through
+    // HUGEINT; both then make ONE correctly-rounded cast to double.
+    //
+    // Scale posture: the lead() window and the groupBy ride the SAME
+    // user_id clustering — one exchange total (plan-pinned); per-user
+    // partitions are bounded by that user's event count.
+    QueryDef(
+      "q57_time_weighted_avg",
+      (s, d) => {
+        val wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        events(s, d)
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("next_us", lead(col("us"), 1).over(wo))
+          .filter(col("next_us").isNotNull)
+          .withColumn("dt", col("next_us") - col("us"))
+          .withColumn("vq", floor(col("value") * lit(1000000.0)).cast(LongType))
+          .groupBy("user_id")
+          .agg(
+            count(lit(1)).as("n_intervals"),
+            sum(col("dt")).as("held_us"),
+            sum(col("vq").cast(DecimalType(38, 0)) * col("dt")).as("wsum"))
+          .select(col("user_id"), col("n_intervals"), col("held_us"),
+            round(col("wsum").cast(DoubleType) / col("held_us").cast(DoubleType)
+              / lit(1000000.0), 6).as("twa_value"))
+          .orderBy("user_id")
+      },
+      Some("""WITH iv AS (SELECT user_id,
+             |  lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |    - epoch_us(ts) AS dt,
+             |  CAST(floor("value" * 1000000.0) AS BIGINT) AS vq
+             |  FROM events)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+             |  CAST(sum(dt) AS BIGINT) AS held_us,
+             |  round(CAST(sum(CAST(vq AS HUGEINT) * dt) AS DOUBLE)
+             |    / CAST(CAST(sum(dt) AS HUGEINT) AS DOUBLE) / 1000000.0, 6) AS twa_value
+             |FROM iv WHERE dt IS NOT NULL GROUP BY 1 ORDER BY user_id""".stripMargin)),
+
+    // CALENDAR DENSIFICATION + FORWARD FILL (q58) — gap-fill an irregular
+    // per-user daily series onto a dense calendar and carry the last
+    // observation forward (LOCF), the reshape every dashboard/feature
+    // pipeline needs before joining time series with different cadences.
+    // q12 fills forward over OBSERVED rows; this materializes the missing
+    // rows first (sequence + explode), which is the genuinely new part.
+    //
+    // Exactness: day numbers are all-integer ⌊epoch_µs/86400e6⌋ (q23's
+    // discipline); daily sums stay DECIMAL through the fill (the fill only
+    // COPIES values) and cast to double once at the end.
+    //
+    // Scale posture: the daily rollup rides one (user, day) exchange; the
+    // per-user min/max is entity-sized and its sequence() explode is
+    // narrow; the calendar join and the LOCF window both key by user — at
+    // scale the join is calendar-sized (users × span), never event-sized,
+    // and AQE picks the broadcast side. A 10-year span is ~3.7k rows/user
+    // — bounded window partitions.
+    QueryDef(
+      "q58_calendar_fill",
+      (s, d) => {
+        val ev = events(s, d)
+          .withColumn("day", floor(unix_micros(col("ts")) / 86400000000L).cast(LongType))
+        val daily = ev.groupBy("user_id", "day")
+          .agg(sum(col("value").cast(DecimalType(18, 4))).as("day_value"))
+        val cal = ev.groupBy("user_id")
+          .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+          .select(col("user_id"),
+            explode(sequence(col("d0"), col("d1"))).as("day"))
+        val wf = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cal.join(daily, Seq("user_id", "day"), "left")
+          .withColumn("observed", col("day_value").isNotNull)
+          .withColumn("filled_value",
+            last(col("day_value"), ignoreNulls = true).over(wf).cast(DoubleType))
+          .select(col("user_id"), col("day"), col("observed"), col("filled_value"))
+          .orderBy("user_id", "day")
+      },
+      Some("""WITH ev AS (SELECT user_id,
+             |  CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
+             |  CAST("value" AS DECIMAL(18,4)) AS v FROM events),
+             |daily AS (SELECT user_id, day, sum(v) AS day_value FROM ev GROUP BY 1, 2),
+             |cal AS (SELECT user_id, unnest(generate_series(min(day), max(day))) AS day
+             |  FROM ev GROUP BY user_id)
+             |SELECT cal.user_id AS user_id, cal.day AS day,
+             |  (day_value IS NOT NULL) AS observed,
+             |  CAST(last_value(day_value IGNORE NULLS) OVER (
+             |    PARTITION BY cal.user_id ORDER BY cal.day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS filled_value
+             |FROM cal LEFT JOIN daily ON cal.user_id = daily.user_id AND cal.day = daily.day
+             |ORDER BY cal.user_id, cal.day""".stripMargin))
   )
 }

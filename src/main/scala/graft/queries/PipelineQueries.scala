@@ -135,6 +135,13 @@ object PipelineQueries {
        |SELECT doc_id, canonical_id FROM cmap
        |ORDER BY doc_id""".stripMargin
 
+  /** DuckDB: value of the 8 lowercase-hex chars in column `hx` as a BIGINT
+    * in [0, 2^32) — the dialect twin of Spark's `conv(hx, 16, 10)`. */
+  private val hex8D: String =
+    (0 until 8).map(k =>
+      s"(instr('0123456789abcdef', substr(hx, ${k + 1}, 1)) - 1) * ${1L << (4 * (7 - k))}")
+      .mkString("(", " + ", ")")
+
   // ——— x27 helpers: dialect-paired hex builders so BOTH engines construct
   //     byte-identical media blobs from the same per-row parameters, and
   //     DuckDB can parse header fields back out of the byte encoding ———
@@ -3684,6 +3691,181 @@ object PipelineQueries {
              |    / CAST(count(*) AS DOUBLE) / 1000000.0, 6) AS mean_z,
              |  round(sum(CAST(floor(z * z * 1000000.0) AS BIGINT))
              |    / CAST(count(*) AS DOUBLE) / 1000000.0, 6) AS var_z
-             |FROM z GROUP BY 1 ORDER BY i""".stripMargin))
+             |FROM z GROUP BY 1 ORDER BY i""".stripMargin)),
+
+    // WEIGHTED PRIORITY SAMPLING (x73) — deterministic weighted sampling
+    // without replacement (Duffield/Lund/Thorup priority sampling): each
+    // doc gets priority w/u with u uniform from its content-independent id
+    // hash, and the top-k priorities per source are the sample. Longer docs
+    // (w = n_chars) are proportionally more likely to be kept — the
+    // standard size-weighted corpus subsample, reproducible across runs
+    // and engines (x17's hash-not-rand argument).
+    //
+    // Exactness: u's integer v is 8 hex chars = 32 bits, so v+1 and w are
+    // both EXACTLY representable doubles, and the only float ops are one
+    // multiply and one divide — correctly rounded IEEE in both engines →
+    // bit-identical priorities; ties (impossible at 32 bits apart) break
+    // by doc_id in the ORDER anyway.
+    //
+    // Scale posture: priority is a narrow expression; rank-per-source
+    // rides ONE source exchange (plan-pinned). At 100 TB swap the window
+    // rank for the bounded TopKAggregator (x13) so the shuffle carries
+    // ≤ k rows per source rather than the corpus.
+    QueryDef(
+      "x73_weighted_sample",
+      (s, d) => {
+        val v = conv(substring(
+          md5(concat(col("doc_id").cast("string"), lit(":ws")).cast("binary")),
+          1, 8), 16, 10).cast(LongType)
+        val prio = (col("n_chars").cast(DoubleType) * lit(4294967296.0)) /
+          (v + lit(1L)).cast(DoubleType)
+        val wr = Window.partitionBy("source")
+          .orderBy(col("prio").desc, col("doc_id"))
+        docCorpus(s, d)
+          .withColumn("prio", prio)
+          .withColumn("rk", row_number().over(wr).cast(LongType))
+          .filter(col("rk") <= 20)
+          .select(col("source"), col("rk"), col("doc_id"), col("n_chars"))
+          .orderBy("source", "rk")
+      },
+      Some(s"""WITH $corpusSql,
+             |hxs AS (SELECT source, doc_id, n_chars,
+             |  substring(md5(doc_id::VARCHAR || ':ws'), 1, 8) AS hx FROM corpus),
+             |pr AS (SELECT source, doc_id, n_chars,
+             |  CAST(n_chars AS DOUBLE) * 4294967296.0 / CAST($hex8D + 1 AS DOUBLE) AS prio
+             |  FROM hxs),
+             |rk AS (SELECT source, doc_id, n_chars,
+             |  row_number() OVER (PARTITION BY source ORDER BY prio DESC, doc_id) AS rk
+             |  FROM pr)
+             |SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, n_chars
+             |FROM rk WHERE rk <= 20 ORDER BY source, rk""".stripMargin)),
+
+    // SPAN-CORRUPTION STATISTICS (x74) — the T5/UL2 denoising-objective
+    // prep pass: each token is masked with p = 0.15 by a deterministic
+    // hash coin, contiguous masked runs collapse into single sentinel
+    // spans, and the op reports per-doc input/target sequence lengths
+    // (input = kept tokens + one sentinel per span; target = masked tokens
+    // + one sentinel per span) — the numbers a packing stage (x48) budgets
+    // by. Run-detection is the lag() runs idiom (q53/x52's discipline).
+    //
+    // Scale posture: tokenize + explode + the coin are narrow; the run
+    // window and the per-doc aggregate ride the SAME doc_id exchange
+    // (plan-pinned, subset rule); window partitions are doc-length
+    // bounded. All-integer outputs — exact by construction.
+    QueryDef(
+      "x74_span_corruption",
+      (s, d) => {
+        val wt = Window.partitionBy("doc_id").orderBy("pos")
+        val toks = docCorpus(s, d)
+          .select(col("doc_id"),
+            posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+        val masked = toks.withColumn("m",
+          when(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+            col("pos").cast("string"), lit(":mask")).cast("binary")), 1, 8)
+            < lit("26666666"), 1L).otherwise(0L))
+        masked
+          .withColumn("prev_m", lag(col("m"), 1, 0L).over(wt))
+          .withColumn("span_start",
+            when(col("m") === 1L && col("prev_m") === 0L, 1L).otherwise(0L))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(col("m")).as("n_masked"),
+            sum(col("span_start")).as("n_spans"))
+          .select(col("doc_id"), col("n_tokens"), col("n_masked"), col("n_spans"),
+            (col("n_tokens") - col("n_masked") + col("n_spans")).as("input_len"),
+            (col("n_masked") + col("n_spans")).as("target_len"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $corpusSql,
+             |tk AS (SELECT doc_id, $tokensSql AS tks FROM corpus),
+             |tok AS (SELECT doc_id,
+             |  CAST(generate_subscripts(tks, 1) - 1 AS BIGINT) AS pos
+             |  FROM tk),
+             |mk AS (SELECT doc_id, pos,
+             |  CASE WHEN substring(md5(doc_id::VARCHAR || ':' || pos::VARCHAR || ':mask'), 1, 8)
+             |    < '26666666' THEN 1 ELSE 0 END AS m
+             |  FROM tok),
+             |rn AS (SELECT doc_id, m,
+             |  coalesce(lag(m) OVER (PARTITION BY doc_id ORDER BY pos), 0) AS prev_m
+             |  FROM mk)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |  CAST(sum(m) AS BIGINT) AS n_masked,
+             |  CAST(sum(CASE WHEN m = 1 AND prev_m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+             |  CAST(count(*) - sum(m) + sum(CASE WHEN m = 1 AND prev_m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS input_len,
+             |  CAST(sum(m) + sum(CASE WHEN m = 1 AND prev_m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS target_len
+             |FROM rn GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
+    // DEDUP AUDIT / CLUSTER-SIZE HISTOGRAM (x75) — the report a dedup run
+    // ships with: how many near-dup clusters exist at each size, how many
+    // docs they hold, and how many rows a canonical-only rewrite drops.
+    // Consumes the session-shared LSH pair frame (SharedCache — the same
+    // frame x18/x25/x38/x71 share; computed once per session) — at 100 TB
+    // the audit is a ~free byproduct of the dedup pass, not a second scan.
+    //
+    // Scale posture: two tiny aggregates past the component frame — sizes
+    // are component-sized, the histogram is size-distinct-sized; both
+    // exchanges carry ids and counts only. All-integer — exact.
+    QueryDef(
+      "x75_dedup_audit",
+      (s, d) => {
+        val corpus = docCorpus(s, d)
+        val pairs = SharedCache.getOrCompute(lshPairsKey(s, d))(lshPairsBuild(corpus))
+        val mapping = graft.ops.TextDedup.dedupMappingFromPairs(corpus, pairs)
+        mapping.groupBy("canonical_id").agg(count(lit(1)).as("sz"))
+          .groupBy("sz")
+          .agg(count(lit(1)).as("n_clusters"),
+            sum(col("sz")).as("n_docs"),
+            sum(col("sz") - 1L).as("docs_removed"))
+          .orderBy("sz")
+      },
+      Some(s"""$dedupComponentsCtes,
+             |sz AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS sz
+             |  FROM cmap GROUP BY 1)
+             |SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters,
+             |  CAST(sum(sz) AS BIGINT) AS n_docs,
+             |  CAST(sum(sz - 1) AS BIGINT) AS docs_removed
+             |FROM sz GROUP BY 1 ORDER BY sz""".stripMargin)),
+
+    // RANDOM PROJECTION / JOHNSON-LINDENSTRAUSS SKETCH (x76) — project the
+    // 64-dim embeddings onto 8 dims through a deterministic ±1 sign matrix
+    // (Achlioptas' database-friendly JL): y_j = Σ_i s(i,j)·x_i. The cheap
+    // dimensionality reduction upstream of clustering/ANN (x07/x23) when
+    // the full embedding is too wide to shuffle.
+    //
+    // Exactness: x is floor-quantized to int (x21's discipline) and s is
+    // ±1 from an md5 nibble, so y is an exact INTEGER sum — no float
+    // summation order anywhere. Sign matrix entries are hash(i,j) — no
+    // stored matrix, any worker recomputes any entry (broadcast-free).
+    //
+    // Scale posture: posexplode ×dims and the ×8 output-dim explode are
+    // narrow; the ONE exchange is the (vec_id, j) partial-combined sum
+    // (plan-pinned), carrying 8 longs per vector — the projected width,
+    // never the input width.
+    QueryDef(
+      "x76_random_projection",
+      (s, d) => {
+        val sign = when(substring(md5(concat(col("i").cast("string"), lit(":"),
+          col("j").cast("string"), lit(":rp")).cast("binary")), 1, 1)
+          < lit("8"), 1L).otherwise(-1L)
+        embeddings(s, d)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+          .select(col("vec_id"), col("i").cast(LongType).as("i"),
+            floor(col("x").cast(DoubleType) * lit(1048576.0)).cast(LongType).as("xq"))
+          .withColumn("j", explode(sequence(lit(0L), lit(7L))))
+          .withColumn("sxq", sign * col("xq"))
+          .groupBy("vec_id", "j")
+          .agg(sum(col("sxq")).as("yq"))
+          .orderBy("vec_id", "j")
+      },
+      Some("""WITH x AS (SELECT vec_id,
+             |  CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+             |  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1048576.0) AS BIGINT) AS xq
+             |  FROM embeddings),
+             |xj AS (SELECT vec_id, i, xq, j FROM x,
+             |  (SELECT unnest(range(0, 8)) AS j) js)
+             |SELECT vec_id, j,
+             |  CAST(sum(CASE WHEN substring(md5(i::VARCHAR || ':' || j::VARCHAR || ':rp'), 1, 1) < '8'
+             |    THEN xq ELSE -xq END) AS BIGINT) AS yq
+             |FROM xj GROUP BY 1, 2 ORDER BY vec_id, j""".stripMargin))
   )
 }

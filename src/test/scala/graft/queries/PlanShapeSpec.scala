@@ -432,6 +432,46 @@ class PlanShapeSpec extends SparkSpec {
     assert(opExchanges(p) <= 2, s"expected the two 64-row dim aggs only, plan:\n$p")
   }
 
+  test("q57's lead window and TWA aggregate ride ONE user exchange") {
+    val p = plans("q57_time_weighted_avg")
+    assert(opExchanges(p) == 1, s"expected one user_id exchange, plan:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q58's calendar join and LOCF window never shuffle event-sized data twice") {
+    val p = plans("q58_calendar_fill")
+    // daily rollup (user,day) + per-user span (user) + join/window reuse:
+    // anything above 4 op-exchanges means a stage re-shuffled the events
+    assert(opExchanges(p) <= 4, s"plan re-shuffles:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("x73's priority sampling is a narrow expression + ONE source exchange") {
+    val p = plans("x73_weighted_sample")
+    assert(opExchanges(p) == 1, s"expected one source exchange, plan:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("x74's run window and per-doc aggregate share ONE doc exchange") {
+    val p = plans("x74_span_corruption")
+    assert(opExchanges(p) == 1, s"expected one doc_id exchange, plan:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("x75's audit aggregates carry ids and counts, never text") {
+    val p = plans("x75_dedup_audit")
+    val exch = "Exchange hashpartitioning\\([^\n]*".r.findAllIn(p).toSeq
+    assert(exch.forall(e => !e.contains("text#")), s"exchange carries raw text:\n$exch")
+  }
+
+  test("x76's projection sums ride the source's vec_id clustering — ZERO new exchanges, no join") {
+    // hashpartitioning(vec_id) satisfies ClusteredDistribution(vec_id, j),
+    // so the (vec_id, j) aggregate needs no exchange of its own at all
+    val p = plans("x76_random_projection")
+    assert(opExchanges(p) == 0, s"expected zero op exchanges, plan:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
   test("q52's histogram is two scans: broadcast bounds + ≤16-row bucket agg") {
     val p = plans("q52_histogram")
     // the min/max scalar rides a SinglePartition exchange (not counted);
