@@ -1110,11 +1110,15 @@ object CoreQueries {
           .select(col("e.src").as("src"), col("e.dst").as("dst"))
           .repartition(col("dst"))
         val deg = edges.groupBy("src").agg(count(lit(1)).cast(LongType).as("outdeg"))
+        // outdeg is static across rounds — fold it into the edge frame ONCE
+        // so each round pays a single broadcast (the ranks frame) instead of
+        // two; in local mode broadcast build latency, not throughput, is
+        // what 5 rounds amplify
+        val edgesW = edges.join(broadcast(deg), Seq("src"))
         var ranks = deg.select(col("src").as("node"), lit(1.0).as("pr"))
         for (_ <- 1 to 5) {
-          ranks = edges
-            .join(broadcast(ranks), edges("src") === ranks("node"))
-            .join(broadcast(deg), Seq("src"))
+          ranks = edgesW
+            .join(broadcast(ranks), edgesW("src") === ranks("node"))
             .groupBy("dst")
             .agg(sum((col("pr") / col("outdeg")).cast(DecimalType(18, 8)))
               .cast(DoubleType).as("m"))
@@ -1834,6 +1838,40 @@ object CoreQueries {
              |    PARTITION BY cal.user_id ORDER BY cal.day
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS filled_value
              |FROM cal LEFT JOIN daily ON cal.user_id = daily.user_id AND cal.day = daily.day
-             |ORDER BY cal.user_id, cal.day""".stripMargin))
+             |ORDER BY cal.user_id, cal.day""".stripMargin)),
+
+    // WINDOW NAVIGATION FAMILY (q59) — first_value / nth_value / lag /
+    // lead with explicit defaults, the navigation surface q33's rank
+    // family and q11's frames don't touch. nth_value gets an EXPLICIT
+    // unbounded-unbounded frame: its default frame (unbounded→current)
+    // would make "second order" NULL until row 2 — a classic silent
+    // cross-engine divergence, pinned here deliberately.
+    //
+    // Scale posture: all four navigations share one per-customer window —
+    // ONE exchange (plan-pinned); partitions bounded by a customer's
+    // order count. All-integer outputs.
+    QueryDef(
+      "q59_window_nav",
+      (s, d) => {
+        val wo = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        val wf = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"),
+            first(col("o_orderkey")).over(wf).as("first_ok"),
+            nth_value(col("o_orderkey"), 2).over(wf).as("second_ok"),
+            lag(col("o_orderkey"), 1, -1L).over(wo).as("prev_ok"),
+            lead(col("o_orderkey"), 1, -1L).over(wo).as("next_ok"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  first_value(o_orderkey) OVER w2 AS first_ok,
+             |  nth_value(o_orderkey, 2) OVER w2 AS second_ok,
+             |  lag(o_orderkey, 1, -1) OVER w1 AS prev_ok,
+             |  lead(o_orderkey, 1, -1) OVER w1 AS next_ok
+             |FROM orders
+             |WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+             |  w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin))
   )
 }

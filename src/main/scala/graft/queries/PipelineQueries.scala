@@ -3866,6 +3866,210 @@ object PipelineQueries {
              |SELECT vec_id, j,
              |  CAST(sum(CASE WHEN substring(md5(i::VARCHAR || ':' || j::VARCHAR || ':rp'), 1, 1) < '8'
              |    THEN xq ELSE -xq END) AS BIGINT) AS yq
-             |FROM xj GROUP BY 1, 2 ORDER BY vec_id, j""".stripMargin))
+             |FROM xj GROUP BY 1, 2 ORDER BY vec_id, j""".stripMargin)),
+
+    // TEMPERATURE MIXTURE RESAMPLING (x77) — the source-rebalancing pass
+    // between x43's as-given mixture sampling and a uniform cap: target
+    // counts ∝ n_s^τ with τ = 0.5 (sqrt flattening, the standard
+    // low-resource-upweighting temperature), then a deterministic hash-
+    // ranked draw of exactly that many docs per source.
+    //
+    // Exactness: sqrt is correctly-rounded IEEE in both engines (x58's
+    // discipline) and is immediately floor-quantized to integer weight
+    // wq; the share arithmetic is all-integer (·300 then integer div) —
+    // no float summation anywhere. Selection reuses x17's hash-not-rand
+    // reproducibility.
+    //
+    // Scale posture: per-source counts are an entity-sized agg; the 1-row
+    // weight total rides a broadcast crossJoin (q52's scalar pattern);
+    // rank + target filter + final rollup all ride ONE source exchange
+    // (plan-pinned). At 100 TB swap the rank for the bounded
+    // TopKAggregator (x13) exactly as in x73.
+    QueryDef(
+      "x77_mixture_resample",
+      (s, d) => {
+        val corpus = docCorpus(s, d)
+        val counts = corpus.groupBy("source").agg(count(lit(1)).as("n_s"))
+          .withColumn("wq",
+            floor(sqrt(col("n_s").cast(DoubleType)) * lit(1000000.0)).cast(LongType))
+        // the weight total is a window sum over the ~|sources|-row counts
+        // frame (single tiny partition) — NOT a crossJoin(broadcast(agg)):
+        // that shape plans the counts subtree twice and only runtime
+        // exchange reuse deduplicates it
+        val targets = counts
+          .withColumn("tot_wq", sum(col("wq")).over(Window.partitionBy()))
+          .withColumn("target_n", expr("(300 * wq) div tot_wq"))
+          .select("source", "n_s", "target_n")
+        val wr = Window.partitionBy("source").orderBy(col("k"), col("doc_id"))
+        corpus
+          .withColumn("k",
+            md5(concat(col("doc_id").cast("string"), lit(":mix")).cast("binary")))
+          .withColumn("rk", row_number().over(wr))
+          .join(broadcast(targets), "source")
+          .filter(col("rk") <= col("target_n"))
+          .groupBy("source", "n_s", "target_n")
+          .agg(count(lit(1)).as("n_sel"), sum(col("doc_id")).as("id_checksum"))
+          .orderBy("source")
+      },
+      Some(s"""WITH $corpusSql,
+             |cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s,
+             |  CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000.0) AS BIGINT) AS wq
+             |  FROM corpus GROUP BY 1),
+             |tg AS (SELECT source, n_s,
+             |  CAST((300 * wq) // (SELECT sum(wq) FROM cnt) AS BIGINT) AS target_n
+             |  FROM cnt),
+             |rk AS (SELECT source, doc_id,
+             |  row_number() OVER (PARTITION BY source
+             |    ORDER BY md5(doc_id::VARCHAR || ':mix'), doc_id) AS rk
+             |  FROM corpus)
+             |SELECT tg.source AS source, n_s, target_n,
+             |  CAST(count(*) AS BIGINT) AS n_sel,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+             |FROM rk JOIN tg ON rk.source = tg.source
+             |WHERE rk <= target_n GROUP BY 1, 2, 3 ORDER BY tg.source""".stripMargin)),
+
+    // MINHASH ESTIMATOR ERROR AUDIT (x78) — x69's trade-quantifier for the
+    // TEXT dedup path: for every LSH candidate pair, compare the MinHash
+    // estimate (n_match/8) against the EXACT shingle-set Jaccard, grouped
+    // by signature agreement level. This is the measurement that justifies
+    // x03/x18's minMatch=6 threshold with numbers instead of folklore.
+    //
+    // Exactness: est = n_match/8 is a power-of-two division (exact);
+    // j = i/u is ONE correctly-rounded IEEE division of exact integers;
+    // the per-group means go through floor-quantized integer sums (x72's
+    // discipline) so summation order never shows.
+    //
+    // Scale posture: candidates come from the banded self-join (never
+    // all-pairs — x03's argument); the exact-Jaccard join touches only
+    // candidate ids, pruned to (id, shingle-set) before the join (x71's
+    // prune-before-join argument); output is ≤ 9 rows.
+    QueryDef(
+      "x78_minhash_error",
+      (s, d) => {
+        val corpus = docCorpus(s, d)
+        val cand = graft.ops.TextDedup.lshCandidatePairs(corpus)
+        val sets = corpus
+          .select(col("doc_id"), tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 3)
+          .select(col("doc_id"),
+            array_distinct(graft.ops.TextDedup.shingles(col("tk"))).as("shs"))
+        cand
+          .join(sets.select(col("doc_id").as("a_id"), col("shs").as("a_shs")), Seq("a_id"))
+          .join(sets.select(col("doc_id").as("b_id"), col("shs").as("b_shs")), Seq("b_id"))
+          .withColumn("i", size(array_intersect(col("a_shs"), col("b_shs"))).cast(LongType))
+          .withColumn("u",
+            size(col("a_shs")).cast(LongType) + size(col("b_shs")).cast(LongType) - col("i"))
+          .withColumn("j", col("i").cast(DoubleType) / col("u").cast(DoubleType))
+          .withColumn("est", col("n_match").cast(DoubleType) / lit(8.0))
+          .groupBy("n_match")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(floor(col("j") * lit(1000000.0)).cast(LongType)).as("sjq"),
+            sum(floor(abs(col("est") - col("j")) * lit(1000000.0)).cast(LongType)).as("seq"))
+          .select(col("n_match"), col("n_pairs"),
+            round(col("sjq") / col("n_pairs").cast(DoubleType) / lit(1000000.0), 6)
+              .as("mean_jaccard"),
+            round(col("seq") / col("n_pairs").cast(DoubleType) / lit(1000000.0), 6)
+              .as("mean_abs_err"))
+          .orderBy("n_match")
+      },
+      Some(s"""WITH $corpusSql,
+             |${minhashSigSql("corpus")},
+             |band AS (SELECT doc_id, CAST(floor(seed / 2) AS BIGINT) AS band,
+             |  min(mh) || '|' || max(mh) AS bsig FROM sig GROUP BY 1, 2),
+             |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM band a
+             |  JOIN band b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+             |pm AS (SELECT c.a_id, c.b_id, count(CASE WHEN sa.mh = sb.mh THEN 1 END) AS n_match
+             |  FROM cand c JOIN sig sa ON sa.doc_id = c.a_id
+             |  JOIN sig sb ON sb.doc_id = c.b_id AND sb.seed = sa.seed
+             |  GROUP BY 1, 2),
+             |sets AS (SELECT doc_id, list_distinct($shinglesSql) AS shs
+             |  FROM toks WHERE len(tk) >= 3),
+             |jx AS (SELECT pm.n_match,
+             |  len(list_intersect(a.shs, b.shs)) AS i,
+             |  len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)) AS u
+             |  FROM pm JOIN sets a ON pm.a_id = a.doc_id
+             |  JOIN sets b ON pm.b_id = b.doc_id),
+             |je AS (SELECT n_match,
+             |  CAST(i AS DOUBLE) / CAST(u AS DOUBLE) AS j,
+             |  CAST(n_match AS DOUBLE) / 8.0 AS est FROM jx)
+             |SELECT CAST(n_match AS BIGINT) AS n_match,
+             |  CAST(count(*) AS BIGINT) AS n_pairs,
+             |  round(sum(CAST(floor(j * 1000000.0) AS BIGINT))
+             |    / CAST(count(*) AS DOUBLE) / 1000000.0, 6) AS mean_jaccard,
+             |  round(sum(CAST(floor(abs(est - j) * 1000000.0) AS BIGINT))
+             |    / CAST(count(*) AS DOUBLE) / 1000000.0, 6) AS mean_abs_err
+             |FROM je GROUP BY 1 ORDER BY n_match""".stripMargin)),
+
+    // CROSS-SOURCE COPY MATRIX (x79) — which sources near-duplicate which:
+    // the provenance view of the dedup pass (mirror detection, license
+    // laundering, scraper-of-scraper chains). Consumes the session-shared
+    // LSH pair frame (SharedCache — x18/x25/x38/x71/x75's frame) and joins
+    // each side to its source label.
+    //
+    // Scale posture: the corpus is pruned to (doc_id, source) BEFORE the
+    // joins (x71's argument — exchanges carry ids and labels, never text);
+    // both lookups key by doc_id; the final matrix is |sources|²-bounded.
+    QueryDef(
+      "x79_copy_matrix",
+      (s, d) => {
+        val corpus = docCorpus(s, d)
+        val pairs = SharedCache.getOrCompute(lshPairsKey(s, d))(lshPairsBuild(corpus))
+        val src = corpus.select(col("doc_id"), col("source"))
+        pairs
+          .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")), Seq("a_id"))
+          .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")), Seq("b_id"))
+          .groupBy(least(col("sa"), col("sb")).as("source_a"),
+            greatest(col("sa"), col("sb")).as("source_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("source_a", "source_b")
+      },
+      Some(s"""$dedupComponentsCtes
+             |SELECT least(ca.source, cb.source) AS source_a,
+             |  greatest(ca.source, cb.source) AS source_b,
+             |  CAST(count(*) AS BIGINT) AS n_pairs
+             |FROM pairs p JOIN corpus ca ON p.a_id = ca.doc_id
+             |JOIN corpus cb ON p.b_id = cb.doc_id
+             |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin)),
+
+    // ZIPF OCTAVE PROFILE (x80) — the token-frequency shape diagnostic: is
+    // this corpus natural language (Zipfian, each rank-octave's mass
+    // decaying ~2^(1-s)) or template spam (flat / cliff-shaped)? The
+    // log-free form of a log-log slope fit: octave = ⌊log2 rank⌋ computed
+    // EXACTLY as length(bin(rank))-1 (pure integer — ln()'s last-ulp libm
+    // divergence, x44/x51's lesson, never enters), and the octave-to-
+    // octave decay is an integer ppm ratio.
+    //
+    // Scale posture: one token-frequency exchange, then TakeOrdered(1024)
+    // — never a global sort of the token table (x68's argument); the
+    // octave rollup and lag ride a ≤1024-row frame. All-integer — exact.
+    QueryDef(
+      "x80_zipf_octaves",
+      (s, d) => {
+        val wr = Window.orderBy(col("c").desc, col("tok"))
+        val top = docCorpus(s, d)
+          .select(explode(tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("tok")).limit(1024)
+          .withColumn("rk", row_number().over(wr).cast(LongType))
+        top
+          .withColumn("octave", expr("length(bin(rk)) - 1").cast(LongType))
+          .groupBy("octave")
+          .agg(count(lit(1)).as("n_tokens"), sum(col("c")).as("total_occ"))
+          .withColumn("decay_ppm",
+            expr("(lag(total_occ) OVER (ORDER BY octave) * 1000000) div total_occ"))
+          .orderBy("octave")
+      },
+      Some(s"""WITH $corpusSql,
+             |tf AS (SELECT unnest($tokensSql) AS tok FROM corpus),
+             |cnt AS (SELECT tok, count(*) AS c FROM tf GROUP BY 1),
+             |top AS (SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT 1024),
+             |rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rk FROM top),
+             |oc AS (SELECT CAST(length(bin(rk)) - 1 AS BIGINT) AS octave,
+             |  CAST(count(*) AS BIGINT) AS n_tokens,
+             |  CAST(sum(c) AS BIGINT) AS total_occ FROM rk GROUP BY 1)
+             |SELECT octave, n_tokens, total_occ,
+             |  CAST((lag(total_occ) OVER (ORDER BY octave) * 1000000) // total_occ AS BIGINT)
+             |    AS decay_ppm
+             |FROM oc ORDER BY octave""".stripMargin))
   )
 }

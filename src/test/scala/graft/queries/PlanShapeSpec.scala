@@ -472,6 +472,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("q59's four navigations share ONE per-customer window exchange") {
+    val p = plans("q59_window_nav")
+    assert(opExchanges(p) == 1, s"expected one o_custkey exchange, plan:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("x77's rank, target filter, and rollup ride the source exchange; targets broadcast") {
+    val p = plans("x77_mixture_resample")
+    assert(opExchanges(p) <= 2, s"expected counts agg + rank window only, plan:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("x78's exact-Jaccard joins move ids and shingle sets, never raw text") {
+    val p = plans("x78_minhash_error")
+    val exch = "Exchange hashpartitioning\\([^\n]*".r.findAllIn(p).toSeq
+    assert(exch.forall(e => !e.contains("text#")), s"exchange carries raw text:\n$exch")
+  }
+
+  test("x79's provenance joins move ids and source labels, never text") {
+    val p = plans("x79_copy_matrix")
+    val exch = "Exchange hashpartitioning\\([^\n]*".r.findAllIn(p).toSeq
+    assert(exch.forall(e => !e.contains("text#")), s"exchange carries raw text:\n$exch")
+  }
+
+  test("x80 takes the top-1024 via TakeOrdered — the token table is never globally sorted") {
+    val p = plans("x80_zipf_octaves")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(opExchanges(p) <= 2, s"expected tok agg + octave agg only, plan:\n$p")
+  }
+
   test("q52's histogram is two scans: broadcast bounds + ≤16-row bucket agg") {
     val p = plans("q52_histogram")
     // the min/max scalar rides a SinglePartition exchange (not counted);
