@@ -1872,6 +1872,93 @@ object CoreQueries {
              |WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
              |  w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-             |ORDER BY o_custkey, o_orderkey""".stripMargin))
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // RUNNING DISTINCT COUNT (q60) — per customer, the number of DISTINCT
+    // parts ever ordered through each order date. count(DISTINCT) over a
+    // running window is the classic can't-say-it-directly SQL op: a naive
+    // collect_set-over-window holds every key in window state. The
+    // scalable idiom: a part contributes on its FIRST day only (min(day)
+    // per (customer, part)), then the distinct count is a plain running
+    // sum of per-day first-occurrence counts.
+    //
+    // Scale posture: after the orderkey join, ONE repartition on
+    // o_custkey feeds the (custkey, partkey) first-day agg, the
+    // (custkey, day) rollup, AND the running-sum window — all three need
+    // only ClusteredDistribution over supersets of {custkey} (the subset
+    // rule), so the whole tail rides one exchange (plan-pinned). Window
+    // partitions are per-customer — bounded. All-integer (epoch-day
+    // numbers, q54's discipline).
+    QueryDef(
+      "q60_running_distinct",
+      (s, d) => {
+        val li = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+        val o = orders(s, d).select(
+          col("o_orderkey"), col("o_custkey"),
+          (unix_micros(col("o_orderdate").cast("timestamp")) / lit(86400000000L))
+            .cast(LongType).as("day"))
+        val w = Window.partitionBy("o_custkey").orderBy("first_day")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .repartition(col("o_custkey"))
+          .groupBy("o_custkey", "l_partkey")
+          .agg(min(col("day")).as("first_day"))
+          .groupBy("o_custkey", "first_day")
+          .agg(count(lit(1)).as("new_parts"))
+          .withColumn("distinct_parts",
+            sum(col("new_parts")).over(w).cast(LongType))
+          .select(col("o_custkey"), col("first_day"),
+            col("new_parts").cast(LongType).as("new_parts"), col("distinct_parts"))
+          .orderBy("o_custkey", "first_day")
+      },
+      Some("""WITH j AS (SELECT o_custkey, l_partkey,
+             |  CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |fs AS (SELECT o_custkey, l_partkey, min(day) AS first_day FROM j GROUP BY 1, 2),
+             |pd AS (SELECT o_custkey, first_day, CAST(count(*) AS BIGINT) AS new_parts
+             |  FROM fs GROUP BY 1, 2)
+             |SELECT o_custkey, first_day, new_parts,
+             |  CAST(sum(new_parts) OVER (PARTITION BY o_custkey ORDER BY first_day) AS BIGINT)
+             |    AS distinct_parts
+             |FROM pd ORDER BY o_custkey, first_day""".stripMargin)),
+
+    // SKEW-SALTED JOIN (q61) — the two-phase hot-key treatment x22 applies
+    // to aggregation, applied to a JOIN: the fact side gets a deterministic
+    // salt in [0, 8), the dimension side is exploded ×8, and the join keys
+    // on (suppkey, salt) — so one pathologically hot supplier spreads over
+    // 8 tasks instead of wedging one. The salt is invisible to the result
+    // (every fact row still meets its supplier exactly once), which is
+    // exactly what the unsalted oracle twin certifies.
+    //
+    // The join is HINTED shuffle-hash: at gate scale the ×8 dimension
+    // would auto-broadcast and silently erase the salted shape this query
+    // exists to pin; at 100 TB a genuinely unbroadcastable dimension is
+    // the only reason to salt at all (small dims: just broadcast — x19).
+    //
+    // Exactness: revenue through DECIMAL(18,4) sums (dsum). Salt from
+    // (orderkey, linenumber) — derived from data, reproducible, and
+    // uniform enough to split any hot key.
+    QueryDef(
+      "q61_salted_join",
+      (s, d) => {
+        val salts = 8
+        val li = lineitem(s, d)
+          .select(col("l_suppkey"), col("l_extendedprice"),
+            pmod(col("l_orderkey") * lit(7L) + col("l_linenumber"), lit(salts.toLong))
+              .as("salt"))
+        val sup = supplier(s, d)
+          .select(col("s_suppkey"), col("s_nationkey"),
+            explode(sequence(lit(0L), lit(salts.toLong - 1))).as("salt"))
+        li.hint("shuffle_hash")
+          .join(sup, li("l_suppkey") === sup("s_suppkey") &&
+            li("salt") === sup("salt"))
+          .groupBy(col("s_nationkey").cast(LongType).as("s_nationkey"))
+          .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("revenue"))
+          .orderBy("s_nationkey")
+      },
+      Some("""SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+             |  CAST(count(*) AS BIGINT) AS n_items,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |GROUP BY 1 ORDER BY s_nationkey""".stripMargin))
   )
 }

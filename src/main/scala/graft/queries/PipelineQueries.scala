@@ -4070,6 +4070,182 @@ object PipelineQueries {
              |SELECT octave, n_tokens, total_occ,
              |  CAST((lag(total_occ) OVER (ORDER BY octave) * 1000000) // total_occ AS BIGINT)
              |    AS decay_ppm
-             |FROM oc ORDER BY octave""".stripMargin))
+             |FROM oc ORDER BY octave""".stripMargin)),
+
+    // GROUP-AWARE LEAKAGE-SAFE SPLIT (x81) — the FIX x71's audit motivates:
+    // split by the hash of the near-dup component's CANONICAL id, not the
+    // doc id, so every member of a component lands in the same split and
+    // near-dup train→val leakage is structurally impossible. The query
+    // re-runs x71's audit against the group-keyed split and ships the
+    // proof: n_neardup_leaks = 0 per split BY CONSTRUCTION (any exact
+    // duplicate long enough to signature is also LSH-paired, so exact
+    // leaks can only come from sub-3-token docs).
+    //
+    // Scale posture: consumes the session-shared LSH pair frame
+    // (SharedCache — x18/x25/x38/x71/x75/x79's frame); the audit frame is
+    // pruned to (doc_id, split, h, can) before any join (x71's argument —
+    // exchanges carry digests and ids, never text); both leak-stat tables
+    // key the same way as their probe side so each join reuses its
+    // aggregate's exchange.
+    QueryDef(
+      "x81_group_split",
+      (s, d) => {
+        val corpus = docCorpus(s, d)
+        val pairs = SharedCache.getOrCompute(lshPairsKey(s, d))(lshPairsBuild(corpus))
+        val mapping = graft.ops.TextDedup.dedupMappingFromPairs(corpus, pairs)
+        val withCan = corpus
+          .withColumn("h", md5(col("text").cast("binary")))
+          .join(mapping.select(col("doc_id"), col("canonical_id")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"), col("h"),
+            coalesce(col("canonical_id"), col("doc_id")).as("can"))
+          .withColumn("split",
+            graft.ops.Sampling.splitColumn(col("can"), "gsplit", 0.8))
+        val isTrain = when(col("split") === "train", 1L).otherwise(0L)
+        val hstat = withCan.groupBy("h").agg(max(isTrain).as("h_has_train"))
+        val cstat = withCan.groupBy("can").agg(max(isTrain).as("c_has_train"))
+        val leaks = withCan.filter(col("split") === "val")
+          .join(hstat, Seq("h")).join(cstat, Seq("can"))
+          .groupBy("split")
+          .agg(sum(col("h_has_train")).as("n_exact_leaks"),
+            sum(col("c_has_train")).as("n_neardup_leaks"))
+        withCan.groupBy("split").agg(count(lit(1)).as("n_docs"))
+          .join(leaks, Seq("split"), "left")
+          .select(col("split"), col("n_docs"),
+            coalesce(col("n_exact_leaks"), lit(0L)).as("n_exact_leaks"),
+            coalesce(col("n_neardup_leaks"), lit(0L)).as("n_neardup_leaks"))
+          .orderBy("split")
+      },
+      Some(s"""$dedupComponentsCtes,
+             |sp AS (SELECT c.doc_id, md5(c.text) AS h, cmap.canonical_id AS can,
+             |  CASE WHEN substring(md5(cmap.canonical_id::VARCHAR || ':gsplit'), 1, 8)
+             |    < 'cccccccc' THEN 'train' ELSE 'val' END AS split
+             |  FROM corpus c JOIN cmap ON c.doc_id = cmap.doc_id),
+             |hs AS (SELECT h, max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS ht
+             |  FROM sp GROUP BY 1),
+             |cs AS (SELECT can, max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS ct
+             |  FROM sp GROUP BY 1),
+             |lk AS (SELECT split, CAST(sum(ht) AS BIGINT) AS n_exact_leaks,
+             |  CAST(sum(ct) AS BIGINT) AS n_neardup_leaks
+             |  FROM sp JOIN hs ON sp.h = hs.h JOIN cs ON sp.can = cs.can
+             |  WHERE split = 'val' GROUP BY 1)
+             |SELECT sp.split AS split, CAST(count(*) AS BIGINT) AS n_docs,
+             |  coalesce(any_value(lk.n_exact_leaks), 0) AS n_exact_leaks,
+             |  coalesce(any_value(lk.n_neardup_leaks), 0) AS n_neardup_leaks
+             |FROM sp LEFT JOIN lk ON sp.split = lk.split
+             |GROUP BY 1 ORDER BY split""".stripMargin)),
+
+    // PER-SOURCE DISTRIBUTION SHIFT (x82) — the L1 (total-variation ×2)
+    // distance between each source's unigram distribution and the corpus
+    // distribution: the domain-shift diagnostic that tells a mixture
+    // designer (x43/x77) which sources are interchangeable and which are
+    // genuinely different. Log-free counterpart to a KL divergence — no
+    // ln(), so x44/x51's libm-last-ulp trap never enters.
+    //
+    // Exactness: probabilities are integer ppm via BIGINT division —
+    // exact in both engines. The absent-token mass uses the identity
+    // L1 = Σ_present|p−q| + (S_q − Σ_present q), so no source×vocab
+    // blow-up: S_q is ONE global scalar; the vocab agg appears twice in
+    // the plan (joined + rolled up to S_q) but the duplicated subtree is
+    // identical, so runtime exchange reuse serves the second read from
+    // the first's shuffle output.
+    //
+    // Scale posture: one (source, tok) exchange and one tok exchange;
+    // exchanges carry tokens and counts, never document text
+    // (plan-pinned); output is |sources|-bounded.
+    QueryDef(
+      "x82_domain_shift",
+      (s, d) => {
+        val toks = docCorpus(s, d)
+          .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        val st = toks.groupBy("source", "tok").agg(count(lit(1)).as("cs"))
+        val totS = st.groupBy("source").agg(sum(col("cs")).as("ns"))
+        val g = toks.groupBy("tok").agg(count(lit(1)).as("cg"))
+        val totG = g.agg(sum(col("cg")).as("ng"))
+        val vocab = g.join(broadcast(totG))
+          .select(col("tok"), expr("(cg * 1000000) div ng").as("q_ppm"))
+        val sq = vocab.agg(sum(col("q_ppm")).as("s_q"))
+        st.join(broadcast(totS), "source")
+          .withColumn("p_ppm", expr("(cs * 1000000) div ns"))
+          .join(vocab, "tok")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_shared_tokens"),
+            sum(abs(col("p_ppm") - col("q_ppm"))).as("b"),
+            sum(col("q_ppm")).as("cq"))
+          .join(broadcast(sq))
+          .select(col("source"), col("n_shared_tokens"),
+            (col("b") + col("s_q") - col("cq")).cast(LongType).as("l1_ppm"))
+          .orderBy("source")
+      },
+      Some(s"""WITH $corpusSql,
+             |tf AS (SELECT source, unnest($tokensSql) AS tok FROM corpus),
+             |st AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cs FROM tf GROUP BY 1, 2),
+             |ts AS (SELECT source, sum(cs) AS ns FROM st GROUP BY 1),
+             |g AS (SELECT tok, CAST(count(*) AS BIGINT) AS cg FROM tf GROUP BY 1),
+             |v AS (SELECT tok, (cg * 1000000) // (SELECT sum(cg) FROM g) AS q_ppm FROM g),
+             |pr AS (SELECT st.source, st.tok,
+             |  (cs * 1000000) // ns AS p_ppm, q_ppm
+             |  FROM st JOIN ts ON st.source = ts.source JOIN v ON st.tok = v.tok)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_shared_tokens,
+             |  CAST(sum(abs(p_ppm - q_ppm)) + (SELECT sum(q_ppm) FROM v) - sum(q_ppm)
+             |    AS BIGINT) AS l1_ppm
+             |FROM pr GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    // PER-SOURCE LENGTH-DISTRIBUTION DRIFT (x83) — the Kolmogorov–Smirnov
+    // statistic between each source's document-length CDF and the corpus
+    // CDF: x82's companion for NUMERIC features (x82 compares token
+    // distributions; this catches a source whose vocabulary looks normal
+    // but whose length profile is truncated/padded — a classic extraction
+    // bug signature).
+    //
+    // Exactness: CDFs are integer ppm (BIGINT division); KS is a max of
+    // integer differences — exact in both engines, no float anywhere.
+    //
+    // Scale posture: the KS sup runs over the |sources|×|distinct lengths|
+    // grid — BOUNDED (lengths are bounded by max doc length; sources are
+    // entity-sized), built by a deliberate broadcast cross join of two
+    // TINY aggregates, never by anything corpus-sized. Per-source CDFs
+    // ride one window over the grid; the global CDF is a ≤|lengths|-row
+    // single-partition window (documented tiny-frame exception, q52's
+    // scalar pattern).
+    QueryDef(
+      "x83_length_drift",
+      (s, d) => {
+        val docs = documents(s, d).select(col("source"), col("n_chars"))
+        val sl = docs.groupBy("source", "n_chars").agg(count(lit(1)).as("cs"))
+        val gl = docs.groupBy("n_chars").agg(count(lit(1)).as("cg"))
+          .withColumn("cum_g", sum(col("cg")).over(
+            Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)))
+        val totG = gl.agg(sum(col("cg")).as("ng"))
+        val srcs = docs.groupBy("source").agg(count(lit(1)).as("ns"))
+        val grid = srcs.crossJoin(broadcast(gl.select("n_chars", "cum_g")))
+        val wc = Window.partitionBy("source").orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        grid
+          .join(sl, Seq("source", "n_chars"), "left")
+          .withColumn("cum_s", sum(coalesce(col("cs"), lit(0L))).over(wc))
+          .join(broadcast(totG))
+          .withColumn("dev", abs(
+            expr("(cum_s * 1000000) div ns") - expr("(cum_g * 1000000) div ng")))
+          .groupBy("source")
+          .agg(max(col("ns")).cast(LongType).as("n_docs"),
+            max(col("dev")).cast(LongType).as("ks_ppm"))
+          .orderBy("source")
+      },
+      Some("""WITH sl AS (SELECT source, n_chars, CAST(count(*) AS BIGINT) AS cs
+             |  FROM documents GROUP BY 1, 2),
+             |gl AS (SELECT n_chars, CAST(count(*) AS BIGINT) AS cg FROM documents GROUP BY 1),
+             |gc AS (SELECT n_chars, sum(cg) OVER (ORDER BY n_chars
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_g FROM gl),
+             |sc AS (SELECT source, CAST(count(*) AS BIGINT) AS ns FROM documents GROUP BY 1),
+             |grid AS (SELECT source, ns, n_chars, cum_g FROM sc CROSS JOIN gc),
+             |cdf AS (SELECT grid.source, ns, grid.n_chars, cum_g,
+             |  sum(coalesce(cs, 0)) OVER (PARTITION BY grid.source ORDER BY grid.n_chars
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_s
+             |  FROM grid LEFT JOIN sl ON grid.source = sl.source AND grid.n_chars = sl.n_chars)
+             |SELECT source, CAST(max(ns) AS BIGINT) AS n_docs,
+             |  CAST(max(abs((cum_s * 1000000) // ns
+             |    - (cum_g * 1000000) // (SELECT sum(cg) FROM gl))) AS BIGINT) AS ks_ppm
+             |FROM cdf GROUP BY 1 ORDER BY source""".stripMargin))
   )
 }

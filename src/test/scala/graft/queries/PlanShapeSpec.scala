@@ -503,6 +503,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(opExchanges(p) <= 2, s"expected tok agg + octave agg only, plan:\n$p")
   }
 
+  test("q60's two aggs and running-sum window all ride ONE custkey exchange") {
+    val p = plans("q60_running_distinct")
+    // the lineitem⋈orders join broadcasts at this size; the tail — both
+    // aggs and the window — needs only supersets of {custkey} (subset
+    // rule), so the explicit repartition is the only hash exchange
+    assert(opExchanges(p) == 1, s"expected one o_custkey exchange, plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q61's join is genuinely salted: shuffle-hash on (suppkey, salt), dim exploded") {
+    val p = plans("q61_salted_join")
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("Generate explode"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("x81's audit joins move digests and ids, never raw text") {
+    val p = plans("x81_group_split")
+    val exch = "Exchange hashpartitioning\\([^\n]*".r.findAllIn(p).toSeq
+    assert(exch.forall(e => !e.contains("text#")), s"exchange carries raw text:\n$exch")
+  }
+
+  test("x82's distribution-shift exchanges carry tokens and counts, never text") {
+    val p = plans("x82_domain_shift")
+    val exch = "Exchange hashpartitioning\\([^\n]*".r.findAllIn(p).toSeq
+    assert(exch.forall(e => !e.contains("text#")), s"exchange carries raw text:\n$exch")
+  }
+
+  test("x83 never touches document text and its KS grid is a broadcast cross join") {
+    val p = plans("x83_length_drift")
+    assert(!p.contains("text#"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q52's histogram is two scans: broadcast bounds + ≤16-row bucket agg") {
     val p = plans("q52_histogram")
     // the min/max scalar rides a SinglePartition exchange (not counted);
