@@ -1959,6 +1959,61 @@ object CoreQueries {
              |  CAST(count(*) AS BIGINT) AS n_items,
              |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
              |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-             |GROUP BY 1 ORDER BY s_nationkey""".stripMargin))
+             |GROUP BY 1 ORDER BY s_nationkey""".stripMargin)),
+
+    // RATIO-TO-REPORT WINDOW FAMILY (q62) — percent-of-total at two
+    // grains: each nation's revenue share within its region and of the
+    // grand total. The UNORDERED window frame (partition-only sum) that
+    // q11's running frames and q59's navigations don't touch — and the
+    // idiomatic no-self-join form of "v / group total".
+    //
+    // Exactness: shares divide two exact DECIMAL sums (cast to double at
+    // the division, rounded once) — summation order never shows. The
+    // grand total is a single-partition window over the 25-row nation
+    // rollup (q52's tiny-frame exception), NOT over the fact table.
+    //
+    // Scale posture: one fact-side agg to nation grain rides the
+    // customer-join output; both window sums run over the ≤|nations| row
+    // rollup — constant-size frames regardless of fact volume.
+    QueryDef(
+      "q62_ratio_report",
+      (s, d) => {
+        val cust = customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+        val nat = nation(s, d).select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        val byNation = orders(s, d)
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_regionkey", "n_name")
+          .agg(sum(col("o_totalprice").cast(DecimalType(18, 4))).as("rev"))
+        val wr = Window.partitionBy("n_regionkey")
+        val wg = Window.partitionBy()
+        // divide as DOUBLE on both sides: decimal÷decimal result scales
+        // differ between engines, but a single IEEE division of two
+        // exactly-equal doubles is bit-identical
+        byNation
+          .withColumn("region_share",
+            round(col("rev").cast(DoubleType)
+              / sum(col("rev")).over(wr).cast(DoubleType), 6))
+          .withColumn("total_share",
+            round(col("rev").cast(DoubleType)
+              / sum(col("rev")).over(wg).cast(DoubleType), 6))
+          .select(col("n_regionkey").cast(LongType).as("n_regionkey"), col("n_name"),
+            col("rev").cast(DoubleType).as("revenue"),
+            col("region_share"), col("total_share"))
+          .orderBy("n_regionkey", "n_name")
+      },
+      Some("""WITH bn AS (SELECT n_regionkey, n_name,
+             |  sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+             |  FROM orders JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation ON c_nationkey = n_nationkey
+             |  GROUP BY 1, 2)
+             |SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, n_name,
+             |  CAST(rev AS DOUBLE) AS revenue,
+             |  round(CAST(rev AS DOUBLE)
+             |    / CAST(sum(rev) OVER (PARTITION BY n_regionkey) AS DOUBLE), 6)
+             |    AS region_share,
+             |  round(CAST(rev AS DOUBLE) / CAST(sum(rev) OVER () AS DOUBLE), 6)
+             |    AS total_share
+             |FROM bn ORDER BY n_regionkey, n_name""".stripMargin))
   )
 }

@@ -4246,6 +4246,146 @@ object PipelineQueries {
              |SELECT source, CAST(max(ns) AS BIGINT) AS n_docs,
              |  CAST(max(abs((cum_s * 1000000) // ns
              |    - (cum_g * 1000000) // (SELECT sum(cg) FROM gl))) AS BIGINT) AS ks_ppm
-             |FROM cdf GROUP BY 1 ORDER BY source""".stripMargin))
+             |FROM cdf GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    // K-ANONYMITY AUDIT (x84) — the privacy-governance gate a training
+    // corpus with user-derived records needs before release: at each
+    // quasi-identifier generalization level (fine acctbal-bucket →
+    // coarse bucket → bucket dropped), how many QI groups have fewer than
+    // k=5 members, and how many rows those groups expose. k-anonymity of
+    // the release = the SMALLEST group size at its level (Sweeney's k).
+    //
+    // Exactness: all-integer (bucket = floor of one IEEE division —
+    // identical in both engines; everything after is counts).
+    //
+    // Scale posture: stack ×3 is narrow (no shuffle to build the tall
+    // frame); ONE (level, qi) hash agg with map-side partial combine —
+    // group count is bounded by levels × |QI space|, not rows — then a
+    // 3-row rollup. No join anywhere (plan-pinned).
+    QueryDef(
+      "x84_k_anonymity",
+      (s, d) => {
+        val k = 5L
+        val tall = customer(s, d).selectExpr(
+          "stack(3, " +
+            "0, concat_ws('|', c_nationkey, c_mktsegment, CAST(floor(c_acctbal / 100.0) AS BIGINT)), " +
+            "1, concat_ws('|', c_nationkey, c_mktsegment, CAST(floor(c_acctbal / 1000.0) AS BIGINT)), " +
+            "2, concat_ws('|', c_nationkey, c_mktsegment)) AS (level, qi)")
+        tall.groupBy("level", "qi").agg(count(lit(1)).as("sz"))
+          .groupBy(col("level").cast(LongType).as("level"))
+          .agg(count(lit(1)).as("n_groups"),
+            min(col("sz")).cast(LongType).as("k_anonymity"),
+            sum(when(col("sz") < k, 1L).otherwise(0L)).as("n_violating_groups"),
+            sum(when(col("sz") < k, col("sz")).otherwise(0L)).as("n_rows_at_risk"))
+          .orderBy("level")
+      },
+      Some("""WITH tall AS (
+             |  SELECT 0 AS level, c_nationkey::VARCHAR || '|' || c_mktsegment || '|'
+             |    || CAST(floor(c_acctbal / 100.0) AS BIGINT)::VARCHAR AS qi FROM customer
+             |  UNION ALL
+             |  SELECT 1, c_nationkey::VARCHAR || '|' || c_mktsegment || '|'
+             |    || CAST(floor(c_acctbal / 1000.0) AS BIGINT)::VARCHAR FROM customer
+             |  UNION ALL
+             |  SELECT 2, c_nationkey::VARCHAR || '|' || c_mktsegment FROM customer),
+             |g AS (SELECT level, qi, count(*) AS sz FROM tall GROUP BY 1, 2)
+             |SELECT CAST(level AS BIGINT) AS level,
+             |  CAST(count(*) AS BIGINT) AS n_groups,
+             |  CAST(min(sz) AS BIGINT) AS k_anonymity,
+             |  CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+             |  CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS n_rows_at_risk
+             |FROM g GROUP BY 1 ORDER BY level""".stripMargin)),
+
+    // FOREIGN-KEY / CONTAINMENT DISCOVERY (x85) — the schema-profiling
+    // pass that finds referential structure in an undocumented lake:
+    // for each candidate (child column → parent column) pair, what
+    // fraction of distinct child values the parent contains, AND what
+    // fraction of the parent key space the child uses. Containment alone
+    // overclaims — on this very data, small-integer columns
+    // (l_linenumber ⊆ n_nationkey) and subrange ids (user_id ⊆
+    // c_custkey) are 100%-contained by coincidence; the LOW parent
+    // coverage is what separates them from the true FKs, which is why
+    // both ratios ship.
+    //
+    // Exactness: all-integer (distinct counts and integer ppm
+    // divisions).
+    //
+    // Scale posture: each side is reduced to DISTINCT keys map-side
+    // BEFORE any join (the aggregate's partial combine — child fact
+    // tables never cross the wire raw); ONE full-outer join of the two
+    // deduped frames yields child/contained/parent counts in one pass —
+    // no second scan for the parent cardinality; output is
+    // |candidates|-sized. Candidate pairs are independent jobs — at
+    // 100 TB they run concurrently, each reading only its two columns
+    // (column-pruned scans).
+    QueryDef(
+      "x85_fk_discovery",
+      (s, d) => {
+        def containment(name: String, child: DataFrame, parent: DataFrame): DataFrame = {
+          val c = child.toDF("k").filter(col("k").isNotNull).distinct()
+            .withColumn("cs", lit(1L))
+          val p = parent.toDF("k").filter(col("k").isNotNull).distinct()
+            .withColumn("hit", lit(1L))
+          c.join(p, Seq("k"), "full_outer")
+            .agg(sum(coalesce(col("cs"), lit(0L))).as("n_child_distinct"),
+              sum(when(col("cs").isNotNull && col("hit").isNotNull, 1L)
+                .otherwise(0L)).as("n_contained"),
+              sum(coalesce(col("hit"), lit(0L))).as("n_parent_distinct"))
+            .select(lit(name).as("candidate"), col("n_child_distinct"),
+              col("n_contained"), col("n_parent_distinct"),
+              expr("(n_contained * 1000000) div n_child_distinct").as("containment_ppm"),
+              expr("(n_contained * 1000000) div n_parent_distinct").as("coverage_ppm"))
+        }
+        val li = lineitem(s, d)
+        val res = Seq(
+          containment("lineitem.l_partkey->part.p_partkey",
+            li.select("l_partkey"), part(s, d).select("p_partkey")),
+          containment("lineitem.l_suppkey->supplier.s_suppkey",
+            li.select("l_suppkey"), supplier(s, d).select("s_suppkey")),
+          containment("orders.o_custkey->customer.c_custkey",
+            orders(s, d).select("o_custkey"), customer(s, d).select("c_custkey")),
+          containment("events.user_id->customer.c_custkey",
+            events(s, d).select("user_id"), customer(s, d).select("c_custkey")),
+          containment("lineitem.l_linenumber->nation.n_nationkey",
+            li.select(col("l_linenumber").cast(LongType)),
+            nation(s, d).select(col("n_nationkey").cast(LongType))))
+        res.reduce(_ unionByName _).orderBy("candidate")
+      },
+      Some("""WITH cand AS (
+             |  SELECT 'lineitem.l_partkey->part.p_partkey' AS candidate,
+             |    (SELECT count(DISTINCT l_partkey) FROM lineitem) AS nc,
+             |    (SELECT count(DISTINCT l_partkey) FROM lineitem
+             |      WHERE l_partkey IN (SELECT p_partkey FROM part)) AS nh,
+             |    (SELECT count(DISTINCT p_partkey) FROM part) AS np
+             |  UNION ALL
+             |  SELECT 'lineitem.l_suppkey->supplier.s_suppkey',
+             |    (SELECT count(DISTINCT l_suppkey) FROM lineitem),
+             |    (SELECT count(DISTINCT l_suppkey) FROM lineitem
+             |      WHERE l_suppkey IN (SELECT s_suppkey FROM supplier)),
+             |    (SELECT count(DISTINCT s_suppkey) FROM supplier)
+             |  UNION ALL
+             |  SELECT 'orders.o_custkey->customer.c_custkey',
+             |    (SELECT count(DISTINCT o_custkey) FROM orders),
+             |    (SELECT count(DISTINCT o_custkey) FROM orders
+             |      WHERE o_custkey IN (SELECT c_custkey FROM customer)),
+             |    (SELECT count(DISTINCT c_custkey) FROM customer)
+             |  UNION ALL
+             |  SELECT 'events.user_id->customer.c_custkey',
+             |    (SELECT count(DISTINCT user_id) FROM events),
+             |    (SELECT count(DISTINCT user_id) FROM events
+             |      WHERE user_id IN (SELECT c_custkey FROM customer)),
+             |    (SELECT count(DISTINCT c_custkey) FROM customer)
+             |  UNION ALL
+             |  SELECT 'lineitem.l_linenumber->nation.n_nationkey',
+             |    (SELECT count(DISTINCT l_linenumber) FROM lineitem),
+             |    (SELECT count(DISTINCT l_linenumber) FROM lineitem
+             |      WHERE CAST(l_linenumber AS BIGINT) IN
+             |        (SELECT CAST(n_nationkey AS BIGINT) FROM nation)),
+             |    (SELECT count(DISTINCT n_nationkey) FROM nation))
+             |SELECT candidate, CAST(nc AS BIGINT) AS n_child_distinct,
+             |  CAST(nh AS BIGINT) AS n_contained,
+             |  CAST(np AS BIGINT) AS n_parent_distinct,
+             |  CAST((nh * 1000000) // nc AS BIGINT) AS containment_ppm,
+             |  CAST((nh * 1000000) // np AS BIGINT) AS coverage_ppm
+             |FROM cand ORDER BY candidate""".stripMargin))
   )
 }

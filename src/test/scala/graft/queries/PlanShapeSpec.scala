@@ -537,6 +537,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q62's window sums run over the nation rollup, not the fact table") {
+    val p = plans("q62_ratio_report")
+    // both dimension joins broadcast; the only hash exchange is the
+    // nation-grain rollup the two window sums then ride
+    assert(opExchanges(p) <= 1, s"expected the nation rollup exchange only, plan:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 2, p)
+  }
+
+  test("x84's k-anonymity audit is two aggs and no join") {
+    val p = plans("x84_k_anonymity")
+    assert(!p.contains("Join"), p)
+    assert(opExchanges(p) <= 2, s"expected (level,qi) agg + level rollup only, plan:\n$p")
+  }
+
+  test("x85's containment probes join DISTINCT key sets — fact rows never cross the wire raw") {
+    val p = plans("x85_fk_discovery")
+    // every full-outer probe joins two pre-deduplicated sides: each join
+    // input chain must pass through a HashAggregate before the exchange
+    assert(p.contains("FullOuter") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q52's histogram is two scans: broadcast bounds + ≤16-row bucket agg") {
     val p = plans("q52_histogram")
     // the min/max scalar rides a SinglePartition exchange (not counted);
