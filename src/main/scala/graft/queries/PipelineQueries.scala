@@ -4386,6 +4386,113 @@ object PipelineQueries {
              |  CAST(np AS BIGINT) AS n_parent_distinct,
              |  CAST((nh * 1000000) // nc AS BIGINT) AS containment_ppm,
              |  CAST((nh * 1000000) // np AS BIGINT) AS coverage_ppm
-             |FROM cand ORDER BY candidate""".stripMargin))
+             |FROM cand ORDER BY candidate""".stripMargin)),
+
+    // EXACT SIMILARITY JOIN VIA PREFIX FILTERING (x86) — the PPJoin-family
+    // op (ops/SimilarityJoin): every pair with distinct-token Jaccard
+    // ≥ 7/10, EXACTLY — the no-false-negative counterpart to the x03 LSH
+    // estimator (whose error x78 measures). Tokens are ordered by global
+    // document frequency rarest-first; a qualifying pair must share a
+    // token inside both sides' (n − ⌈t·n⌉ + 1)-prefixes, so the candidate
+    // join keys on rare tokens and the stopword posting blow-up an
+    // unordered token join suffers never starts. Equality with O(n²)
+    // brute force is spec-pinned (SimilarityJoinSpec).
+    //
+    // Exactness: the threshold is the RATIONAL 7/10 and acceptance is
+    // 10·i ≥ 7·u — pure integer, no float comparison in either engine.
+    //
+    // Scale posture: df join + both prefix windows ride ONE per-doc
+    // exchange; verification joins move ids and token arrays, never raw
+    // text (plan-pinned).
+    QueryDef(
+      "x86_similarity_join",
+      (s, d) => {
+        graft.ops.SimilarityJoin.jaccardJoin(
+            docCorpus(s, d).select(col("doc_id"), col("text")))
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""WITH $corpusSql,
+             |tk AS (SELECT doc_id, unnest(list_distinct($tokensSql)) AS tok FROM corpus),
+             |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tk GROUP BY 1),
+             |r AS (SELECT doc_id, tk.tok,
+             |  row_number() OVER (PARTITION BY doc_id ORDER BY df, tk.tok) AS rn,
+             |  count(*) OVER (PARTITION BY doc_id) AS n
+             |  FROM tk JOIN dfq ON tk.tok = dfq.tok),
+             |pf AS (SELECT doc_id, tok FROM r WHERE rn <= n - ((7 * n + 9) // 10) + 1),
+             |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM pf a JOIN pf b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+             |sets AS (SELECT doc_id, list_distinct($tokensSql) AS s FROM corpus),
+             |v AS (SELECT a_id, b_id,
+             |  CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS i_size,
+             |  CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS BIGINT) AS u_size
+             |  FROM cand JOIN sets sa ON a_id = sa.doc_id
+             |  JOIN sets sb ON b_id = sb.doc_id)
+             |SELECT a_id, b_id, i_size, u_size FROM v
+             |WHERE 10 * i_size >= 7 * u_size ORDER BY a_id, b_id""".stripMargin)),
+
+    // QUALITY-BASED CLUSTER REPRESENTATIVE (x87) — dedup survivorship done
+    // the way a curation team actually wants it: within each near-dup
+    // component, keep the HIGHEST-QUALITY member (x01/x18/x38 keep the min
+    // id — the right gate semantics, but min-id throws away the
+    // best-written copy whenever the scraper that found it first was the
+    // worst one). rep_differs_from_min makes the improvement visible row
+    // by row.
+    //
+    // Exactness: quality_score is x35's gated 6dp surface (no half-ties —
+    // Curation.withQuality's documented argument); ties break on doc_id.
+    //
+    // Scale posture: the rank window and the per-component rollup share
+    // ONE component-key exchange; only multi-member components surface
+    // (bounded by the pair set, not the corpus); the session-shared LSH
+    // pair frame means the heavy stage is paid once per session
+    // (x18/x75/x79/x81's frame).
+    QueryDef(
+      "x87_best_of_cluster",
+      (s, d) => {
+        val corpus = docCorpus(s, d)
+        val pairs = SharedCache.getOrCompute(lshPairsKey(s, d))(lshPairsBuild(corpus))
+        val mapping = graft.ops.TextDedup.dedupMappingFromPairs(corpus, pairs)
+        val scored = graft.ops.Curation.withQuality(corpus)
+          .join(mapping.select(col("doc_id"), col("canonical_id")), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("quality_score"),
+            coalesce(col("canonical_id"), col("doc_id")).as("can"))
+        val w = Window.partitionBy("can").orderBy(col("quality_score").desc, col("doc_id"))
+        scored
+          .withColumn("rn", row_number().over(w))
+          .groupBy("can")
+          .agg(count(lit(1)).as("n_members"),
+            max(when(col("rn") === 1, col("doc_id"))).as("rep_id"),
+            max(when(col("rn") === 1, col("quality_score"))).as("rep_quality"),
+            min(col("doc_id")).as("min_id"))
+          .filter(col("n_members") >= 2)
+          .select(col("can").as("canonical_id"), col("n_members"),
+            col("rep_id"), col("rep_quality"),
+            (col("rep_id") =!= col("min_id")).as("rep_differs_from_min"))
+          .orderBy("canonical_id")
+      },
+      Some(s"""$dedupComponentsCtes,
+             |t AS (SELECT doc_id, n_chars, text, $tokensSql AS tk FROM corpus),
+             |m2 AS (SELECT doc_id,
+             |  CAST(len(tk) AS BIGINT) AS n_tokens,
+             |  CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop,
+             |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_punct,
+             |  n_chars FROM t),
+             |q AS (SELECT doc_id,
+             |  round(0.4 * round(n_stop / CAST(n_tokens AS DOUBLE), 6)
+             |    + 0.3 * (least(n_tokens, 100) / 100.0)
+             |    + 0.2 * (1.0 - round(n_punct / CAST(n_chars AS DOUBLE), 6)), 6) AS qs
+             |  FROM m2),
+             |jx AS (SELECT q.doc_id, qs, cmap.canonical_id AS can
+             |  FROM q JOIN cmap ON q.doc_id = cmap.doc_id),
+             |rk AS (SELECT *, row_number() OVER (PARTITION BY can ORDER BY qs DESC, doc_id) AS rn
+             |  FROM jx),
+             |ag AS (SELECT can, count(*) AS n_members,
+             |  max(CASE WHEN rn = 1 THEN doc_id END) AS rep_id,
+             |  max(CASE WHEN rn = 1 THEN qs END) AS rep_quality,
+             |  min(doc_id) AS min_id FROM rk GROUP BY 1)
+             |SELECT can AS canonical_id, CAST(n_members AS BIGINT) AS n_members,
+             |  CAST(rep_id AS BIGINT) AS rep_id, rep_quality,
+             |  (rep_id <> min_id) AS rep_differs_from_min
+             |FROM ag WHERE n_members >= 2 ORDER BY canonical_id""".stripMargin))
   )
 }
