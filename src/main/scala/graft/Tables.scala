@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the harness fixture tables (/root/repo/FIXTURES.md §B).
   *
@@ -50,16 +51,94 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects. Read it as raw nanos (legacy conf) and truncate to micros with
-    * integer division — the same truncation DuckDB applies when it reads the
-    * ns column as its default µs TIMESTAMP, so oracle parity holds. */
+  /** The fixture contract says `events.ts: TIMESTAMP` (FIXTURES.md §B), but
+    * generator vintages have shipped it as either parquet TIMESTAMP(MICROS)
+    * (readable directly) or TIMESTAMP(NANOS) (which Spark's vectorized reader
+    * rejects unless read as raw INT64 under the legacy conf). Setting the
+    * legacy conf is a no-op for micros files, so: set it, scan, and dispatch
+    * on the type that actually came back — LongType means a nanos file, so
+    * truncate to micros with integer division (the same truncation DuckDB
+    * applies reading ns into its default µs TIMESTAMP, keeping oracle
+    * parity); TimestampType is used as-is. Any other type is a generator
+    * contract break and fails fast with one clear message instead of 16
+    * downstream AnalysisExceptions. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType    => df
+      // parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) scans as NTZ; the
+      // session zone is UTC everywhere (Bench/Verify/specs), so casting to
+      // the instant type is wall-clock identity and keeps every downstream
+      // consumer on the same type the nanos path produced.
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"fixture schema mismatch: events.ts expected TIMESTAMP or INT64-nanos, found $other in $d/events.parquet")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame =
     parallelized(table(s, d, "documents"), col("doc_id"), s"$d/documents")
   def embeddings(s: SparkSession, d: String): DataFrame =
     parallelized(table(s, d, "embeddings"), col("vec_id"), s"$d/embeddings")
+
+  /** Expected fixture schemas (FIXTURES.md §B), as loose type families so a
+    * generator swapping int32↔int64 or micros↔nanos timestamps still
+    * validates — those vintages are handled by the loaders. */
+  private val expected: Map[String, Seq[(String, String)]] = Map(
+    "region"     -> Seq("r_regionkey" -> "int", "r_name" -> "string"),
+    "nation"     -> Seq("n_nationkey" -> "int", "n_name" -> "string", "n_regionkey" -> "int"),
+    "customer"   -> Seq("c_custkey" -> "int", "c_name" -> "string", "c_nationkey" -> "int",
+                        "c_acctbal" -> "float", "c_mktsegment" -> "string"),
+    "supplier"   -> Seq("s_suppkey" -> "int", "s_name" -> "string", "s_nationkey" -> "int",
+                        "s_acctbal" -> "float"),
+    "part"       -> Seq("p_partkey" -> "int", "p_name" -> "string", "p_brand" -> "string",
+                        "p_type" -> "string", "p_size" -> "int", "p_retailprice" -> "float"),
+    "orders"     -> Seq("o_orderkey" -> "int", "o_custkey" -> "int", "o_orderstatus" -> "string",
+                        "o_totalprice" -> "float", "o_orderdate" -> "timestamp",
+                        "o_orderpriority" -> "string"),
+    "lineitem"   -> Seq("l_orderkey" -> "int", "l_partkey" -> "int", "l_suppkey" -> "int",
+                        "l_linenumber" -> "int", "l_quantity" -> "float",
+                        "l_extendedprice" -> "float", "l_discount" -> "float", "l_tax" -> "float",
+                        "l_returnflag" -> "string", "l_linestatus" -> "string",
+                        "l_shipdate" -> "timestamp"),
+    "events"     -> Seq("event_id" -> "int", "ts" -> "timestamp", "user_id" -> "int",
+                        "event_type" -> "string", "value" -> "float", "props" -> "string"),
+    "documents"  -> Seq("doc_id" -> "int", "text" -> "string", "lang" -> "string",
+                        "source" -> "string", "n_chars" -> "int"),
+    "embeddings" -> Seq("vec_id" -> "int", "embedding" -> "array<float>", "label" -> "int"))
+
+  private def family(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType => "int"
+      case _: FloatType | _: DoubleType | _: DecimalType             => "float"
+      case _: StringType                                             => "string"
+      case _: TimestampType | _: TimestampNTZType                    => "timestamp"
+      case ArrayType(e, _)                                           => s"array<${family(e)}>"
+      case other                                                     => other.simpleString
+    }
+  }
+
+  /** Footer-only schema audit of every fixture table under `dir`. Returns one
+    * human-readable line per mismatch ("events.ts: expected timestamp, found
+    * string") — empty means the fixtures honor the FIXTURES.md §B contract.
+    * `events.ts` read as INT64 under the legacy-nanos conf counts as a
+    * timestamp, since the loader restores it (see [[events]]). */
+  def validate(s: SparkSession, dir: String): Seq[String] =
+    names.flatMap { t =>
+      val spec = expected(t)
+      scala.util.Try(apply(s, dir, t).schema) match {
+        case scala.util.Failure(e) => Seq(s"$t: unreadable (${e.getMessage})")
+        case scala.util.Success(schema) =>
+          val have = schema.fields.map(f => f.name -> family(f.dataType)).toMap
+          spec.flatMap { case (c, fam) =>
+            have.get(c) match {
+              case None           => Some(s"$t.$c: expected $fam, column absent")
+              case Some(`fam`)    => None
+              case Some(actual)   => Some(s"$t.$c: expected $fam, found $actual")
+            }
+          }
+      }
+    }
 }

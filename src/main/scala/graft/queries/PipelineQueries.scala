@@ -2895,10 +2895,10 @@ object PipelineQueries {
           .join(broadcast(moments.select(col("i").as("j"), col("sx").as("sx_j"))), Seq("j"))
           .select(col("i").cast(LongType).as("i"), col("j").cast(LongType).as("j"),
             col("n"),
-            round(
+            (round(
               col("sxy").cast(DoubleType) / col("n")
                 - (col("sx_i").cast(DoubleType) / col("n"))
-                * (col("sx_j").cast(DoubleType) / col("n")), 6).as("cov"))
+                * (col("sx_j").cast(DoubleType) / col("n")), 6) + lit(0.0)).as("cov"))
           .orderBy("i", "j")
       },
       Some("""WITH x AS (SELECT vec_id,
@@ -2911,7 +2911,7 @@ object PipelineQueries {
              |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i GROUP BY 1, 2)
              |SELECT p.i AS i, p.j AS j, mi.n,
              |  round(CAST(sxy AS DOUBLE) / mi.n
-             |    - (CAST(mi.sx AS DOUBLE) / mi.n) * (CAST(mj.sx AS DOUBLE) / mi.n), 6) AS cov
+             |    - (CAST(mi.sx AS DOUBLE) / mi.n) * (CAST(mj.sx AS DOUBLE) / mi.n), 6) + 0.0 AS cov
              |FROM p JOIN m mi ON mi.i = p.i JOIN m mj ON mj.i = p.j
              |ORDER BY i, j""".stripMargin)),
 
@@ -3669,8 +3669,10 @@ object PipelineQueries {
             sum(floor(col("z") * col("z") * lit(1000000.0)).cast(LongType))
               .as("szzq"))
           .select(col("i"), col("n"),
-            round(col("szq") / col("n").cast(DoubleType) / lit(1000000.0), 6)
-              .as("mean_z"),
+            // + 0.0 collapses IEEE −0.0 (a standardized mean rounds to ±0
+            // constantly) so both engines render the same string.
+            (round(col("szq") / col("n").cast(DoubleType) / lit(1000000.0), 6)
+              + lit(0.0)).as("mean_z"),
             round(col("szzq") / col("n").cast(DoubleType) / lit(1000000.0), 6)
               .as("var_z"))
           .orderBy("i")
@@ -3688,7 +3690,7 @@ object PipelineQueries {
              |z AS (SELECT x.i, (xd - mu) / sigma AS z FROM x JOIN st ON x.i = st.i)
              |SELECT i, CAST(count(*) AS BIGINT) AS n,
              |  round(sum(CAST(floor(z * 1000000.0) AS BIGINT))
-             |    / CAST(count(*) AS DOUBLE) / 1000000.0, 6) AS mean_z,
+             |    / CAST(count(*) AS DOUBLE) / 1000000.0, 6) + 0.0 AS mean_z,
              |  round(sum(CAST(floor(z * z * 1000000.0) AS BIGINT))
              |    / CAST(count(*) AS DOUBLE) / 1000000.0, 6) AS var_z
              |FROM z GROUP BY 1 ORDER BY i""".stripMargin)),

@@ -20,7 +20,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == "float64" or df[c].dtype == "float32":
-            df[c] = df[c].astype("float64").round(6)
+            # The driver hashes RENDERED strings, where -0.0 != 0.0 — pandas
+            # .equals treats them as equal, which let signed-zero mismatches
+            # (x58/x72, round 6) pass locally while failing the driver gate.
+            # Normalize -0.0 -> 0.0 (+0.0) and compare the repr string so the
+            # local gate sees exactly what the driver hashes.
+            df[c] = (df[c].astype("float64").round(6) + 0.0).map(repr)
         elif str(df[c].dtype).startswith("datetime64"):
             df[c] = pd.to_datetime(df[c]).dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
         elif df[c].dtype == "object":
