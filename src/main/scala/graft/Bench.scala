@@ -123,8 +123,14 @@ object Bench {
       graft.ops.CheckpointBlocks.sweep(spark, graft.queries.SharedCache.liveRddIds)
       times
     }
+    // args (local-iteration only): restrict to these query names. The
+    // driver always runs with no args = the full catalog.
+    val only = args.toSet
     val served = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.catalog.map { q =>
+    val results = SparkEntry.catalog
+      .filter(q => only.isEmpty || only.contains(q.name))
+      .map { q =>
+
       val hits0 = graft.queries.SharedCache.hits
       val t = timeQuery(q)
       if (graft.queries.SharedCache.hits > hits0) served += q.name

@@ -116,4 +116,130 @@ object GraphAlgos {
       StructType(Seq(StructField("vid", LongType), StructField("depth", LongType))))
     ids.join(depths, "vid").select("label", "key", "depth")
   }
+
+  /** Partition count for the fixed-round kernels. The edge frame arrives
+    * partitioned for the CORPUS that derived it
+    * (spark.sql.shuffle.partitions), but the graph is entity-sized —
+    * usually orders of magnitude smaller — and every chained stage runs a
+    * task per partition, so an oversized count turns a small graph into
+    * pure scheduling floor (the measured q44/q45 cost at every scale).
+    * Default: a quarter of the session parallelism (≥1), which still grows
+    * with the cluster; callers with a genuinely edge-heavy graph pass
+    * `parts` explicitly. */
+  private def graphParts(edges: DataFrame, parts: Option[Int]): Int =
+    parts.getOrElse(
+      math.max(1, edges.sparkSession.sparkContext.defaultParallelism / 4))
+
+  /** Fixed-round power-iteration PageRank as ONE lazily-chained job — the
+    * iterative kernel behind q44. Two prior forms both paid a sequential
+    * barrier per round: unrolled DataFrame rounds (a broadcast-collect
+    * each) and GraphX Pregel (whose convergence check materializes
+    * `messages.count()` per superstep). With a FIXED round count neither
+    * barrier is needed: the rounds chain lazily over co-partitioned pair
+    * RDDs and materialize once, so the whole computation is ONE job of
+    * `rounds` pipelined shuffle stages. The packed adjacency is persisted
+    * MEMORY_ONLY: round 1's stage builds and caches it, rounds 2..n read
+    * the built blocks — without the persist every round would replay
+    * groupByKey's reduce-side aggregation (hash-merge + array copies over
+    * |E| boxed values), the measured per-round cost. The adjacency is
+    * entity-graph-sized, not corpus-sized, so the cache is small at any
+    * corpus scale; the harness sweeps it after the query.
+    *
+    * Cross-engine exactness is preserved by doing the per-round sum in the
+    * SAME arithmetic the SQL twin declares: each edge contribution
+    * rank/outdeg is one IEEE double division cast to DECIMAL(18,8) via
+    * Spark's own [[Decimal]] (the identical code path `CAST(x AS
+    * DECIMAL(18,8))` compiles to), carried as the UNSCALED long so the
+    * reduceByKey merge is exact integer addition — commutative and
+    * associative, so merge order can never show. The new rank is the one
+    * shared double tree resetProb + (1−resetProb)·toDouble(sum).
+    *
+    * `edges`: two LONG vertex-id columns, one row per directed edge
+    * (multiplicity counts toward out-degree, as in the SQL twin's
+    * count(*)). Every vertex is assumed to have out-degree ≥ 1 (a
+    * symmetrized graph guarantees it); rank init 1.0. Output: (vid, pr)
+    * after exactly `rounds` updates of every vertex. */
+  def pagerankRounds(
+      edges: DataFrame,
+      rounds: Int,
+      resetProb: Double = 0.15,
+      parts: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.types.{Decimal, DoubleType}
+    val spark = edges.sparkSession
+    val part = new org.apache.spark.HashPartitioner(graphParts(edges, parts))
+    // adjacency packed per vertex, shuffled + built ONCE (see scaladoc);
+    // deg = adjacency length, so no separate degree frame exists
+    val adj = edges.rdd.map(r => (r.getLong(0), r.getLong(1)))
+      .groupByKey(part)
+      .mapValues(_.toArray)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val damp = 1.0 - resetProb
+    var ranks: org.apache.spark.rdd.RDD[(Long, Double)] = adj.mapValues(_ => 1.0)
+    for (_ <- 1 to rounds) {
+      ranks = adj.join(ranks, part) // narrow: same partitioner both sides
+        .flatMap { case (_, (dsts, pr)) =>
+          // ONE decimal quantization per vertex, fanned out over its edges
+          val contrib = Decimal(pr / dsts.length)
+          contrib.changePrecision(18, 8)
+          val u = contrib.toUnscaledLong
+          dsts.iterator.map(d => (d, u))
+        }
+        // map-side combine collapses the per-edge stream to ≤|V| partials
+        // per partition before the (node-sized) per-round shuffle
+        .reduceByKey(part, _ + _)
+        .mapValues(m => resetProb + damp *
+          new java.math.BigDecimal(java.math.BigInteger.valueOf(m), 8).doubleValue)
+    }
+    val prRdd = ranks.map { case (vid, pr) => Row(vid, pr) }
+    spark.createDataFrame(prRdd,
+      StructType(Seq(StructField("vid", LongType), StructField("pr", DoubleType))))
+  }
+
+  /** Bounded-round single-source shortest path (Bellman-Ford on the
+    * min-plus semiring) — q45's kernel, same one-job lazy-chain rationale
+    * as [[pagerankRounds]]. All-integer, so exactness needs no discipline
+    * at all. After `rounds` relaxations the result is the exact min over
+    * paths of ≤ `rounds` edges. Unreached vertices are absent — the
+    * distance frame only ever contains reached nodes, so early rounds
+    * shuffle a frontier, not the vertex set. `edges`: (srcVid LONG,
+    * dstVid LONG, w LONG). */
+  def ssspRounds(
+      edges: DataFrame,
+      source: VertexId,
+      rounds: Int,
+      parts: Option[Int] = None): DataFrame = {
+    val spark = edges.sparkSession
+    val part = new org.apache.spark.HashPartitioner(graphParts(edges, parts))
+    // adjacency packed per vertex as an INTERLEAVED primitive long array
+    // [d0,w0,d1,w1,…], shuffled + built ONCE, cached for the rounds
+    // (pagerankRounds' shape) — a boxed Array[(Long,Long)] here costs a
+    // tuple dereference per edge per round, the measured round floor
+    val adj = edges.rdd
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .aggregateByKey(new scala.collection.mutable.ArrayBuffer[Long](8), part)(
+        (b, dw) => { b += dw._1 += dw._2; b },
+        (a, b) => { a ++= b; a })
+      .mapValues(_.toArray)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    var dist = spark.sparkContext
+      .parallelize(Seq((source, 0L)), 1).partitionBy(part)
+    for (_ <- 1 to rounds) {
+      val relaxed = adj.join(dist, part) // narrow: same partitioner both sides
+        .flatMap { case (_, (arr, ds)) =>
+          new Iterator[(Long, Long)] {
+            private var i = 0
+            def hasNext: Boolean = i < arr.length
+            def next(): (Long, Long) = { val t = (arr(i), ds + arr(i + 1)); i += 2; t }
+          }
+        }
+        // map-side combine → the per-round shuffle carries ≤|V| partials
+        .reduceByKey(part, math.min(_: Long, _: Long))
+      // both sides share the partitioner, so the union is partitioner-aware
+      // and the min-combine stays narrow
+      dist = relaxed.union(dist).reduceByKey(part, math.min(_: Long, _: Long))
+    }
+    val distRdd = dist.map { case (vid, d) => Row(vid, d) }
+    spark.createDataFrame(distRdd,
+      StructType(Seq(StructField("vid", LongType), StructField("dist", LongType))))
+  }
 }

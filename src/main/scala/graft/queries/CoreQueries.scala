@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables._
 import graft.functions.VectorFunctions
-import graft.ops.TransitiveClosure
+import graft.ops.{GraphAlgos, TransitiveClosure}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1081,52 +1081,39 @@ object CoreQueries {
     // double division (bit-identical both engines), summed exactly as
     // DECIMAL(18,8) (dsum discipline — engine-dependent double summation
     // order never appears), then one shared 0.15 + 0.85·x double tree.
+    // GraphAlgos.pagerankRounds carries the SAME unscaled-decimal sum
+    // through Pregel's integer message merge, so the GraphX route keeps
+    // bit parity with the SQL twin.
     //
-    // Scale posture: the edge table shuffles ONCE (explicit dst
-    // repartition; ReuseExchange serves all 5 iterations from that single
-    // exchange) and each iteration is edges ⋈ broadcast(ranks) ⋈
-    // broadcast(degrees) → a dst-clustered aggregate that reuses the
-    // edge partitioning — no per-iteration edge shuffle. Ranks/degree
-    // frames are |nodes|-sized (≪ |edges|); when nodes outgrow broadcast
-    // at 100 TB, co-partition ranks by node and edges by src and the
-    // iteration becomes one sort-merge join per step — the standard
-    // trade, noted here because the broadcast form is the right default.
+    // Scale posture: the edge set is derived (scan + distinct shuffle)
+    // ONCE, then the 5 power iterations run as ONE Pregel job over
+    // co-partitioned GraphX vertex/edge tables — no per-round broadcast
+    // build, no per-round stage barrier, no plan growth (the previous
+    // unrolled-DataFrame form paid a sequential broadcast-collect barrier
+    // per round, the measured floor at every scale). Node ids are
+    // bijectively long-encoded (customer 2k, supplier 2k+1) so GraphX
+    // needs no id-translation join in or out.
     QueryDef(
       "q44_pagerank",
       (s, d) => {
         val e0 = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
           .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
             col("o_orderkey") === col("l_orderkey"))
-          .select(concat(lit("c"), col("o_custkey")).as("src"),
-            concat(lit("s"), col("l_suppkey")).as("dst"))
+          .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
           .distinct()
         // symmetrize via explode, not self-union — the distinct edge set is
         // derived (scan + shuffle) ONCE and each row fans out to both
         // directions narrowly
         val edges = e0
           .select(explode(array(
-            struct(col("src"), col("dst")),
-            struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+            struct(col("a").as("src"), col("b").as("dst")),
+            struct(col("b").as("src"), col("a").as("dst")))).as("e"))
           .select(col("e.src").as("src"), col("e.dst").as("dst"))
-          .repartition(col("dst"))
-        val deg = edges.groupBy("src").agg(count(lit(1)).cast(LongType).as("outdeg"))
-        // outdeg is static across rounds — fold it into the edge frame ONCE
-        // so each round pays a single broadcast (the ranks frame) instead of
-        // two; in local mode broadcast build latency, not throughput, is
-        // what 5 rounds amplify
-        val edgesW = edges.join(broadcast(deg), Seq("src"))
-        var ranks = deg.select(col("src").as("node"), lit(1.0).as("pr"))
-        for (_ <- 1 to 5) {
-          ranks = edgesW
-            .join(broadcast(ranks), edgesW("src") === ranks("node"))
-            .groupBy("dst")
-            .agg(sum((col("pr") / col("outdeg")).cast(DecimalType(18, 8)))
-              .cast(DoubleType).as("m"))
-            .select(col("dst").as("node"),
-              (lit(0.15) + lit(0.85) * col("m")).as("pr"))
-        }
-        ranks
-          .select(col("node"), round(col("pr"), 6).as("pr"))
+        GraphAlgos.pagerankRounds(edges, rounds = 5)
+          .select(
+            when(col("vid") % 2 === 0, concat(lit("c"), expr("vid div 2")))
+              .otherwise(concat(lit("s"), expr("vid div 2"))).as("node"),
+            round(col("pr"), 6).as("pr"))
           .orderBy(col("pr").desc, col("node")).limit(20)
           .withColumn("rn",
             row_number().over(Window.orderBy(col("pr").desc, col("node"))).cast(LongType))
@@ -1163,12 +1150,10 @@ object CoreQueries {
     // rounds are simply absent (standard frontier semantics).
     //
     // Scale posture mirrors q44: the weighted edge set is derived and
-    // dst-shuffled ONCE (AQE-reused across rounds); each round joins the
-    // |reached|-sized distance frame by broadcast and min-aggregates on
-    // the edges' dst clustering; the relax-vs-keep combine is a min over
-    // the union of two nodes-sized frames. Beyond broadcastable frontiers
-    // use GraphAlgos' Pregel (x25's path) — this is the DataFrame-native
-    // form with an exact SQL twin.
+    // min-reduced ONCE, then the 4 relaxation rounds run as ONE Pregel job
+    // (GraphAlgos.ssspRounds) — improved-only frontier activation, no
+    // per-round broadcast barrier; bounded rounds = exact min over paths
+    // of ≤ 4 edges, matching the SQL twin's d4 with unreached absent.
     QueryDef(
       "q45_shortest_path",
       (s, d) => {
@@ -1180,25 +1165,20 @@ object CoreQueries {
               // Spark but rounds in DuckDB
               floor(col("l_extendedprice") * 100).cast(LongType).as("cents")),
             col("o_orderkey") === col("l_orderkey"))
-          .select(concat(lit("c"), col("o_custkey")).as("src"),
-            concat(lit("s"), col("l_suppkey")).as("dst"), col("cents"))
-          .groupBy("src", "dst").agg(min("cents").as("w"))
+          .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"),
+            col("cents"))
+          .groupBy("a", "b").agg(min("cents").as("w"))
         val edges = ew
           .select(explode(array(
-            struct(col("src"), col("dst"), col("w")),
-            struct(col("dst").as("src"), col("src").as("dst"), col("w")))).as("e"))
+            struct(col("a").as("src"), col("b").as("dst"), col("w")),
+            struct(col("b").as("src"), col("a").as("dst"), col("w")))).as("e"))
           .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
-          .repartition(col("dst"))
-        var dist = edges.sparkSession.range(1).select(lit("s1").as("node"), lit(0L).as("dist"))
-        for (_ <- 1 to 4) {
-          val relaxed = edges
-            .join(broadcast(dist), edges("src") === dist("node"))
-            .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
-            .groupBy("node").agg(min("dist").as("dist"))
-          dist = relaxed.unionByName(dist)
-            .groupBy("node").agg(min("dist").as("dist"))
-        }
-        dist
+        // source "s1" = supplier 1 under the 2k+1 vertex encoding
+        GraphAlgos.ssspRounds(edges, source = 3L, rounds = 4)
+          .select(
+            when(col("vid") % 2 === 0, concat(lit("c"), expr("vid div 2")))
+              .otherwise(concat(lit("s"), expr("vid div 2"))).as("node"),
+            col("dist"))
           .orderBy(col("dist"), col("node")).limit(20)
           .withColumn("rn",
             row_number().over(Window.orderBy(col("dist"), col("node"))).cast(LongType))

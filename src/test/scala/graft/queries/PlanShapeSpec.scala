@@ -305,21 +305,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
   }
 
-  test("q44's pagerank iterations join broadcast ranks/degrees — the edge table never re-shuffles for a join") {
+  test("q44's 5 power iterations run as ONE Pregel job — the SQL plan is just the rank readback") {
     val p = plans("q44_pagerank")
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
-    // contribution rollups cluster on the edges' explicit dst partitioning:
-    // the only hash exchanges are the edge-set distinct + dst repartition
-    // (statically replanned per unrolled iteration, AQE-reused at runtime)
+    // the iteration lives in GraphAlgos.pagerankRounds (GraphX); the
+    // DataFrame plan downstream is an RDD scan + top-20, with no join and
+    // no per-round exchange left to regress
+    assert(p.contains("ExistingRDD"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Join"), p)
   }
 
-  test("q45's relaxation rounds keep every join broadcast — the weighted edge table never re-shuffles") {
+  test("q45's relaxation rounds run as ONE Pregel job — the SQL plan is just the distance readback") {
     val p = plans("q45_shortest_path")
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("ExistingRDD"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Join"), p)
   }
 
   test("x57's encode is a narrow pass over the vocab rollup — one exchange, no join, top-20 TakeOrdered") {
