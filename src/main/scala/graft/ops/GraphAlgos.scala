@@ -158,12 +158,20 @@ object GraphAlgos {
     * (multiplicity counts toward out-degree, as in the SQL twin's
     * count(*)). Every vertex is assumed to have out-degree ≥ 1 (a
     * symmetrized graph guarantees it); rank init 1.0. Output: (vid, pr)
-    * after exactly `rounds` updates of every vertex. */
+    * after exactly `rounds` updates of every vertex.
+    *
+    * `seed`: personalized-PageRank teleport predicate. When set, only seed
+    * vertices receive the reset mass (non-seeds get 0 + damp·m) and ranks
+    * initialize to 1.0 on seeds / 0.0 elsewhere — the seed-biased
+    * relevance ranking (PPR). None = the uniform classic form. The
+    * predicate is evaluated per vertex id on executors, so it must be a
+    * pure function of the id (e.g. the id-encoding's type bit). */
   def pagerankRounds(
       edges: DataFrame,
       rounds: Int,
       resetProb: Double = 0.15,
-      parts: Option[Int] = None): DataFrame = {
+      parts: Option[Int] = None,
+      seed: Option[Long => Boolean] = None): DataFrame = {
     import org.apache.spark.sql.types.{Decimal, DoubleType}
     val spark = edges.sparkSession
     val part = new org.apache.spark.HashPartitioner(graphParts(edges, parts))
@@ -174,7 +182,12 @@ object GraphAlgos {
       .mapValues(_.toArray)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val damp = 1.0 - resetProb
-    var ranks: org.apache.spark.rdd.RDD[(Long, Double)] = adj.mapValues(_ => 1.0)
+    val isSeed = seed.getOrElse((_: Long) => true)
+    var ranks: org.apache.spark.rdd.RDD[(Long, Double)] =
+      if (seed.isEmpty) adj.mapValues(_ => 1.0)
+      else adj.mapPartitions(
+        _.map { case (v, _) => (v, if (isSeed(v)) 1.0 else 0.0) },
+        preservesPartitioning = true)
     for (_ <- 1 to rounds) {
       ranks = adj.join(ranks, part) // narrow: same partitioner both sides
         .flatMap { case (_, (dsts, pr)) =>
@@ -187,8 +200,12 @@ object GraphAlgos {
         // map-side combine collapses the per-edge stream to ≤|V| partials
         // per partition before the (node-sized) per-round shuffle
         .reduceByKey(part, _ + _)
-        .mapValues(m => resetProb + damp *
-          new java.math.BigDecimal(java.math.BigInteger.valueOf(m), 8).doubleValue)
+        .mapPartitions(
+          _.map { case (v, m) =>
+            (v, (if (isSeed(v)) resetProb else 0.0) + damp *
+              new java.math.BigDecimal(java.math.BigInteger.valueOf(m), 8).doubleValue)
+          },
+          preservesPartitioning = true)
     }
     val prRdd = ranks.map { case (vid, pr) => Row(vid, pr) }
     spark.createDataFrame(prRdd,

@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 import QueryDef.dsum
 import graft.functions.VectorFunctions
+import graft.ops.GraphAlgos
 
 /** Training-data-pipeline operators (north-star extensions): deduplication
   * (exact / MinHash+LSH / SimHash / n-gram Jaccard / embedding near-dup),
@@ -4506,6 +4507,269 @@ object PipelineQueries {
              |SELECT can AS canonical_id, CAST(n_members AS BIGINT) AS n_members,
              |  CAST(rep_id AS BIGINT) AS rep_id, rep_quality,
              |  (rep_id <> min_id) AS rep_differs_from_min
-             |FROM ag WHERE n_members >= 2 ORDER BY canonical_id""".stripMargin))
+             |FROM ag WHERE n_members >= 2 ORDER BY canonical_id""".stripMargin)),
+
+    // FILTER-FUNNEL ATTRITION REPORT (x88) — the accounting view every
+    // hard-filter pipeline (C4/Gopher-style) ships alongside its output:
+    // per source, how many documents survive each sequential rule, so a
+    // rule that silently eats a source is visible BEFORE training. The
+    // rules themselves are the x09/x67 families' signals recast as hard
+    // gates; the new operator is the cumulative per-rule funnel. All five
+    // rules are integer comparisons (cross-multiplied ratios — no
+    // division anywhere), so the report is exact by construction.
+    //
+    // Scale posture: explode is narrow; the (doc, tok) mode agg and the
+    // per-doc rollup are two partial-combined exchanges; flags are narrow;
+    // the per-source funnel agg is bounded by |sources|. No joins.
+    QueryDef(
+      "x88_filter_funnel",
+      (s, d) => {
+        val stop = Seq("the", "a", "of", "and", "to")
+        val byTok = documents(s, d)
+          .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("tok"))
+          .groupBy("doc_id", "source", "tok").agg(count(lit(1)).as("c"))
+        val perDoc = byTok.groupBy("doc_id", "source").agg(
+          sum("c").as("n_tokens"),
+          sum(col("c") * length(col("tok"))).as("sum_len"),
+          sum(when(col("tok").isInCollection(stop), col("c")).otherwise(0L)).as("n_stop"),
+          max(when(col("tok") === "dup", 1L).otherwise(0L)).as("has_block"),
+          max("c").as("top_c"))
+        val flagged = perDoc
+          .withColumn("f1", col("n_tokens").between(20, 1000))
+          .withColumn("f2", col("f1") &&
+            col("sum_len") >= col("n_tokens") * 4 && col("sum_len") <= col("n_tokens") * 6)
+          .withColumn("f3", col("f2") && col("n_stop") * 100 >= col("n_tokens") * 3)
+          .withColumn("f4", col("f3") && col("has_block") === 0)
+          .withColumn("f5", col("f4") && col("top_c") * 5 <= col("n_tokens"))
+        flagged.groupBy("source").agg(
+            count(lit(1)).as("n_in"),
+            sum(when(col("f1"), 1L).otherwise(0L)).as("n_r1"),
+            sum(when(col("f2"), 1L).otherwise(0L)).as("n_r2"),
+            sum(when(col("f3"), 1L).otherwise(0L)).as("n_r3"),
+            sum(when(col("f4"), 1L).otherwise(0L)).as("n_r4"),
+            sum(when(col("f5"), 1L).otherwise(0L)).as("n_r5"))
+          .withColumn("retention_ppm", expr("(n_r5 * 1000000) div n_in"))
+          .orderBy("source")
+      },
+      Some(s"""WITH tt AS (SELECT doc_id, source, unnest($tokensSql) AS tok FROM documents),
+              |bt AS (SELECT doc_id, source, tok, CAST(count(*) AS BIGINT) AS c
+              |  FROM tt GROUP BY 1, 2, 3),
+              |pd AS (SELECT doc_id, source,
+              |  CAST(sum(c) AS BIGINT) AS n_tokens,
+              |  CAST(sum(c * len(tok)) AS BIGINT) AS sum_len,
+              |  CAST(sum(CASE WHEN tok IN ('the','a','of','and','to') THEN c ELSE 0 END) AS BIGINT) AS n_stop,
+              |  max(CASE WHEN tok = 'dup' THEN 1 ELSE 0 END) AS has_block,
+              |  CAST(max(c) AS BIGINT) AS top_c
+              |  FROM bt GROUP BY 1, 2),
+              |fl AS (SELECT source,
+              |  (n_tokens BETWEEN 20 AND 1000) AS f1,
+              |  (n_tokens BETWEEN 20 AND 1000
+              |    AND sum_len >= n_tokens * 4 AND sum_len <= n_tokens * 6) AS f2,
+              |  (n_tokens BETWEEN 20 AND 1000
+              |    AND sum_len >= n_tokens * 4 AND sum_len <= n_tokens * 6
+              |    AND n_stop * 100 >= n_tokens * 3) AS f3,
+              |  (n_tokens BETWEEN 20 AND 1000
+              |    AND sum_len >= n_tokens * 4 AND sum_len <= n_tokens * 6
+              |    AND n_stop * 100 >= n_tokens * 3 AND has_block = 0) AS f4,
+              |  (n_tokens BETWEEN 20 AND 1000
+              |    AND sum_len >= n_tokens * 4 AND sum_len <= n_tokens * 6
+              |    AND n_stop * 100 >= n_tokens * 3 AND has_block = 0
+              |    AND top_c * 5 <= n_tokens) AS f5
+              |  FROM pd)
+              |SELECT source, CAST(count(*) AS BIGINT) AS n_in,
+              |  CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS n_r1,
+              |  CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS n_r2,
+              |  CAST(sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS n_r3,
+              |  CAST(sum(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS n_r4,
+              |  CAST(sum(CASE WHEN f5 THEN 1 ELSE 0 END) AS BIGINT) AS n_r5,
+              |  CAST((sum(CASE WHEN f5 THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS retention_ppm
+              |FROM fl GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    // BRADLEY–TERRY SOURCE RATING (x89) — the preference-data primitive an
+    // RLHF/eval pipeline runs over pairwise comparisons: fit a strength
+    // score per source from which-document-won records via the standard
+    // minorization-maximization update r_i ← w_i / Σ_j n_ij/(r_i+r_j),
+    // three fixed rounds. Comparisons are synthesized deterministically
+    // (doc pairs at strides 1 and 7 across different sources; longer
+    // n_chars wins, ties to the earlier doc), so both engines see the
+    // identical game table.
+    //
+    // Exactness: each per-opponent term is ONE IEEE division quantized to
+    // DECIMAL(18,8) before the per-source sum (x58's dsum discipline —
+    // engine summation order never shows); the update w_i/S_i is one more
+    // IEEE division of exact operands, so each round's ranks are
+    // bit-identical cross-engine.
+    //
+    // Scale posture: the game table aggregates corpus-scale pairs down to
+    // a |sources|²-bounded frame with map-side combine; the three fixed
+    // rounds iterate on that constant-size frame with broadcast rank
+    // joins — at 100 TB the iteration cost does not grow at all.
+    QueryDef(
+      "x89_bradley_terry",
+      (s, d) => {
+        val docs = documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        // both strides from ONE equi-join: the left side fans out over the
+        // stride array narrowly and joins the broadcast right side on the
+        // computed key — half the scans of a per-stride self-join pair
+        val o = docs
+          .select(col("doc_id"), col("source").as("sa"), col("n_chars").as("ca"),
+            explode(array(lit(1), lit(7))).as("k"))
+          .withColumn("bid", col("doc_id") + col("k"))
+          .join(broadcast(docs.select(col("doc_id").as("bid"),
+            col("source").as("sb"), col("n_chars").as("cb"))), Seq("bid"))
+          .filter(col("sa") =!= col("sb"))
+          .groupBy("sa", "sb").agg(count(lit(1)).as("n"),
+            sum(when(col("ca") >= col("cb"), 1L).otherwise(0L)).as("w"))
+        val g = o.select(col("sa").as("i"), col("sb").as("j"), col("n"), col("w"))
+          .unionByName(o.select(col("sb").as("i"), col("sa").as("j"),
+            col("n"), (col("n") - col("w")).as("w")))
+          .groupBy("i", "j").agg(sum("n").as("nij"), sum("w").as("wij"))
+        val wt = g.groupBy("i").agg(sum("wij").as("w"), sum("nij").as("ng"))
+        // 3 MM rounds as ONE lazily-chained job on the |sources|²-bounded
+        // game frame (ops.BradleyTerry — q44's barrier-collapse pattern)
+        val ranks = graft.ops.BradleyTerry.rounds(
+          g.select(col("i"), col("j"), col("nij"), col("wij")), rounds = 3)
+        ranks.join(broadcast(wt), Seq("i"))
+          .select(col("i").as("source"), col("ng").as("n_games"),
+            col("w").as("n_wins"), round(col("r"), 6).as("rating"))
+          .orderBy("source")
+      },
+      Some("""WITH d2 AS (SELECT doc_id, source, n_chars FROM documents),
+             |p AS (SELECT a.source AS sa, b.source AS sb, (a.n_chars >= b.n_chars) AS aw
+             |  FROM d2 a JOIN d2 b ON b.doc_id = a.doc_id + 1 WHERE a.source <> b.source
+             |  UNION ALL
+             |  SELECT a.source, b.source, (a.n_chars >= b.n_chars)
+             |  FROM d2 a JOIN d2 b ON b.doc_id = a.doc_id + 7 WHERE a.source <> b.source),
+             |o AS (SELECT sa, sb, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CASE WHEN aw THEN 1 ELSE 0 END) AS BIGINT) AS w
+             |  FROM p GROUP BY 1, 2),
+             |g AS (SELECT i, j, CAST(sum(n) AS BIGINT) AS nij, CAST(sum(w) AS BIGINT) AS wij
+             |  FROM (SELECT sa AS i, sb AS j, n, w FROM o
+             |        UNION ALL SELECT sb AS i, sa AS j, n, n - w FROM o)
+             |  GROUP BY 1, 2),
+             |wt AS (SELECT i, CAST(sum(wij) AS BIGINT) AS w, CAST(sum(nij) AS BIGINT) AS ng
+             |  FROM g GROUP BY 1),
+             |r0 AS (SELECT i, CAST(1.0 AS DOUBLE) AS r FROM wt),
+             |r1 AS (SELECT g.i,
+             |  CAST(wt.w AS DOUBLE) / CAST(sum(CAST(CAST(g.nij AS DOUBLE) / (ri.r + rj.r)
+             |    AS DECIMAL(18,8))) AS DOUBLE) AS r
+             |  FROM g JOIN r0 ri ON ri.i = g.i JOIN r0 rj ON rj.i = g.j
+             |  JOIN wt ON wt.i = g.i GROUP BY g.i, wt.w),
+             |r2 AS (SELECT g.i,
+             |  CAST(wt.w AS DOUBLE) / CAST(sum(CAST(CAST(g.nij AS DOUBLE) / (ri.r + rj.r)
+             |    AS DECIMAL(18,8))) AS DOUBLE) AS r
+             |  FROM g JOIN r1 ri ON ri.i = g.i JOIN r1 rj ON rj.i = g.j
+             |  JOIN wt ON wt.i = g.i GROUP BY g.i, wt.w),
+             |r3 AS (SELECT g.i,
+             |  CAST(wt.w AS DOUBLE) / CAST(sum(CAST(CAST(g.nij AS DOUBLE) / (ri.r + rj.r)
+             |    AS DECIMAL(18,8))) AS DOUBLE) AS r
+             |  FROM g JOIN r2 ri ON ri.i = g.i JOIN r2 rj ON rj.i = g.j
+             |  JOIN wt ON wt.i = g.i GROUP BY g.i, wt.w)
+             |SELECT r3.i AS source, wt.ng AS n_games, wt.w AS n_wins,
+             |  round(r3.r, 6) AS rating
+             |FROM r3 JOIN wt ON wt.i = r3.i ORDER BY source""".stripMargin)),
+
+    // PERSONALIZED PAGERANK (x90) — q44's kernel with the teleport mass
+    // pinned to a seed set (the suppliers): relevance-to-the-seeds ranking,
+    // the link-analysis primitive behind related-entity retrieval. Runs
+    // through GraphAlgos.pagerankRounds' seed mode, so the iteration is
+    // the same ONE lazily-chained job; only the reset term and the rank
+    // initialization differ (seeds start at 1, others at 0 — exactly the
+    // SQL twin's CASE expressions).
+    QueryDef(
+      "x90_personalized_pagerank",
+      (s, d) => {
+        val e0 = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+          .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+          .distinct()
+        val edges = e0
+          .select(explode(array(
+            struct(col("a").as("src"), col("b").as("dst")),
+            struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        // suppliers carry the odd vertex-id bit under the 2k/2k+1 encoding
+        GraphAlgos.pagerankRounds(edges, rounds = 4, resetProb = 0.2,
+            seed = Some((v: Long) => (v & 1L) == 1L))
+          .select(
+            when(col("vid") % 2 === 0, concat(lit("c"), expr("vid div 2")))
+              .otherwise(concat(lit("s"), expr("vid div 2"))).as("node"),
+            round(col("pr"), 6).as("ppr"))
+          .orderBy(col("ppr").desc, col("node")).limit(20)
+          .withColumn("rn",
+            row_number().over(Window.orderBy(col("ppr").desc, col("node"))).cast(LongType))
+          .select(col("rn"), col("node"), col("ppr"))
+          .orderBy("rn")
+      },
+      Some("""WITH e0 AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+             |  's' || CAST(l_suppkey AS VARCHAR) AS dst
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+             |edges AS (SELECT src, dst FROM e0
+             |  UNION ALL SELECT dst AS src, src AS dst FROM e0),
+             |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY 1),
+             |r0 AS (SELECT src AS node,
+             |  CAST(CASE WHEN src LIKE 's%' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS pr FROM deg),
+             |r1 AS (SELECT e.dst AS node,
+             |  CASE WHEN e.dst LIKE 's%' THEN 0.2 ELSE 0.0 END
+             |    + 0.8 * CAST(sum(CAST(r.pr / d.outdeg AS DECIMAL(18,8))) AS DOUBLE) AS pr
+             |  FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY 1),
+             |r2 AS (SELECT e.dst AS node,
+             |  CASE WHEN e.dst LIKE 's%' THEN 0.2 ELSE 0.0 END
+             |    + 0.8 * CAST(sum(CAST(r.pr / d.outdeg AS DECIMAL(18,8))) AS DOUBLE) AS pr
+             |  FROM edges e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY 1),
+             |r3 AS (SELECT e.dst AS node,
+             |  CASE WHEN e.dst LIKE 's%' THEN 0.2 ELSE 0.0 END
+             |    + 0.8 * CAST(sum(CAST(r.pr / d.outdeg AS DECIMAL(18,8))) AS DOUBLE) AS pr
+             |  FROM edges e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY 1),
+             |r4 AS (SELECT e.dst AS node,
+             |  CASE WHEN e.dst LIKE 's%' THEN 0.2 ELSE 0.0 END
+             |    + 0.8 * CAST(sum(CAST(r.pr / d.outdeg AS DECIMAL(18,8))) AS DOUBLE) AS pr
+             |  FROM edges e JOIN r3 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY 1),
+             |top AS (SELECT node, round(pr, 6) AS ppr FROM r4),
+             |r AS (SELECT *, CAST(row_number() OVER (ORDER BY ppr DESC, node) AS BIGINT) AS rn
+             |  FROM top)
+             |SELECT rn, node, ppr FROM r WHERE rn <= 20 ORDER BY rn""".stripMargin)),
+
+    // TOKEN-BUDGET GREEDY SELECTION (x91) — the data-constrained assembly
+    // step between scoring (x09) and packing (x48/x56): per source, keep
+    // documents in (n_tok desc, doc_id) priority order while the running
+    // token total stays within the budget — the standard way a fixed token
+    // allowance per domain is spent. A document that would cross the
+    // budget is excluded (strict prefix semantics), so the report is
+    // all-integer and exact.
+    //
+    // Scale posture: token counts are a narrow projection; the priority
+    // rank and running sum ride ONE source exchange; the per-source
+    // rollup clusters on it. At 100 TB swap the window for x13's bounded
+    // TopKAggregator keyed by the budget-feasible prefix.
+    QueryDef(
+      "x91_token_budget",
+      (s, d) => {
+        val budget = 600L
+        val docs = documents(s, d).select(col("doc_id"), col("source"),
+          size(tokens(col("text"))).cast(LongType).as("n_tok"))
+        val w = Window.partitionBy("source").orderBy(col("n_tok").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        docs.withColumn("cum", sum("n_tok").over(w))
+          .groupBy("source").agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("cum") <= budget, 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("cum") <= budget, col("n_tok")).otherwise(0L)).as("tok_kept"),
+            sum("n_tok").as("tok_total"))
+          .withColumn("exhausted", col("tok_total") > budget)
+          .orderBy("source")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source,
+              |  CAST(len($tokensSql) AS BIGINT) AS n_tok FROM documents),
+              |c AS (SELECT *, sum(n_tok) OVER (PARTITION BY source
+              |  ORDER BY n_tok DESC, doc_id
+              |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+              |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(CASE WHEN cum <= 600 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              |  CAST(sum(CASE WHEN cum <= 600 THEN n_tok ELSE 0 END) AS BIGINT) AS tok_kept,
+              |  CAST(sum(n_tok) AS BIGINT) AS tok_total,
+              |  (sum(n_tok) > 600) AS exhausted
+              |FROM c GROUP BY 1 ORDER BY source""".stripMargin))
   )
 }

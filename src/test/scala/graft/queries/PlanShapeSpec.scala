@@ -322,6 +322,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("x88's funnel is join-free: explode + two partial-combined aggs + the source rollup") {
+    val p = plans("x88_filter_funnel")
+    assert(!p.contains("Join"), p)
+    // (doc,tok) mode agg + per-doc rollup + per-source funnel
+    assert(opExchanges(p) <= 3, s"expected at most three exchanges, plan:\n$p")
+  }
+
+  test("x89's Bradley-Terry rounds iterate a sources²-bounded frame with broadcast-only rank joins") {
+    val p = plans("x89_bradley_terry")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("x90's personalized pagerank runs through the one-job kernel — RDD-scan readback, no join") {
+    val p = plans("x90_personalized_pagerank")
+    assert(p.contains("ExistingRDD"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("x91's budget rank and rollup ride ONE source exchange, no join") {
+    val p = plans("x91_token_budget")
+    assert(!p.contains("Join"), p)
+    assert(opExchanges(p) == 1, s"expected one source exchange, plan:\n$p")
+  }
+
   test("x57's encode is a narrow pass over the vocab rollup — one exchange, no join, top-20 TakeOrdered") {
     val p = plans("x57_bpe_encode")
     assert(opExchanges(p) == 1, s"expected the word rollup exchange only, plan:\n$p")

@@ -32,8 +32,10 @@ still resolves and replica 0 is byte-identical to the source:
   pattern alone, lower once sign flips differ) and perturbs the sign-LSH
   bucket of most replicas.
 - region nation customer supplier part events: straight file copies
-  (events.parquet carries TIMESTAMP(NANOS) — a rewrite through any engine
-  would change the physical type, and graft.Tables.events depends on it).
+  (a straight copy preserves events.ts's physical parquet type across
+  generator vintages — TIMESTAMP(MICROS) today, TIMESTAMP(NANOS) before
+  the 2026-08-13 fixture regeneration; graft.Tables.events dispatches on
+  whichever it finds).
 
 Then benchmark with:
   SPARK_GRAFT_SF_DIR=OUT_DIR SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Bench"
