@@ -4419,13 +4419,22 @@ object PipelineQueries {
     QueryDef(
       "x86_similarity_join",
       (s, d) => {
+        // gate corpus: the doc_id%20 slice, absolutely capped at id 20000
+        // (covers all real fixture SFs unchanged). The cap exists because
+        // the synthetic corpus is near-dup soup whose TRUE pair count is
+        // Θ(n²) — a fixed-fraction slice made the GATE (not the operator)
+        // the one superlinear scaler in the 10× experiment (SCALE.md r7:
+        // 63 s Spark / 59 s DuckDB, both paying the same workload). A
+        // constant gate corpus measures operator correctness; the
+        // operator's own scale posture is the prefix-filter argument in
+        // ops/SimilarityJoin.scala.
         graft.ops.SimilarityJoin.jaccardJoin(
             docCorpus(s, d).select(col("doc_id"), col("text"))
-              .filter(col("doc_id") % 20 === 0))
+              .filter(col("doc_id") % 20 === 0 && col("doc_id") < 20000))
           .orderBy("a_id", "b_id")
       },
       Some(s"""WITH $corpusSql,
-             |samp AS (SELECT * FROM corpus WHERE doc_id % 20 = 0),
+             |samp AS (SELECT * FROM corpus WHERE doc_id % 20 = 0 AND doc_id < 20000),
              |tk AS (SELECT doc_id, unnest(list_distinct($tokensSql)) AS tok FROM samp),
              |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tk GROUP BY 1),
              |r AS (SELECT doc_id, tk.tok,
@@ -4770,6 +4779,185 @@ object PipelineQueries {
               |  CAST(sum(CASE WHEN cum <= 600 THEN n_tok ELSE 0 END) AS BIGINT) AS tok_kept,
               |  CAST(sum(n_tok) AS BIGINT) AS tok_total,
               |  (sum(n_tok) > 600) AS exhausted
-              |FROM c GROUP BY 1 ORDER BY source""".stripMargin))
+              |FROM c GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    // MULTI-TOUCH ATTRIBUTION (x92) — the credit-assignment operator over
+    // event streams (q43's funnel measures conversion; this one answers
+    // "which touchpoints get the credit"): for each purchase, credit the
+    // same user's view/click touches in the preceding 24 h under the
+    // standard position-based (U-shaped) model — 40% first touch, 40%
+    // last touch, 20% split evenly. Credit is integer ppm of a purchase
+    // (400000/400000/200000 div k, remainder dropped exactly the same in
+    // both engines' integer div), so the rollup is exact.
+    //
+    // Scale posture: the touch⋈purchase range join is q22's shape — an
+    // equi-join on user_id with the time predicate pushed into the join
+    // condition, never a cartesian; first/last selection rides ONE
+    // per-purchase window exchange; the final rollup is bounded by
+    // |event types|.
+    QueryDef(
+      "x92_attribution",
+      (s, d) => {
+        val ev = events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+        val touches = ev.filter(col("event_type").isin("view", "click"))
+          .select(col("event_id").as("t_id"), col("user_id"),
+            col("event_type").as("t_type"), col("ts").as("t_ts"))
+        val joined = purchases.join(touches, Seq("user_id"))
+          .filter(col("t_ts") < col("p_ts") &&
+            col("t_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS"))
+        val wAsc = Window.partitionBy("p_id").orderBy(col("t_ts"), col("t_id"))
+        val wCnt = Window.partitionBy("p_id")
+        joined
+          .withColumn("rn_first", row_number().over(wAsc))
+          .withColumn("rn_last",
+            row_number().over(Window.partitionBy("p_id")
+              .orderBy(col("t_ts").desc, col("t_id").desc)))
+          .withColumn("k", count(lit(1)).over(wCnt))
+          .withColumn("credit_ppm",
+            when(col("rn_first") === 1, lit(400000L)).otherwise(lit(0L)) +
+            when(col("rn_last") === 1, lit(400000L)).otherwise(lit(0L)) +
+            expr("200000 div k"))
+          .groupBy("t_type").agg(
+            count(lit(1)).as("n_touches"),
+            countDistinct(col("p_id")).as("n_purchases"),
+            sum("credit_ppm").as("credit_ppm_total"))
+          .orderBy("t_type")
+      },
+      Some("""WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts
+             |  FROM events WHERE event_type = 'purchase'),
+             |t AS (SELECT event_id AS t_id, user_id, event_type AS t_type, ts AS t_ts
+             |  FROM events WHERE event_type IN ('view', 'click')),
+             |j AS (SELECT p.p_id, t.t_id, t.t_type, t.t_ts FROM p JOIN t USING (user_id)
+             |  WHERE t.t_ts < p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 24 HOUR),
+             |r AS (SELECT *,
+             |  row_number() OVER (PARTITION BY p_id ORDER BY t_ts, t_id) AS rn_first,
+             |  row_number() OVER (PARTITION BY p_id ORDER BY t_ts DESC, t_id DESC) AS rn_last,
+             |  count(*) OVER (PARTITION BY p_id) AS k FROM j),
+             |c AS (SELECT t_type, p_id,
+             |  (CASE WHEN rn_first = 1 THEN 400000 ELSE 0 END
+             |   + CASE WHEN rn_last = 1 THEN 400000 ELSE 0 END
+             |   + 200000 // k) AS credit_ppm FROM r)
+             |SELECT t_type, CAST(count(*) AS BIGINT) AS n_touches,
+             |  CAST(count(DISTINCT p_id) AS BIGINT) AS n_purchases,
+             |  CAST(sum(credit_ppm) AS BIGINT) AS credit_ppm_total
+             |FROM c GROUP BY 1 ORDER BY t_type""".stripMargin)),
+
+    // INTEGER-EXACT ANOMALY DETECTION (x93) — the monitoring primitive
+    // over the event stream: per event type, score each hour's count
+    // against its trailing-24-observed-bucket baseline with a z²-style
+    // statistic kept ENTIRELY in integers: with W=24, S=Σc, SS=Σc² over
+    // the trailing window, z² ≷ 4 (|z| > 2) is exactly
+    // (W·n − S)² ≷ 4·(W·SS − S²) after clearing denominators — no
+    // sqrt, no division, no float anywhere until the final reported
+    // score_ppm (one integer div). Top-3 most anomalous hours per type.
+    //
+    // Scale posture: the hourly rollup partial-combines map-side; the
+    // trailing stats and rank ride ONE per-type window exchange over the
+    // |types|×|hours|-bounded frame. At 100 TB the hourly frame is still
+    // tiny — the heavy lifting is the first rollup, which is one scan.
+    QueryDef(
+      "x93_event_anomaly",
+      (s, d) => {
+        val hourly = events(s, d)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+          .agg(count(lit(1)).as("n"))
+        val wTrail = Window.partitionBy("event_type").orderBy("hr")
+          .rowsBetween(-24, -1)
+        val scored = hourly
+          .withColumn("s", sum("n").over(wTrail))
+          .withColumn("ss", sum(col("n") * col("n")).over(wTrail))
+          .withColumn("m", count(lit(1)).over(wTrail))
+          .filter(col("m") === 24)
+          .withColumn("dev2",
+            (lit(24L) * col("n") - col("s")) * (lit(24L) * col("n") - col("s")))
+          .withColumn("thr", lit(4L) * (lit(24L) * col("ss") - col("s") * col("s")))
+          .withColumn("score_ppm",
+            when(col("thr") === 0,
+              when(col("dev2") === 0, lit(0L)).otherwise(lit(1000000000L)))
+              .otherwise(expr("(dev2 * 1000000) div thr")))
+        val wTop = Window.partitionBy("event_type")
+          .orderBy(col("score_ppm").desc, col("hr"))
+        scored.withColumn("rk", row_number().over(wTop).cast(LongType))
+          .filter(col("rk") <= 3)
+          .select(col("event_type"), col("rk"), col("hr"), col("n"),
+            col("score_ppm"), (col("dev2") > col("thr")).as("is_anomaly"))
+          .orderBy("event_type", "rk")
+      },
+      Some("""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+             |  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+             |t AS (SELECT *,
+             |  sum(n) OVER w AS s, sum(n * n) OVER w AS ss, count(*) OVER w AS m
+             |  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hr
+             |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+             |sc AS (SELECT event_type, hr, n,
+             |  (24 * n - s) * (24 * n - s) AS dev2,
+             |  4 * (24 * ss - s * s) AS thr FROM t WHERE m = 24),
+             |scd AS (SELECT *, CASE WHEN thr = 0
+             |    THEN CASE WHEN dev2 = 0 THEN 0 ELSE 1000000000 END
+             |    ELSE (dev2 * 1000000) // thr END AS score_ppm FROM sc),
+             |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+             |    ORDER BY score_ppm DESC, hr) AS BIGINT) AS rk FROM scd)
+             |SELECT event_type, rk, hr, n, CAST(score_ppm AS BIGINT) AS score_ppm,
+             |  (dev2 > thr) AS is_anomaly
+             |FROM rk WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin)),
+
+    // JOIN-SKEW ADVISOR (x94) — the planning diagnostic behind q61's
+    // salted join: profile candidate join-key columns for hot keys and
+    // recommend the salt factor a 32-partition shuffle would need —
+    // salt = ⌈top_count / (rows/32)⌉ = (top_c·32 + rows − 1) div rows,
+    // all-integer. A factor of 1 means no salting needed; >1 flags the
+    // key for q61's (key, salt) treatment. The hot key itself is reported
+    // (min key among those at the top count — deterministic).
+    //
+    // Scale posture: x85's shape — each column is an independent
+    // column-pruned scan + one partial-combined key rollup; the advisor
+    // frame itself is 3 rows. At 100 TB swap the exact per-key rollup for
+    // x42's count-min heavy hitters; the recommendation formula is
+    // unchanged.
+    QueryDef(
+      "x94_skew_advisor",
+      (s, d) => {
+        def profile(df: DataFrame, table: String, column: String): DataFrame = {
+          val counts = df.select(col(column).cast(LongType).as("k"))
+            .groupBy("k").agg(count(lit(1)).as("c"))
+          counts.agg(
+              sum("c").as("n_rows"),
+              count(lit(1)).as("n_keys"),
+              max("c").as("top_c"))
+            // hot-key lookup: broadcast the 1-row max back over the key
+            // rollup (NOT a global window — that would single-partition
+            // the |keys|-sized frame at scale)
+            .crossJoin(broadcast(counts
+              .join(broadcast(counts.agg(max("c").as("mx"))), col("c") === col("mx"))
+              .agg(min("k").as("top_key"))))
+            .select(lit(table).as("tbl"), lit(column).as("col_name"),
+              col("n_rows"), col("n_keys"), col("top_key"), col("top_c"),
+              expr("(top_c * 32 + n_rows - 1) div n_rows").as("salt_factor"))
+        }
+        profile(events(s, d), "events", "user_id")
+          .unionByName(profile(lineitem(s, d), "lineitem", "l_suppkey"))
+          .unionByName(profile(lineitem(s, d), "lineitem", "l_partkey"))
+          .orderBy("tbl", "col_name")
+      },
+      Some("""WITH pr AS (
+             |  SELECT 'events' AS tbl, 'user_id' AS col_name, CAST(user_id AS BIGINT) AS k
+             |    FROM events
+             |  UNION ALL SELECT 'lineitem', 'l_suppkey', CAST(l_suppkey AS BIGINT) FROM lineitem
+             |  UNION ALL SELECT 'lineitem', 'l_partkey', CAST(l_partkey AS BIGINT) FROM lineitem),
+             |kc AS (SELECT tbl, col_name, k, CAST(count(*) AS BIGINT) AS c
+             |  FROM pr GROUP BY 1, 2, 3),
+             |ag AS (SELECT tbl, col_name, CAST(sum(c) AS BIGINT) AS n_rows,
+             |  CAST(count(*) AS BIGINT) AS n_keys, max(c) AS top_c
+             |  FROM kc GROUP BY 1, 2),
+             |tk AS (SELECT kc.tbl, kc.col_name, min(kc.k) AS top_key
+             |  FROM kc JOIN ag ON kc.tbl = ag.tbl AND kc.col_name = ag.col_name
+             |    AND kc.c = ag.top_c
+             |  GROUP BY 1, 2)
+             |SELECT ag.tbl, ag.col_name, ag.n_rows, ag.n_keys, tk.top_key, ag.top_c,
+             |  CAST((ag.top_c * 32 + ag.n_rows - 1) // ag.n_rows AS BIGINT) AS salt_factor
+             |FROM ag JOIN tk ON ag.tbl = tk.tbl AND ag.col_name = tk.col_name
+             |ORDER BY ag.tbl, ag.col_name""".stripMargin))
   )
 }

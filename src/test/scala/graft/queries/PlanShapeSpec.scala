@@ -349,6 +349,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(opExchanges(p) == 1, s"expected one source exchange, plan:\n$p")
   }
 
+  test("x92's touch-purchase range join never plans a cartesian; windows share the purchase exchange") {
+    val p = plans("x92_attribution")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("x93's anomaly scoring is join-free: hourly rollup + one per-type window") {
+    val p = plans("x93_event_anomaly")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("x94's advisor joins only broadcasts — no shuffled join, no global window") {
+    val p = plans("x94_skew_advisor")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("x57's encode is a narrow pass over the vocab rollup — one exchange, no join, top-20 TakeOrdered") {
     val p = plans("x57_bpe_encode")
     assert(opExchanges(p) == 1, s"expected the word rollup exchange only, plan:\n$p")
