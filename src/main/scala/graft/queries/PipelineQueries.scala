@@ -4958,6 +4958,236 @@ object PipelineQueries {
              |SELECT ag.tbl, ag.col_name, ag.n_rows, ag.n_keys, tk.top_key, ag.top_c,
              |  CAST((ag.top_c * 32 + ag.n_rows - 1) // ag.n_rows AS BIGINT) AS salt_factor
              |FROM ag JOIN tk ON ag.tbl = tk.tbl AND ag.col_name = tk.col_name
-             |ORDER BY ag.tbl, ag.col_name""".stripMargin))
+             |ORDER BY ag.tbl, ag.col_name""".stripMargin)),
+
+    // HYBRID RETRIEVAL / RECIPROCAL RANK FUSION (x95) — the RAG-stack
+    // primitive none of the single-ranker queries cover: fuse a LEXICAL
+    // ranking (idf-weighted shared distinct tokens over documents) with a
+    // VECTOR ranking (embedding cosine — vec_id aligns with doc_id in the
+    // fixtures) via RRF: score = Σ 1/(60+rank), kept exact as integer ppm
+    // 1000000 div (60+rank). Ranks themselves are deterministic (score
+    // desc, id tiebreak), so the fused ordering is integer-exact.
+    //
+    // Scale posture: the lexical side joins query tokens to the corpus
+    // through a df-bounded posting join (x50's shape), never all-pairs;
+    // the vector side broadcasts the 3 query embeddings (q21's shape);
+    // both rankings ride per-query window exchanges over candidate sets,
+    // and the fuse is a candidate-sized outer merge.
+    QueryDef(
+      "x95_hybrid_rrf",
+      (s, d) => {
+        val qIds = Seq(1L, 2L, 3L)
+        val docs = documents(s, d).select(col("doc_id"), col("text"))
+        val tk = docs.select(col("doc_id"),
+          explode(array_distinct(tokens(col("text")))).as("tok"))
+        val dfreq = tk.groupBy("tok").agg(count(lit(1)).as("df"))
+        val qTok = tk.filter(col("doc_id").isin(qIds: _*))
+          .select(col("doc_id").as("q_id"), col("tok"))
+        val lexScore = qTok
+          .join(broadcast(dfreq), Seq("tok"))
+          .join(tk.select(col("doc_id").as("c_id"), col("tok")), Seq("tok"))
+          .filter(col("c_id") =!= col("q_id"))
+          .groupBy("q_id", "c_id")
+          .agg(sum(expr("1000000 div df")).as("lex"))
+        val wLex = Window.partitionBy("q_id").orderBy(col("lex").desc, col("c_id"))
+        val lexRank = lexScore.withColumn("r_lex", row_number().over(wLex))
+          .filter(col("r_lex") <= 50)
+        val e = embeddings(s, d)
+        val q = e.filter(col("vec_id").isin(qIds: _*))
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val c = e.filter(!col("vec_id").isin(qIds: _*))
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+        val wVec = Window.partitionBy("q_id").orderBy(col("cos_raw").desc, col("c_id"))
+        val vecRank = c.join(broadcast(q))
+          .withColumn("cos_raw", VectorFunctions.cosine(col("q_emb"), col("c_emb")))
+          .withColumn("r_vec", row_number().over(wVec))
+          .filter(col("r_vec") <= 50)
+          .select(col("q_id"), col("c_id"), col("r_vec"))
+        val fused = lexRank.select(col("q_id"), col("c_id"), col("r_lex"))
+          .join(vecRank, Seq("q_id", "c_id"), "full_outer")
+          .withColumn("rrf",
+            coalesce(expr("1000000 div (60 + r_lex)"), lit(0L)) +
+            coalesce(expr("1000000 div (60 + r_vec)"), lit(0L)))
+        val wTop = Window.partitionBy("q_id").orderBy(col("rrf").desc, col("c_id"))
+        fused.withColumn("rn", row_number().over(wTop).cast(LongType))
+          .filter(col("rn") <= 5)
+          .select(col("q_id"), col("rn"), col("c_id"), col("rrf"))
+          .orderBy("q_id", "rn")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, unnest(list_distinct($tokensSql)) AS tok FROM documents),
+             |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tk GROUP BY 1),
+             |qt AS (SELECT doc_id AS q_id, tok FROM tk WHERE doc_id IN (1, 2, 3)),
+             |lex AS (SELECT qt.q_id, c.doc_id AS c_id,
+             |  CAST(sum(1000000 // df) AS BIGINT) AS lex
+             |  FROM qt JOIN dfq ON qt.tok = dfq.tok JOIN tk c ON c.tok = qt.tok
+             |  WHERE c.doc_id <> qt.q_id GROUP BY 1, 2),
+             |lr AS (SELECT q_id, c_id,
+             |  row_number() OVER (PARTITION BY q_id ORDER BY lex DESC, c_id) AS r_lex
+             |  FROM lex QUALIFY r_lex <= 50),
+             |e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+             |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+             |  FROM embeddings),
+             |q AS (SELECT vec_id AS q_id, emb AS q_emb, norm AS q_norm FROM e WHERE vec_id IN (1, 2, 3)),
+             |c AS (SELECT vec_id AS c_id, emb AS c_emb, norm AS c_norm FROM e WHERE vec_id NOT IN (1, 2, 3)),
+             |vr AS (SELECT q_id, c_id,
+             |  row_number() OVER (PARTITION BY q_id
+             |    ORDER BY list_dot_product(q_emb, c_emb) / (q_norm * c_norm) DESC, c_id) AS r_vec
+             |  FROM q CROSS JOIN c QUALIFY r_vec <= 50),
+             |f AS (SELECT coalesce(lr.q_id, vr.q_id) AS q_id,
+             |  coalesce(lr.c_id, vr.c_id) AS c_id,
+             |  CAST(coalesce(1000000 // (60 + lr.r_lex), 0)
+             |     + coalesce(1000000 // (60 + vr.r_vec), 0) AS BIGINT) AS rrf
+             |  FROM lr FULL OUTER JOIN vr ON lr.q_id = vr.q_id AND lr.c_id = vr.c_id),
+             |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+             |    ORDER BY rrf DESC, c_id) AS BIGINT) AS rn FROM f)
+             |SELECT q_id, rn, c_id, rrf FROM rk WHERE rn <= 5
+             |ORDER BY q_id, rn""".stripMargin)),
+
+    // DATASET CARD (x96) — the one-row release summary a corpus ships
+    // with (the datasheet/dataset-card numbers): sizes, diversity counts,
+    // exact-duplicate rate, and the length distribution's median. Each
+    // number is an operator the catalog already gates in isolation
+    // (x01 exact dedup, x10 token counts, q40 percentile family) — the
+    // operator here is the COMPOSED single-pass summary.
+    //
+    // Exactness: counts and ppm are integers; p50 goes through q40's
+    // established percentile surface rounded at 6 dp.
+    //
+    // Scale posture: one token-count pass and one hash-dedup pass, each a
+    // partial-combined aggregate; the card itself is ONE row — every
+    // exchange is bounded.
+    QueryDef(
+      "x96_dataset_card",
+      (s, d) => {
+        val docs = documents(s, d)
+        val base = docs.agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(size(tokens(col("text"))).cast(LongType)).as("n_tokens"),
+          round(expr("percentile(n_chars, 0.5)"), 6).as("p50_chars"))
+        val dups = docs
+          .groupBy(md5(col("text").cast("binary")).as("h"))
+          .agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("n_unique"),
+            sum(when(col("n") > 1, col("n")).otherwise(0L)).as("dup_docs"))
+        base.crossJoin(broadcast(dups))
+          .select(col("n_docs"), col("n_sources"), col("n_langs"),
+            col("n_tokens"), col("p50_chars"), col("n_unique"),
+            expr("(dup_docs * 1000000) div n_docs").as("dup_ppm"))
+      },
+      Some(s"""WITH base AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             |  CAST(sum(len($tokensSql)) AS BIGINT) AS n_tokens,
+             |  round(quantile_cont(n_chars, 0.5), 6) AS p50_chars
+             |  FROM documents),
+             |h AS (SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS n
+             |  FROM documents GROUP BY 1),
+             |dups AS (SELECT CAST(count(*) AS BIGINT) AS n_unique,
+             |  CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS dup_docs FROM h)
+             |SELECT n_docs, n_sources, n_langs, n_tokens, p50_chars, n_unique,
+             |  CAST((dup_docs * 1000000) // n_docs AS BIGINT) AS dup_ppm
+             |FROM base CROSS JOIN dups""".stripMargin)),
+
+    // HARD-NEGATIVE MINING (x97) — contrastive-training prep over the
+    // embedding table: for each query vector, the top-3 most similar
+    // candidates with a DIFFERENT label (q21's broadcast top-k shape plus
+    // the label-disagreement predicate). These are exactly the pairs a
+    // contrastive loss needs: close in embedding space, semantically
+    // distinct by supervision.
+    QueryDef(
+      "x97_hard_negatives",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val q = e.filter(col("vec_id").isin(1L, 2L, 3L))
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("label").as("q_label"))
+        val c = e.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+            col("label").as("n_label"))
+        val w = Window.partitionBy("q_id").orderBy(col("cos_raw").desc, col("n_id"))
+        c.join(broadcast(q))
+          .filter(col("n_label") =!= col("q_label"))
+          .withColumn("cos_raw", VectorFunctions.cosine(col("q_emb"), col("n_emb")))
+          .withColumn("rn", row_number().over(w).cast(LongType))
+          .filter(col("rn") <= 3)
+          .select(col("q_id"), col("rn"), col("n_id"),
+            col("n_label").cast(LongType).as("n_label"),
+            round(col("cos_raw"), 6).as("cos_sim"))
+          .orderBy("q_id", "rn")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+             |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+             |  FROM embeddings),
+             |q AS (SELECT vec_id AS q_id, emb AS q_emb, norm AS q_norm, label AS q_label
+             |  FROM e WHERE vec_id IN (1, 2, 3)),
+             |c AS (SELECT vec_id AS n_id, emb AS n_emb, norm AS n_norm, label AS n_label
+             |  FROM e WHERE vec_id >= 5),
+             |x AS (SELECT q_id, n_id, n_label,
+             |  list_dot_product(q_emb, n_emb) / (q_norm * n_norm) AS cos_raw
+             |  FROM q CROSS JOIN c WHERE n_label <> q_label),
+             |r AS (SELECT q_id, n_id, n_label, cos_raw,
+             |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, n_id) AS BIGINT) AS rn
+             |  FROM x)
+             |SELECT q_id, rn, n_id, CAST(n_label AS BIGINT) AS n_label,
+             |  round(cos_raw, 6) AS cos_sim
+             |FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin)),
+
+    // LANG-ID CONFUSION EVAL (x98) — the evaluation closing x08's loop:
+    // score the heuristic's predictions against the labeled lang column
+    // as a confusion matrix with per-true-lang share in integer ppm. The
+    // eval-against-supervision pattern (predict → join truth → matrix) is
+    // the operator; zh having no marker set makes the matrix genuinely
+    // informative (its row lands on the 'en' fallback).
+    //
+    // Scale posture: x08's fused one-pass marker count, then ONE
+    // (lang, pred) aggregate bounded by |langs|²; the per-lang totals
+    // broadcast back.
+    QueryDef(
+      "x98_langid_confusion",
+      (s, d) => {
+        val en = Seq("the", "a", "of", "and", "to")
+        val de = Seq("der", "die", "das", "und", "ist")
+        val fr = Seq("le", "la", "les", "et", "est")
+        val es = Seq("el", "los", "las", "y", "es")
+        val pred = documents(s, d)
+          .select(col("doc_id"), col("lang"), tokens(col("text")).as("tk"))
+          .withColumn("__sc",
+            graft.functions.TokenSetCounts.counts(col("tk"), Seq(en, de, fr, es)))
+          .withColumn("pred_lang",
+            when(col("__sc")(0) >= col("__sc")(1) && col("__sc")(0) >= col("__sc")(2)
+              && col("__sc")(0) >= col("__sc")(3), "en")
+              .when(col("__sc")(1) >= col("__sc")(2) && col("__sc")(1) >= col("__sc")(3), "de")
+              .when(col("__sc")(2) >= col("__sc")(3), "fr")
+              .otherwise("es"))
+        val cm = pred.groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+        val tot = cm.groupBy("lang").agg(sum("n").as("lang_total"))
+        cm.join(broadcast(tot), Seq("lang"))
+          .select(col("lang"), col("pred_lang"), col("n"),
+            expr("(n * 1000000) div lang_total").as("share_ppm"),
+            (col("lang") === col("pred_lang")).as("is_correct"))
+          .orderBy("lang", "pred_lang")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang, $tokensSql AS tk FROM documents),
+              |m AS (SELECT doc_id, lang,
+              |  CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS s_en,
+              |  CAST(len(list_filter(tk, x -> x IN ('der','die','das','und','ist'))) AS BIGINT) AS s_de,
+              |  CAST(len(list_filter(tk, x -> x IN ('le','la','les','et','est'))) AS BIGINT) AS s_fr,
+              |  CAST(len(list_filter(tk, x -> x IN ('el','los','las','y','es'))) AS BIGINT) AS s_es
+              |  FROM t),
+              |p AS (SELECT lang,
+              |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+              |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+              |       WHEN s_fr >= s_es THEN 'fr'
+              |       ELSE 'es' END AS pred_lang FROM m),
+              |cm AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+              |  FROM p GROUP BY 1, 2),
+              |tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS lang_total FROM cm GROUP BY 1)
+              |SELECT cm.lang, cm.pred_lang, cm.n,
+              |  CAST((cm.n * 1000000) // tot.lang_total AS BIGINT) AS share_ppm,
+              |  (cm.lang = cm.pred_lang) AS is_correct
+              |FROM cm JOIN tot ON cm.lang = tot.lang
+              |ORDER BY cm.lang, cm.pred_lang""".stripMargin))
   )
 }

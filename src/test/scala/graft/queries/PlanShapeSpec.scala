@@ -366,6 +366,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("x95's fuse plans no cartesian; the vector side joins the broadcast query frame") {
+    val p = plans("x95_hybrid_rrf")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("x97's mining is q21's broadcast top-k shape — no shuffled join") {
+    val p = plans("x97_hard_negatives")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
+
+  test("x98's confusion matrix joins only the broadcast per-lang totals") {
+    val p = plans("x98_langid_confusion")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("x57's encode is a narrow pass over the vocab rollup — one exchange, no join, top-20 TakeOrdered") {
     val p = plans("x57_bpe_encode")
     assert(opExchanges(p) == 1, s"expected the word rollup exchange only, plan:\n$p")
