@@ -5188,6 +5188,108 @@ object PipelineQueries {
               |  CAST((cm.n * 1000000) // tot.lang_total AS BIGINT) AS share_ppm,
               |  (cm.lang = cm.pred_lang) AS is_correct
               |FROM cm JOIN tot ON cm.lang = tot.lang
-              |ORDER BY cm.lang, cm.pred_lang""".stripMargin))
+              |ORDER BY cm.lang, cm.pred_lang""".stripMargin)),
+
+    // PREFIX-CACHE ANALYSIS (x99) — the serving-side diagnostic behind
+    // prompt caching: at each prefix length K, how many documents share
+    // their first-K-token prefix with another document — the upper bound
+    // on prefix-cache hits a batcher could realize (hits = eligible docs
+    // minus distinct prefixes). Prefixes compare by md5 of the
+    // ''-joined first K tokens — identical strings both engines.
+    //
+    // Scale posture: the K fan-out is a narrow ×3; ONE (K, prefix-hash)
+    // partial-combined aggregate carries 16-byte digests (never text),
+    // then a 3-row rollup. No joins.
+    QueryDef(
+      "x99_prefix_cache",
+      (s, d) => {
+        val ks = Seq(4, 8, 16)
+        val tk = documents(s, d).select(col("doc_id"), tokens(col("text")).as("tk"))
+        val pref = tk.select(col("doc_id"), size(col("tk")).as("n"),
+            explode(array(ks.map(lit): _*)).as("k"), col("tk"))
+          .filter(col("n") >= col("k"))
+          .select(col("k"),
+            md5(concat_ws("", slice(col("tk"), 1, 4)).cast("binary")).as("p4"),
+            md5(concat_ws("", slice(col("tk"), 1, 8)).cast("binary")).as("p8"),
+            md5(concat_ws("", slice(col("tk"), 1, 16)).cast("binary")).as("p16"))
+          .select(col("k"),
+            when(col("k") === 4, col("p4"))
+              .when(col("k") === 8, col("p8")).otherwise(col("p16")).as("ph"))
+        pref.groupBy("k", "ph").agg(count(lit(1)).as("c"))
+          .groupBy("k").agg(
+            sum("c").as("n_docs"),
+            count(lit(1)).as("n_prefixes"),
+            (sum("c") - count(lit(1))).as("n_hits"))
+          .withColumn("hit_ppm", expr("(n_hits * 1000000) div n_docs"))
+          .select(col("k").cast(LongType).as("k"), col("n_docs"),
+            col("n_prefixes"), col("n_hits"), col("hit_ppm"))
+          .orderBy("k")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+              |pf AS (SELECT k, md5(array_to_string(tk[1:k], chr(1))) AS ph
+              |  FROM tk CROSS JOIN (SELECT unnest([4, 8, 16]) AS k)
+              |  WHERE len(tk) >= k),
+              |g AS (SELECT k, ph, CAST(count(*) AS BIGINT) AS c FROM pf GROUP BY 1, 2)
+              |SELECT CAST(k AS BIGINT) AS k, CAST(sum(c) AS BIGINT) AS n_docs,
+              |  CAST(count(*) AS BIGINT) AS n_prefixes,
+              |  CAST(sum(c) - count(*) AS BIGINT) AS n_hits,
+              |  CAST(((sum(c) - count(*)) * 1000000) // sum(c) AS BIGINT) AS hit_ppm
+              |FROM g GROUP BY 1 ORDER BY k""".stripMargin)),
+
+    // TOKENIZER FERTILITY BY LANGUAGE (x100) — the multilingual
+    // tokenizer-efficiency report (pieces per word, chars per piece) that
+    // decides whether a vocab undertrains a language: encode the DISTINCT
+    // word vocabulary once through x57's merge table, then weight each
+    // word's piece count by its per-language usage. High fertility =
+    // the language pays more sequence length per word.
+    //
+    // Scale posture: the vocab encode touches |vocab| rows, not the
+    // corpus; per-(lang, word) counts partial-combine map-side; the join
+    // back broadcasts the encoded vocab; the report is |langs| rows.
+    QueryDef(
+      "x100_tokenizer_fertility",
+      (s, d) => {
+        val merges = Seq(("t", "h"), ("e", "r"), ("i", "n"), ("a", "t"), ("o", "r"))
+        val byLang = documents(s, d)
+          .select(col("lang"), explode(tokens(col("text"))).as("word"))
+          .filter(col("word") =!= "")
+          .groupBy("lang", "word").agg(count(lit(1)).as("freq"))
+        val spaced = byLang.select("word").distinct()
+          .withColumn("s", regexp_replace(col("word"), "(.)", "<$1>"))
+        val encoded = merges.foldLeft(spaced) { case (df, (a, b)) =>
+          df.withColumn("s", expr(s"replace(s, '<$a><$b>', '<$a$b>')"))
+        }
+        val pieces = encoded.select(col("word"),
+          (length(col("s")) - length(expr("replace(s, '<', '')")))
+            .cast(LongType).as("n_pieces"),
+          length(col("word")).cast(LongType).as("n_chars"))
+        byLang.join(broadcast(pieces), Seq("word"))
+          .groupBy("lang").agg(
+            sum("freq").as("n_words"),
+            sum(col("freq") * col("n_pieces")).as("n_pieces"),
+            sum(col("freq") * col("n_chars")).as("n_chars"))
+          .withColumn("fertility_ppm", expr("(n_pieces * 1000000) div n_words"))
+          .withColumn("chars_per_piece_ppm", expr("(n_chars * 1000000) div n_pieces"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH w AS (SELECT lang, unnest($tokensSql) AS word FROM documents),
+              |f AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS freq FROM w
+              |  WHERE word <> '' GROUP BY 1, 2),
+              |v AS (SELECT DISTINCT word FROM f),
+              |e AS (SELECT word,
+              |  replace(replace(replace(replace(replace(
+              |    regexp_replace(word, '(.)', '<\\1>', 'g'),
+              |    '<t><h>', '<th>'), '<e><r>', '<er>'), '<i><n>', '<in>'),
+              |    '<a><t>', '<at>'), '<o><r>', '<or>') AS s
+              |  FROM v),
+              |p AS (SELECT word,
+              |  CAST(len(s) - len(replace(s, '<', '')) AS BIGINT) AS n_pieces,
+              |  CAST(len(word) AS BIGINT) AS n_chars FROM e)
+              |SELECT lang, CAST(sum(freq) AS BIGINT) AS n_words,
+              |  CAST(sum(freq * n_pieces) AS BIGINT) AS n_pieces,
+              |  CAST(sum(freq * n_chars) AS BIGINT) AS n_chars,
+              |  CAST((sum(freq * n_pieces) * 1000000) // sum(freq) AS BIGINT) AS fertility_ppm,
+              |  CAST((sum(freq * n_chars) * 1000000) // sum(freq * n_pieces) AS BIGINT) AS chars_per_piece_ppm
+              |FROM f JOIN p USING (word) GROUP BY 1 ORDER BY lang""".stripMargin))
   )
 }

@@ -378,6 +378,20 @@ class PlanShapeSpec extends SparkSpec {
       !p.contains("CartesianProduct"), p)
   }
 
+  test("x99's prefix analysis is join-free and exchanges only digests") {
+    val p = plans("x99_prefix_cache")
+    assert(!p.contains("Join"), p)
+    // the (k, digest) agg + the 3-row rollup
+    assert(opExchanges(p) <= 2, s"expected two exchanges, plan:\n$p")
+  }
+
+  test("x100's vocab encode joins back by broadcast only") {
+    val p = plans("x100_tokenizer_fertility")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("x98's confusion matrix joins only the broadcast per-lang totals") {
     val p = plans("x98_langid_confusion")
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
