@@ -13,10 +13,14 @@ import org.apache.spark.sql.functions._
   * [[Multimodal.HeaderDecoder]] — no codec library involved, so the
   * environment's missing media libs don't block them. PNG is ALSO real
   * ([[Multimodal.Png]]): deflate/zlib ships in the JDK, so chunk CRCs,
-  * inflation, and type-0 unfiltering need no external codec. Entropy-coded
-  * codecs (JPEG/H.264/MP3…) genuinely need external libraries that are not in
-  * the offline dependency budget; those stay behind [[Multimodal.Decoder]]
-  * with [[Multimodal.FakeDecoder]] as the deterministic stand-in, so the
+  * inflation, and type-0 unfiltering need no external codec. Baseline JPEG
+  * is now ALSO real end to end: [[JpegDecoder]] implements the T.81
+  * entropy path (canonical Huffman, run-length, dequant, IDCT, color
+  * convert) in pure Scala — see [[jpegPixels]]. The remaining entropy-coded
+  * codecs (H.264, MP3 audio frames, progressive/arithmetic JPEG) genuinely
+  * need external libraries that are not in the offline dependency budget;
+  * those stay behind [[Multimodal.Decoder]] with
+  * [[Multimodal.FakeDecoder]] as the deterministic stand-in, so the
   * Spark-side plumbing (schema, batching, partitioning, frame explode) is
   * real and tested either way. A production decoder implements the same
   * trait over the actual codec library.
@@ -157,6 +161,42 @@ object Multimodal {
             case None =>
               val (fmt, w, h) = FakeDecoder.decode(bytes)
               PngMeta(id, fmt, w.toLong, h.toLong, None, None)
+          }
+        }
+      }
+  }
+
+  /** Typed result of a REAL baseline-JPEG entropy decode ([[JpegDecoder]]);
+    * `n_comp`/`pixel_hex` are None when the blob fell back to
+    * [[FakeDecoder]] (corrupt or out of the documented baseline scope). */
+  final case class JpegMeta(
+      media_id: Long,
+      format: String,
+      width: Long,
+      height: Long,
+      n_comp: Option[Long],
+      pixel_hex: Option[String])
+
+  /** (media_id, media: binary) → full entropy decode per row through
+    * [[JpegDecoder]] (Huffman + run-length + dequant + IDCT + level shift
+    * — the pixel path [[RealDecoder]]'s header walk stops short of).
+    * Fallback rows carry [[FakeDecoder]] dimensions and null
+    * n_comp/pixel_hex, mirroring [[pngMeta]]'s routing contract. */
+  def jpegPixels(media: DataFrame): Dataset[JpegMeta] = {
+    implicit val enc = Encoders.product[JpegMeta]
+    media.select(col("media_id").cast("long"), col("media"))
+      .mapPartitions { (it: Iterator[Row]) =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+          JpegDecoder.decode(bytes) match {
+            case Some(d) =>
+              val fmt = if (d.nComp == 3) "image/jpeg-rgb" else "image/jpeg-gray"
+              JpegMeta(id, fmt, d.width.toLong, d.height.toLong,
+                Some(d.nComp.toLong), Some(d.pixels.map("%02X".format(_)).mkString))
+            case None =>
+              val (fmt, w, h) = FakeDecoder.decode(bytes)
+              JpegMeta(id, fmt, w.toLong, h.toLong, None, None)
           }
         }
       }

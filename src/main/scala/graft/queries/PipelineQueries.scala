@@ -5290,6 +5290,59 @@ object PipelineQueries {
               |  CAST(sum(freq * n_chars) AS BIGINT) AS n_chars,
               |  CAST((sum(freq * n_pieces) * 1000000) // sum(freq) AS BIGINT) AS fertility_ppm,
               |  CAST((sum(freq * n_chars) * 1000000) // sum(freq * n_pieces) AS BIGINT) AS chars_per_piece_ppm
-              |FROM f JOIN p USING (word) GROUP BY 1 ORDER BY lang""".stripMargin))
+              |FROM f JOIN p USING (word) GROUP BY 1 ORDER BY lang""".stripMargin)),
+
+    // JPEG ENTROPY DECODE (x101) — closes the entropy-coding gap the
+    // multimodal family documented since x27/x36 (headers real, pixels
+    // stubbed): ops.JpegDecoder is a full pure-Scala T.81 baseline decoder
+    // (canonical Huffman, run-length/EOB/ZRL, dequant, zigzag, 8×8 IDCT,
+    // level shift, YCbCr→RGB, restarts, byte unstuffing — spec-validated
+    // against the JDK's own ImageIO codec on real 4:2:0 streams). The
+    // GATE uses x36's paired-construction discipline: both engines build
+    // the same DC-only baseline streams byte for byte (custom Huffman
+    // tables make the entropy segment 2–3 bytes whose decoded plane is
+    // EXACTLY 128+v — integer arithmetic end to end, no IDCT tolerance),
+    // Spark decodes through the REAL general decoder, DuckDB predicts the
+    // pixel plane arithmetically. A decoder bug anywhere on the DC path
+    // (table build, bit order, EXTEND, prediction, dequant, IDCT scaling,
+    // clamp) breaks the hash.
+    //
+    // Scale posture: x36's — blob construction is narrow per-row expr,
+    // decode is mapPartitions over binary (the one shape byte-decoding
+    // genuinely needs), output exchanges carry id-keyed hex, bounded rows.
+    QueryDef(
+      "x101_jpeg_entropy_decode",
+      (s, d) => {
+        // per-doc DC value v in [32,63] (EXTEND identity range); even docs
+        // a single 8×8 MCU, odd docs a 16×8 two-MCU stream whose second
+        // block rides DC prediction
+        val base = documents(s, d).filter(col("doc_id") < 32)
+          .select(col("doc_id"), (col("doc_id") + 32).as("v"),
+            (col("doc_id") % 2).as("kind"))
+          .withColumn("w_hex", expr("CASE WHEN kind = 0 THEN '0008' ELSE '0010' END"))
+          .withColumn("entropy_hex", expr(
+            s"CASE WHEN kind = 0 THEN concat(${hbS("64 + v")}, '03') " +
+              s"ELSE concat(${hbS("64 + v")}, '0003') END"))
+          .withColumn("hx", expr(
+            "concat('FFD8', 'FFDB004300', '08', repeat('01', 63), " +
+              "'FFC0000B08', '0008', w_hex, '01', '011100', " +
+              "'FFC4001500', '0002', repeat('00', 14), '0006', " +
+              "'FFC4001410', '000000000001', repeat('00', 10), '00', " +
+              "'FFDA000801', '0100', '003F00', entropy_hex, 'FFD9')"))
+        graft.ops.Multimodal.jpegPixels(
+            base.select(col("doc_id").as("media_id"), unhex(col("hx")).as("media")))
+          .select(col("media_id"), col("format"), col("width"), col("height"),
+            col("n_comp"), col("pixel_hex"))
+          .orderBy("media_id")
+      },
+      Some(s"""WITH b AS (SELECT doc_id, doc_id + 32 AS v, doc_id % 2 AS kind
+             |  FROM documents WHERE doc_id < 32)
+             |SELECT doc_id AS media_id,
+             |  'image/jpeg-gray' AS format,
+             |  CAST(CASE WHEN kind = 0 THEN 8 ELSE 16 END AS BIGINT) AS width,
+             |  CAST(8 AS BIGINT) AS height,
+             |  CAST(1 AS BIGINT) AS n_comp,
+             |  repeat(${hbD("128 + v")}, CASE WHEN kind = 0 THEN 64 ELSE 128 END) AS pixel_hex
+             |FROM b ORDER BY media_id""".stripMargin))
   )
 }
