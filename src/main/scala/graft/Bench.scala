@@ -92,6 +92,12 @@ object Bench {
     // every one — dozens of noise lines that crowd real failures (and the
     // JSON line itself) out of a bounded harness tail
     spark.sparkContext.setLogLevel("ERROR")
+    // Footer-only schema audit first: a contract-breaking fixture surfaces
+    // as one line per mismatch, not a failure per consuming query (the
+    // round-6 events.ts failure mode).
+    try Tables.validate(spark, sfDir)
+      .foreach(m => System.err.println(s"[bench] fixture schema mismatch: $m"))
+    catch { case e: Throwable => System.err.println(s"[bench] fixture audit: ${e.getMessage}") }
     // Warm-up: touch every table once so parquet footer reads, FileIndex
     // listing, and first-touch JVM class loading happen outside the timed
     // region (a steady-state workload has all of these cached).

@@ -19,6 +19,12 @@ object Verify {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Footer-only schema audit BEFORE any query runs: a regenerated fixture
+    // that breaks the FIXTURES.md contract surfaces as one line per
+    // mismatch here instead of a deep AnalysisException per consumer (the
+    // round-6 events.ts failure mode).
+    Tables.validate(spark, sfDir)
+      .foreach(m => System.err.println(s"[verify] fixture schema mismatch: $m"))
     new java.io.File(outDir).mkdirs()
     // 4 queries in flight: Spark schedules concurrent jobs from separate
     // threads fine in local mode, and most of a small query's wall time is
