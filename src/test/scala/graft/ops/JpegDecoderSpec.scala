@@ -105,6 +105,34 @@ class JpegDecoderSpec extends AnyFunSuite {
     }
   }
 
+  test("property: random grayscale content/dims/quality round-trips within tolerance of the JDK decoder") {
+    // deterministic pseudo-random sweep (PropertySpec's fixed-seed
+    // discipline): varied dimensions force every crop/MCU-edge path, varied
+    // quality varies the quant tables and Huffman stream density
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 10) {
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(40)
+      val quality = 0.85f + rnd.nextFloat() * 0.14f
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = rnd.nextInt(256)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val jpeg = encodeJpeg(img, quality)
+      val mine = JpegDecoder.decode(jpeg)
+        .getOrElse(fail(s"trial $trial: decode failed ${w}x$h q=$quality"))
+      assert(mine.width == w && mine.height == h && mine.nComp == 1)
+      val ref = ImageIO.read(new ByteArrayInputStream(jpeg))
+      for (y <- 0 until h; x <- 0 until w) {
+        val r = ref.getRaster.getSample(x, y, 0)
+        val m = mine.pixels(y * w + x) & 0xff
+        assert(math.abs(r - m) <= 3,
+          s"trial $trial ${w}x$h q=$quality at ($x,$y): ref=$r mine=$m")
+      }
+    }
+  }
+
   test("cross-validation: ImageIO-encoded RGB (subsampled chroma) stays within tolerance on luma structure") {
     // The JDK writer subsamples chroma (4:2:0) and its reader interpolates
     // chroma on upsample while this decoder replicates — compare the GREEN
