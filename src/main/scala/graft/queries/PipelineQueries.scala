@@ -5313,18 +5313,22 @@ object PipelineQueries {
     QueryDef(
       "x101_jpeg_entropy_decode",
       (s, d) => {
-        // per-doc DC value v in [32,63] (EXTEND identity range); even docs
-        // a single 8×8 MCU, odd docs a 16×8 two-MCU stream whose second
-        // block rides DC prediction
+        // per-doc DC value v in [32,63] (EXTEND identity range); kind 0 a
+        // single 8×8 MCU, kind 1 a 16×8 two-MCU stream whose second block
+        // rides DC prediction, kind 2 the same two MCUs split by a DRI=1
+        // restart marker (byte realign + predictor reset, so the value is
+        // re-encoded)
         val base = documents(s, d).filter(col("doc_id") < 32)
           .select(col("doc_id"), (col("doc_id") + 32).as("v"),
-            (col("doc_id") % 2).as("kind"))
+            (col("doc_id") % 3).as("kind"))
           .withColumn("w_hex", expr("CASE WHEN kind = 0 THEN '0008' ELSE '0010' END"))
+          .withColumn("dri_hex", expr("CASE WHEN kind = 2 THEN 'FFDD00040001' ELSE '' END"))
           .withColumn("entropy_hex", expr(
             s"CASE WHEN kind = 0 THEN concat(${hbS("64 + v")}, '03') " +
-              s"ELSE concat(${hbS("64 + v")}, '0003') END"))
+              s"WHEN kind = 1 THEN concat(${hbS("64 + v")}, '0003') " +
+              s"ELSE concat(${hbS("64 + v")}, '03', 'FFD0', ${hbS("64 + v")}, '03') END"))
           .withColumn("hx", expr(
-            "concat('FFD8', 'FFDB004300', '08', repeat('01', 63), " +
+            "concat('FFD8', 'FFDB004300', '08', repeat('01', 63), dri_hex, " +
               "'FFC0000B08', '0008', w_hex, '01', '011100', " +
               "'FFC4001500', '0002', repeat('00', 14), '0006', " +
               "'FFC4001410', '000000000001', repeat('00', 10), '00', " +
@@ -5335,7 +5339,7 @@ object PipelineQueries {
             col("n_comp"), col("pixel_hex"))
           .orderBy("media_id")
       },
-      Some(s"""WITH b AS (SELECT doc_id, doc_id + 32 AS v, doc_id % 2 AS kind
+      Some(s"""WITH b AS (SELECT doc_id, doc_id + 32 AS v, doc_id % 3 AS kind
              |  FROM documents WHERE doc_id < 32)
              |SELECT doc_id AS media_id,
              |  'image/jpeg-gray' AS format,

@@ -56,6 +56,25 @@ class JpegDecoderSpec extends AnyFunSuite {
     assert(dec.pixels.forall(b => (b & 0xff) == 168))
   }
 
+  test("restart interval: RST0 between MCUs byte-aligns and resets the DC predictor") {
+    // 16x8, DRI=1: each MCU re-encodes the full DC value (predictor reset),
+    // entropy = [01 v6][EOB][pad] FFD0 [01 v6][EOB][pad]
+    val v = 50
+    val jpeg = hex(
+      "ffd8" +
+        "ffdb004300" + "08" + "01" * 63 +
+        "ffdd00040001" + // DRI: restart every 1 MCU
+        "ffc0000b08" + "0008" + "0010" + "01" + "011100" +
+        "ffc4001500" + "0002" + "00" * 14 + "0006" +
+        "ffc4001410" + "000000000001" + "00" * 10 + "00" +
+        "ffda000801" + "0100" + "003f00" +
+        f"${0x40 | v}%02x03" + "ffd0" + f"${0x40 | v}%02x03" +
+        "ffd9")
+    val dec = JpegDecoder.decode(jpeg).getOrElse(fail("decode failed"))
+    assert(dec.width == 16 && dec.height == 8 && dec.nComp == 1)
+    assert(dec.pixels.forall(b => (b & 0xff) == 128 + v))
+  }
+
   test("corrupt and out-of-scope inputs return None, never throw") {
     assert(JpegDecoder.decode(Array[Byte](1, 2, 3)).isEmpty)
     assert(JpegDecoder.decode(hex("ffd8ffd9")).isEmpty)
