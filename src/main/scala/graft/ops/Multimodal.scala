@@ -56,15 +56,17 @@ object Multimodal {
 
   /** REAL PNG decoding with zero codec libraries: chunk walking, CRC-32
     * validation, and zlib inflation are all JDK built-ins
-    * (`java.util.zip.{CRC32, Inflater}`), and type-0 (None) scanline
-    * unfiltering is pure byte arithmetic. Scope: 8-bit greyscale (color
-    * type 0) and truecolor (type 2), non-interlaced, filter-type-0 rows —
-    * exactly the shapes constructible as stored-block deflate streams in
-    * SQL on both engines, which is what lets x36 oracle-gate this decode
-    * end to end. Anything else (interlace, 16-bit, palette, filtered rows)
-    * returns None and the caller routes to [[FakeDecoder]] — same
-    * corrupt-blob honesty as the other real decoders: one bad blob in a
-    * 100 TB scrape must degrade, not kill the stage. */
+    * (`java.util.zip.{CRC32, Inflater}`), and scanline unfiltering — ALL
+    * five spec filter types (None/Sub/Up/Average/Paeth, RFC 2083 §6) — is
+    * pure byte arithmetic. Scope: 8-bit greyscale (color type 0) and
+    * truecolor (type 2), non-interlaced. Stored-block streams with
+    * filter-0 rows are the shapes constructible in SQL on both engines
+    * (x36's end-to-end gate); filtered rows are gated by x102, whose
+    * oracle recomputes the reconstruction recurrence in a recursive CTE.
+    * Anything else (interlace, 16-bit, palette, filter byte > 4) returns
+    * None and the caller routes to [[FakeDecoder]] — same corrupt-blob
+    * honesty as the other real decoders: one bad blob in a 100 TB scrape
+    * must degrade, not kill the stage. */
   object Png {
     private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
     private def be32(b: Array[Byte], i: Int): Long =
@@ -129,11 +131,35 @@ object Multimodal {
         if (inf.inflate(raw) != raw.length || !inf.finished()) return None
       } catch { case _: java.util.zip.DataFormatException => return None }
       finally inf.end()
-      val pix = new Array[Byte](h * w * bpp)
+      // Per-spec reconstruction (RFC 2083 §6.2–6.6): a = left-of-x by one
+      // pixel (bpp bytes), b = above, c = above-left, all 0 off-image; the
+      // recurrence reads RECONSTRUCTED neighbors, so it must run in scan
+      // order over the output buffer, mod 256.
+      val rowBytes = w * bpp
+      val pix = new Array[Byte](h * rowBytes)
       var r = 0
       while (r < h) {
-        if (raw(r * stride) != 0) return None // only filter None in scope
-        System.arraycopy(raw, r * stride + 1, pix, r * w * bpp, w * bpp)
+        val ft = raw(r * stride) & 0xff
+        if (ft > 4) return None // not a spec filter type
+        var i = 0
+        while (i < rowBytes) {
+          val x = raw(r * stride + 1 + i) & 0xff
+          val a = if (i >= bpp) pix(r * rowBytes + i - bpp) & 0xff else 0
+          val b = if (r > 0) pix((r - 1) * rowBytes + i) & 0xff else 0
+          val c = if (r > 0 && i >= bpp) pix((r - 1) * rowBytes + i - bpp) & 0xff else 0
+          val recon = ft match {
+            case 0 => x
+            case 1 => x + a
+            case 2 => x + b
+            case 3 => x + ((a + b) >> 1)
+            case _ => // Paeth: nearest of a/b/c to p = a+b−c, ties a > b > c
+              val p = a + b - c
+              val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+              x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          }
+          pix(r * rowBytes + i) = (recon & 0xff).toByte
+          i += 1
+        }
         r += 1
       }
       Some((w, h, depth, ctype, pix))

@@ -1511,14 +1511,16 @@ object PipelineQueries {
     // REAL PNG decode, oracle-gated end to end (x27's dual-dialect builder
     // pattern, extended to a COMPRESSED container): each doc_id < 24
     // becomes a deterministic PNG — 8-bit gray / 8-bit RGB / corrupt IDAT
-    // CRC / filter-type-1 rows, by doc_id % 4 — whose zlib stream uses
+    // CRC / invalid-filter-byte-5 rows, by doc_id % 4 — whose zlib stream uses
     // STORED deflate blocks, so both engines can construct it byte-by-byte
     // in SQL with no codec anywhere. Spark additionally computes the REAL
     // CRC-32 (builtin crc32) and Adler-32 (exact integer sums over the
     // payload formula) so its blob is a VALID PNG, then decodes it through
     // Multimodal.Png: JDK Inflater (which verifies that Adler), chunk-CRC
-    // validation (which rejects the kind-2 corruption), type-0 unfilter
-    // (which rejects kind 3). DuckDB never parses checksum fields — it
+    // validation (which rejects the kind-2 corruption), filter-range
+    // validation (which rejects kind 3's out-of-spec filter byte 5 — real
+    // FILTERED rows are in scope since x102). DuckDB never parses checksum
+    // fields — it
     // re-extracts width/height/bit-depth (big-endian IHDR reads) and the
     // pixel bytes (stored-block scanline arithmetic at byte 48) from the
     // same hex layout, with checksum placeholders zeroed. A decoder bug in
@@ -1526,7 +1528,7 @@ object PipelineQueries {
     QueryDef(
       "x36_png_decode",
       (s, d) => {
-        val pix = "CASE WHEN p % stride = 0 THEN CAST(CASE WHEN kind = 3 THEN 1 ELSE 0 END AS BIGINT) " +
+        val pix = "CASE WHEN p % stride = 0 THEN CAST(CASE WHEN kind = 3 THEN 5 ELSE 0 END AS BIGINT) " +
           "ELSE (doc_id * 13 + p * 7) % 256 END"
         val base = documents(s, d).filter(col("doc_id") < 24)
           .select(col("doc_id"), (col("doc_id") % 4).as("kind"),
@@ -1565,7 +1567,7 @@ object PipelineQueries {
           .orderBy("media_id")
       },
       Some {
-        val pixD = "CASE WHEN q % stride = 0 THEN (CASE WHEN kind = 3 THEN 1 ELSE 0 END) " +
+        val pixD = "CASE WHEN q % stride = 0 THEN (CASE WHEN kind = 3 THEN 5 ELSE 0 END) " +
           "ELSE (doc_id * 13 + q * 7) % 256 END"
         s"""WITH b AS (SELECT doc_id, doc_id % 4 AS kind,
            |  CAST(doc_id % 5 + 1 AS BIGINT) AS w, CAST(doc_id % 3 + 1 AS BIGINT) AS h,
@@ -5347,6 +5349,95 @@ object PipelineQueries {
              |  CAST(8 AS BIGINT) AS height,
              |  CAST(1 AS BIGINT) AS n_comp,
              |  repeat(${hbD("128 + v")}, CASE WHEN kind = 0 THEN 64 ELSE 128 END) AS pixel_hex
-             |FROM b ORDER BY media_id""".stripMargin))
+             |FROM b ORDER BY media_id""".stripMargin)),
+
+    // PNG FILTERED-ROW DECODE (x102) — the unfilter path x36's stored-block
+    // gate could not reach (its valid rows are all filter-None): every
+    // scanline here carries a REAL spec filter — (doc_id + row) % 5 walks
+    // None/Sub/Up/Average/Paeth inside every image — over both gray (bpp=1)
+    // and RGB (bpp=3) geometry, so the left/above/above-left neighbor
+    // distances are both exercised. Spark builds the byte-exact PNG (x36's
+    // stored-deflate + SQL Adler-32 + builtin crc32 machinery, real CRCs
+    // everywhere) and decodes it through the REAL decoder
+    // (Multimodal.Png); DuckDB never decodes — it recomputes the RFC 2083
+    // §6 reconstruction recurrence itself in a recursive CTE whose state
+    // is the reconstructed pixel list (left/above/above-left reads are
+    // 1-based list indexes). A decoder bug in any filter's predictor
+    // (incl. Paeth's a>b>c tie order), in bpp-offset handling, or in
+    // mod-256 wraparound breaks the hash.
+    //
+    // Scale posture: x36's — blob construction is narrow per-row expr,
+    // decode is mapPartitions over binary (the one shape byte-decoding
+    // genuinely needs), output exchanges carry id-keyed hex, bounded rows.
+    QueryDef(
+      "x102_png_filtered_decode",
+      (s, d) => {
+        // payload byte at offset p of the raw (pre-deflate) stream: a
+        // filter byte at each row start, then the FILTERED data bytes
+        val pix = "CASE WHEN p % stride = 0 THEN (doc_id + p div stride) % 5 " +
+          "ELSE (doc_id * 31 + (p div stride) * 11 + (p % stride - 1) * 7 + 3) % 256 END"
+        val base = documents(s, d).filter(col("doc_id") < 50)
+          .select(col("doc_id"), (col("doc_id") % 2).as("kind"))
+          .withColumn("w", expr("CAST(CASE WHEN kind = 0 THEN 4 ELSE 3 END AS BIGINT)"))
+          .withColumn("h", expr("CAST(CASE WHEN kind = 0 THEN 5 ELSE 4 END AS BIGINT)"))
+          .withColumn("bpp", expr("CAST(CASE WHEN kind = 0 THEN 1 ELSE 3 END AS BIGINT)"))
+          .withColumn("stride", expr("1 + w * bpp"))
+          .withColumn("L", expr("h * stride"))
+          .withColumn("payload_hex",
+            expr(s"array_join(transform(sequence(CAST(0 AS BIGINT), L - 1), p -> ${hbS(pix)}), '')"))
+          .withColumn("adler", expr(
+            s"((L + aggregate(sequence(CAST(0 AS BIGINT), L - 1), CAST(0 AS BIGINT), " +
+              s"(acc, p) -> acc + (L - p) * ($pix))) % 65521) * 65536 + " +
+              s"(1 + aggregate(sequence(CAST(0 AS BIGINT), L - 1), CAST(0 AS BIGINT), " +
+              s"(acc, p) -> acc + ($pix))) % 65521"))
+          .withColumn("zlib_hex", expr(
+            s"concat('780101', ${le16S("L")}, ${le16S("65535 - L")}, payload_hex, ${be32S("adler")})"))
+          .withColumn("ihdr_hex", expr(
+            s"concat(${be32S("w")}, ${be32S("h")}, '08', " +
+              "CASE WHEN kind = 1 THEN '02' ELSE '00' END, '000000')"))
+          .withColumn("hx", expr(
+            s"concat('89504E470D0A1A0A', '0000000D49484452', ihdr_hex, " +
+              s"${be32S("crc32(unhex(concat('49484452', ihdr_hex)))")}, " +
+              s"${be32S("L + 11")}, '49444154', zlib_hex, " +
+              s"${be32S("crc32(unhex(concat('49444154', zlib_hex)))")}, " +
+              "'0000000049454E44AE426082')"))
+        graft.ops.Multimodal.pngMeta(
+          base.select(col("doc_id").as("media_id"), unhex(col("hx")).as("media")))
+          .select(col("media_id"), col("format"), col("width"), col("height"),
+            col("bit_depth"), col("pixel_hex"))
+          .orderBy("media_id")
+      },
+      Some(s"""WITH RECURSIVE b AS (SELECT doc_id, doc_id % 2 AS kind,
+             |  CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS BIGINT) AS w,
+             |  CAST(CASE WHEN doc_id % 2 = 0 THEN 5 ELSE 4 END AS BIGINT) AS h,
+             |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS BIGINT) AS bpp
+             |  FROM documents WHERE doc_id < 50),
+             |g AS (SELECT *, w * bpp AS rb, h * w * bpp AS n FROM b),
+             |rec AS (
+             |  SELECT doc_id, kind, w, h, bpp, rb, n, CAST(0 AS BIGINT) AS p,
+             |    CAST([] AS BIGINT[]) AS px FROM g
+             |  UNION ALL
+             |  SELECT doc_id, kind, w, h, bpp, rb, n, p + 1,
+             |    list_append(px, (fx + CASE ft WHEN 0 THEN 0 WHEN 1 THEN la WHEN 2 THEN ab
+             |      WHEN 3 THEN (la + ab) // 2
+             |      ELSE CASE
+             |        WHEN abs(ab - ul) <= abs(la - ul)
+             |          AND abs(ab - ul) <= abs(la + ab - 2 * ul) THEN la
+             |        WHEN abs(la - ul) <= abs(la + ab - 2 * ul) THEN ab
+             |        ELSE ul END
+             |      END) % 256)
+             |  FROM (
+             |    SELECT *,
+             |      (doc_id + (p // rb)) % 5 AS ft,
+             |      (doc_id * 31 + (p // rb) * 11 + (p % rb) * 7 + 3) % 256 AS fx,
+             |      CASE WHEN p % rb >= bpp THEN px[(p - bpp + 1)::INT] ELSE 0 END AS la,
+             |      CASE WHEN p >= rb THEN px[(p - rb + 1)::INT] ELSE 0 END AS ab,
+             |      CASE WHEN p >= rb AND p % rb >= bpp THEN px[(p - rb - bpp + 1)::INT] ELSE 0 END AS ul
+             |    FROM rec WHERE p < n) t)
+             |SELECT doc_id AS media_id,
+             |  CASE WHEN kind = 1 THEN 'image/png-rgb' ELSE 'image/png-gray' END AS format,
+             |  w AS width, h AS height, CAST(8 AS BIGINT) AS bit_depth,
+             |  array_to_string(list_transform(px, v -> ${hbD("v")}), '') AS pixel_hex
+             |FROM rec WHERE p = n ORDER BY media_id""".stripMargin))
   )
 }

@@ -274,11 +274,82 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.HeaderDecoder.decode(pngBytes(3, 2, 0, gray)) == ("image/png", 3, 2))
   }
 
-  test("Png.decode: corrupt CRC, non-zero filter, and truncation all fall back, never throw") {
+  test("Png.decode: all four non-trivial filters reconstruct against a reference filterer") {
+    // Forward-filter known pixels with each filter type (the ENCODER
+    // direction, implemented here independently per RFC 2083 §6), then
+    // assert the decoder's reconstruction inverts it exactly.
+    for (ft <- 1 to 4; (ctype, bpp) <- Seq((0, 1), (2, 3))) {
+      val w = 5; val h = 4
+      val pix = Array.tabulate[Byte](w * h * bpp)(i => ((i * 37 + 11) % 256).toByte)
+      val rowBytes = w * bpp
+      val filtered = new Array[Byte](pix.length)
+      for (r <- 0 until h; i <- 0 until rowBytes) {
+        val x = pix(r * rowBytes + i) & 0xff
+        val a = if (i >= bpp) pix(r * rowBytes + i - bpp) & 0xff else 0
+        val b = if (r > 0) pix((r - 1) * rowBytes + i) & 0xff else 0
+        val c = if (r > 0 && i >= bpp) pix((r - 1) * rowBytes + i - bpp) & 0xff else 0
+        val pred = ft match {
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) >> 1
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        filtered(r * rowBytes + i) = ((x - pred) & 0xff).toByte
+      }
+      Multimodal.Png.decode(pngBytes(w, h, ctype, filtered, filterType = ft.toByte)) match {
+        case Some((dw, dh, _, dct, out)) =>
+          assert((dw, dh, dct) == (w, h, ctype) && out.toSeq == pix.toSeq,
+            s"filter $ft colorType $ctype")
+        case None => fail(s"filter $ft colorType $ctype did not decode")
+      }
+    }
+  }
+
+  test("Png.decode: cross-validation against the JDK ImageIO codec (adaptive filters)") {
+    // ImageIO's PNG writer picks filters adaptively per row; gradient rows
+    // favor Sub/Up/Paeth, noise favors None — so round-tripping both
+    // through ImageIO's ENCODER and comparing our decode against ImageIO's
+    // own DECODER exercises whatever real filter mix a production encoder
+    // emits, with no knowledge of which was chosen.
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 6) {
+      val w = 9 + trial; val h = 7
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = trial % 3 match {
+          case 0 => ((x * 28) << 16) | ((y * 36) << 8) | ((x + y) * 15) // gradient
+          case 1 => rnd.nextInt(1 << 24)                               // noise
+          case _ => if ((x + y) % 2 == 0) 0xffffff else 0              // checker
+        }
+        img.setRGB(x, y, rgb)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      val bytes = out.toByteArray
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      Multimodal.Png.decode(bytes) match {
+        case Some((dw, dh, _, ctype, pix)) =>
+          assert((dw, dh, ctype) == (w, h, 2), s"trial $trial header")
+          for (y <- 0 until h; x <- 0 until w) {
+            val rgb = ref.getRGB(x, y)
+            val o = (y * w + x) * 3
+            assert((pix(o) & 0xff) == ((rgb >> 16) & 0xff)
+              && (pix(o + 1) & 0xff) == ((rgb >> 8) & 0xff)
+              && (pix(o + 2) & 0xff) == (rgb & 0xff), s"trial $trial px ($x,$y)")
+          }
+        case None => fail(s"trial $trial: ImageIO-encoded png did not decode")
+      }
+    }
+  }
+
+  test("Png.decode: corrupt CRC, out-of-spec filter byte, and truncation all fall back, never throw") {
     val gray = Array.tabulate[Byte](3 * 2)(i => i.toByte)
     val good = pngBytes(3, 2, 0, gray)
     assert(Multimodal.Png.decode(pngBytes(3, 2, 0, gray, corruptCrc = true)).isEmpty)
-    assert(Multimodal.Png.decode(pngBytes(3, 2, 0, gray, filterType = 1)).isEmpty)
+    assert(Multimodal.Png.decode(pngBytes(3, 2, 0, gray, filterType = 5)).isEmpty)
     assert(Multimodal.Png.decode(good.take(20)).isEmpty)
     assert(Multimodal.Png.decode(good.take(40)).isEmpty)
     // bad zlib: flip a byte INSIDE the IDAT payload and fix up its CRC so
