@@ -228,6 +228,42 @@ object Multimodal {
       }
   }
 
+  /** Typed result of a REAL GIF LZW decode ([[GifDecoder]]); `n_colors`/
+    * `pixel_hex` are None when the blob fell back to [[FakeDecoder]]
+    * (corrupt or out of the documented scope). `pixel_hex` is the
+    * color-INDEX plane — palette-indexed is the format's native raster. */
+  final case class GifMeta(
+      media_id: Long,
+      format: String,
+      width: Long,
+      height: Long,
+      n_colors: Option[Long],
+      pixel_hex: Option[String])
+
+  /** (media_id, media: binary) → full LZW decode per row through
+    * [[GifDecoder]] (variable-width codes, dictionary growth, KwKwK,
+    * clear resets, sub-block reassembly). Fallback rows carry
+    * [[FakeDecoder]] dimensions and null n_colors/pixel_hex, mirroring
+    * [[pngMeta]]'s routing contract. */
+  def gifPixels(media: DataFrame): Dataset[GifMeta] = {
+    implicit val enc = Encoders.product[GifMeta]
+    media.select(col("media_id").cast("long"), col("media"))
+      .mapPartitions { (it: Iterator[Row]) =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+          GifDecoder.decode(bytes) match {
+            case Some(g) =>
+              GifMeta(id, "image/gif", g.width.toLong, g.height.toLong,
+                Some(g.nColors.toLong), Some(g.indexes.map("%02X".format(_)).mkString))
+            case None =>
+              val (fmt, w, h) = FakeDecoder.decode(bytes)
+              GifMeta(id, fmt, w.toLong, h.toLong, None, None)
+          }
+        }
+      }
+  }
+
   /** Deterministic fake: derives dimensions from the first bytes and a
     * feature vector from a rolling byte hash — stable across runs/engines. */
   object FakeDecoder extends Decoder {

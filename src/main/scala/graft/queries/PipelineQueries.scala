@@ -5438,6 +5438,79 @@ object PipelineQueries {
              |  CASE WHEN kind = 1 THEN 'image/png-rgb' ELSE 'image/png-gray' END AS format,
              |  w AS width, h AS height, CAST(8 AS BIGINT) AS bit_depth,
              |  array_to_string(list_transform(px, v -> ${hbD("v")}), '') AS pixel_hex
-             |FROM rec WHERE p = n ORDER BY media_id""".stripMargin))
+             |FROM rec WHERE p = n ORDER BY media_id""".stripMargin)),
+
+    // GIF LZW ENTROPY DECODE (x103) — the THIRD entropy-coding family made
+    // real (Huffman x101, DEFLATE-container x36/x102, now LZW): Spark
+    // constructs byte-exact GIFs whose LZW code streams are built bit by
+    // bit in SQL (3-bit codes packed LSB-first through a closed-form
+    // byte expression), then decodes them through ops.GifDecoder — full
+    // variable-width LZW with dictionary growth, the KwKwK
+    // (code == next-free) special case, a code-width bump mid-stream, a
+    // back-reference at the new width, clear-code resets, extension
+    // skipping, and sub-block reassembly (kind 2 splits the same stream
+    // across two sub-blocks behind a Graphic Control Extension; kind 1's
+    // static tail '6F05' is the hand-packed [6,7,6@4bit,EOI@4bit]
+    // sequence, spec-derived in GifDecoderSpec). DuckDB never parses the
+    // container — it predicts each kind's index plane arithmetically
+    // (clear-interleaved literals make the plane the literal sequence;
+    // the KwKwK run expands to [v][vv][vvv][vv] = 8×v). kind 3 sets the
+    // local-color-table flag, which is out of documented scope and must
+    // route to the fake-decoder row ('GI' bytes ⇒ 23×25 fake-gray).
+    //
+    // Scale posture: x36's — blob construction is narrow per-row expr,
+    // decode is mapPartitions over binary, bounded rows (48 docs).
+    QueryDef(
+      "x103_gif_lzw_decode",
+      (s, d) => {
+        // kind 0/2/3 code stream: CLEAR p0 CLEAR p1 … CLEAR p7 EOI — 17
+        // 3-bit codes = 51 bits packed LSB-first into 7 bytes; code j is
+        // EOI(5) at j=16, CLEAR(4) at even j, else pixel (doc*7+i*5+3)%4
+        val i_ = "(b * 8 + t)"
+        val cj = s"(CASE WHEN ($i_ div 3) = 16 THEN 5 WHEN ($i_ div 3) % 2 = 0 THEN 4 " +
+          s"ELSE (doc_id * 7 + ((($i_ div 3) - 1) div 2) * 5 + 3) % 4 END)"
+        val bit = s"(($cj div (CASE $i_ % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END)) % 2)"
+        val pw = "(CASE t WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8 " +
+          "WHEN 4 THEN 16 WHEN 5 THEN 32 WHEN 6 THEN 64 ELSE 128 END)"
+        val byteExpr = "aggregate(sequence(CAST(0 AS BIGINT), 7), CAST(0 AS BIGINT), " +
+          s"(acc, t) -> acc + CASE WHEN b * 8 + t >= 51 THEN 0 ELSE $bit * $pw END)"
+        val base = documents(s, d).filter(col("doc_id") < 48)
+          .select(col("doc_id"), (col("doc_id") % 4).as("kind"))
+          .withColumn("v", expr("(doc_id * 3 + 1) % 4"))
+          .withColumn("w", expr("CAST(CASE WHEN kind = 1 THEN 8 ELSE 4 END AS BIGINT)"))
+          .withColumn("h", expr("CAST(CASE WHEN kind = 1 THEN 1 ELSE 2 END AS BIGINT)"))
+          .withColumn("payload_hex",
+            expr(s"array_join(transform(sequence(CAST(0 AS BIGINT), 6), b -> ${hbS(byteExpr)}), '')"))
+          .withColumn("data_hex", expr(
+            s"CASE WHEN kind = 1 THEN concat('03', ${hbS("132 + 8 * v")}, '6F05') " +
+              "WHEN kind = 2 THEN concat('04', substring(payload_hex, 1, 8), " +
+              "'03', substring(payload_hex, 9, 6)) " +
+              "ELSE concat('07', payload_hex) END"))
+          .withColumn("hx", expr(
+            s"concat('474946383961', ${le16S("w")}, ${le16S("h")}, 'F10000', " +
+              "'0000005511AAAA5511FFEE33', " +
+              "CASE WHEN kind = 2 THEN '21F9040000000000' ELSE '' END, " +
+              s"'2C', '00000000', ${le16S("w")}, ${le16S("h")}, " +
+              "CASE WHEN kind = 3 THEN '80' ELSE '00' END, " +
+              "'02', data_hex, '00', '3B')"))
+        graft.ops.Multimodal.gifPixels(
+          base.select(col("doc_id").as("media_id"), unhex(col("hx")).as("media")))
+          .select(col("media_id"), col("format"), col("width"), col("height"),
+            col("n_colors"), col("pixel_hex"))
+          .orderBy("media_id")
+      },
+      Some(s"""WITH b AS (SELECT doc_id, doc_id % 4 AS kind, (doc_id * 3 + 1) % 4 AS v
+             |  FROM documents WHERE doc_id < 48)
+             |SELECT doc_id AS media_id,
+             |  CASE WHEN kind = 3 THEN 'img/fake-gray' ELSE 'image/gif' END AS format,
+             |  CAST(CASE WHEN kind = 3 THEN 23 WHEN kind = 1 THEN 8 ELSE 4 END AS BIGINT) AS width,
+             |  CAST(CASE WHEN kind = 3 THEN 25 WHEN kind = 1 THEN 1 ELSE 2 END AS BIGINT) AS height,
+             |  CAST(CASE WHEN kind = 3 THEN NULL ELSE 4 END AS BIGINT) AS n_colors,
+             |  CASE WHEN kind = 3 THEN NULL
+             |    WHEN kind = 1 THEN repeat(${hbD("v")}, 8)
+             |    ELSE array_to_string(list_transform(range(0, 8),
+             |      i -> ${hbD("(doc_id * 7 + i * 5 + 3) % 4")}), '')
+             |  END AS pixel_hex
+             |FROM b ORDER BY media_id""".stripMargin))
   )
 }
