@@ -5511,6 +5511,73 @@ object PipelineQueries {
              |    ELSE array_to_string(list_transform(range(0, 8),
              |      i -> ${hbD("(doc_id * 7 + i * 5 + 3) % 4")}), '')
              |  END AS pixel_hex
-             |FROM b ORDER BY media_id""".stripMargin))
+             |FROM b ORDER BY media_id""".stripMargin)),
+
+    // BPE MERGE TRAINING (x104) — the iterative LEARNING loop the rest of
+    // the tokenizer family factored out: x54 counts candidate pairs once,
+    // x57/x100 APPLY a fixed merge table; this trains one — 5 rounds of
+    // count-argmax-apply over the spaced symbol representation
+    // (Sennrich et al.'s algorithm, on the word-frequency table as the
+    // original does). Argmax ties break lexicographically so the learned
+    // sequence is deterministic; the chosen pair is applied via a
+    // broadcast 1-row cross join + literal (non-regex) replace, so merges
+    // compound (round 2 can fuse round 1's output symbol — on this corpus
+    // '<th>' typically emerges then participates immediately).
+    //
+    // Scale posture: the iteration state is the |vocab|-sized word table,
+    // never the corpus (the one freq aggregate at the start carries
+    // multiplicity); each round is one partial-combined pair aggregate +
+    // a TakeOrdered(1) + a broadcast map-side apply — no shuffle grows
+    // with corpus size. Rounds are localCheckpoint-truncated
+    // (TransitiveClosure's discipline) so the plan stays round-sized
+    // instead of doubling per round; Bench's end-of-query sweep releases
+    // the blocks.
+    QueryDef(
+      "x104_bpe_train",
+      (s, d) => {
+        val wf = documents(s, d)
+          .select(explode(tokens(col("text"))).as("w"))
+          .filter(col("w").rlike("^[a-z0-9]+$"))
+          .groupBy("w").agg(count(lit(1)).cast(LongType).as("freq"))
+          .withColumn("s", regexp_replace(col("w"), "(.)", "<$1>"))
+        def pairCounts(v: DataFrame): DataFrame = v
+          .withColumn("sym", split(regexp_replace(col("s"), "^<|>$", ""), "><"))
+          .filter(size(col("sym")) >= 2)
+          .select(explode(expr("transform(sequence(1, size(sym) - 1), " +
+            "i -> concat('<', element_at(sym, i), '><', element_at(sym, i + 1), '>'))"))
+            .as("pair"), col("freq"))
+          .groupBy("pair").agg(sum(col("freq")).cast(LongType).as("n"))
+        var vocab = wf.localCheckpoint(true)
+        val merges = (1 to 5).map { r =>
+          val best = pairCounts(vocab).orderBy(col("n").desc, col("pair")).limit(1)
+            .localCheckpoint(true)
+          vocab = vocab.crossJoin(broadcast(best.select(col("pair").as("bp"))))
+            .withColumn("s", expr("replace(s, bp, replace(bp, '><', ''))"))
+            .drop("bp")
+            .localCheckpoint(true)
+          best.select(lit(r.toLong).as("iter"), col("pair"), col("n"))
+        }
+        merges.reduce(_ unionByName _).orderBy("iter")
+      },
+      Some {
+        val stages = (1 to 5).map { r =>
+          s"""p$r AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM (
+             |  SELECT unnest(list_transform(range(1, len(sym)),
+             |    i -> '<' || sym[i] || '><' || sym[i + 1] || '>')) AS pair, freq
+             |  FROM (SELECT str_split(regexp_replace(s, '^<|>$$', '', 'g'), '><') AS sym,
+             |        freq FROM v$r) WHERE len(sym) >= 2) GROUP BY 1),
+             |b$r AS (SELECT pair, n FROM p$r ORDER BY n DESC, pair LIMIT 1),
+             |v${r + 1} AS (SELECT w, replace(v.s, b.pair, replace(b.pair, '><', '')) AS s,
+             |  freq FROM v$r v CROSS JOIN b$r b)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH toks AS (SELECT unnest($tokensSql) AS w FROM documents),
+           |wf AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM toks
+           |  WHERE regexp_full_match(w, '[a-z0-9]+') GROUP BY 1),
+           |v1 AS (SELECT w, regexp_replace(w, '(.)', '<\\1>', 'g') AS s, freq FROM wf),
+           |$stages
+           |${(1 to 5).map(r => s"SELECT CAST($r AS BIGINT) AS iter, pair, n FROM b$r")
+              .mkString("", " UNION ALL ", "")}
+           |ORDER BY iter""".stripMargin
+      })
   )
 }
