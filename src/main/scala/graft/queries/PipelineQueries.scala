@@ -197,6 +197,44 @@ object PipelineQueries {
   private def be16D(e: String) =
     s"(${hbD(s"(($e) // 256) % 256")} || ${hbD(s"($e) % 256")})"
 
+  // ——— x105 helper: one complete ustar member (512-byte header + one
+  //     512-padded data block) as a Spark-dialect hex expression over
+  //     `doc_id`. The header checksum is ENCODED from the closed-form byte
+  //     sum of every field below (3434 = the constant fields: 'm' 109,
+  //     six '0'-padded name digits 288, mode "0000644\0" 350, uid/gid
+  //     2×336, size-field zeros 528, mtime zeros 528, chksum-as-spaces
+  //     256, typeflag '0' 48, magic "ustar\0" 559, version "00" 96),
+  //     which graft.ops.TarIndex independently recomputes from the bytes.
+  //     Member i of shards 3 and 8 (doc_id % 5 = 3, i = 1) stores
+  //     checksum+1 → the decoder must flag it and keep walking. ———
+  private def tarMemberHexS(i: Int): String = {
+    val n = s"(doc_id * 3 + $i)"
+    val sz = s"(1 + (doc_id * 7 + $i * 13) % 511)"
+    val ext = Seq(".txt", ".jpg", ".cls")(i)
+    val extSum = Seq(398, 367, 368)(i) // ASCII sums of the extensions
+    val nm = s"concat('m', lpad(CAST($n AS STRING), 6, '0'), '$ext')"
+    val ds = (0 to 5).map(k => s"(($n div ${"1" + "0" * k}) % 10)")
+      .mkString("(", " + ", ")")
+    val osum = s"(($sz div 64) + (($sz div 8) % 8) + ($sz % 8))"
+    val corrupt = if (i == 1) "(CASE WHEN doc_id % 5 = 3 THEN 1 ELSE 0 END)" else "0"
+    val cs = s"(3434 + $ds + $extSum + $osum + $corrupt)"
+    val sizeHex = s"repeat('30', 8), ${hbS(s"48 + ($sz div 64)")}, " +
+      s"${hbS(s"48 + (($sz div 8) % 8)")}, ${hbS(s"48 + ($sz % 8)")}, '00'"
+    val chkHex = Seq(32768, 4096, 512, 64, 8, 1)
+      .map(p => hbS(s"48 + (($cs div $p) % 8)")).mkString(", ")
+    s"concat(hex($nm), repeat('00', 89), " +      // name[100] (11 chars + NULs)
+      "'3030303036343400', " +                    // mode "0000644\0"
+      "'3030303030303000', '3030303030303000', " + // uid, gid "0000000\0"
+      s"$sizeHex, " +                             // size[12] octal
+      "repeat('30', 11), '00', " +                // mtime[12]
+      s"$chkHex, '00', '20', " +                  // chksum[8]: 6 octal + NUL + space
+      "'30', " +                                  // typeflag '0'
+      "repeat('00', 100), " +                     // linkname
+      "'757374617200', '3030', " +                // magic "ustar\0" + version "00"
+      "repeat('00', 247), " +                     // uname..prefix + pad
+      s"repeat('41', $sz), repeat('00', 512 - $sz))" // payload + block pad
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ——— Deduplication ———
@@ -5578,6 +5616,239 @@ object PipelineQueries {
            |${(1 to 5).map(r => s"SELECT CAST($r AS BIGINT) AS iter, pair, n FROM b$r")
               .mkString("", " UNION ALL ", "")}
            |ORDER BY iter""".stripMargin
-      })
+      }),
+
+    // TAR SHARD INDEXING (x105) — the WebDataset access path: multimodal
+    // training corpora ship as tar shards and loaders read a member INDEX
+    // (name, offset, size), then range-read payloads without unpacking.
+    // graft.ops.TarIndex walks ustar headers for real — name text, octal
+    // size/chksum fields, 512-block rounding, checksum verification with
+    // the chksum field read as spaces — pure byte arithmetic, no codec
+    // (the PPM/BMP/WAV posture). Shards are built byte-identically in SQL
+    // from shared formulas: 3 members each (txt/jpg/cls basename pairing),
+    // header checksums ENCODED from the same closed-form byte-sum the
+    // decoder recomputes, and shards 3 and 8 carry one member with a
+    // deliberately off-by-one stored checksum — the decoder must flag it
+    // (checksum_ok = false) and KEEP WALKING (one flipped byte costs one
+    // sample, not the shard). The oracle predicts every field arithmetically
+    // (offsets are i*1024 because each payload ≤ 511 bytes pads to one
+    // block), so any drift in the builder's octal/checksum encoding OR the
+    // decoder's parse breaks parity. Scale: shards decode independently in
+    // a narrow flatMap; nothing shuffles until the final ORDER BY.
+    QueryDef(
+      "x105_tar_shard_index",
+      (s, d) => {
+        val shardHex = s"concat(${tarMemberHexS(0)}, ${tarMemberHexS(1)}, " +
+          s"${tarMemberHexS(2)}, repeat('00', 1024))"
+        val blobs = documents(s, d).filter(col("doc_id") < 12)
+          .select(col("doc_id").as("media_id"), unhex(expr(shardHex)).as("media"))
+        graft.ops.TarIndex.index(blobs)
+          .select(col("shard_id"), col("name"), col("offset"), col("size"),
+            col("checksum_ok"))
+          .orderBy("shard_id", "offset")
+      },
+      Some("""WITH m AS (SELECT doc_id, CAST(i AS BIGINT) AS i
+             |  FROM documents CROSS JOIN (SELECT unnest(range(0, 3)) AS i)
+             |  WHERE doc_id < 12)
+             |SELECT doc_id AS shard_id,
+             |  'm' || lpad(CAST(doc_id * 3 + i AS VARCHAR), 6, '0') ||
+             |    CASE i WHEN 0 THEN '.txt' WHEN 1 THEN '.jpg' ELSE '.cls' END AS name,
+             |  CAST(i * 1024 AS BIGINT) AS "offset",
+             |  CAST(1 + (doc_id * 7 + i * 13) % 511 AS BIGINT) AS size,
+             |  NOT (doc_id % 5 = 3 AND i = 1) AS checksum_ok
+             |FROM m ORDER BY shard_id, "offset"""".stripMargin)),
+
+    // WATERMARK ADVISOR (x106) — the Structured Streaming tuning question
+    // answered from history: how late do events actually arrive, so what
+    // withWatermark bound keeps state small without dropping data? Arrival
+    // order is event_id; an event's lateness is how far the per-type
+    // event-time FRONT (running max ts over everything that arrived before
+    // it) had already advanced past its own timestamp. Exact integer
+    // seconds end to end: the µs subtraction happens BEFORE the ÷1e6 floor
+    // (greatest(front,ts) first — Spark's div truncates toward zero while
+    // DuckDB's // floors, so the dividend must be non-negative), and
+    // p50/p95 are exact order statistics picked by row_number against
+    // ceil-rank formulas ((n+1) div 2, (95n+99) div 100) — no
+    // percentile_approx on either side. The advised watermark is p95
+    // rounded up to the next 10 s. Scale: all three windows and the final
+    // rollup share ONE hash exchange on event_type; at 100 TB arrival
+    // order is per ingestion shard, so the partition key becomes
+    // (event_type, shard) and per-shard fronts merge in the rollup — the
+    // query shape is unchanged.
+    QueryDef(
+      "x106_watermark_advisor",
+      (s, d) => {
+        val wFront = Window.partitionBy("event_type").orderBy("event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wRank = Window.partitionBy("event_type")
+          .orderBy(col("lat_s"), col("event_id"))
+        val wAll = Window.partitionBy("event_type")
+        events(s, d)
+          .select(col("event_type"), col("event_id"), unix_micros(col("ts")).as("us"))
+          .withColumn("front_us", max(col("us")).over(wFront))
+          .withColumn("lat_s",
+            expr("(greatest(coalesce(front_us, us), us) - us) div 1000000"))
+          .withColumn("rn", row_number().over(wRank))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .groupBy("event_type")
+          .agg(
+            expr("CAST(max(n) AS BIGINT) AS n_events"),
+            expr("CAST(sum(CASE WHEN lat_s >= 60 THEN 1 ELSE 0 END) * 1000000 " +
+              "div max(n) AS BIGINT) AS late_ppm"),
+            expr("CAST(max(CASE WHEN rn = (n + 1) div 2 THEN lat_s END) " +
+              "AS BIGINT) AS p50_s"),
+            expr("CAST(max(CASE WHEN rn = (95 * n + 99) div 100 THEN lat_s END) " +
+              "AS BIGINT) AS p95_s"),
+            expr("CAST(max(lat_s) AS BIGINT) AS max_s"),
+            expr("CAST(((max(CASE WHEN rn = (95 * n + 99) div 100 THEN lat_s END) " +
+              "+ 9) div 10) * 10 AS BIGINT) AS watermark_s"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (SELECT event_type, event_id, epoch_us(ts) AS us FROM events),
+             |lat AS (SELECT event_type, event_id,
+             |  (greatest(coalesce(max(us) OVER (PARTITION BY event_type
+             |     ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |   us), us) - us) // 1000000 AS lat_s
+             |  FROM ev),
+             |r AS (SELECT event_type, lat_s,
+             |  row_number() OVER (PARTITION BY event_type ORDER BY lat_s, event_id) AS rn,
+             |  count(*) OVER (PARTITION BY event_type) AS n FROM lat)
+             |SELECT event_type,
+             |  CAST(max(n) AS BIGINT) AS n_events,
+             |  CAST(sum(CASE WHEN lat_s >= 60 THEN 1 ELSE 0 END) * 1000000 // max(n)
+             |    AS BIGINT) AS late_ppm,
+             |  CAST(max(CASE WHEN rn = (n + 1) // 2 THEN lat_s END) AS BIGINT) AS p50_s,
+             |  CAST(max(CASE WHEN rn = (95 * n + 99) // 100 THEN lat_s END)
+             |    AS BIGINT) AS p95_s,
+             |  CAST(max(lat_s) AS BIGINT) AS max_s,
+             |  CAST(((max(CASE WHEN rn = (95 * n + 99) // 100 THEN lat_s END) + 9) // 10)
+             |    * 10 AS BIGINT) AS watermark_s
+             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // DSIR-STYLE IMPORTANCE SCORING (x107) — data selection with importance
+    // resampling (Xie et al. 2023): score every document by how much its
+    // hashed n-gram profile looks like a TARGET domain (here sources
+    // src0–src3) versus the rest. The published method weights by
+    // Σ log p_t/p_s over hashed n-gram buckets; this keeps the same
+    // bucketed-distribution machinery but scores with the integer-exact
+    // linear discriminant Σ_b n_doc[b]·(ppm_t[b] − ppm_s[b]) (Laplace
+    // +1-smoothed, ppm-quantized) so the gate is float-free — no
+    // cross-engine log/exp parity risk. Buckets come from the first 8 md5
+    // hex chars mod 64, the catalog's standard portable hash. Scale: one
+    // bigram explode feeds BOTH aggregates; the 64-row (≤ bucket-count)
+    // distribution table broadcasts back; the per-(doc, bucket) rollup
+    // partial-combines map-side, so the only corpus-sized shuffle carries
+    // ≤ |docs|×64 rows. This is exactly the shape DSIR runs at dataset
+    // scale — the distribution fits one machine, the scoring pass is
+    // embarrassingly parallel.
+    QueryDef(
+      "x107_dsir_importance",
+      (s, d) => {
+        val bg = documents(s, d)
+          .select(col("doc_id"), col("source"), tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 2)
+          .select(col("doc_id"), col("source"),
+            explode(expr("transform(sequence(1, size(tk) - 1), " +
+              "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))")).as("bg"))
+          .withColumn("b",
+            expr("CAST(conv(substring(md5(bg), 1, 8), 16, 10) AS BIGINT) % 64"))
+          .withColumn("tgt", col("source").isin("src0", "src1", "src2", "src3"))
+        val dist = bg.groupBy("b")
+          .agg(sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+            sum(when(!col("tgt"), 1L).otherwise(0L)).as("cs"))
+        val ratio = dist
+          .crossJoin(broadcast(dist.agg(sum("ct").as("tt"), sum("cs").as("ts2"))))
+          .select(col("b"), expr("(ct + 1) * 1000000 div (tt + 64) AS ppm_t"),
+            expr("(cs + 1) * 1000000 div (ts2 + 64) AS ppm_s"))
+        bg.groupBy("doc_id", "b").agg(count(lit(1)).as("nb"))
+          .join(broadcast(ratio), Seq("b"))
+          .groupBy("doc_id")
+          .agg(sum(col("nb")).cast(LongType).as("n_bigrams"),
+            sum(col("nb") * (col("ppm_t") - col("ppm_s"))).cast(LongType).as("score"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val hex8 = (0 until 8).map(k =>
+          s"(instr('0123456789abcdef', substr(md5(bg), ${k + 1}, 1)) - 1) * " +
+            s"${1L << (4 * (7 - k))}").mkString("(", " + ", ")")
+        s"""WITH toks AS (SELECT doc_id, source, $tokensSql AS tk FROM documents),
+           |bgr AS (SELECT doc_id, source IN ('src0', 'src1', 'src2', 'src3') AS tgt,
+           |  unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])) AS bg
+           |  FROM toks WHERE len(tk) >= 2),
+           |wb AS (SELECT doc_id, tgt, $hex8 % 64 AS b FROM bgr),
+           |dist AS (SELECT b, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+           |  sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS cs FROM wb GROUP BY 1),
+           |tot AS (SELECT sum(ct) AS tt, sum(cs) AS ts2 FROM dist),
+           |ratio AS (SELECT b, (ct + 1) * 1000000 // (tt + 64) AS ppm_t,
+           |  (cs + 1) * 1000000 // (ts2 + 64) AS ppm_s FROM dist CROSS JOIN tot),
+           |pd AS (SELECT doc_id, b, count(*) AS nb FROM wb GROUP BY 1, 2)
+           |SELECT doc_id, CAST(sum(nb) AS BIGINT) AS n_bigrams,
+           |  CAST(sum(nb * (ppm_t - ppm_s)) AS BIGINT) AS score
+           |FROM pd JOIN ratio USING (b) GROUP BY 1 ORDER BY doc_id""".stripMargin
+      }),
+
+    // DEGREE ASSORTATIVITY (x108) — graph-structure profiling of the
+    // customer–supplier interaction graph (distinct trade pairs via
+    // orders ⋈ lineitem): do high-degree customers trade with high-degree
+    // suppliers? Assortativity is the Pearson correlation of endpoint
+    // degrees over edges — THE standard structural health metric before
+    // graph training runs (GNN sampling strategies and partitioners both
+    // care). Every moment (Σx, Σy, Σxy, Σx², Σy²) is an exact BIGINT over
+    // integer degrees; the single final double expression (sub, mul, div,
+    // sqrt — each IEEE-correctly-rounded on identical integer inputs) is
+    // bit-identical across engines, then 6 dp round + signed-zero
+    // normalize. Scale: the orderkey equi-join shuffles once; distinct
+    // pairs partial-combine; the two degree tables are node-sized (fit
+    // broadcast at any realistic node count) and map back onto edges
+    // without re-shuffling the edge list; the moment rollup is one
+    // partial-combined single-row agg.
+    QueryDef(
+      "x108_degree_assortativity",
+      (s, d) => {
+        val edges = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+          .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+          .distinct()
+        val degC = edges.groupBy("c").agg(count(lit(1)).as("dc"))
+        val degS = edges.groupBy("sp").agg(count(lit(1)).as("dsp"))
+        edges.join(broadcast(degC), Seq("c")).join(broadcast(degS), Seq("sp"))
+          .agg(
+            expr("CAST(count(*) AS BIGINT) AS n"),
+            expr("CAST(count(DISTINCT c) AS BIGINT) AS n_cust"),
+            expr("CAST(count(DISTINCT sp) AS BIGINT) AS n_supp"),
+            expr("CAST(max(dc) AS BIGINT) AS max_cust_deg"),
+            expr("CAST(max(dsp) AS BIGINT) AS max_supp_deg"),
+            expr("sum(dc) AS sx"), expr("sum(dsp) AS sy"),
+            expr("sum(dc * dsp) AS sxy"), expr("sum(dc * dc) AS sxx"),
+            expr("sum(dsp * dsp) AS syy"))
+          .select(col("n").as("n_edges"), col("n_cust"), col("n_supp"),
+            col("max_cust_deg"), col("max_supp_deg"),
+            expr("CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN 0.0 " +
+              "ELSE round(CAST(n * sxy - sx * sy AS DOUBLE) / " +
+              "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * " +
+              "CAST(n * syy - sy * sy AS DOUBLE)), 6) + 0.0 END").as("assortativity"))
+      },
+      Some("""WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |dc AS (SELECT c, CAST(count(*) AS BIGINT) AS dc FROM e GROUP BY 1),
+             |dsp AS (SELECT sp, CAST(count(*) AS BIGINT) AS dsp FROM e GROUP BY 1),
+             |j AS (SELECT e.c, e.sp, dc.dc, dsp.dsp
+             |  FROM e JOIN dc USING (c) JOIN dsp USING (sp)),
+             |sums AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |  CAST(count(DISTINCT c) AS BIGINT) AS n_cust,
+             |  CAST(count(DISTINCT sp) AS BIGINT) AS n_supp,
+             |  CAST(max(dc) AS BIGINT) AS max_cust_deg,
+             |  CAST(max(dsp) AS BIGINT) AS max_supp_deg,
+             |  CAST(sum(dc) AS BIGINT) AS sx, CAST(sum(dsp) AS BIGINT) AS sy,
+             |  CAST(sum(dc * dsp) AS BIGINT) AS sxy,
+             |  CAST(sum(dc * dc) AS BIGINT) AS sxx,
+             |  CAST(sum(dsp * dsp) AS BIGINT) AS syy FROM j)
+             |SELECT n AS n_edges, n_cust, n_supp, max_cust_deg, max_supp_deg,
+             |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN 0.0
+             |    ELSE round(CAST(n * sxy - sx * sy AS DOUBLE) /
+             |      sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+             |        CAST(n * syy - sy * sy AS DOUBLE)), 6) + 0.0 END AS assortativity
+             |FROM sums""".stripMargin))
   )
 }
