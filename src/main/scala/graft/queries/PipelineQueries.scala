@@ -5849,6 +5849,204 @@ object PipelineQueries {
              |    ELSE round(CAST(n * sxy - sx * sy AS DOUBLE) /
              |      sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
              |        CAST(n * syy - sy * sy AS DOUBLE)), 6) + 0.0 END AS assortativity
-             |FROM sums""".stripMargin))
+             |FROM sums""".stripMargin)),
+
+    // BLOCKED RECORD LINKAGE (x109) — entity resolution against a canonical
+    // dictionary: deterministically corrupted part names (one substitution,
+    // deletion, or duplicated character, cycling by key) must link back to
+    // the canonical name table under Levenshtein distance with best-match
+    // semantics (min distance, lexicographic tie-break) and an ambiguity
+    // count. This is the dictionary-repair shape real pipelines run on
+    // scraped product/entity strings. x59's symmetric-delete join answers
+    // "same key up to one edit" via delete-variants; this is the general
+    // DP-Levenshtein linkage with BLOCKING: candidates must share the
+    // first token AND the second word's first character (the corruption
+    // site is always deeper than that) AND a ±1 length band — so the
+    // quadratic dictionary×corpus product never materializes. Levenshtein
+    // is integer-exact and identical in both engines. Scale: the canonical
+    // dictionary is vocab-sized (broadcast); queries stream map-side
+    // through the blocked join; best-match agg and its min-dist join ride
+    // ONE qid exchange.
+    QueryDef(
+      "x109_record_linkage",
+      (s, d) => {
+        val canon = part(s, d).select(col("p_name").as("cname")).distinct()
+          .withColumn("w1", substring_index(col("cname"), " ", 1))
+          .withColumn("c2", expr("substr(cname, instr(cname, ' ') + 1, 1)"))
+        val queries = part(s, d).filter(col("p_partkey") % 5 < 2)
+          .withColumn("q", expr("instr(p_name, ' ') + 2 + CAST(p_partkey % 2 AS INT)"))
+          .withColumn("qname", expr("CASE CAST(p_partkey % 3 AS INT) " +
+            "WHEN 0 THEN concat(substr(p_name, 1, q - 1), '#', substr(p_name, q + 1)) " +
+            "WHEN 1 THEN concat(substr(p_name, 1, q - 1), substr(p_name, q + 1)) " +
+            "ELSE concat(substr(p_name, 1, q), substr(p_name, q, 1), " +
+            "substr(p_name, q + 1)) END"))
+          .select(col("p_partkey").as("qid"), col("qname"))
+          .withColumn("w1", substring_index(col("qname"), " ", 1))
+          .withColumn("c2", expr("substr(qname, instr(qname, ' ') + 1, 1)"))
+        val cand = queries.join(broadcast(canon), Seq("w1", "c2"))
+          .filter(abs(length(col("qname")) - length(col("cname"))) <= 1)
+          .withColumn("dist", expr("levenshtein(qname, cname)"))
+          .filter(col("dist") <= 2)
+        val best = cand.groupBy("qid").agg(min("dist").as("mind"))
+        cand.as("ca").join(best.as("be"),
+            col("ca.qid") === col("be.qid") && col("ca.dist") === col("be.mind"))
+          .groupBy(col("ca.qid").as("qid"), col("ca.qname").as("qname"))
+          .agg(min(col("ca.cname")).as("matched"),
+            min(col("ca.dist")).cast(LongType).as("dist"),
+            count(lit(1)).cast(LongType).as("n_candidates"))
+          .orderBy("qid")
+      },
+      Some("""WITH c AS (SELECT cname, split_part(cname, ' ', 1) AS w1,
+             |  substr(cname, instr(cname, ' ') + 1, 1) AS c2
+             |  FROM (SELECT DISTINCT p_name AS cname FROM part)),
+             |q0 AS (SELECT p_partkey AS qid, p_name,
+             |  instr(p_name, ' ') + 2 + p_partkey % 2 AS q, p_partkey % 3 AS typ
+             |  FROM part WHERE p_partkey % 5 < 2),
+             |q1 AS (SELECT qid, CASE typ
+             |  WHEN 0 THEN substr(p_name, 1, CAST(q - 1 AS INT)) || '#' ||
+             |    substr(p_name, CAST(q + 1 AS INT))
+             |  WHEN 1 THEN substr(p_name, 1, CAST(q - 1 AS INT)) ||
+             |    substr(p_name, CAST(q + 1 AS INT))
+             |  ELSE substr(p_name, 1, CAST(q AS INT)) ||
+             |    substr(p_name, CAST(q AS INT), 1) || substr(p_name, CAST(q + 1 AS INT))
+             |  END AS qname FROM q0),
+             |q2 AS (SELECT qid, qname, split_part(qname, ' ', 1) AS w1,
+             |  substr(qname, instr(qname, ' ') + 1, 1) AS c2 FROM q1),
+             |cand AS (SELECT qid, qname, cname, levenshtein(qname, cname) AS dist
+             |  FROM q2 JOIN c USING (w1, c2)
+             |  WHERE abs(length(qname) - length(cname)) <= 1
+             |    AND levenshtein(qname, cname) <= 2),
+             |b AS (SELECT qid, min(dist) AS mind FROM cand GROUP BY 1)
+             |SELECT cand.qid AS qid, qname, min(cname) AS matched,
+             |  CAST(min(dist) AS BIGINT) AS dist,
+             |  CAST(count(*) AS BIGINT) AS n_candidates
+             |FROM cand JOIN b ON cand.qid = b.qid AND cand.dist = b.mind
+             |GROUP BY 1, 2 ORDER BY qid""".stripMargin)),
+
+    // L-DIVERSITY AUDIT (x110) — the privacy gate x84's k-anonymity cannot
+    // close: a QI group can be large (k-anonymous) yet expose everyone in
+    // it because all members share ONE sensitive value. l-diversity counts
+    // DISTINCT sensitive values per QI group (Machanavajjhala et al.);
+    // this reports the l histogram over the (nation, segment) QI space
+    // with the sensitive attribute as the coarse account-balance bucket —
+    // the same QI/sensitive split x84 generalizes over, so the two audits
+    // read as one governance report. All-integer (bucket = floor of one
+    // IEEE division, identical both engines; everything after is counts).
+    // Scale: ONE (qi) hash agg with map-side partial distinct, then an
+    // l-bounded rollup — group count is bounded by |QI space|, never rows;
+    // no join.
+    QueryDef(
+      "x110_l_diversity",
+      (s, d) => {
+        customer(s, d).selectExpr(
+          "concat_ws('|', c_nationkey, c_mktsegment) AS qi",
+          "CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS sens")
+          .groupBy("qi")
+          .agg(countDistinct(col("sens")).as("l"), count(lit(1)).as("sz"))
+          .groupBy(col("l").cast(LongType).as("l"))
+          .agg(count(lit(1)).cast(LongType).as("n_groups"),
+            sum(col("sz")).cast(LongType).as("n_rows"))
+          .withColumn("is_violating", col("l") < 3)
+          .orderBy("l")
+      },
+      Some("""WITH g AS (SELECT c_nationkey::VARCHAR || '|' || c_mktsegment AS qi,
+             |  count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) AS l,
+             |  count(*) AS sz FROM customer GROUP BY 1)
+             |SELECT CAST(l AS BIGINT) AS l, CAST(count(*) AS BIGINT) AS n_groups,
+             |  CAST(sum(sz) AS BIGINT) AS n_rows, l < 3 AS is_violating
+             |FROM g GROUP BY l ORDER BY l""".stripMargin)),
+
+    // MP4 / ISO-BMFF METADATA (x111) — the video leg of the multimodal
+    // family: graft.ops.Mp4Meta walks the box structure for real (pure
+    // big-endian byte arithmetic, no codec) — ftyp major brand, moov→mvhd
+    // timescale/duration in BOTH version-0 (32-bit) and version-1 (64-bit
+    // time fields) layouts, mdat payload size including the size==1 64-bit
+    // largesize escape (the >4 GiB form), and a malformed tail (box size
+    // < 8) flags the row invalid while KEEPING the fields parsed before
+    // the damage. Blobs are built byte-identically in SQL from shared
+    // formulas — doc_id mod 4 cycles v0 / v1 / largesize / corrupt-tail —
+    // and the oracle predicts every output arithmetically, so builder and
+    // walker cross-check through the byte encoding. Narrow per-row map;
+    // zero shuffle before the final ORDER BY.
+    QueryDef(
+      "x111_mp4_meta",
+      (s, d) => {
+        val ftyp = "concat('00000010', '66747970', " +
+          "CASE WHEN doc_id % 2 = 0 THEN '69736F6D' ELSE '6D703432' END, '00000000')"
+        val mvhdV0 = s"concat('0000006C', '6D766864', '00000000', '00000000', " +
+          s"'00000000', ${be32S("tsc")}, ${be32S("dur")}, repeat('00', 80))"
+        val mvhdV1 = s"concat('00000078', '6D766864', '01000000', repeat('00', 16), " +
+          s"${be32S("tsc")}, '00000000', ${be32S("dur")}, repeat('00', 80))"
+        val moov = s"CASE WHEN doc_id % 4 = 1 " +
+          s"THEN concat('00000080', '6D6F6F76', $mvhdV1) " +
+          s"ELSE concat('00000074', '6D6F6F76', $mvhdV0) END"
+        val mdat = s"CASE CAST(doc_id % 4 AS INT) " +
+          s"WHEN 2 THEN concat('00000001', '6D646174', '00000000', " +
+          s"${be32S("16 + m")}, repeat('41', m)) " +
+          "WHEN 3 THEN '0000000466726565' " +
+          s"ELSE concat(${be32S("8 + m")}, '6D646174', repeat('41', m)) END"
+        val blobs = documents(s, d).filter(col("doc_id") < 16)
+          .withColumn("tsc", expr(
+            "CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 600 WHEN 1 THEN 1000 " +
+              "ELSE 90000 END AS BIGINT)"))
+          .withColumn("dur", expr("1000 + doc_id * 777"))
+          .withColumn("m", expr("1 + (doc_id * 11) % 200"))
+          .select(col("doc_id").as("media_id"),
+            unhex(expr(s"concat($ftyp, $moov, $mdat)")).as("media"))
+        graft.ops.Mp4Meta.meta(blobs)
+          .select(col("media_id"), col("brand"), col("timescale"), col("duration"),
+            col("duration_ms"), col("n_top_boxes"), col("mdat_bytes"), col("valid"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+             |  CAST(CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+             |    ELSE 90000 END AS BIGINT) AS timescale,
+             |  CAST(1000 + doc_id * 777 AS BIGINT) AS duration,
+             |  CAST((1000 + doc_id * 777) * 1000 //
+             |    CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000 ELSE 90000 END
+             |    AS BIGINT) AS duration_ms,
+             |  CAST(CASE WHEN doc_id % 4 = 3 THEN 2 ELSE 3 END AS BIGINT) AS n_top_boxes,
+             |  CAST(CASE WHEN doc_id % 4 = 3 THEN 0
+             |    ELSE 1 + (doc_id * 11) % 200 END AS BIGINT) AS mdat_bytes,
+             |  doc_id % 4 <> 3 AS valid
+             |FROM documents WHERE doc_id < 16 ORDER BY media_id""".stripMargin)),
+
+    // EVENT TRANSITION MATRIX (x112) — first-order Markov profile of user
+    // behavior: for consecutive events of the same user (event-time order,
+    // event_id tie-break), count from→to transitions and their per-source
+    // probability in integer ppm. The |types|²-bounded matrix is what
+    // session-simulation, anomaly baselines (x93 scores volumes; this
+    // scores STRUCTURE), and funnel design (q43) all consume. Exact: counts
+    // and one integer ppm division. Scale: ONE user_id window exchange
+    // builds the pairs; the transition rollup partial-combines into a
+    // |types|²-bounded frame; per-source totals re-aggregate from that tiny
+    // frame (never a second corpus pass) and broadcast back.
+    QueryDef(
+      "x112_event_transitions",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val counts = events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        counts
+          .join(broadcast(counts.groupBy("from_type").agg(sum("n").as("tn"))),
+            Seq("from_type"))
+          .select(col("from_type"), col("to_type"), col("n").cast(LongType).as("n"),
+            expr("CAST(n * 1000000 div tn AS BIGINT) AS p_ppm"))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""WITH o AS (SELECT event_type, lead(event_type) OVER
+             |  (PARTITION BY user_id ORDER BY ts, event_id) AS next_type FROM events),
+             |c AS (SELECT event_type AS from_type, next_type AS to_type,
+             |  CAST(count(*) AS BIGINT) AS n FROM o
+             |  WHERE next_type IS NOT NULL GROUP BY 1, 2),
+             |t AS (SELECT from_type, sum(n) AS tn FROM c GROUP BY 1)
+             |SELECT from_type, to_type, n, CAST(n * 1000000 // tn AS BIGINT) AS p_ppm
+             |FROM c JOIN t USING (from_type)
+             |ORDER BY from_type, to_type""".stripMargin))
   )
 }
