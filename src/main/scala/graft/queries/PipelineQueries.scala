@@ -6020,21 +6020,20 @@ object PipelineQueries {
     // scores STRUCTURE), and funnel design (q43) all consume. Exact: counts
     // and one integer ppm division. Scale: ONE user_id window exchange
     // builds the pairs; the transition rollup partial-combines into a
-    // |types|²-bounded frame; per-source totals re-aggregate from that tiny
-    // frame (never a second corpus pass) and broadcast back.
+    // |types|²-bounded frame; per-source totals are a WINDOW over that tiny
+    // frame — a totals self-join would re-run the corpus pass twice (the
+    // un-cached two-consumer trap), the window re-exchanges ≤|types|² rows.
     QueryDef(
       "x112_event_transitions",
       (s, d) => {
         val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-        val counts = events(s, d)
+        events(s, d)
           .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
           .withColumn("next_type", lead(col("event_type"), 1).over(w))
           .filter(col("next_type").isNotNull)
           .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
           .agg(count(lit(1)).as("n"))
-        counts
-          .join(broadcast(counts.groupBy("from_type").agg(sum("n").as("tn"))),
-            Seq("from_type"))
+          .withColumn("tn", sum(col("n")).over(Window.partitionBy("from_type")))
           .select(col("from_type"), col("to_type"), col("n").cast(LongType).as("n"),
             expr("CAST(n * 1000000 div tn AS BIGINT) AS p_ppm"))
           .orderBy("from_type", "to_type")
@@ -6043,10 +6042,9 @@ object PipelineQueries {
              |  (PARTITION BY user_id ORDER BY ts, event_id) AS next_type FROM events),
              |c AS (SELECT event_type AS from_type, next_type AS to_type,
              |  CAST(count(*) AS BIGINT) AS n FROM o
-             |  WHERE next_type IS NOT NULL GROUP BY 1, 2),
-             |t AS (SELECT from_type, sum(n) AS tn FROM c GROUP BY 1)
-             |SELECT from_type, to_type, n, CAST(n * 1000000 // tn AS BIGINT) AS p_ppm
-             |FROM c JOIN t USING (from_type)
-             |ORDER BY from_type, to_type""".stripMargin))
+             |  WHERE next_type IS NOT NULL GROUP BY 1, 2)
+             |SELECT from_type, to_type, n, CAST(n * 1000000 //
+             |  sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_ppm
+             |FROM c ORDER BY from_type, to_type""".stripMargin))
   )
 }

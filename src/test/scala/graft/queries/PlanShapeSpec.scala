@@ -644,4 +644,53 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("x105's tar walk is a joinless narrow decode (shards parallelize independently)") {
+    val p = plans("x105_tar_shard_index")
+    assert(!p.contains("Join"), p)
+    assert(opExchanges(p) == 0, s"tar indexing must not hash-shuffle:\n$p")
+  }
+
+  test("x106's three windows and rollup share ONE event_type exchange") {
+    val p = plans("x106_watermark_advisor")
+    assert(opExchanges(p) == 1, s"expected one event_type exchange, plan:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("x107's distribution table broadcasts back — the bigram stream never sort-merge joins") {
+    val p = plans("x107_dsir_importance")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("x108's degree tables broadcast onto the edge list") {
+    val p = plans("x108_degree_assortativity")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("x109's linkage is a blocked equi-join — the dictionary broadcasts, never nested-loops") {
+    val p = plans("x109_record_linkage")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("x110's l-diversity audit is two aggs and no join") {
+    val p = plans("x110_l_diversity")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("x111's box walk is a joinless narrow decode") {
+    val p = plans("x111_mp4_meta")
+    assert(!p.contains("Join"), p)
+    assert(opExchanges(p) == 0, s"mp4 metadata must not hash-shuffle:\n$p")
+  }
+
+  test("x112 runs the corpus pass ONCE — totals are a window over the bounded matrix, no join") {
+    val p = plans("x112_event_transitions")
+    assert(!p.contains("Join"), p)
+    // user_id window + pair rollup + from_type totals window; a totals
+    // self-join would double the corpus scan (5 exchanges) — pinned out
+    assert(opExchanges(p) == 3, s"unexpected exchange count:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).length == 1, s"corpus scanned twice:\n$p")
+  }
 }
