@@ -5797,11 +5797,13 @@ object PipelineQueries {
     // integer degrees; the single final double expression (sub, mul, div,
     // sqrt — each IEEE-correctly-rounded on identical integer inputs) is
     // bit-identical across engines, then 6 dp round + signed-zero
-    // normalize. Scale: the orderkey equi-join shuffles once; distinct
-    // pairs partial-combine; the two degree tables are node-sized (fit
-    // broadcast at any realistic node count) and map back onto edges
-    // without re-shuffling the edge list; the moment rollup is one
-    // partial-combined single-row agg.
+    // normalize. Scale: the orderkey equi-join shuffles once and the
+    // distinct edge list localCheckpoint-truncates — its THREE consumers
+    // (both degree aggs + the final map-back) read one materialization,
+    // never re-running the corpus join (plan-pinned; the un-cached
+    // three-consumer variant measured 5.6 s at 10× vs 2.9 s fixed);
+    // the node-sized degree tables broadcast back onto edges; the moment
+    // rollup is one partial-combined single-row agg.
     QueryDef(
       "x108_degree_assortativity",
       (s, d) => {
@@ -5810,6 +5812,7 @@ object PipelineQueries {
             col("o_orderkey") === col("l_orderkey"))
           .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
           .distinct()
+          .localCheckpoint(true)
         val degC = edges.groupBy("c").agg(count(lit(1)).as("dc"))
         val degS = edges.groupBy("sp").agg(count(lit(1)).as("dsp"))
         edges.join(broadcast(degC), Seq("c")).join(broadcast(degS), Seq("sp"))
@@ -6045,6 +6048,141 @@ object PipelineQueries {
              |  WHERE next_type IS NOT NULL GROUP BY 1, 2)
              |SELECT from_type, to_type, n, CAST(n * 1000000 //
              |  sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_ppm
-             |FROM c ORDER BY from_type, to_type""".stripMargin))
+             |FROM c ORDER BY from_type, to_type""".stripMargin)),
+
+    // ZIP EXTRACTION (x113) — the third container family (TAR x105,
+    // ISO-BMFF x111) and the first with a COMPRESSED payload path:
+    // graft.ops.ZipExtract walks EOCD → central directory → local headers
+    // and inflates method-8 members with the JDK Inflater (nowrap), then
+    // verifies CRC-32 of the inflated bytes against the stored value. The
+    // gate builds archives in Spark SQL: member 0 stored, member 1 a raw
+    // stored-block DEFLATE stream (x36's trick — 01 + LEN + ~LEN + data),
+    // with the stored CRC computed by Spark's builtin crc32() — so a green
+    // crc_ok row proves the SQL-built blob, the JDK's CRC32, and the
+    // decoder's walk all agree on the same bytes, and the inflate path is
+    // exercised end to end. Shards with doc_id % 4 = 2 store crc+1 on the
+    // deflated member: the decoder must flag it (crc_ok = false) but still
+    // return the extracted content — one damaged member costs its flag,
+    // never the archive. The oracle predicts every field arithmetically.
+    // Narrow per-row flatMap; zero shuffle before the final ORDER BY.
+    QueryDef(
+      "x113_zip_extract",
+      (s, d) => {
+        def member(i: Int): (String, String) = {
+          val k = s"(1 + (doc_id * 3 + $i) % 20)"
+          val ext = if (i == 0) ".txt" else ".bin"
+          val content = s"concat('data-', CAST(doc_id AS STRING), '-', '$i', " +
+            s"repeat('x', $k))"
+          val name = s"concat('f', CAST(doc_id AS STRING), '_', '$i', '$ext')"
+          (content, name)
+        }
+        val (c0, n0) = member(0)
+        val (c1, n1) = member(1)
+        val u0 = "(8 + (1 + (doc_id * 3) % 20))"
+        val u1 = "(8 + (1 + (doc_id * 3 + 1) % 20))"
+        val crc0 = s"crc32(CAST($c0 AS BINARY))"
+        // deliberately wrong stored crc on member 1 of every 4th shard
+        val scrc1 = s"((crc32(CAST($c1 AS BINARY)) + " +
+          "CASE WHEN doc_id % 4 = 2 THEN 1 ELSE 0 END) % 4294967296)"
+        val csz1 = s"(5 + $u1)" // stored-block deflate: 01 + LEN + ~LEN + data
+        val lfh0 = s"concat('504B0304', ${le16S("20")}, '0000', ${le16S("0")}, " +
+          s"'00000000', ${le32S(crc0)}, ${le32S(u0)}, ${le32S(u0)}, " +
+          s"${le16S("8")}, '0000', hex($n0), hex($c0))"
+        val lfh1 = s"concat('504B0304', ${le16S("20")}, '0000', ${le16S("8")}, " +
+          s"'00000000', ${le32S(scrc1)}, ${le32S(csz1)}, ${le32S(u1)}, " +
+          s"${le16S("8")}, '0000', hex($n1), " +
+          s"'01', ${le16S(u1)}, ${le16S(s"65535 - $u1")}, hex($c1))"
+        def cdEntry(crc: String, csz: String, usz: String, mth: String,
+            nm: String, off: String): String =
+          s"concat('504B0102', ${le16S("20")}, ${le16S("20")}, '0000', " +
+            s"${le16S(mth)}, '00000000', ${le32S(crc)}, ${le32S(csz)}, " +
+            s"${le32S(usz)}, ${le16S("8")}, '0000', '0000', '0000', '0000', " +
+            s"'00000000', ${le32S(off)}, hex($nm))"
+        val cd0 = cdEntry(crc0, u0, u0, "0", n0, "0")
+        val cd1 = cdEntry(scrc1, csz1, u1, "8", n1, s"(38 + $u0)")
+        val eocd = s"concat('504B0506', '0000', '0000', ${le16S("2")}, " +
+          s"${le16S("2")}, ${le32S("108")}, ${le32S(s"(81 + $u0 + $u1)")}, '0000')"
+        val blobs = documents(s, d).filter(col("doc_id") < 10)
+          .select(col("doc_id").as("media_id"),
+            unhex(expr(s"concat($lfh0, $lfh1, $cd0, $cd1, $eocd)")).as("media"))
+        graft.ops.ZipExtract.extract(blobs)
+          .select(col("shard_id"), col("name"), col("method"), col("usize"),
+            col("content"), col("crc_ok"))
+          .orderBy("shard_id", "name")
+      },
+      Some("""WITH m AS (SELECT doc_id, i FROM documents
+             |  CROSS JOIN (SELECT unnest(range(0, 2)) AS i) WHERE doc_id < 10),
+             |b AS (SELECT doc_id, i, 1 + (doc_id * 3 + i) % 20 AS k FROM m)
+             |SELECT doc_id AS shard_id,
+             |  'f' || CAST(doc_id AS VARCHAR) || '_' || CAST(i AS VARCHAR) ||
+             |    CASE WHEN i = 0 THEN '.txt' ELSE '.bin' END AS name,
+             |  CAST(CASE WHEN i = 0 THEN 0 ELSE 8 END AS BIGINT) AS method,
+             |  CAST(8 + k AS BIGINT) AS usize,
+             |  'data-' || CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR) ||
+             |    repeat('x', CAST(k AS INT)) AS content,
+             |  NOT (doc_id % 4 = 2 AND i = 1) AS crc_ok
+             |FROM b ORDER BY shard_id, name""".stripMargin)),
+
+    // ITEM-ITEM COLLABORATIVE-FILTERING SIMILARITY (x114) — recommender
+    // prep over the customer–supplier trade graph: suppliers co-traded by
+    // the same customers get cosine similarity co/√(deg₁·deg₂) (the
+    // classic item-item CF statistic, Sarwar et al. 2001). The pair stage
+    // is the textbook scale hazard — a power-law customer co-trades
+    // quadratically — so customers above a degree cap (30) are EXCLUDED
+    // from pair generation, the standard CF mitigation (they carry almost
+    // no signal per pair anyway); degrees are computed on the same capped
+    // edge set so cosine stays ≤ 1. Exact: co/deg are BIGINTs; the one
+    // double expression (div + sqrt on identical integers) is bit-identical
+    // both engines, + 6 dp round + signed-zero normalize; top-50 under a
+    // TOTAL order (cosine desc, s1, s2) is deterministic. The capped frame
+    // is localCheckpoint-truncated: three consumers (both join sides +
+    // degrees) must read ONE materialization, not re-run the corpus join
+    // (x112's lesson, pinned). Scale: self-join keyed on customer is
+    // bounded by cap²/2 per customer; pair rollup partial-combines into a
+    // ≤|suppliers|² frame; degree table broadcasts.
+    QueryDef(
+      "x114_item_cf",
+      (s, d) => {
+        val edges = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+          .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+          .distinct()
+        val capped = edges
+          .withColumn("cdeg", count(lit(1)).over(Window.partitionBy("c")))
+          .filter(col("cdeg") <= 30)
+          .select("c", "sp")
+          .localCheckpoint(true)
+        val deg = capped.groupBy("sp").agg(count(lit(1)).as("deg"))
+        val pairs = capped.as("a")
+          .join(capped.as("b"),
+            col("a.c") === col("b.c") && col("a.sp") < col("b.sp"))
+          .groupBy(col("a.sp").as("s1"), col("b.sp").as("s2"))
+          .agg(count(lit(1)).as("co"))
+          .filter(col("co") >= 3)
+        pairs
+          .join(broadcast(deg.select(col("sp").as("s1"), col("deg").as("d1"))), Seq("s1"))
+          .join(broadcast(deg.select(col("sp").as("s2"), col("deg").as("d2"))), Seq("s2"))
+          .select(col("s1").cast(LongType).as("s1"), col("s2").cast(LongType).as("s2"),
+            col("co").cast(LongType).as("co_count"),
+            expr("round(CAST(co AS DOUBLE) / sqrt(CAST(d1 AS DOUBLE) * " +
+              "CAST(d2 AS DOUBLE)), 6) + 0.0").as("cosine"))
+          .orderBy(col("cosine").desc, col("s1"), col("s2"))
+          .limit(50)
+      },
+      Some("""WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |cdg AS (SELECT c, count(*) AS cdeg FROM e GROUP BY 1),
+             |capped AS (SELECT e.c, e.sp FROM e JOIN cdg USING (c) WHERE cdeg <= 30),
+             |deg AS (SELECT sp, CAST(count(*) AS BIGINT) AS deg FROM capped GROUP BY 1),
+             |p AS (SELECT a.sp AS s1, b.sp AS s2, CAST(count(*) AS BIGINT) AS co
+             |  FROM capped a JOIN capped b ON a.c = b.c AND a.sp < b.sp
+             |  GROUP BY 1, 2 HAVING count(*) >= 3)
+             |SELECT CAST(s1 AS BIGINT) AS s1, CAST(s2 AS BIGINT) AS s2,
+             |  co AS co_count,
+             |  round(CAST(co AS DOUBLE) / sqrt(CAST(d1.deg AS DOUBLE) *
+             |    CAST(d2.deg AS DOUBLE)), 6) + 0.0 AS cosine
+             |FROM p JOIN deg d1 ON p.s1 = d1.sp JOIN deg d2 ON p.s2 = d2.sp
+             |ORDER BY cosine DESC, s1, s2 LIMIT 50""".stripMargin))
   )
 }

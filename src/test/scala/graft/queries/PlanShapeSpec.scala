@@ -663,9 +663,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  test("x108's degree tables broadcast onto the edge list") {
+  test("x108's edge list materializes ONCE and the degree tables broadcast onto it") {
     val p = plans("x108_degree_assortativity")
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+    // three consumers read the checkpoint — the corpus join must not
+    // reappear in the executed plan (measured ~2× slower at 10× when it did)
+    assert(!p.contains("FileScan parquet"), s"corpus re-joined instead of checkpoint:\n$p")
   }
 
   test("x109's linkage is a blocked equi-join — the dictionary broadcasts, never nested-loops") {
@@ -692,5 +695,20 @@ class PlanShapeSpec extends SparkSpec {
     // self-join would double the corpus scan (5 exchanges) — pinned out
     assert(opExchanges(p) == 3, s"unexpected exchange count:\n$p")
     assert("FileScan parquet".r.findAllIn(p).length == 1, s"corpus scanned twice:\n$p")
+  }
+
+  test("x113's zip walk is a joinless narrow decode") {
+    val p = plans("x113_zip_extract")
+    assert(!p.contains("Join"), p)
+    assert(opExchanges(p) == 0, s"zip extraction must not hash-shuffle:\n$p")
+  }
+
+  test("x114's capped edge frame materializes ONCE and the degree tables broadcast") {
+    val p = plans("x114_item_cf")
+    // three consumers (self-join both sides + degrees) read the checkpoint —
+    // the corpus join must not appear at all in the executed plan
+    assert(!p.contains("FileScan parquet"), s"corpus re-joined instead of checkpoint:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
   }
 }
