@@ -5734,17 +5734,20 @@ object PipelineQueries {
     // linear discriminant Σ_b n_doc[b]·(ppm_t[b] − ppm_s[b]) (Laplace
     // +1-smoothed, ppm-quantized) so the gate is float-free — no
     // cross-engine log/exp parity risk. Buckets come from the first 8 md5
-    // hex chars mod 64, the catalog's standard portable hash. Scale: one
-    // bigram explode feeds BOTH aggregates; the 64-row (≤ bucket-count)
-    // distribution table broadcasts back; the per-(doc, bucket) rollup
-    // partial-combines map-side, so the only corpus-sized shuffle carries
-    // ≤ |docs|×64 rows. This is exactly the shape DSIR runs at dataset
-    // scale — the distribution fits one machine, the scoring pass is
-    // embarrassingly parallel.
+    // hex chars mod 64, the catalog's standard portable hash. Scale: the
+    // corpus is exploded and hashed ONCE — the per-(doc, bucket) rollup
+    // partial-combines map-side to ≤ |docs|×64 rows and localCheckpoint-
+    // truncates, because BOTH the distribution table and the scoring pass
+    // consume it (an un-cached two-consumer bigram stream re-hashed the
+    // whole corpus twice — the x112 trap, measured 8.3 s vs 4.7 s at 10×,
+    // plan-pinned single scan below); the 64-row distribution broadcasts
+    // back. This is exactly the shape DSIR runs at dataset scale — the
+    // distribution fits one machine, the scoring pass is embarrassingly
+    // parallel.
     QueryDef(
       "x107_dsir_importance",
       (s, d) => {
-        val bg = documents(s, d)
+        val nb = documents(s, d)
           .select(col("doc_id"), col("source"), tokens(col("text")).as("tk"))
           .filter(size(col("tk")) >= 2)
           .select(col("doc_id"), col("source"),
@@ -5753,15 +5756,16 @@ object PipelineQueries {
           .withColumn("b",
             expr("CAST(conv(substring(md5(bg), 1, 8), 16, 10) AS BIGINT) % 64"))
           .withColumn("tgt", col("source").isin("src0", "src1", "src2", "src3"))
-        val dist = bg.groupBy("b")
-          .agg(sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
-            sum(when(!col("tgt"), 1L).otherwise(0L)).as("cs"))
+          .groupBy("doc_id", "b", "tgt").agg(count(lit(1)).as("nb"))
+          .localCheckpoint(true)
+        val dist = nb.groupBy("b")
+          .agg(sum(when(col("tgt"), col("nb")).otherwise(0L)).as("ct"),
+            sum(when(!col("tgt"), col("nb")).otherwise(0L)).as("cs"))
         val ratio = dist
           .crossJoin(broadcast(dist.agg(sum("ct").as("tt"), sum("cs").as("ts2"))))
           .select(col("b"), expr("(ct + 1) * 1000000 div (tt + 64) AS ppm_t"),
             expr("(cs + 1) * 1000000 div (ts2 + 64) AS ppm_s"))
-        bg.groupBy("doc_id", "b").agg(count(lit(1)).as("nb"))
-          .join(broadcast(ratio), Seq("b"))
+        nb.join(broadcast(ratio), Seq("b"))
           .groupBy("doc_id")
           .agg(sum(col("nb")).cast(LongType).as("n_bigrams"),
             sum(col("nb") * (col("ppm_t") - col("ppm_s"))).cast(LongType).as("score"))

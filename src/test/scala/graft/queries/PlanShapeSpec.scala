@@ -657,10 +657,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
-  test("x107's distribution table broadcasts back — the bigram stream never sort-merge joins") {
+  test("x107 explodes and hashes the corpus ONCE; the distribution broadcasts back") {
     val p = plans("x107_dsir_importance")
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
+    // both consumers (distribution + scoring) read the checkpointed
+    // per-(doc,bucket) rollup — the corpus scan must not reappear
+    assert(!p.contains("FileScan parquet"), s"corpus hashed twice:\n$p")
   }
 
   test("x108's edge list materializes ONCE and the degree tables broadcast onto it") {
