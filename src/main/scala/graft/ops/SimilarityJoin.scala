@@ -31,12 +31,20 @@ object SimilarityJoin {
   /** Pairs (a_id, b_id, i_size, u_size) with exact distinct-token Jaccard
     * ≥ tNum/tDen over `docs(doc_id, text)`. The threshold is a RATIONAL
     * (default 7/10) so the acceptance test `tDen·i ≥ tNum·u` is pure
-    * integer — no float comparison anywhere. */
+    * integer — no float comparison anywhere.
+    *
+    * Materialization discipline (the multi-consumer trap, measured on
+    * x107/x108): the exploded token frame feeds the df count, the prefix
+    * build, AND the verification arrays; the prefix frame feeds both sides
+    * of the candidate self-join. Each is localCheckpoint-truncated so the
+    * corpus is scanned and tokenized ONCE — the un-cached shape re-ran the
+    * scan+explode six times (12 parquet scans in the executed plan). */
   def jaccardJoin(docs: DataFrame, tNum: Int = 7, tDen: Int = 10): DataFrame = {
     require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen not in (0,1]")
     val tk = docs
       .select(col("doc_id"), explode(array_distinct(TextDedup.tokens(col("text"))))
         .as("tok"))
+      .localCheckpoint(true)
     val dfreq = tk.groupBy("tok").agg(count(lit(1)).as("df"))
     // prefix_len = n − ⌈t·n⌉ + 1, all-integer: ⌈a/b⌉ = (a + b − 1) div b
     val wd = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
@@ -47,13 +55,17 @@ object SimilarityJoin {
         col("n") - expr(s"($tNum * n + ${tDen - 1}) div $tDen") + lit(1L))
     val prefix = sets.filter(col("rn") <= col("plen"))
       .select(col("doc_id"), col("tok"), col("n"))
+      .localCheckpoint(true)
     val cand = prefix.as("a")
       .join(prefix.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
-    val full = docs.select(col("doc_id"),
-      array_sort(array_distinct(TextDedup.tokens(col("text")))).as("s"))
+    // verification arrays from the SAME token frame (tk is already
+    // distinct, so sorted collect == array_sort(array_distinct(tokens)))
+    val full = tk.groupBy("doc_id")
+      .agg(array_sort(collect_list(col("tok"))).as("s"))
+      .localCheckpoint(true)
     cand
       .join(full.select(col("doc_id").as("a_id"), col("s").as("sa")), Seq("a_id"))
       .join(full.select(col("doc_id").as("b_id"), col("s").as("sb")), Seq("b_id"))
