@@ -58,10 +58,19 @@ object CoreQueries {
         least(col("cn"), col("sn")).as("a"),
         greatest(col("cn"), col("sn")).as("b"))
       .agg(count(lit(1)).as("w"))
-    pairs
-      .crossJoin(broadcast(pairs.agg(avg(col("w")).as("avg_w"))))
+    // Entity-sized (≤ nations²) after the pair aggregate — checkpoint so
+    // (a) the avg-threshold scalar and the filtered result read ONE
+    // materialization instead of re-running the fact-table chain, and
+    // (b) the iterative consumers (q48's three self-join arms, q49's LPA
+    // rounds, q55's peeling rounds) never re-derive the lineitem⋈orders
+    // join. The un-cached shape put 16–18 parquet scans in q48/q49's
+    // executed plans (ScanAudit).
+    val edges = pairs.localCheckpoint(true)
+    edges
+      .crossJoin(broadcast(edges.agg(avg(col("w")).as("avg_w"))))
       .filter(col("w") > col("avg_w"))
       .select("a", "b", "w")
+      .localCheckpoint(true)
   }
 
   /** DuckDB twin of [[tradeEdges]] (defines CTE `ed(a, b, w)`). */
@@ -1319,6 +1328,7 @@ object CoreQueries {
           .join(broadcast(e2), col("b") === col("b2"))
           .join(broadcast(e3), col("a") === col("a3") && col("c") === col("c3"))
           .select("a", "b", "c")
+          .localCheckpoint(true) // three member projections read one frame
         val members = tris.select(col("a").as("nk"))
           .unionAll(tris.select(col("b").as("nk")))
           .unionAll(tris.select(col("c").as("nk")))
