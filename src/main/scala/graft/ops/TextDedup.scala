@@ -52,7 +52,10 @@ object TextDedup {
   /** LSH candidate pairs: bands of `rowsPerBand` signature rows; pairs share
     * a band bucket. Returns (a_id, b_id, n_match) with a_id < b_id. */
   def lshCandidatePairs(docs: DataFrame, seeds: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val bands = bandFrame(docs, seeds, rowsPerBand)
+    // the band frame self-joins: without materialization the whole
+    // tokenize→shingle→minhash chain runs once per join side (the
+    // multi-consumer trap, ScanAudit). |docs|×nBands rows — checkpoint.
+    val bands = bandFrame(docs, seeds, rowsPerBand).localCheckpoint(true)
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&

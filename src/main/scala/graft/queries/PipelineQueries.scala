@@ -2166,6 +2166,10 @@ object PipelineQueries {
             struct(col("ccos"), (-col("cent_id")).as("tie"))).as("best"))
           .select(col("vec_id"), col("best.cent_id").as("cent_id"),
             col("best.embedding").as("embedding"))
+          // the corpus×centroids assignment is the dominant cost and has
+          // THREE consumers (both pair-join sides + the final projection) —
+          // checkpoint so it runs once (ScanAudit: 12 scans un-cached)
+          .localCheckpoint(true)
         val dup = assigned.as("a")
           .join(assigned.as("b").hint("shuffle_hash"),
             col("a.cent_id") === col("b.cent_id") && col("b.vec_id") < col("a.vec_id"))
@@ -2514,7 +2518,11 @@ object PipelineQueries {
     QueryDef(
       "x51_bm25_retrieval",
       (s, d) => {
+        // tokenize once: t has three consumers (query terms, doc lengths,
+        // the tf explode) and tf two (df + scoring) — checkpoint both so
+        // the corpus is scanned and exploded a single time (ScanAudit)
         val t = documents(s, d).select(col("doc_id"), tokens(col("text")).as("tk"))
+          .localCheckpoint(true)
         val qt = t.filter(col("doc_id") === 0)
           .select(explode(col("tk")).as("tok")).distinct()
         val dl = t.select(col("doc_id"), size(col("tk")).cast(LongType).as("dl"))
@@ -2523,6 +2531,7 @@ object PipelineQueries {
         val tf = t.select(col("doc_id"), explode(col("tk")).as("tok"))
           .join(broadcast(qt), Seq("tok"))
           .groupBy("tok", "doc_id").agg(count(lit(1)).cast(LongType).as("tf"))
+          .localCheckpoint(true)
         val dfT = tf.groupBy("tok").agg(count(lit(1)).cast(LongType).as("df"))
         val sc = tf.join(broadcast(dfT), Seq("tok"))
           .join(dl, Seq("doc_id"))
@@ -3649,6 +3658,9 @@ object PipelineQueries {
             Seq("doc_id"), "left")
           .select(col("doc_id"), col("split"), col("h"),
             coalesce(col("canonical_id"), col("doc_id")).as("can"))
+          // three consumers (both leak-stat tables + the probe) — one
+          // materialization of the pruned ids+digest frame (ScanAudit)
+          .localCheckpoint(true)
         val isTrain = when(col("split") === "train", 1L).otherwise(0L)
         val hstat = withCan.groupBy("h").agg(max(isTrain).as("h_has_train"))
         val cstat = withCan.groupBy("can").agg(max(isTrain).as("c_has_train"))
@@ -3996,6 +4008,7 @@ object PipelineQueries {
           .filter(size(col("tk")) >= 3)
           .select(col("doc_id"),
             array_distinct(graft.ops.TextDedup.shingles(col("tk"))).as("shs"))
+          .localCheckpoint(true) // both verification sides read one frame
         cand
           .join(sets.select(col("doc_id").as("a_id"), col("shs").as("a_shs")), Seq("a_id"))
           .join(sets.select(col("doc_id").as("b_id"), col("shs").as("b_shs")), Seq("b_id"))
@@ -4144,6 +4157,10 @@ object PipelineQueries {
             coalesce(col("canonical_id"), col("doc_id")).as("can"))
           .withColumn("split",
             graft.ops.Sampling.splitColumn(col("can"), "gsplit", 0.8))
+          // four consumers (both leak-stat tables, the probe, the split
+          // counts) — checkpoint the pruned (ids+digest) frame so the
+          // corpus scan + full-text md5 runs once (ScanAudit: 8 scans)
+          .localCheckpoint(true)
         val isTrain = when(col("split") === "train", 1L).otherwise(0L)
         val hstat = withCan.groupBy("h").agg(max(isTrain).as("h_has_train"))
         val cstat = withCan.groupBy("can").agg(max(isTrain).as("c_has_train"))
@@ -4199,11 +4216,16 @@ object PipelineQueries {
     QueryDef(
       "x82_domain_shift",
       (s, d) => {
-        val toks = docCorpus(s, d)
+        // ONE corpus tokenization: the (source, tok) rollup is
+        // |sources|×|vocab|-bounded and checkpoints; the global token
+        // counts derive from it (sum of per-source counts ≡ corpus count),
+        // so the second explode the un-cached shape paid is gone
+        val st = docCorpus(s, d)
           .select(col("source"), explode(tokens(col("text"))).as("tok"))
-        val st = toks.groupBy("source", "tok").agg(count(lit(1)).as("cs"))
+          .groupBy("source", "tok").agg(count(lit(1)).as("cs"))
+          .localCheckpoint(true)
         val totS = st.groupBy("source").agg(sum(col("cs")).as("ns"))
-        val g = toks.groupBy("tok").agg(count(lit(1)).as("cg"))
+        val g = st.groupBy("tok").agg(sum(col("cs")).as("cg"))
         val totG = g.agg(sum(col("cg")).as("ng"))
         val vocab = g.join(broadcast(totG))
           .select(col("tok"), expr("(cg * 1000000) div ng").as("q_ppm"))
