@@ -93,6 +93,59 @@ object PipelineQueries {
     graft.ops.TextDedup.lshPairs(corpus, seeds = lshSeeds,
       rowsPerBand = lshRowsPerBand, minMatch = lshMinMatch, reliable = lshReliable)
 
+  /** Session-shared frames of the customer–supplier co-trade graph
+    * (x114 item-item CF and x115 clustering coefficients): the capped
+    * bipartite edge list and the strong co-trade pair list. Keys embed the
+    * parameters so a drift between call sites misses the cache instead of
+    * silently serving mismatched frames (the lshPairs discipline). Both
+    * builders checkpoint — every consumer reads one materialization of the
+    * corpus join.
+    *
+    * Sparsification is kNN — each supplier keeps its 10 strongest co-trade
+    * partners (co desc, partner-id tie-break), an edge survives if EITHER
+    * endpoint keeps it — the standard item-item CF graph construction.
+    * An absolute co-cutoff densifies with scale (at 10× customers every
+    * supplier pair clears any constant, the graph completes, and x115's
+    * triangle stage goes cubic on an artifact — measured 9.4 s at 10×);
+    * a mean-relative cutoff fails the other way on small fixtures whose co
+    * is uniform (all-or-nothing). kNN bounds edges at 10·|suppliers| at
+    * EVERY scale by construction. */
+  private val cfCap = 30
+  private val cfK = 10
+  private def cfCappedEdges(s: SparkSession, d: String): DataFrame =
+    SharedCache.getOrCompute(SharedCache.key(s, d, s"cf_capped_edges:cap=$cfCap")) {
+      orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+        .distinct()
+        .withColumn("cdeg", count(lit(1)).over(Window.partitionBy("c")))
+        .filter(col("cdeg") <= cfCap)
+        .select("c", "sp")
+        .localCheckpoint(true)
+    }
+  private def cfCoPairs(s: SparkSession, d: String): DataFrame =
+    SharedCache.getOrCompute(
+      SharedCache.key(s, d, s"cf_co_pairs:cap=$cfCap:knn=$cfK")) {
+      val capped = cfCappedEdges(s, d)
+      val counts = capped.as("a")
+        .join(capped.as("b"),
+          col("a.c") === col("b.c") && col("a.sp") < col("b.sp"))
+        .groupBy(col("a.sp").as("s1"), col("b.sp").as("s2"))
+        .agg(count(lit(1)).as("co"))
+        .localCheckpoint(true) // both symmetrized halves read one frame
+      val sym = counts.select(col("s1").as("u"), col("s2").as("v"), col("co"))
+        .unionAll(counts.select(col("s2").as("u"), col("s1").as("v"), col("co")))
+      sym
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("u").orderBy(col("co").desc, col("v"))))
+        .filter(col("rn") <= cfK)
+        .select(least(col("u"), col("v")).as("s1"),
+          greatest(col("u"), col("v")).as("s2"), col("co"))
+        .distinct()
+        .localCheckpoint(true)
+    }
+
   /** Embeddings ∪ id-shifted clone. */
   private def embCorpus(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d).select("vec_id", "embedding")
@@ -6160,33 +6213,20 @@ object PipelineQueries {
     // edge set so cosine stays ≤ 1. Exact: co/deg are BIGINTs; the one
     // double expression (div + sqrt on identical integers) is bit-identical
     // both engines, + 6 dp round + signed-zero normalize; top-50 under a
-    // TOTAL order (cosine desc, s1, s2) is deterministic. The capped frame
-    // is localCheckpoint-truncated: three consumers (both join sides +
-    // degrees) must read ONE materialization, not re-run the corpus join
-    // (x112's lesson, pinned). Scale: self-join keyed on customer is
-    // bounded by cap²/2 per customer; pair rollup partial-combines into a
-    // ≤|suppliers|² frame; degree table broadcasts.
+    // TOTAL order (cosine desc, s1, s2) is deterministic. The capped edge
+    // and co-pair frames are SESSION-SHARED checkpoints ([[cfCappedEdges]]/
+    // [[cfCoPairs]], the lshPairs pattern) — x115's clustering
+    // coefficients ride the same graph, and every consumer reads ONE
+    // materialization of the corpus join (x112's lesson, pinned). Scale:
+    // self-join keyed on customer is bounded by cap²/2 per customer; pair
+    // rollup partial-combines into a ≤|suppliers|² frame; degree table
+    // broadcasts.
     QueryDef(
       "x114_item_cf",
       (s, d) => {
-        val edges = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-          .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
-            col("o_orderkey") === col("l_orderkey"))
-          .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
-          .distinct()
-        val capped = edges
-          .withColumn("cdeg", count(lit(1)).over(Window.partitionBy("c")))
-          .filter(col("cdeg") <= 30)
-          .select("c", "sp")
-          .localCheckpoint(true)
+        val capped = cfCappedEdges(s, d)
         val deg = capped.groupBy("sp").agg(count(lit(1)).as("deg"))
-        val pairs = capped.as("a")
-          .join(capped.as("b"),
-            col("a.c") === col("b.c") && col("a.sp") < col("b.sp"))
-          .groupBy(col("a.sp").as("s1"), col("b.sp").as("s2"))
-          .agg(count(lit(1)).as("co"))
-          .filter(col("co") >= 3)
-        pairs
+        cfCoPairs(s, d)
           .join(broadcast(deg.select(col("sp").as("s1"), col("deg").as("d1"))), Seq("s1"))
           .join(broadcast(deg.select(col("sp").as("s2"), col("deg").as("d2"))), Seq("s2"))
           .select(col("s1").cast(LongType).as("s1"), col("s2").cast(LongType).as("s2"),
@@ -6201,14 +6241,186 @@ object PipelineQueries {
              |cdg AS (SELECT c, count(*) AS cdeg FROM e GROUP BY 1),
              |capped AS (SELECT e.c, e.sp FROM e JOIN cdg USING (c) WHERE cdeg <= 30),
              |deg AS (SELECT sp, CAST(count(*) AS BIGINT) AS deg FROM capped GROUP BY 1),
-             |p AS (SELECT a.sp AS s1, b.sp AS s2, CAST(count(*) AS BIGINT) AS co
-             |  FROM capped a JOIN capped b ON a.c = b.c AND a.sp < b.sp
-             |  GROUP BY 1, 2 HAVING count(*) >= 3)
+             |p0 AS (SELECT a.sp AS s1, b.sp AS s2, CAST(count(*) AS BIGINT) AS co
+             |  FROM capped a JOIN capped b ON a.c = b.c AND a.sp < b.sp GROUP BY 1, 2),
+             |sym AS (SELECT s1 AS u, s2 AS v, co FROM p0
+             |  UNION ALL SELECT s2, s1, co FROM p0),
+             |kn AS (SELECT u, v, co FROM (SELECT u, v, co,
+             |  row_number() OVER (PARTITION BY u ORDER BY co DESC, v) AS rn FROM sym)
+             |  WHERE rn <= 10),
+             |p AS (SELECT DISTINCT least(u, v) AS s1, greatest(u, v) AS s2, co FROM kn)
              |SELECT CAST(s1 AS BIGINT) AS s1, CAST(s2 AS BIGINT) AS s2,
              |  co AS co_count,
              |  round(CAST(co AS DOUBLE) / sqrt(CAST(d1.deg AS DOUBLE) *
              |    CAST(d2.deg AS DOUBLE)), 6) + 0.0 AS cosine
              |FROM p JOIN deg d1 ON p.s1 = d1.sp JOIN deg d2 ON p.s2 = d2.sp
-             |ORDER BY cosine DESC, s1, s2 LIMIT 50""".stripMargin))
+             |ORDER BY cosine DESC, s1, s2 LIMIT 50""".stripMargin)),
+
+    // LOCAL CLUSTERING COEFFICIENTS (x115) — node-level transitivity on the
+    // supplier co-trade graph x114 built: cc(v) = 2·tri(v)/(deg(v)·(deg(v)−1)),
+    // the per-node companion to q48's global triangle counts and the
+    // second standard structural-health signal for GNN prep (high-cc
+    // regions oversample under naive neighbor sampling). Rides the
+    // session-shared co-pair frame ([[cfCoPairs]] — ONE materialization of
+    // the corpus join serves x114 and this). Triangles enumerate
+    // compact-forward on the canonically-oriented (s1<s2) entity-sized
+    // edge list, exactly q48's shape; cc is integer ppm (2·tri·10⁶ div
+    // deg(deg−1)) — no float anywhere. Output is |suppliers|-bounded.
+    QueryDef(
+      "x115_clustering_coeff",
+      (s, d) => {
+        val e = cfCoPairs(s, d).select("s1", "s2")
+        val deg = e.select(col("s1").as("sp"))
+          .unionAll(e.select(col("s2").as("sp")))
+          .groupBy("sp").agg(count(lit(1)).as("deg"))
+        val tris = e.as("a")
+          .join(e.select(col("s1").as("m"), col("s2").as("z")).as("b"),
+            col("a.s2") === col("b.m"))
+          .join(e.select(col("s1").as("x2"), col("s2").as("z2")).as("c"),
+            col("a.s1") === col("x2") && col("z") === col("z2"))
+          .select(col("a.s1").as("x"), col("a.s2").as("y"), col("z"))
+          .localCheckpoint(true) // three member projections read one frame
+        val tn = tris.select(col("x").as("sp"))
+          .unionAll(tris.select(col("y").as("sp")))
+          .unionAll(tris.select(col("z").as("sp")))
+          .groupBy("sp").agg(count(lit(1)).as("n_tri"))
+        deg.join(tn, Seq("sp"), "left")
+          .select(col("sp").cast(LongType).as("sp"),
+            col("deg").cast(LongType).as("deg"),
+            coalesce(col("n_tri"), lit(0L)).cast(LongType).as("n_tri"),
+            expr("CAST(CASE WHEN deg >= 2 THEN coalesce(n_tri, 0) * 2000000 " +
+              "div (deg * (deg - 1)) ELSE 0 END AS BIGINT)").as("cc_ppm"))
+          .orderBy("sp")
+      },
+      Some("""WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |cdg AS (SELECT c, count(*) AS cdeg FROM e GROUP BY 1),
+             |capped AS (SELECT e.c, e.sp FROM e JOIN cdg USING (c) WHERE cdeg <= 30),
+             |p0 AS (SELECT a.sp AS s1, b.sp AS s2, CAST(count(*) AS BIGINT) AS co
+             |  FROM capped a JOIN capped b ON a.c = b.c AND a.sp < b.sp GROUP BY 1, 2),
+             |sym AS (SELECT s1 AS u, s2 AS v, co FROM p0
+             |  UNION ALL SELECT s2, s1, co FROM p0),
+             |kn AS (SELECT u, v FROM (SELECT u, v,
+             |  row_number() OVER (PARTITION BY u ORDER BY co DESC, v) AS rn FROM sym)
+             |  WHERE rn <= 10),
+             |p AS (SELECT DISTINCT least(u, v) AS s1, greatest(u, v) AS s2 FROM kn),
+             |deg AS (SELECT sp, CAST(count(*) AS BIGINT) AS deg FROM
+             |  (SELECT s1 AS sp FROM p UNION ALL SELECT s2 FROM p) GROUP BY 1),
+             |tri AS (SELECT a.s1 AS x, a.s2 AS y, b.s2 AS z FROM p a
+             |  JOIN p b ON b.s1 = a.s2 JOIN p c ON c.s1 = a.s1 AND c.s2 = b.s2),
+             |tn AS (SELECT sp, CAST(count(*) AS BIGINT) AS n_tri FROM
+             |  (SELECT x AS sp FROM tri UNION ALL SELECT y FROM tri
+             |   UNION ALL SELECT z FROM tri) GROUP BY 1)
+             |SELECT CAST(deg.sp AS BIGINT) AS sp, deg,
+             |  coalesce(n_tri, 0) AS n_tri,
+             |  CAST(CASE WHEN deg >= 2 THEN coalesce(n_tri, 0) * 2000000
+             |    // (deg * (deg - 1)) ELSE 0 END AS BIGINT) AS cc_ppm
+             |FROM deg LEFT JOIN tn ON deg.sp = tn.sp ORDER BY sp""".stripMargin)),
+
+    // URL CANONICALIZATION (x116) — the crawl-side normalizer x66's domain
+    // analytics presuppose: scraped URLs vary in scheme/host case, default
+    // ports, duplicate path slashes, tracking parameters, parameter order,
+    // and fragments, and a dedup/frontier keyed on the RAW string
+    // re-crawls the same resource. Canonical form: lowercase scheme+host,
+    // drop :443, collapse path slash runs, strip utm_* params, sort the
+    // rest, strip the fragment. The gate builds TWO deterministic variants
+    // per doc — a messy one (case noise, port, slash run, shuffled params
+    // with trackers, fragment) and a clean one — and proves the transform
+    // collapses them (variants_agree). Dialect discipline: no regex
+    // capture replacement (Spark $1 vs DuckDB \1 — avoided entirely);
+    // split/filter/sort/join array ops and capture-free regexes only.
+    // Narrow per-row expressions, zero shuffle before the ORDER BY.
+    QueryDef(
+      "x116_url_canonicalize",
+      (s, d) => {
+        val messy = "concat(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END, " +
+          "'://', 'WWW.', source, '.Example.ORG', " +
+          "CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END, " +
+          "'/docs', CASE WHEN doc_id % 4 = 0 THEN '//' ELSE '/' END, " +
+          "'d-', CAST(doc_id AS STRING), " +
+          "CASE WHEN doc_id % 2 = 0 " +
+          "THEN concat('?page=', CAST(doc_id % 7 AS STRING), " +
+          "'&utm_source=feed&ref=', upper(source), '&utm_campaign=x') " +
+          "ELSE concat('?ref=', upper(source), '&utm_campaign=x&page=', " +
+          "CAST(doc_id % 7 AS STRING), '&utm_source=feed') END, " +
+          "CASE WHEN doc_id % 5 = 0 THEN '#sec1' ELSE '' END)"
+        val clean = "concat('https://www.', source, '.example.org/docs/d-', " +
+          "CAST(doc_id AS STRING), '?page=', CAST(doc_id % 7 AS STRING), " +
+          "'&ref=', upper(source))"
+        // one canonicalization step chain per source column, suffixed so the
+        // messy and clean variants ride the same narrow projection
+        def canonCols(df: DataFrame, src: String, out: String): DataFrame = df
+          .withColumn(s"nf_$out", expr(s"regexp_replace($src, '#.*', '')"))
+          .withColumn(s"pre_$out",
+            expr(s"regexp_extract(nf_$out, '^[^/]*//[^/?]*', 0)"))
+          .withColumn(s"rest_$out",
+            expr(s"substring(nf_$out, length(pre_$out) + 1)"))
+          .withColumn(s"cq_$out", expr(
+            s"array_join(array_sort(filter(split(CASE WHEN instr(rest_$out, '?') > 0 " +
+              s"THEN substring(rest_$out, instr(rest_$out, '?') + 1) ELSE '' END, " +
+              s"'&'), p -> NOT startswith(p, 'utm_'))), '&')"))
+          .withColumn(out, expr(
+            s"concat(replace(lower(pre_$out), ':443', ''), " +
+              s"regexp_replace(CASE WHEN instr(rest_$out, '?') > 0 " +
+              s"THEN substring(rest_$out, 1, instr(rest_$out, '?') - 1) " +
+              s"ELSE rest_$out END, '//+', '/'), " +
+              s"CASE WHEN cq_$out = '' THEN '' ELSE concat('?', cq_$out) END)"))
+        val base = documents(s, d).filter(col("doc_id") < 400)
+          .withColumn("url", expr(messy))
+          .withColumn("cl", expr(clean))
+        canonCols(canonCols(base, "url", "canon_url"), "cl", "canon_clean")
+          .select(col("doc_id"), col("url"), col("canon_url"),
+            (col("canon_url") === col("canon_clean")).as("variants_agree"),
+            (col("canon_url") =!= col("url")).as("changed"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val messy = """(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END ||
+          |'://WWW.' || source || '.Example.ORG' ||
+          |CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END ||
+          |'/docs' || CASE WHEN doc_id % 4 = 0 THEN '//' ELSE '/' END ||
+          |'d-' || CAST(doc_id AS VARCHAR) ||
+          |CASE WHEN doc_id % 2 = 0
+          |THEN '?page=' || CAST(doc_id % 7 AS VARCHAR) ||
+          |  '&utm_source=feed&ref=' || upper(source) || '&utm_campaign=x'
+          |ELSE '?ref=' || upper(source) || '&utm_campaign=x&page=' ||
+          |  CAST(doc_id % 7 AS VARCHAR) || '&utm_source=feed' END ||
+          |CASE WHEN doc_id % 5 = 0 THEN '#sec1' ELSE '' END)""".stripMargin
+        val clean = """('https://www.' || source || '.example.org/docs/d-' ||
+          |CAST(doc_id AS VARCHAR) || '?page=' || CAST(doc_id % 7 AS VARCHAR) ||
+          |'&ref=' || upper(source))""".stripMargin
+        s"""WITH b AS (SELECT doc_id, $messy AS url, $clean AS cl FROM documents
+           |  WHERE doc_id < 400),
+           |c1 AS (SELECT doc_id, url, regexp_replace(url, '#.*', '') AS nf,
+           |  regexp_replace(cl, '#.*', '') AS nf2 FROM b),
+           |c2 AS (SELECT *, regexp_extract(nf, '^[^/]*//[^/?]*') AS pre,
+           |  regexp_extract(nf2, '^[^/]*//[^/?]*') AS pre2 FROM c1),
+           |c3 AS (SELECT *, substr(nf, CAST(length(pre) + 1 AS INT)) AS rest,
+           |  substr(nf2, CAST(length(pre2) + 1 AS INT)) AS rest2 FROM c2),
+           |c4 AS (SELECT *,
+           |  array_to_string(list_sort(list_filter(str_split(
+           |    CASE WHEN instr(rest, '?') > 0
+           |      THEN substr(rest, CAST(instr(rest, '?') + 1 AS INT)) ELSE '' END, '&'),
+           |    p -> NOT starts_with(p, 'utm_'))), '&') AS cq,
+           |  array_to_string(list_sort(list_filter(str_split(
+           |    CASE WHEN instr(rest2, '?') > 0
+           |      THEN substr(rest2, CAST(instr(rest2, '?') + 1 AS INT)) ELSE '' END, '&'),
+           |    p -> NOT starts_with(p, 'utm_'))), '&') AS cq2 FROM c3),
+           |c5 AS (SELECT doc_id, url,
+           |  replace(lower(pre), ':443', '') ||
+           |  regexp_replace(CASE WHEN instr(rest, '?') > 0
+           |    THEN substr(rest, 1, CAST(instr(rest, '?') - 1 AS INT)) ELSE rest END,
+           |    '//+', '/', 'g') ||
+           |  CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canon_url,
+           |  replace(lower(pre2), ':443', '') ||
+           |  regexp_replace(CASE WHEN instr(rest2, '?') > 0
+           |    THEN substr(rest2, 1, CAST(instr(rest2, '?') - 1 AS INT)) ELSE rest2 END,
+           |    '//+', '/', 'g') ||
+           |  CASE WHEN cq2 = '' THEN '' ELSE '?' || cq2 END AS canon_clean FROM c4)
+           |SELECT doc_id, url, canon_url,
+           |  (canon_url = canon_clean) AS variants_agree,
+           |  (canon_url <> url) AS changed
+           |FROM c5 ORDER BY doc_id""".stripMargin
+      })
   )
 }

@@ -706,6 +706,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(opExchanges(p) == 0, s"zip extraction must not hash-shuffle:\n$p")
   }
 
+  test("x115 rides the session-shared co-trade graph — no corpus scan in its plan") {
+    val p = plans("x115_clustering_coeff")
+    assert(!p.contains("FileScan parquet"), s"corpus re-joined instead of shared frame:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x116's canonicalization is joinless narrow string work") {
+    val p = plans("x116_url_canonicalize")
+    assert(!p.contains("Join"), p)
+    assert(opExchanges(p) == 0, s"url canonicalization must not hash-shuffle:\n$p")
+  }
+
   test("x114's capped edge frame materializes ONCE and the degree tables broadcast") {
     val p = plans("x114_item_cf")
     // three consumers (self-join both sides + degrees) read the checkpoint —
