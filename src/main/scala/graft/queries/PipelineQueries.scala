@@ -6421,6 +6421,101 @@ object PipelineQueries {
            |  (canon_url = canon_clean) AS variants_agree,
            |  (canon_url <> url) AS changed
            |FROM c5 ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // WARC RECORD INDEXING (x117) — the container of web-scale text
+    // corpora: Common Crawl ships WARC, and stage one of every web-text
+    // pipeline is walking records (version line, CRLF headers, a
+    // Content-Length-driven payload, CRLFCRLF terminator).
+    // graft.ops.WarcIndex does the walk for real, with the terminator
+    // VERIFIED so a lying Content-Length cannot silently shift record
+    // boundaries — the gate's shards with doc_id % 5 = 4 declare their
+    // LAST record one octet short, and the decoder must drop that record
+    // and stop (no second length source to resync from; that is exactly
+    // why crawl archives gzip records separately — x118's job). Shards
+    // are built as STRINGS in both engines' SQL (the format is text;
+    // CRLF spelled chr(13)||chr(10), no escape-sequence dialect risk) and
+    // the oracle predicts every field arithmetically. Narrow per-shard
+    // flatMap, zero shuffle before the ORDER BY.
+    QueryDef(
+      "x117_warc_records",
+      (s, d) => {
+        def rec(i: Int): String = {
+          val rid = s"(doc_id * 3 + $i)"
+          val k = s"(1 + (doc_id * 5 + $i * 7) % 40)"
+          val t = Seq("request", "response", "metadata")(i)
+          val short = if (i == 2) "CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END" else "0"
+          s"concat('WARC/1.0', crlf, 'WARC-Type: $t', crlf, " +
+            s"'WARC-Target-URI: https://ex.org/d', CAST($rid AS STRING), crlf, " +
+            s"'Content-Length: ', CAST(2 + $k - ($short) AS STRING), crlf, crlf, " +
+            s"'p:', repeat('a', $k), crlf, crlf)"
+        }
+        val blobs = documents(s, d).filter(col("doc_id") < 15)
+          .withColumn("crlf", expr("concat(chr(13), chr(10))"))
+          .select(col("doc_id").as("media_id"),
+            expr(s"CAST(concat(${rec(0)}, ${rec(1)}, ${rec(2)}) AS BINARY)").as("media"))
+        graft.ops.WarcIndex.index(blobs)
+          .select(col("shard_id"), col("rec_idx"), col("warc_type"),
+            col("target_uri"), col("content_length"), col("payload"))
+          .orderBy("shard_id", "rec_idx")
+      },
+      Some("""WITH m AS (SELECT doc_id, CAST(i AS BIGINT) AS i FROM documents
+             |  CROSS JOIN (SELECT unnest(range(0, 3)) AS i) WHERE doc_id < 15),
+             |f AS (SELECT doc_id, i FROM m WHERE NOT (doc_id % 5 = 4 AND i = 2))
+             |SELECT doc_id AS shard_id, i AS rec_idx,
+             |  CASE i WHEN 0 THEN 'request' WHEN 1 THEN 'response'
+             |    ELSE 'metadata' END AS warc_type,
+             |  'https://ex.org/d' || CAST(doc_id * 3 + i AS VARCHAR) AS target_uri,
+             |  CAST(3 + (doc_id * 5 + i * 7) % 40 AS BIGINT) AS content_length,
+             |  'p:' || repeat('a', CAST(1 + (doc_id * 5 + i * 7) % 40 AS INT)) AS payload
+             |FROM f ORDER BY shard_id, rec_idx""".stripMargin)),
+
+    // MULTI-MEMBER GZIP EXTRACTION (x118) — x117's compression wrapper:
+    // Common Crawl gzips each WARC record as its own member so archives
+    // split on member boundaries. graft.ops.GzipExtract walks RFC 1952
+    // members — FNAME-flagged headers, raw DEFLATE via the JDK Inflater,
+    // CRC32+ISIZE trailer verified against the inflated bytes — and a
+    // corrupt trailer FLAGS the member while the walk resyncs from the
+    // exact compressed length (Inflater.getBytesRead): the gate corrupts
+    // member 0 of every 4th shard and member 1 must still extract clean,
+    // proving the resync. Blobs are built in Spark SQL (stored-block
+    // deflate — x36/x113's trick — with the stored CRC from Spark's
+    // builtin crc32, so a green crc_ok cross-checks the SQL builder, the
+    // JDK CRC32, AND the inflate path); the oracle predicts every field.
+    // Narrow per-row flatMap, zero shuffle before the ORDER BY.
+    QueryDef(
+      "x118_gzip_members",
+      (s, d) => {
+        def member(i: Int): String = {
+          val mid = s"(doc_id * 2 + $i)"
+          val k = s"(1 + (doc_id * 3 + $i) % 30)"
+          val fname = s"concat('m', CAST($mid AS STRING), '.txt')"
+          val content = s"concat('g:', CAST(doc_id AS STRING), ':', '$i', " +
+            s"repeat('y', $k))"
+          val len = s"(length($content))"
+          val bad = if (i == 0) "CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END" else "0"
+          val crc = s"((crc32(CAST($content AS BINARY)) + ($bad)) % 4294967296)"
+          s"concat('1F8B0808', '00000000', '0000', hex($fname), '00', " +
+            s"'01', ${le16S(len)}, ${le16S(s"65535 - $len")}, hex($content), " +
+            s"${le32S(crc)}, ${le32S(len)})"
+        }
+        val blobs = documents(s, d).filter(col("doc_id") < 12)
+          .select(col("doc_id").as("media_id"),
+            unhex(expr(s"concat(${member(0)}, ${member(1)})")).as("media"))
+        graft.ops.GzipExtract.extract(blobs)
+          .select(col("shard_id"), col("member_idx"), col("fname"),
+            col("isize"), col("content"), col("crc_ok"))
+          .orderBy("shard_id", "member_idx")
+      },
+      Some("""WITH m AS (SELECT doc_id, CAST(i AS BIGINT) AS i FROM documents
+             |  CROSS JOIN (SELECT unnest(range(0, 2)) AS i) WHERE doc_id < 12),
+             |b AS (SELECT doc_id, i, 1 + (doc_id * 3 + i) % 30 AS k FROM m)
+             |SELECT doc_id AS shard_id, i AS member_idx,
+             |  'm' || CAST(doc_id * 2 + i AS VARCHAR) || '.txt' AS fname,
+             |  CAST(4 + length(CAST(doc_id AS VARCHAR)) + k AS BIGINT) AS isize,
+             |  'g:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR) ||
+             |    repeat('y', CAST(k AS INT)) AS content,
+             |  NOT (doc_id % 4 = 1 AND i = 0) AS crc_ok
+             |FROM b ORDER BY shard_id, member_idx""".stripMargin))
   )
 }

@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class WarcIndexSpec extends SparkSpec {
+
+  // spec-side reference writer with header-case and extra-header variation
+  // the x117 gate's builder does not produce
+  private def rec(headers: Seq[(String, String)], payload: String,
+      declaredLen: Option[Int] = None): String = {
+    val cl = declaredLen.getOrElse(payload.length)
+    ("WARC/1.0" +: headers.map { case (k, v) => s"$k: $v" })
+      .mkString("", "\r\n", "\r\n") +
+      s"Content-Length: $cl\r\n\r\n$payload\r\n\r\n"
+  }
+
+  test("walks records; header names match case-insensitively; extra headers skipped") {
+    val bytes = (rec(Seq("WARC-TYPE" -> "response",
+      "warc-target-uri" -> "https://a/1",
+      "WARC-Record-ID" -> "<urn:uuid:x>", "X-Custom" -> "v"), "hello world") +
+      rec(Seq("Warc-Type" -> "metadata"), "")).getBytes("ISO-8859-1")
+    val rs = WarcIndex.parse(4L, bytes)
+    assert(rs.map(r => (r.rec_idx, r.warc_type, r.target_uri, r.content_length,
+      r.payload)) == Seq(
+      (0L, "response", "https://a/1", 11L, "hello world"),
+      (1L, "metadata", "", 0L, "")))
+  }
+
+  test("payload containing fake headers does not desync the length-driven walk") {
+    val evil = "WARC/1.0\r\nContent-Length: 999\r\n\r\nnot a record"
+    val bytes = (rec(Seq("WARC-Type" -> "response"), evil) +
+      rec(Seq("WARC-Type" -> "request"), "tail")).getBytes("ISO-8859-1")
+    val rs = WarcIndex.parse(0L, bytes)
+    assert(rs.map(_.payload) == Seq(evil, "tail"))
+  }
+
+  test("a lying Content-Length fails the terminator check and stops the walk") {
+    val bytes = (rec(Seq("WARC-Type" -> "response"), "good") +
+      rec(Seq("WARC-Type" -> "response"), "bad!", declaredLen = Some(3)) +
+      rec(Seq("WARC-Type" -> "response"), "never")).getBytes("ISO-8859-1")
+    val rs = WarcIndex.parse(0L, bytes)
+    assert(rs.map(_.payload) == Seq("good"))
+  }
+
+  test("missing Content-Length, bad version line, truncation, empty input stop cleanly") {
+    assert(WarcIndex.parse(0L, Array.emptyByteArray).isEmpty)
+    assert(WarcIndex.parse(0L, "HTTP/1.1 200 OK\r\n\r\n".getBytes("US-ASCII")).isEmpty)
+    val noLen = "WARC/1.0\r\nWARC-Type: response\r\n\r\npayload\r\n\r\n"
+    assert(WarcIndex.parse(0L, noLen.getBytes("US-ASCII")).isEmpty)
+    val good = rec(Seq("WARC-Type" -> "response"), "abcdef")
+    assert(WarcIndex.parse(0L,
+      good.getBytes("ISO-8859-1").dropRight(5)).isEmpty)
+  }
+
+  test("index() explodes shards and survives null blobs") {
+    import spark.implicits._
+    val bytes = rec(Seq("WARC-Type" -> "response"), "qq").getBytes("ISO-8859-1")
+    val df = Seq((1L, Option(bytes)), (2L, Option.empty[Array[Byte]]))
+      .toDF("media_id", "media")
+    val rows = WarcIndex.index(df).collect().toSeq
+    assert(rows.map(r => (r.shard_id, r.payload)) == Seq((1L, "qq")))
+  }
+}

@@ -718,6 +718,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(opExchanges(p) == 0, s"url canonicalization must not hash-shuffle:\n$p")
   }
 
+  test("x117/x118's container walks are joinless narrow decodes") {
+    Seq("x117_warc_records", "x118_gzip_members").foreach { q =>
+      val p = plans(q)
+      assert(!p.contains("Join"), s"$q:\n$p")
+      assert(opExchanges(p) == 0, s"$q must not hash-shuffle:\n$p")
+    }
+  }
+
   test("x114's capped edge frame materializes ONCE and the degree tables broadcast") {
     val p = plans("x114_item_cf")
     // three consumers (self-join both sides + degrees) read the checkpoint —
