@@ -6516,6 +6516,167 @@ object PipelineQueries {
              |  'g:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR) ||
              |    repeat('y', CAST(k AS INT)) AS content,
              |  NOT (doc_id % 4 = 1 AND i = 0) AS crc_ok
-             |FROM b ORDER BY shard_id, member_idx""".stripMargin))
+             |FROM b ORDER BY shard_id, member_idx""".stripMargin)),
+
+    // PER-SOURCE QUANTILE CALIBRATION (x119) — rank-based score
+    // normalization before a GLOBAL threshold: quality scores (here the
+    // length signal, standing in for any per-doc score) are not comparable
+    // across sources (different extractors, different length profiles), so
+    // curation maps each doc to its per-source percentile and reads the
+    // calibrated value off the global score distribution at that
+    // percentile — quantile normalization, the microarray-era standard.
+    // All-integer: percentile in ppm via (rank−1)·10⁶ div (n−1), the
+    // global read-back via the order statistic at 1 + pct·(N−1) div 10⁶ —
+    // no interpolation floats. Scale: per-source ranks ride ONE source
+    // exchange; the global rank is a single-partition window over the
+    // (score, doc_id)-sorted frame — the documented tiny-frame exception
+    // at gate scale; at 100 TB the swap is q40's bucketed CDF (histogram
+    // bins + within-bin offsets), same mapping, no total sort.
+    QueryDef(
+      "x119_quantile_calibration",
+      (s, d) => {
+        val docs = documents(s, d).select(col("doc_id"), col("source"),
+          col("n_chars").cast(LongType).as("score"))
+        val ws = Window.partitionBy("source").orderBy(col("score"), col("doc_id"))
+        val wsAll = Window.partitionBy("source")
+        val wg = Window.orderBy(col("score"), col("doc_id"))
+        val ranked = docs
+          .withColumn("rs", row_number().over(ws))
+          .withColumn("ns", count(lit(1)).over(wsAll))
+          // row_number is INT — the ×10⁶ must be 64-bit or it overflows
+          // past ~2147 rows per source (caught by the 10× run under ANSI)
+          .withColumn("pct_ppm",
+            expr("CASE WHEN ns > 1 THEN (CAST(rs AS BIGINT) - 1) * 1000000 " +
+              "div (ns - 1) ELSE 0 END"))
+        val global = docs
+          .select(col("score").as("gscore"), col("doc_id").as("gid"))
+          .withColumn("gpos", row_number().over(
+            Window.orderBy(col("gscore"), col("gid"))))
+          .select("gpos", "gscore")
+        val n = docs.agg(count(lit(1)).as("nn"))
+        ranked.crossJoin(broadcast(n))
+          .withColumn("pos", expr("1 + pct_ppm * (nn - 1) div 1000000"))
+          .join(global, col("pos") === col("gpos"))
+          .select(col("doc_id"), col("source"), col("score"),
+            col("pct_ppm").cast(LongType).as("pct_ppm"),
+            col("gscore").as("calibrated"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH docs AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS score
+             |  FROM documents),
+             |r AS (SELECT doc_id, source, score,
+             |  row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS rs,
+             |  count(*) OVER (PARTITION BY source) AS ns FROM docs),
+             |p AS (SELECT doc_id, source, score,
+             |  CASE WHEN ns > 1 THEN (rs - 1) * 1000000 // (ns - 1) ELSE 0 END
+             |    AS pct_ppm FROM r),
+             |g AS (SELECT score AS gscore,
+             |  row_number() OVER (ORDER BY score, doc_id) AS gpos FROM docs),
+             |n AS (SELECT count(*) AS nn FROM docs)
+             |SELECT doc_id, source, score, CAST(pct_ppm AS BIGINT) AS pct_ppm,
+             |  gscore AS calibrated
+             |FROM p CROSS JOIN n JOIN g ON g.gpos = 1 + pct_ppm * (nn - 1) // 1000000
+             |ORDER BY doc_id""".stripMargin)),
+
+    // CROSS-LINGUAL CANDIDATE MINING (x120) — the bitext-harvesting shape
+    // (CCAligned/CCMatrix family): find document pairs in DIFFERENT
+    // languages that share enough rare content anchors to be candidate
+    // parallel/comparable texts, bounded by a length-ratio band. Anchors
+    // are discriminative word 3-gram shingles (document frequency ≤ 20 —
+    // x05's df-cap argument: rare shingles have short postings, so the
+    // candidate join is sparse and the stopword-pair quadratic never
+    // starts); a pair qualifies with ≥ 2 shared anchors and token counts
+    // within 2× of each other (integer cross-multiplication). The anchor
+    // postings frame feeds BOTH join sides — checkpointed (the
+    // multi-consumer discipline). Scale: postings join keyed on shingle,
+    // pair rollup partial-combines, everything after is id-sized.
+    QueryDef(
+      "x120_bitext_candidates",
+      (s, d) => {
+        val sh = documents(s, d)
+          .select(col("doc_id"), col("lang"), tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 3)
+          .withColumn("len", size(col("tk")).cast(LongType))
+          .select(col("doc_id"), col("lang"), col("len"),
+            explode(array_distinct(graft.ops.TextDedup.shingles(col("tk")))).as("sh"))
+        val posting = sh
+          .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+          .filter(col("df") <= 20)
+          .select("doc_id", "lang", "len", "sh")
+          .localCheckpoint(true) // both candidate-join sides read one frame
+        posting.as("a")
+          .join(posting.as("b"),
+            col("a.sh") === col("b.sh") && col("a.lang") < col("b.lang"))
+          .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+            col("a.len").as("len_a"), col("b.len").as("len_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 2 &&
+            col("len_a") * 2 >= col("len_b") && col("len_b") * 2 >= col("len_a"))
+          .select(col("a_id"), col("b_id"),
+            col("n_shared").cast(LongType).as("n_shared"),
+            col("len_a"), col("len_b"))
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang, $tokensSql AS tk FROM documents),
+             |shx AS (SELECT doc_id, lang, CAST(len(tk) AS BIGINT) AS len,
+             |  unnest(list_distinct($shinglesSql)) AS sh FROM t WHERE len(tk) >= 3),
+             |dfc AS (SELECT sh, count(*) AS df FROM shx GROUP BY 1),
+             |post AS (SELECT doc_id, lang, len, shx.sh FROM shx
+             |  JOIN dfc ON shx.sh = dfc.sh WHERE df <= 20)
+             |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |  CAST(count(*) AS BIGINT) AS n_shared,
+             |  a.len AS len_a, b.len AS len_b
+             |FROM post a JOIN post b ON a.sh = b.sh AND a.lang < b.lang
+             |GROUP BY 1, 2, 4, 5
+             |HAVING count(*) >= 2 AND a.len * 2 >= b.len AND b.len * 2 >= a.len
+             |ORDER BY a_id, b_id""".stripMargin)),
+
+    // CRAWL INGEST COMPOSITION (x121) — the two container ops composed the
+    // way Common Crawl actually lays data out: each shard is CONCATENATED
+    // gzip members, each member holding exactly ONE WARC record
+    // (x118 → x117 chained through the DataFrame API: extracted member
+    // content re-binarized and fed to the WARC walk, member identity
+    // carried in the synthetic media_id). Proves the ops compose as
+    // library stages, not just in isolation. Corruption story inherited
+    // from x118: member 0 of every 4th shard has a bad CRC — it STILL
+    // parses as WARC (flagged upstream, content intact), so the composed
+    // output keeps all records and the oracle predicts every field.
+    QueryDef(
+      "x121_crawl_ingest",
+      (s, d) => {
+        def member(i: Int): String = {
+          val rid = s"(doc_id * 2 + $i)"
+          val k = s"(1 + (doc_id * 7 + $i * 3) % 25)"
+          val warc = s"concat('WARC/1.0', crlf, 'WARC-Type: response', crlf, " +
+            s"'WARC-Target-URI: https://cc.ex/p', CAST($rid AS STRING), crlf, " +
+            s"'Content-Length: ', CAST(2 + $k AS STRING), crlf, crlf, " +
+            s"'w:', repeat('z', $k), crlf, crlf)"
+          val len = s"(length($warc))"
+          val bad = if (i == 0) "CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END" else "0"
+          val crc = s"((crc32(CAST($warc AS BINARY)) + ($bad)) % 4294967296)"
+          s"concat('1F8B0800', '00000000', '0000', " + // no FNAME: flg=0
+            s"'01', ${le16S(len)}, ${le16S(s"65535 - $len")}, hex($warc), " +
+            s"${le32S(crc)}, ${le32S(len)})"
+        }
+        val blobs = documents(s, d).filter(col("doc_id") < 10)
+          .withColumn("crlf", expr("concat(chr(13), chr(10))"))
+          .select(col("doc_id").as("media_id"),
+            unhex(expr(s"concat(${member(0)}, ${member(1)})")).as("media"))
+        val members = graft.ops.GzipExtract.extract(blobs)
+          .select((col("shard_id") * 2 + col("member_idx")).as("media_id"),
+            col("content").cast("binary").as("media"))
+        graft.ops.WarcIndex.index(members)
+          .select(expr("shard_id div 2").as("shard_id"),
+            expr("shard_id % 2").as("member_idx"),
+            col("warc_type"), col("target_uri"), col("payload"))
+          .orderBy("shard_id", "member_idx")
+      },
+      Some("""WITH m AS (SELECT doc_id, CAST(i AS BIGINT) AS i FROM documents
+             |  CROSS JOIN (SELECT unnest(range(0, 2)) AS i) WHERE doc_id < 10)
+             |SELECT doc_id AS shard_id, i AS member_idx,
+             |  'response' AS warc_type,
+             |  'https://cc.ex/p' || CAST(doc_id * 2 + i AS VARCHAR) AS target_uri,
+             |  'w:' || repeat('z', CAST(1 + (doc_id * 7 + i * 3) % 25 AS INT)) AS payload
+             |FROM m ORDER BY shard_id, member_idx""".stripMargin))
   )
 }

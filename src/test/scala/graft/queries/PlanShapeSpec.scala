@@ -726,6 +726,24 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("x119's per-source ranks ride one exchange; the scalar count broadcasts") {
+    val p = plans("x119_quantile_calibration")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x120's anchor postings materialize once and feed both join sides") {
+    val p = plans("x120_bitext_candidates")
+    assert(!p.contains("FileScan parquet"), s"corpus re-shingled instead of checkpoint:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x121's composed container walk is joinless and shuffle-free") {
+    val p = plans("x121_crawl_ingest")
+    assert(!p.contains("Join"), p)
+    assert(opExchanges(p) == 0, s"crawl ingest must not hash-shuffle:\n$p")
+  }
+
   test("x114's capped edge frame materializes ONCE and the degree tables broadcast") {
     val p = plans("x114_item_cf")
     // three consumers (self-join both sides + degrees) read the checkpoint —
