@@ -6677,6 +6677,207 @@ object PipelineQueries {
              |  'response' AS warc_type,
              |  'https://cc.ex/p' || CAST(doc_id * 2 + i AS VARCHAR) AS target_uri,
              |  'w:' || repeat('z', CAST(1 + (doc_id * 7 + i * 3) % 25 AS INT)) AS payload
-             |FROM m ORDER BY shard_id, member_idx""".stripMargin))
+             |FROM m ORDER BY shard_id, member_idx""".stripMargin)),
+
+    // LINK-PREDICTION NEGATIVE SAMPLING (x122) — graph-ML training prep:
+    // every positive (customer, supplier) edge needs k non-edges as
+    // contrastive negatives, sampled UNIFORMLY over the supplier index and
+    // rejected if they happen to be real edges. Randomness is the
+    // catalog's deterministic hash (md5 of edge⊕probe), so both engines
+    // draw identical candidates; 8 probes per positive, first 3 survivors
+    // kept in probe order — rejection sampling with a deterministic tape.
+    // Gate slice: customers ≡ 0 (mod 20) (the x86 bounded-gate pattern).
+    // Scale: the supplier index is entity-sized and broadcasts twice
+    // (id→idx for candidates, and the rejection anti-join probes the edge
+    // set keyed on (c, cand) — partial-combined, never quadratic); probe
+    // fan-out ×8 is narrow.
+    QueryDef(
+      "x122_negative_sampling",
+      (s, d) => {
+        val edges = cfCappedEdges(s, d)
+        val sup = supplier(s, d).select(col("s_suppkey"))
+          .withColumn("sidx",
+            row_number().over(Window.orderBy("s_suppkey")).cast(LongType) - 1)
+        val nSup = sup.agg(count(lit(1)).as("nsup"))
+        val pos = edges.filter(col("c") % 20 === 0)
+        val cand = pos.select(col("c"), col("sp"),
+            explode(expr("sequence(0L, 7L)")).as("j"))
+          .crossJoin(broadcast(nSup))
+          .withColumn("cidx", expr(
+            "CAST(conv(substring(md5(concat(CAST(c AS STRING), ':', " +
+              "CAST(sp AS STRING), ':', CAST(j AS STRING))), 1, 8), 16, 10) " +
+              "AS BIGINT) % nsup"))
+          .join(broadcast(sup), col("cidx") === col("sidx"))
+          .select(col("c"), col("sp"), col("j"), col("s_suppkey").as("neg_sp"))
+        val rejected = cand.join(
+          edges.select(col("c"), col("sp").as("neg_sp"), lit(true).as("is_edge")),
+          Seq("c", "neg_sp"), "left")
+        val acc = rejected.filter(col("is_edge").isNull)
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("c", "sp").orderBy("j")))
+          .filter(col("rk") <= 3)
+          .groupBy("c", "sp")
+          .agg(count(lit(1)).as("n_neg"),
+            expr("array_join(transform(array_sort(collect_list(struct(j, neg_sp)))," +
+              " x -> CAST(x.neg_sp AS STRING)), ',')").as("negs"))
+        // left join back so a positive with NO viable negative (a customer
+        // connected to every supplier — the whole tiny-fixture graph)
+        // still reports, with n_neg = 0
+        pos.join(acc, Seq("c", "sp"), "left")
+          .select(col("c"), col("sp"),
+            coalesce(col("n_neg"), lit(0L)).cast(LongType).as("n_neg"),
+            coalesce(col("negs"), lit("")).as("negs"))
+          .orderBy("c", "sp")
+      },
+      Some {
+        val hex8 = (0 until 8).map(k =>
+          s"(instr('0123456789abcdef', substr(h, ${k + 1}, 1)) - 1) * " +
+            s"${1L << (4 * (7 - k))}").mkString("(", " + ", ")")
+        s"""WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |cdg AS (SELECT c, count(*) AS cdeg FROM e GROUP BY 1),
+           |capped AS (SELECT e.c, e.sp FROM e JOIN cdg USING (c) WHERE cdeg <= 30),
+           |sup AS (SELECT s_suppkey,
+           |  row_number() OVER (ORDER BY s_suppkey) - 1 AS sidx FROM supplier),
+           |ns AS (SELECT count(*) AS nsup FROM sup),
+           |pos AS (SELECT c, sp FROM capped WHERE c % 20 = 0),
+           |pr AS (SELECT c, sp, CAST(j AS BIGINT) AS j,
+           |  md5(CAST(c AS VARCHAR) || ':' || CAST(sp AS VARCHAR) || ':' ||
+           |    CAST(j AS VARCHAR)) AS h
+           |  FROM pos CROSS JOIN (SELECT unnest(range(0, 8)) AS j)),
+           |cand AS (SELECT c, sp, j, s_suppkey AS neg_sp
+           |  FROM pr CROSS JOIN ns JOIN sup ON sup.sidx = $hex8 % nsup),
+           |acc AS (SELECT cand.c, cand.sp, cand.j, cand.neg_sp FROM cand
+           |  LEFT JOIN capped x ON x.c = cand.c AND x.sp = cand.neg_sp
+           |  WHERE x.sp IS NULL),
+           |rk AS (SELECT c, sp, j, neg_sp,
+           |  row_number() OVER (PARTITION BY c, sp ORDER BY j) AS rk FROM acc),
+           |ag AS (SELECT c, sp, CAST(count(*) AS BIGINT) AS n_neg,
+           |  string_agg(CAST(neg_sp AS VARCHAR), ',' ORDER BY j) AS negs
+           |  FROM rk WHERE rk <= 3 GROUP BY 1, 2)
+           |SELECT pos.c AS c, pos.sp AS sp, coalesce(n_neg, 0) AS n_neg,
+           |  coalesce(negs, '') AS negs
+           |FROM pos LEFT JOIN ag ON pos.c = ag.c AND pos.sp = ag.sp
+           |ORDER BY c, sp""".stripMargin
+      }),
+
+    // DETERMINISTIC RANDOM-WALK CORPUS (x123) — DeepWalk/node2vec stage
+    // one: generate walk sequences over the graph that a skip-gram
+    // embedding then consumes as sentences. Walks here are 4 steps over
+    // the kNN co-trade graph ([[cfCoPairs]] session-shared frame,
+    // symmetrized), with the "random" hop drawn by the deterministic hash
+    // of (current node, step, walk start) modulo the degree — both engines
+    // walk identical paths, and unlike RNG walks the corpus is
+    // reproducible run to run (the property production walk generators get
+    // from seeded per-partition streams). Scale: the adjacency folds to
+    // one sorted neighbor array per node (entity-sized, broadcast); each
+    // step is one broadcast join — 4 chained narrow joins, no iteration
+    // barrier growth (the walk frame stays |nodes|-sized).
+    QueryDef(
+      "x123_random_walks",
+      (s, d) => {
+        val e = cfCoPairs(s, d).select("s1", "s2")
+        val adj = e.select(col("s1").as("u"), col("s2").as("v"))
+          .unionAll(e.select(col("s2").as("u"), col("s1").as("v")))
+          .groupBy("u").agg(array_sort(collect_list(col("v"))).as("nbrs"))
+        var walk = adj.select(col("u").as("start"), col("u").as("cur"),
+          col("u").cast("string").as("path"))
+        for (step <- 1 to 4) {
+          walk = walk
+            .join(broadcast(adj.select(col("u").as("cur"), col("nbrs"))), Seq("cur"))
+            .withColumn("nxt", expr(
+              s"element_at(nbrs, CAST(CAST(conv(substring(md5(concat(" +
+                s"CAST(cur AS STRING), ':', '$step', ':', " +
+                s"CAST(start AS STRING))), 1, 8), 16, 10) AS BIGINT) " +
+                s"% size(nbrs) + 1 AS INT))"))
+            .select(col("start"), col("nxt").as("cur"),
+              concat(col("path"), lit("->"), col("nxt").cast("string")).as("path"))
+        }
+        walk.select(col("start").cast(LongType).as("start"), col("path"))
+          .orderBy("start")
+      },
+      Some {
+        def hex8(e: String) = (0 until 8).map(k =>
+          s"(instr('0123456789abcdef', substr($e, ${k + 1}, 1)) - 1) * " +
+            s"${1L << (4 * (7 - k))}").mkString("(", " + ", ")")
+        def step(i: Int) = {
+          val h = s"md5(CAST(w${i - 1}.cur AS VARCHAR) || ':' || '$i' || ':' || " +
+            s"CAST(w${i - 1}.start AS VARCHAR))"
+          s"""w$i AS (SELECT w${i - 1}.start,
+             |  a.nbrs[CAST(${hex8(h)} % len(a.nbrs) + 1 AS INT)] AS cur,
+             |  w${i - 1}.path || '->' ||
+             |    CAST(a.nbrs[CAST(${hex8(h)} % len(a.nbrs) + 1 AS INT)] AS VARCHAR)
+             |    AS path
+             |  FROM w${i - 1} JOIN a ON a.u = w${i - 1}.cur)""".stripMargin
+        }
+        s"""WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |cdg AS (SELECT c, count(*) AS cdeg FROM e GROUP BY 1),
+           |capped AS (SELECT e.c, e.sp FROM e JOIN cdg USING (c) WHERE cdeg <= 30),
+           |p0 AS (SELECT a.sp AS s1, b.sp AS s2, CAST(count(*) AS BIGINT) AS co
+           |  FROM capped a JOIN capped b ON a.c = b.c AND a.sp < b.sp GROUP BY 1, 2),
+           |sym0 AS (SELECT s1 AS u, s2 AS v, co FROM p0
+           |  UNION ALL SELECT s2, s1, co FROM p0),
+           |kn AS (SELECT u, v FROM (SELECT u, v,
+           |  row_number() OVER (PARTITION BY u ORDER BY co DESC, v) AS rn FROM sym0)
+           |  WHERE rn <= 10),
+           |pk AS (SELECT DISTINCT least(u, v) AS s1, greatest(u, v) AS s2 FROM kn),
+           |a AS (SELECT u, list_sort(list(v)) AS nbrs FROM
+           |  (SELECT s1 AS u, s2 AS v FROM pk UNION ALL SELECT s2, s1 FROM pk)
+           |  GROUP BY u),
+           |w0 AS (SELECT u AS start, u AS cur, CAST(u AS VARCHAR) AS path FROM a),
+           |${(1 to 4).map(step).mkString(",\n")}
+           |SELECT CAST(start AS BIGINT) AS start, path FROM w4
+           |ORDER BY start""".stripMargin
+      }),
+
+    // LABEL-NOISE DETECTION (x124) — the supervised-data quality gate
+    // (Confident-Learning family): a vector whose nearest neighbors
+    // mostly carry a DIFFERENT label is a suspected mislabel. For each
+    // query vector (vec_id ≡ 0 mod 17 — bounded gate slice), take its 10
+    // cosine-nearest neighbors (q21's broadcast top-k shape, total-order
+    // tie-break) and report the disagreement count and rate in ppm. x97
+    // MINES cross-label neighbors for contrastive training; this SCORES
+    // labels by neighborhood consensus — same machinery, opposite
+    // purpose. Scale: queries broadcast against the corpus, per-query
+    // ranking rides one window exchange, output is slice-sized.
+    QueryDef(
+      "x124_label_noise",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val q = e.filter(col("vec_id") % 17 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("label").as("q_label"))
+        val w = Window.partitionBy("q_id").orderBy(col("cos_raw").desc, col("n_id"))
+        e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+            col("label").as("n_label"))
+          .join(broadcast(q), col("n_id") =!= col("q_id"))
+          .withColumn("cos_raw", VectorFunctions.cosine(col("q_emb"), col("n_emb")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10)
+          .groupBy(col("q_id"), col("q_label"))
+          .agg(sum(when(col("n_label") =!= col("q_label"), 1L).otherwise(0L))
+            .as("n_disagree"))
+          .select(col("q_id"), col("q_label").cast(LongType).as("q_label"),
+            col("n_disagree").cast(LongType).as("n_disagree"),
+            expr("n_disagree * 1000000 div 10").cast(LongType).as("noise_ppm"))
+          .orderBy(col("n_disagree").desc, col("q_id"))
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+             |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+             |  FROM embeddings),
+             |q AS (SELECT vec_id AS q_id, emb AS q_emb, norm AS q_norm,
+             |  label AS q_label FROM e WHERE vec_id % 17 = 0),
+             |x AS (SELECT q_id, q_label, e.label AS n_label,
+             |  row_number() OVER (PARTITION BY q_id ORDER BY
+             |    list_dot_product(q_emb, emb) / (q_norm * norm) DESC, vec_id) AS rn
+             |  FROM q JOIN e ON e.vec_id <> q_id)
+             |SELECT q_id, CAST(q_label AS BIGINT) AS q_label,
+             |  CAST(sum(CASE WHEN n_label <> q_label THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_disagree,
+             |  CAST(sum(CASE WHEN n_label <> q_label THEN 1 ELSE 0 END)
+             |    * 1000000 // 10 AS BIGINT) AS noise_ppm
+             |FROM x WHERE rn <= 10 GROUP BY 1, 2
+             |ORDER BY n_disagree DESC, q_id""".stripMargin))
   )
 }

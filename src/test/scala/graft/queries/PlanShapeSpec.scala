@@ -744,6 +744,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(opExchanges(p) == 0, s"crawl ingest must not hash-shuffle:\n$p")
   }
 
+  test("x122's supplier index and edge probes broadcast; no cartesian") {
+    val p = plans("x122_negative_sampling")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x123's walk steps are chained broadcast joins over the shared adjacency") {
+    val p = plans("x123_random_walks")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("x124's queries broadcast against the corpus (q21's top-k shape)") {
+    val p = plans("x124_label_noise")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("x114's capped edge frame materializes ONCE and the degree tables broadcast") {
     val p = plans("x114_item_cf")
     // three consumers (self-join both sides + degrees) read the checkpoint —
