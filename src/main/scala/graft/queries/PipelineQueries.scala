@@ -6878,6 +6878,172 @@ object PipelineQueries {
              |  CAST(sum(CASE WHEN n_label <> q_label THEN 1 ELSE 0 END)
              |    * 1000000 // 10 AS BIGINT) AS noise_ppm
              |FROM x WHERE rn <= 10 GROUP BY 1, 2
-             |ORDER BY n_disagree DESC, q_id""".stripMargin))
+             |ORDER BY n_disagree DESC, q_id""".stripMargin)),
+
+    // CONSISTENT-HASH SHARD ASSIGNMENT (x125) — the data-layout op behind
+    // elastic shard counts: docs map to the first ring vnode clockwise of
+    // their hash (16 shards × 4 vnodes), and the query PROVES the
+    // consistent-hashing selling point by also assigning against a 17th
+    // shard's added vnodes and counting who moves — only docs whose
+    // clockwise successor is a NEW vnode relocate (≈ 4/68 of the corpus),
+    // versus mod-hashing (x17's split) where a bucket-count change moves
+    // ~everything. All-integer: ring positions and doc points are the
+    // catalog's 32-bit md5-prefix hash; successor = min ring position ≥
+    // point, wrapping to the global min. Scale: the ring is 64/68 rows —
+    // broadcast; the doc×ring fan-out is a bounded ×|ring| narrow join
+    // whose per-doc min partial-combines map-side; output is 16 rows.
+    QueryDef(
+      "x125_consistent_sharding",
+      (s, d) => {
+        val hex8 = "CAST(conv(substring(md5(%s), 1, 8), 16, 10) AS BIGINT)"
+        def ring(nShards: Int): DataFrame = {
+          val rows = (0 until nShards).flatMap(sh => (0 until 4).map(v => (sh, v)))
+          import s.implicits._
+          rows.toDF("shard", "v")
+            .withColumn("rp", expr(hex8.format(
+              "concat('shard:', CAST(shard AS STRING), ':', CAST(v AS STRING))")))
+            .select(col("shard").cast(LongType).as("shard"), col("rp"))
+        }
+        def assign(docs: DataFrame, ringDf: DataFrame, out: String): DataFrame = {
+          val best = docs.crossJoin(broadcast(ringDf))
+            .groupBy("doc_id", "p")
+            .agg(min(when(col("rp") >= col("p"), col("rp"))).as("succ"),
+              min(col("rp")).as("wrap"))
+            .withColumn("arp", coalesce(col("succ"), col("wrap")))
+          best.join(broadcast(ringDf), col("arp") === col("rp"))
+            .select(col("doc_id"), col("p"), col("shard").as(out))
+        }
+        val docs = documents(s, d)
+          .select(col("doc_id"),
+            expr(hex8.format("concat('doc:', CAST(doc_id AS STRING))")).as("p"))
+        val a16 = assign(docs, ring(16), "shard16")
+        val a17 = assign(docs.select("doc_id", "p"), ring(17), "shard17")
+        a16.join(a17.select("doc_id", "shard17"), Seq("doc_id"))
+          .groupBy(col("shard16").as("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("shard17") === 16L, 1L).otherwise(0L)).as("n_moved"))
+          .crossJoin(broadcast(documents(s, d).agg(count(lit(1)).as("nd"))))
+          .select(col("shard"), col("n_docs").cast(LongType).as("n_docs"),
+            expr("CAST(n_docs * 1000000 div nd AS BIGINT) AS share_ppm"),
+            col("n_moved").cast(LongType).as("n_moved"))
+          .orderBy("shard")
+      },
+      Some {
+        val hex8of = (e: String) => (0 until 8).map(k =>
+          s"(instr('0123456789abcdef', substr(md5($e), ${k + 1}, 1)) - 1) * " +
+            s"${1L << (4 * (7 - k))}").mkString("(", " + ", ")")
+        def ringSql(n: Int, name: String) =
+          s"""$name AS (SELECT shard, ${hex8of(
+            "'shard:' || CAST(shard AS VARCHAR) || ':' || CAST(v AS VARCHAR)")} AS rp
+             |  FROM (SELECT unnest(range(0, $n)) AS shard)
+             |  CROSS JOIN (SELECT unnest(range(0, 4)) AS v))""".stripMargin
+        def assignSql(ring: String, out: String) =
+          s"""(SELECT doc_id, shard AS $out FROM (
+             |  SELECT d.doc_id, d.p,
+             |    coalesce(min(CASE WHEN r.rp >= d.p THEN r.rp END), min(r.rp)) AS arp
+             |  FROM docs d CROSS JOIN $ring r GROUP BY 1, 2) x
+             |  JOIN $ring rr ON rr.rp = x.arp)""".stripMargin
+        s"""WITH docs AS (SELECT doc_id,
+           |  ${hex8of("'doc:' || CAST(doc_id AS VARCHAR)")} AS p FROM documents),
+           |${ringSql(16, "r16")},
+           |${ringSql(17, "r17")},
+           |a16 AS ${assignSql("r16", "shard16")},
+           |a17 AS ${assignSql("r17", "shard17")},
+           |n AS (SELECT count(*) AS nd FROM documents)
+           |SELECT CAST(shard16 AS BIGINT) AS shard,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(count(*) * 1000000 // nd AS BIGINT) AS share_ppm,
+           |  CAST(sum(CASE WHEN shard17 = 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+           |FROM a16 JOIN a17 USING (doc_id) CROSS JOIN n
+           |GROUP BY shard16, nd ORDER BY shard""".stripMargin
+      }),
+
+    // COLUMNAR ENCODING ADVISOR (x126) — the storage-layout profiling that
+    // decides parquet encodings before a big rewrite (x60 orders the rows;
+    // this picks the byte encoding): for each candidate column, exact
+    // plain/dictionary/RLE byte estimates from value statistics — plain =
+    // Σ len, dictionary = distinct-entry bytes + n·⌈log₂ndv⌉ bits, RLE =
+    // per-run (value + 4-byte run length). Integer end to end: the bit
+    // width comes from length(bin(ndv−1)) (identical string semantics in
+    // both engines — no log2 float), runs from a lag comparison with
+    // RUNS RESETTING AT ROW-GROUP (orderkey) BOUNDARIES — exactly what
+    // parquet RLE does (encodings never span pages), and what makes the
+    // window key (column, orderkey) instead of the 4-partition
+    // column-only window that single-threaded the sort at 10× (measured
+    // 32 s; distributed: ~2 s). (orderkey, linenumber) is NOT unique in
+    // this synthetic fixture — v is the final tiebreak; equal-v ties
+    // cannot change run structure. Scale: one tall stack (narrow ×4), one
+    // (column, row-group) exchange for the run window — row-group-keyed,
+    // so it distributes at any scale — and a column-keyed rollup.
+    QueryDef(
+      "x126_encoding_advisor",
+      (s, d) => {
+        val tall = lineitem(s, d).selectExpr(
+          "l_orderkey", "l_linenumber",
+          "stack(4, 'returnflag', l_returnflag, 'linestatus', l_linestatus, " +
+            "'shipmonth', date_format(l_shipdate, 'yyyy-MM'), " +
+            "'quantity', CAST(CAST(l_quantity AS BIGINT) AS STRING)) AS (cn, v)")
+        val w = Window.partitionBy("cn", "l_orderkey").orderBy("l_linenumber", "v")
+        val runs = tall
+          .withColumn("prev", lag(col("v"), 1).over(w))
+          .withColumn("newrun",
+            when(col("prev").isNull || col("prev") =!= col("v"), 1L).otherwise(0L))
+        // dictionary entries come from a SECOND narrow pass over the tall
+        // frame (column-pruned scan, no window) — cheaper than checkpointing
+        // 4×|rows| strings, and the run-window exchange is not repeated
+        runs.groupBy("cn")
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("v")).as("ndv"),
+            sum(col("newrun")).as("runs"),
+            sum(length(col("v"))).as("plain_bytes"),
+            sum(when(col("newrun") === 1L, length(col("v")) + 4L).otherwise(0L))
+              .as("rle_bytes"))
+          .join(
+            tall.select(col("cn"), col("v")).distinct()
+              .groupBy("cn").agg(sum(length(col("v"))).as("entry_bytes")),
+            Seq("cn"))
+          .withColumn("dict_bytes", expr(
+            "entry_bytes + (n * length(bin(ndv - 1)) + 7) div 8"))
+          .select(col("cn"), col("n").cast(LongType).as("n"),
+            col("ndv").cast(LongType).as("ndv"),
+            col("runs").cast(LongType).as("runs"),
+            col("plain_bytes").cast(LongType).as("plain_bytes"),
+            col("dict_bytes").cast(LongType).as("dict_bytes"),
+            col("rle_bytes").cast(LongType).as("rle_bytes"),
+            expr("CASE WHEN rle_bytes <= dict_bytes AND rle_bytes <= plain_bytes " +
+              "THEN 'rle' WHEN dict_bytes <= plain_bytes THEN 'dict' " +
+              "ELSE 'plain' END").as("advised"))
+          .orderBy("cn")
+      },
+      Some("""WITH tall AS (
+             |  SELECT l_orderkey, l_linenumber, 'returnflag' AS cn, l_returnflag AS v
+             |    FROM lineitem
+             |  UNION ALL SELECT l_orderkey, l_linenumber, 'linestatus', l_linestatus
+             |    FROM lineitem
+             |  UNION ALL SELECT l_orderkey, l_linenumber, 'shipmonth',
+             |    strftime(l_shipdate, '%Y-%m') FROM lineitem
+             |  UNION ALL SELECT l_orderkey, l_linenumber, 'quantity',
+             |    CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) FROM lineitem),
+             |r AS (SELECT cn, v,
+             |  CASE WHEN lag(v) OVER (PARTITION BY cn, l_orderkey
+             |    ORDER BY l_linenumber, v) IS DISTINCT FROM v THEN 1 ELSE 0 END AS newrun
+             |  FROM tall),
+             |agg AS (SELECT cn, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(count(DISTINCT v) AS BIGINT) AS ndv,
+             |  CAST(sum(newrun) AS BIGINT) AS runs,
+             |  CAST(sum(length(v)) AS BIGINT) AS plain_bytes,
+             |  CAST(sum(CASE WHEN newrun = 1 THEN length(v) + 4 ELSE 0 END)
+             |    AS BIGINT) AS rle_bytes FROM r GROUP BY 1),
+             |de AS (SELECT cn, CAST(sum(length(v)) AS BIGINT) AS entry_bytes
+             |  FROM (SELECT DISTINCT cn, v FROM tall) GROUP BY 1)
+             |SELECT agg.cn AS cn, n, ndv, runs, plain_bytes,
+             |  CAST(entry_bytes + (n * length(bin(ndv - 1)) + 7) // 8 AS BIGINT)
+             |    AS dict_bytes,
+             |  rle_bytes,
+             |  CASE WHEN rle_bytes <= entry_bytes + (n * length(bin(ndv - 1)) + 7) // 8
+             |      AND rle_bytes <= plain_bytes THEN 'rle'
+             |    WHEN entry_bytes + (n * length(bin(ndv - 1)) + 7) // 8 <= plain_bytes
+             |      THEN 'dict' ELSE 'plain' END AS advised
+             |FROM agg JOIN de ON agg.cn = de.cn ORDER BY cn""".stripMargin))
   )
 }

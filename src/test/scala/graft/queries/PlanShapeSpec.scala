@@ -762,6 +762,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("x125's ring broadcasts; the doc fan-out partial-combines map-side") {
+    val p = plans("x125_consistent_sharding")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    // the a16⋈a17 doc-sized equi-join may legitimately sort-merge; the
+    // RING joins must not — check no SMJ keyed on a ring position column
+    assert(!"SortMergeJoin \\[arp".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x126's run window and rollup share ONE colname exchange") {
+    val p = plans("x126_encoding_advisor")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("x114's capped edge frame materializes ONCE and the degree tables broadcast") {
     val p = plans("x114_item_cf")
     // three consumers (self-join both sides + degrees) read the checkpoint —
