@@ -7044,6 +7044,131 @@ object PipelineQueries {
              |      AND rle_bytes <= plain_bytes THEN 'rle'
              |    WHEN entry_bytes + (n * length(bin(ndv - 1)) + 7) // 8 <= plain_bytes
              |      THEN 'dict' ELSE 'plain' END AS advised
-             |FROM agg JOIN de ON agg.cn = de.cn ORDER BY cn""".stripMargin))
+             |FROM agg JOIN de ON agg.cn = de.cn ORDER BY cn""".stripMargin)),
+
+    // BASKET ASSOCIATION RULES (x127) — market-basket co-occurrence over
+    // order baskets (brand granularity): support, and lift in integer ppm
+    // for every brand pair bought together — x55 computes lift over token
+    // windows in TEXT; this is the transactional-domain counterpart a
+    // recommender/curation stack also needs (x114's CF scores items by
+    // shared customers; rules score pairs by shared BASKETS). Exact: all
+    // counts; lift_ppm = co·n·10⁶ div (c₁·c₂). Scale: the basket frame
+    // (order, brand distinct) checkpoints — pair self-join, item counts,
+    // and the basket count all read one materialization; pair rollup is
+    // ≤ brands²; item counts broadcast back; top-20 under a total order.
+    QueryDef(
+      "x127_basket_rules",
+      (s, d) => {
+        val b = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+          .join(broadcast(part(s, d).select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+          .distinct()
+          .localCheckpoint(true)
+        val n = b.agg(countDistinct(col("okey")).as("n"))
+        val item = b.groupBy("brand").agg(count(lit(1)).as("cnt"))
+        b.as("x").join(b.as("y"),
+            col("x.okey") === col("y.okey") && col("x.brand") < col("y.brand"))
+          .groupBy(col("x.brand").as("b1"), col("y.brand").as("b2"))
+          .agg(count(lit(1)).as("co"))
+          .join(broadcast(item.select(col("brand").as("b1"), col("cnt").as("c1"))),
+            Seq("b1"))
+          .join(broadcast(item.select(col("brand").as("b2"), col("cnt").as("c2"))),
+            Seq("b2"))
+          .crossJoin(broadcast(n))
+          .select(col("b1"), col("b2"), col("co").cast(LongType).as("co"),
+            expr("CAST(co * 1000000 div n AS BIGINT) AS support_ppm"),
+            expr("CAST(co * n * 1000000 div (c1 * c2) AS BIGINT) AS lift_ppm"))
+          .orderBy(col("lift_ppm").desc, col("b1"), col("b2"))
+          .limit(20)
+      },
+      Some("""WITH b AS (SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+             |n AS (SELECT count(DISTINCT okey) AS n FROM b),
+             |item AS (SELECT brand, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1),
+             |p AS (SELECT x.brand AS b1, y.brand AS b2, CAST(count(*) AS BIGINT) AS co
+             |  FROM b x JOIN b y ON x.okey = y.okey AND x.brand < y.brand
+             |  GROUP BY 1, 2)
+             |SELECT b1, b2, co,
+             |  CAST(co * 1000000 // n AS BIGINT) AS support_ppm,
+             |  CAST(co * n * 1000000 // (i1.cnt * i2.cnt) AS BIGINT) AS lift_ppm
+             |FROM p JOIN item i1 ON p.b1 = i1.brand JOIN item i2 ON p.b2 = i2.brand
+             |CROSS JOIN n
+             |ORDER BY lift_ppm DESC, b1, b2 LIMIT 20""".stripMargin)),
+
+    // QUANTIZATION RECALL IMPACT (x128) — the ablation behind shipping
+    // int8 embeddings (x33 quantizes; this answers "what does it cost"):
+    // for each query vector, the overlap between its float-cosine top-10
+    // and its int8-dot top-10. The int8 ranking runs on the new NATIVE
+    // [[graft.functions.IntDotProduct]] expression — a fused
+    // whole-stage-codegen integer loop (the CosineSimilarity pattern),
+    // and because it is integer arithmetic the quantized ranking is EXACT
+    // cross-engine with zero float-parity care; the float side is q21's
+    // established bit-identical cosine contract. Quantization is
+    // symmetric per-vector max-abs scaling to ±127 (the standard scheme),
+    // with the zero-vector guarded. Scale: queries broadcast against the
+    // corpus twice (two metrics), per-query rankings ride one window
+    // exchange each; output is slice-sized.
+    QueryDef(
+      "x128_quantization_recall",
+      (s, d) => {
+        val quant = "CASE WHEN s = 0.0 THEN array_repeat(0L, size(embedding)) " +
+          "ELSE transform(embedding, e -> " +
+          "CAST(round(CAST(e AS DOUBLE) * 127 / s) AS BIGINT)) END"
+        val e = embeddings(s, d)
+          .withColumn("s",
+            expr("array_max(transform(embedding, e -> abs(CAST(e AS DOUBLE))))"))
+          .withColumn("qv", expr(quant))
+          .select(col("vec_id"), col("embedding"), col("qv"))
+          .localCheckpoint(true) // both ranking passes + query slice read it
+        val q = e.filter(col("vec_id") % 29 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("qv").as("q_qv"))
+        val w = Window.partitionBy("q_id").orderBy(col("m").desc, col("n_id"))
+        def top10(metric: org.apache.spark.sql.Column): DataFrame = e
+          .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+            col("qv").as("n_qv"))
+          .join(broadcast(q), col("n_id") =!= col("q_id"))
+          .withColumn("m", metric)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10)
+          .select("q_id", "n_id")
+        val f = top10(VectorFunctions.cosine(col("q_emb"), col("n_emb")))
+        val i8 = top10(graft.functions.IntDotProduct
+          .intDot(col("q_qv"), col("n_qv")).cast("double"))
+        f.join(i8, Seq("q_id", "n_id"))
+          .groupBy("q_id").agg(count(lit(1)).as("n_overlap"))
+          .join(q.select("q_id"), Seq("q_id"), "right")
+          .select(col("q_id"),
+            coalesce(col("n_overlap"), lit(0L)).cast(LongType).as("n_overlap"),
+            expr("CAST(coalesce(n_overlap, 0) * 1000000 div 10 AS BIGINT)")
+              .as("recall_ppm"))
+          .orderBy("q_id")
+      },
+      Some("""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+             |e AS (SELECT vec_id, emb,
+             |  sqrt(list_dot_product(emb, emb)) AS norm,
+             |  list_max(list_transform(emb, x -> abs(x))) AS s FROM e0),
+             |eq AS (SELECT vec_id, emb, norm,
+             |  CASE WHEN s = 0.0 THEN list_transform(emb, x -> CAST(0 AS BIGINT))
+             |    ELSE list_transform(emb, x -> CAST(round(x * 127 / s) AS BIGINT))
+             |  END AS qv FROM e),
+             |q AS (SELECT vec_id AS q_id, emb AS q_emb, norm AS q_norm, qv AS q_qv
+             |  FROM eq WHERE vec_id % 29 = 0),
+             |fr AS (SELECT q_id, vec_id AS n_id FROM (SELECT q_id, vec_id,
+             |  row_number() OVER (PARTITION BY q_id ORDER BY
+             |    list_dot_product(q_emb, emb) / (q_norm * norm) DESC, vec_id) AS rn
+             |  FROM q JOIN eq ON vec_id <> q_id) WHERE rn <= 10),
+             |ir AS (SELECT q_id, vec_id AS n_id FROM (SELECT q_id, vec_id,
+             |  row_number() OVER (PARTITION BY q_id ORDER BY
+             |    CAST(list_dot_product(q_qv, qv) AS DOUBLE) DESC, vec_id) AS rn
+             |  FROM q JOIN eq ON vec_id <> q_id) WHERE rn <= 10),
+             |ov AS (SELECT fr.q_id, CAST(count(*) AS BIGINT) AS n_overlap
+             |  FROM fr JOIN ir ON fr.q_id = ir.q_id AND fr.n_id = ir.n_id
+             |  GROUP BY 1)
+             |SELECT q.q_id AS q_id, coalesce(n_overlap, 0) AS n_overlap,
+             |  CAST(coalesce(n_overlap, 0) * 1000000 // 10 AS BIGINT) AS recall_ppm
+             |FROM q LEFT JOIN ov ON q.q_id = ov.q_id
+             |ORDER BY q_id""".stripMargin))
   )
 }

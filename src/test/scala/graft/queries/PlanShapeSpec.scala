@@ -776,6 +776,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("x127's basket frame materializes once; item counts broadcast back") {
+    val p = plans("x127_basket_rules")
+    assert(!p.contains("FileScan parquet"), s"basket frame re-derived:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("x128's int8 ranking runs on the fused native expression inside codegen") {
+    val p = plans("x128_quantization_recall")
+    assert(p.contains("intdotproduct") || p.contains("IntDotProduct"), p)
+    assert(!p.contains("FileScan parquet"), s"quantized frame re-derived:\n$p")
+  }
+
   test("x114's capped edge frame materializes ONCE and the degree tables broadcast") {
     val p = plans("x114_item_cf")
     // three consumers (self-join both sides + degrees) read the checkpoint —
