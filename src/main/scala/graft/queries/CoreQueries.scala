@@ -1032,31 +1032,35 @@ object CoreQueries {
     // so it is not expressible as independent aggregates. Earliest-next-
     // step semantics: t1 = first view; t2 = first click in (t1, t1+1d];
     // t3 = first purchase in (t2, t2+1d]. Times are exact epoch micros
-    // (q23/q41 discipline). Scale posture: three conditional min
-    // aggregates chained by user_id-keyed joins — every join and
-    // aggregate shares ONE user_id partitioning (no broadcast of
-    // user-cardinality frames, which at 100 TB are as big as the fact
-    // table); per-user state is three longs, never an event buffer.
+    // (q23/q41 discipline). Scale posture: ONE scan and ONE user_id
+    // exchange — the three step times are stacked per-user window
+    // aggregates, each conditioning on the previous window's result
+    // (three Window operators over the same partitioning, zero extra
+    // shuffles). The previous join-cascade formulation re-scanned the
+    // event table four times and re-aggregated per step (ScanAudit: 7
+    // parquet scans); at 100 TB those are four passes over the fact
+    // stream for what one pass computes. Per-user state is three longs,
+    // never an event buffer.
     QueryDef(
       "q43_funnel_steps",
       (s, d) => {
         val day = 86400000000L
-        val e = events(s, d).select(col("user_id"), col("event_type"),
-          unix_micros(col("ts")).as("us"))
-        val u = e.select("user_id").distinct()
-        val s1 = e.filter(col("event_type") === "view")
-          .groupBy("user_id").agg(min(col("us")).as("t1"))
-        val s2 = e.join(s1, Seq("user_id"))
-          .filter(col("event_type") === "click" &&
-            col("us") > col("t1") && col("us") <= col("t1") + day)
-          .groupBy("user_id").agg(min(col("us")).as("t2"))
-        val s3 = e.join(s2, Seq("user_id"))
-          .filter(col("event_type") === "purchase" &&
-            col("us") > col("t2") && col("us") <= col("t2") + day)
-          .groupBy("user_id").agg(min(col("us")).as("t3"))
-        u.join(s1, Seq("user_id"), "left")
-          .join(s2, Seq("user_id"), "left")
-          .join(s3, Seq("user_id"), "left")
+        val wU = Window.partitionBy("user_id")
+        events(s, d).select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("t1",
+            min(when(col("event_type") === "view", col("us"))).over(wU))
+          .withColumn("t2",
+            min(when(col("event_type") === "click" &&
+              col("us") > col("t1") && col("us") <= col("t1") + day,
+              col("us"))).over(wU))
+          .withColumn("t3",
+            min(when(col("event_type") === "purchase" &&
+              col("us") > col("t2") && col("us") <= col("t2") + day,
+              col("us"))).over(wU))
+          .groupBy("user_id")
+          .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"),
+            max(col("t3")).as("t3"))
           .select(col("user_id"), col("t1"), col("t2"), col("t3"),
             when(col("t1").isNull, 0L)
               .otherwise(lit(1L)

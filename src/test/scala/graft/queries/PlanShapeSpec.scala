@@ -788,6 +788,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("FileScan parquet"), s"quantized frame re-derived:\n$p")
   }
 
+  test("q43's funnel is one scan and one user exchange (three stacked windows)") {
+    val p = plans("q43_funnel_steps")
+    assert("FileScan parquet".r.findAllIn(p).length == 1, s"funnel re-scans events:\n$p")
+    assert(opExchanges(p) == 1, s"expected one user_id exchange:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
   test("x114's capped edge frame materializes ONCE and the degree tables broadcast") {
     val p = plans("x114_item_cf")
     // three consumers (self-join both sides + degrees) read the checkpoint —
