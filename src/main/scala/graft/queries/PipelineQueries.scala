@@ -7169,6 +7169,108 @@ object PipelineQueries {
              |SELECT q.q_id AS q_id, coalesce(n_overlap, 0) AS n_overlap,
              |  CAST(coalesce(n_overlap, 0) * 1000000 // 10 AS BIGINT) AS recall_ppm
              |FROM q LEFT JOIN ov ON q.q_id = ov.q_id
-             |ORDER BY q_id""".stripMargin))
+             |ORDER BY q_id""".stripMargin)),
+
+    // RFM SEGMENTATION (x129) — the customer-value rollup (recency /
+    // frequency / monetary quartile codes) that feeds every churn or
+    // targeting model; here it also stands in for any per-entity
+    // multi-signal quartile coding over a fact stream. Exact integers:
+    // recency in whole days against the global max order date, money in
+    // CENTS via one decimal cast (never double addition), quartiles by
+    // the explicit rank formula 1 + (rank−1)·4 div n with (value, key)
+    // total order — no ntile, whose boundary conventions differ. Scale:
+    // the per-customer rollup partial-combines on ONE custkey exchange;
+    // the three quartile ranks are global single-partition windows over
+    // the customer-sized frame — the documented tiny-frame exception
+    // (x119's posture; at 100 TB the swap is the bucketed-CDF quantile,
+    // same codes); output is ≤ 4³ segment rows.
+    QueryDef(
+      "x129_rfm_segments",
+      (s, d) => {
+        val o = orders(s, d).select(col("o_custkey"), col("o_orderdate"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents"))
+        val per = o
+          .crossJoin(broadcast(o.agg(max(col("o_orderdate")).as("mx"))))
+          .groupBy("o_custkey")
+          .agg(min(expr("datediff(mx, o_orderdate)")).cast(LongType).as("r_days"),
+            count(lit(1)).as("f"), sum(col("cents")).as("m_cents"))
+        def quart(c: String, out: String)(df: DataFrame): DataFrame = df
+          .withColumn(s"rk_$out", row_number().over(
+            Window.orderBy(col(c), col("o_custkey"))))
+          .withColumn(out, expr(
+            s"1 + (CAST(rk_$out AS BIGINT) - 1) * 4 div nn"))
+        val n = per.agg(count(lit(1)).as("nn"))
+        val coded = quart("m_cents", "qm")(quart("f", "qf")(quart("r_days", "qr")(
+          per.crossJoin(broadcast(n)))))
+        coded
+          .groupBy(expr("concat(qr, qf, qm)").as("segment"))
+          .agg(count(lit(1)).cast(LongType).as("n_customers"),
+            sum(col("m_cents")).cast(LongType).as("sum_cents"))
+          .orderBy("segment")
+      },
+      Some("""WITH o AS (SELECT o_custkey, o_orderdate,
+             |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+             |  FROM orders),
+             |mx AS (SELECT max(o_orderdate) AS mx FROM o),
+             |per AS (SELECT o_custkey,
+             |  CAST(min(datediff('day', o_orderdate, mx)) AS BIGINT) AS r_days,
+             |  CAST(count(*) AS BIGINT) AS f, CAST(sum(cents) AS BIGINT) AS m_cents
+             |  FROM o CROSS JOIN mx GROUP BY 1),
+             |n AS (SELECT count(*) AS nn FROM per),
+             |coded AS (SELECT o_custkey, m_cents,
+             |  1 + (row_number() OVER (ORDER BY r_days, o_custkey) - 1) * 4 // nn AS qr,
+             |  1 + (row_number() OVER (ORDER BY f, o_custkey) - 1) * 4 // nn AS qf,
+             |  1 + (row_number() OVER (ORDER BY m_cents, o_custkey) - 1) * 4 // nn AS qm
+             |  FROM per CROSS JOIN n)
+             |SELECT CAST(qr AS VARCHAR) || CAST(qf AS VARCHAR) || CAST(qm AS VARCHAR)
+             |    AS segment,
+             |  CAST(count(*) AS BIGINT) AS n_customers,
+             |  CAST(sum(m_cents) AS BIGINT) AS sum_cents
+             |FROM coded GROUP BY 1 ORDER BY segment""".stripMargin)),
+
+    // WRITER BALANCE STRATEGIES (x130) — how to split a corpus into 8
+    // equal-ish output files: CONTIGUOUS rank ranges (what a naive sorted
+    // write produces — all the long documents land in file 0) versus
+    // SIZE-RANK STRIPING (file = rank mod 8 over the size-descending
+    // order — each file gets every 8th document, sizes interleave). The
+    // query ships both assignments side by side so the imbalance is
+    // measured, not asserted: striping's per-file byte totals differ by
+    // at most a few documents, contiguous ones differ by the whole length
+    // distribution. All-integer; one size-ordered global rank (documented
+    // tiny-frame window; 100 TB swap = distributed sort + partition-index
+    // arithmetic, same assignment); output is 2×8 rows.
+    QueryDef(
+      "x130_writer_balance",
+      (s, d) => {
+        val ranked = documents(s, d)
+          .select(col("doc_id"), col("n_chars").cast(LongType).as("sz"))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("sz").desc, col("doc_id"))).cast(LongType))
+        val n = ranked.agg(count(lit(1)).as("nn"))
+        val assigned = ranked.crossJoin(broadcast(n))
+          .withColumn("striped", expr("(rk - 1) % 8"))
+          .withColumn("contiguous", expr("least((rk - 1) * 8 div nn, 7)"))
+        assigned.select(lit("striped").as("strategy"),
+            col("striped").as("file_id"), col("sz"))
+          .unionByName(assigned.select(lit("contiguous").as("strategy"),
+            col("contiguous").as("file_id"), col("sz")))
+          .groupBy("strategy", "file_id")
+          .agg(count(lit(1)).cast(LongType).as("n_docs"),
+            sum(col("sz")).cast(LongType).as("sum_chars"))
+          .orderBy("strategy", "file_id")
+      },
+      Some("""WITH r AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS sz,
+             |  CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
+             |  FROM documents),
+             |n AS (SELECT count(*) AS nn FROM r),
+             |a AS (SELECT sz, (rk - 1) % 8 AS striped,
+             |  least((rk - 1) * 8 // nn, 7) AS contiguous FROM r CROSS JOIN n),
+             |t AS (SELECT 'striped' AS strategy, striped AS file_id, sz FROM a
+             |  UNION ALL SELECT 'contiguous', contiguous, sz FROM a)
+             |SELECT strategy, CAST(file_id AS BIGINT) AS file_id,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(sz) AS BIGINT) AS sum_chars
+             |FROM t GROUP BY 1, 2 ORDER BY strategy, file_id""".stripMargin))
   )
 }

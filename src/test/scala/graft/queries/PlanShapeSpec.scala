@@ -788,6 +788,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("FileScan parquet"), s"quantized frame re-derived:\n$p")
   }
 
+  test("x129's rollup partial-combines on one custkey exchange; scalars broadcast") {
+    val p = plans("x129_rfm_segments")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("x130's two strategies ride one ranked frame — no join at all") {
+    val p = plans("x130_writer_balance")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("q43's funnel is one scan and one user exchange (three stacked windows)") {
     val p = plans("q43_funnel_steps")
     assert("FileScan parquet".r.findAllIn(p).length == 1, s"funnel re-scans events:\n$p")
