@@ -7271,6 +7271,147 @@ object PipelineQueries {
              |SELECT strategy, CAST(file_id AS BIGINT) AS file_id,
              |  CAST(count(*) AS BIGINT) AS n_docs,
              |  CAST(sum(sz) AS BIGINT) AS sum_chars
-             |FROM t GROUP BY 1, 2 ORDER BY strategy, file_id""".stripMargin))
+             |FROM t GROUP BY 1, 2 ORDER BY strategy, file_id""".stripMargin)),
+
+    // FUNNEL CONVERSION LATENCY (x131) — q43 answers "who converted";
+    // this answers "how fast": for fully-converted users, the
+    // view→purchase latency distribution as exact order statistics
+    // (p50/p90/max seconds, the x106 ceil-rank discipline — never
+    // percentile_approx). Reuses q43's one-pass stacked-window funnel
+    // shape verbatim; the latency ranking runs over the CONVERTED subset
+    // only (a bounded fraction of users), one single-partition window on
+    // that reduced frame — the documented tiny-frame exception; output
+    // is ONE row.
+    QueryDef(
+      "x131_funnel_latency",
+      (s, d) => {
+        val day = 86400000000L
+        val wU = Window.partitionBy("user_id")
+        val conv = events(s, d).select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("t1",
+            min(when(col("event_type") === "view", col("us"))).over(wU))
+          .withColumn("t2",
+            min(when(col("event_type") === "click" &&
+              col("us") > col("t1") && col("us") <= col("t1") + day,
+              col("us"))).over(wU))
+          .withColumn("t3",
+            min(when(col("event_type") === "purchase" &&
+              col("us") > col("t2") && col("us") <= col("t2") + day,
+              col("us"))).over(wU))
+          .groupBy("user_id")
+          .agg(max(col("t1")).as("t1"), max(col("t3")).as("t3"))
+          .filter(col("t3").isNotNull)
+          .withColumn("lat_s", expr("(t3 - t1) div 1000000"))
+        conv
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("lat_s"), col("user_id"))))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(lit(1))))
+          .agg(
+            expr("CAST(max(n) AS BIGINT) AS n_converted"),
+            expr("CAST(max(CASE WHEN rn = (n + 1) div 2 THEN lat_s END) " +
+              "AS BIGINT) AS p50_s"),
+            expr("CAST(max(CASE WHEN rn = (9 * n + 9) div 10 THEN lat_s END) " +
+              "AS BIGINT) AS p90_s"),
+            expr("CAST(max(lat_s) AS BIGINT) AS max_s"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+             |w AS (SELECT user_id,
+             |  min(CASE WHEN event_type = 'view' THEN us END)
+             |    OVER (PARTITION BY user_id) AS t1, us, event_type FROM e),
+             |w2 AS (SELECT user_id, t1,
+             |  min(CASE WHEN event_type = 'click' AND us > t1
+             |    AND us <= t1 + 86400000000 THEN us END)
+             |    OVER (PARTITION BY user_id) AS t2, us, event_type FROM w),
+             |w3 AS (SELECT user_id, t1,
+             |  min(CASE WHEN event_type = 'purchase' AND us > t2
+             |    AND us <= t2 + 86400000000 THEN us END)
+             |    OVER (PARTITION BY user_id) AS t3 FROM w2),
+             |conv AS (SELECT user_id, (max(t3) - max(t1)) // 1000000 AS lat_s
+             |  FROM w3 GROUP BY 1 HAVING max(t3) IS NOT NULL),
+             |r AS (SELECT lat_s,
+             |  row_number() OVER (ORDER BY lat_s, user_id) AS rn,
+             |  count(*) OVER () AS n FROM conv)
+             |SELECT CAST(max(n) AS BIGINT) AS n_converted,
+             |  CAST(max(CASE WHEN rn = (n + 1) // 2 THEN lat_s END) AS BIGINT) AS p50_s,
+             |  CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN lat_s END) AS BIGINT)
+             |    AS p90_s,
+             |  CAST(max(lat_s) AS BIGINT) AS max_s
+             |FROM r""".stripMargin)),
+
+    // DEDUP THRESHOLD SENSITIVITY (x132) — the tuning sweep behind
+    // choosing a near-dup Jaccard cutoff: over the LSH candidate pairs,
+    // how many pairs survive EXACT verification at τ ∈ {0.6, 0.7, 0.8,
+    // 0.9}, and what precision the candidate stage had at each τ. x78
+    // audits the ESTIMATOR's error; this audits the DECISION's volume —
+    // together they answer "which τ, and can I trust banding to find
+    // it". All-integer: exact Jaccard as (i_size, u_size) rationals,
+    // acceptance by cross-multiplication (100·i ≥ τ%·u); the candidate
+    // frame and shingle sets are computed once (checkpoint discipline);
+    // the τ fan-out is a 4-row broadcast over the bounded verified-pair
+    // frame; output is 4 rows.
+    QueryDef(
+      "x132_threshold_sweep",
+      (s, d) => {
+        val corpus = docCorpus(s, d)
+        val cand = graft.ops.TextDedup.lshCandidatePairs(corpus)
+          .filter(col("n_match") >= 4)
+          .select("a_id", "b_id")
+        val sets = corpus
+          .select(col("doc_id"), tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 3)
+          .select(col("doc_id"),
+            array_distinct(graft.ops.TextDedup.shingles(col("tk"))).as("shs"))
+          .localCheckpoint(true) // both verification sides read one frame
+        val verified = cand
+          .join(sets.select(col("doc_id").as("a_id"), col("shs").as("a_shs")),
+            Seq("a_id"))
+          .join(sets.select(col("doc_id").as("b_id"), col("shs").as("b_shs")),
+            Seq("b_id"))
+          .withColumn("i",
+            size(array_intersect(col("a_shs"), col("b_shs"))).cast(LongType))
+          .withColumn("u", size(col("a_shs")).cast(LongType) +
+            size(col("b_shs")).cast(LongType) - col("i"))
+          .select("a_id", "b_id", "i", "u")
+          .localCheckpoint(true) // 4 τ rows aggregate the same frame
+        val taus = (0 to 3).map(k => 60 + 10 * k)
+        taus.map { t =>
+          verified.agg(
+            lit(t.toLong).as("tau_pct"),
+            count(lit(1)).cast(LongType).as("n_candidates"),
+            sum(when(col("i") * 100 >= col("u") * t, 1L).otherwise(0L))
+              .cast(LongType).as("n_accepted"))
+            .withColumn("precision_ppm",
+              expr("CAST(n_accepted * 1000000 div n_candidates AS BIGINT)"))
+        }.reduce(_ unionByName _).orderBy("tau_pct")
+      },
+      Some(s"""WITH $corpusSql,
+             |${minhashSigSql("corpus")},
+             |band AS (SELECT doc_id, CAST(floor(seed / 2) AS BIGINT) AS band,
+             |  min(mh) || '|' || max(mh) AS bsig FROM sig GROUP BY 1, 2),
+             |cd AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM band a
+             |  JOIN band b ON a.band = b.band AND a.bsig = b.bsig
+             |    AND a.doc_id < b.doc_id),
+             |pm AS (SELECT cd.a_id, cd.b_id,
+             |  count(CASE WHEN sa.mh = sb.mh THEN 1 END) AS n_match
+             |  FROM cd JOIN sig sa ON sa.doc_id = cd.a_id
+             |  JOIN sig sb ON sb.doc_id = cd.b_id AND sb.seed = sa.seed
+             |  GROUP BY 1, 2 HAVING count(CASE WHEN sa.mh = sb.mh THEN 1 END) >= 4),
+             |sets AS (SELECT doc_id, list_distinct($shinglesSql) AS shs
+             |  FROM toks WHERE len(tk) >= 3),
+             |v AS (SELECT pm.a_id, pm.b_id,
+             |  CAST(len(list_intersect(a.shs, b.shs)) AS BIGINT) AS i,
+             |  CAST(len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))
+             |    AS BIGINT) AS u
+             |  FROM pm JOIN sets a ON pm.a_id = a.doc_id
+             |  JOIN sets b ON pm.b_id = b.doc_id),
+             |taus AS (SELECT unnest([60, 70, 80, 90]) AS tau_pct)
+             |SELECT CAST(tau_pct AS BIGINT) AS tau_pct,
+             |  CAST(count(*) AS BIGINT) AS n_candidates,
+             |  CAST(sum(CASE WHEN i * 100 >= u * tau_pct THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_accepted,
+             |  CAST(sum(CASE WHEN i * 100 >= u * tau_pct THEN 1 ELSE 0 END)
+             |    * 1000000 // count(*) AS BIGINT) AS precision_ppm
+             |FROM v CROSS JOIN taus GROUP BY tau_pct ORDER BY tau_pct""".stripMargin))
   )
 }

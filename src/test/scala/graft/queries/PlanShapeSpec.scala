@@ -799,6 +799,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("x131 reuses the one-pass funnel; the latency ranking runs on the converted subset") {
+    val p = plans("x131_funnel_latency")
+    assert("FileScan parquet".r.findAllIn(p).length == 1, s"funnel re-scans events:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("x132's verified-pair frame aggregates once per tau — no re-verification") {
+    val p = plans("x132_threshold_sweep")
+    // the union of 4 tau aggregates must read the checkpointed frame, not
+    // re-run the candidate join and shingle verification per branch
+    assert(!p.contains("FileScan parquet"), s"tau branches re-derive pairs:\n$p")
+  }
+
   test("q43's funnel is one scan and one user exchange (three stacked windows)") {
     val p = plans("q43_funnel_steps")
     assert("FileScan parquet".r.findAllIn(p).length == 1, s"funnel re-scans events:\n$p")
