@@ -17,8 +17,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * loop. Integer arithmetic end to end, so results are EXACT and the
   * cross-engine oracle needs no float-parity care at all.
   *
-  * Null if either side is null; length mismatch scores the common prefix
-  * (the CosineSimilarity contract).
+  * Null if either side is null, or if any scored element is null — the
+  * same result the composable `aggregate(zip_with(...))` form (and the
+  * DuckDB oracle) produces, so quantized pipelines can swap forms without
+  * a semantics change. Length mismatch scores the common prefix (the
+  * CosineSimilarity contract).
   */
 case class IntDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -33,7 +36,13 @@ case class IntDotProduct(left: Expression, right: Expression)
       s"int_dot expects (array<bigint>, array<bigint>), got (${left.dataType}, ${right.dataType})")
   }
   override def dataType: DataType = LongType
-  override def nullable: Boolean = left.nullable || right.nullable
+
+  private def elemsNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  }
+  override def nullable: Boolean =
+    left.nullable || right.nullable || elemsNullable(left) || elemsNullable(right)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -41,7 +50,11 @@ case class IntDotProduct(left: Expression, right: Expression)
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0L
     var i = 0
-    while (i < n) { dot += x.getLong(i) * y.getLong(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      dot += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
     dot
   }
 
@@ -50,10 +63,18 @@ case class IntDotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
+      // ev.isNull is declared (and pre-set false) by nullSafeCodeGen; when
+      // the expression is non-nullable it is the literal `false` and must
+      // not be assigned — but then the schema forbids null elements anyway.
+      val nullElemCheck =
+        if (elemsNullable(left) || elemsNullable(right))
+          s"if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |long $dot = 0L;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullElemCheck
          |  $dot += $x.getLong($i) * $y.getLong($i);
          |}
          |${ev.value} = $dot;

@@ -49,8 +49,11 @@ object GzipExtract {
         var p = off + 10
         // FEXTRA(4), FNAME(8), FCOMMENT(16), FHCRC(2) — only FNAME is
         // produced by the writers we target, but skip the others correctly
-        if ((flg & 4) != 0 && p + 2 <= n) {
-          p += 2 + ((bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8))
+        if ((flg & 4) != 0) {
+          // truncated FEXTRA is a structural break — falling through with an
+          // unadjusted offset would misparse the rest of the stream
+          if (p + 2 > n) { done = true }
+          else p += 2 + ((bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8))
         }
         var fname = ""
         if ((flg & 8) != 0) {
@@ -61,7 +64,7 @@ object GzipExtract {
         }
         if ((flg & 16) != 0) { while (p < n && bytes(p) != 0) p += 1; p += 1 }
         if ((flg & 2) != 0) p += 2
-        if (p > n) done = true
+        if (done || p > n) done = true
         else {
           val inf = new java.util.zip.Inflater(true)
           try {

@@ -81,8 +81,14 @@ object TarIndex {
           sum += (if (k >= 148 && k < 156) 0x20 else bytes(off + k) & 0xff)
           k += 1
         }
-        out += TarMember(shardId, name, off.toLong, size, sum == stored)
-        off += 512 + (((size + 511) / 512) * 512).toInt
+        // A corrupt 12-digit octal size can reach ~8^12; clamp the advance
+        // to the remaining bytes (Long arithmetic, no toInt overflow) so one
+        // flipped byte stops the walk instead of throwing and killing the task.
+        if (size < 0L || size > bytes.length.toLong - off - 512L) done = true
+        else {
+          out += TarMember(shardId, name, off.toLong, size, sum == stored)
+          off += 512 + (((size + 511L) / 512L) * 512L).toInt
+        }
       }
     }
     out.result()

@@ -66,7 +66,9 @@ object WarcIndex {
             val colon = line.indexOf(':')
             if (colon < 0) headersOk = false
             else {
-              val k = line.substring(0, colon).trim.toLowerCase
+              // Locale.ROOT: a Turkish default locale lowercases 'URI' to
+              // 'urı' (dotless i) and the key comparisons silently miss
+              val k = line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT)
               val v = line.substring(colon + 1).trim
               k match {
                 case "warc-type"       => wtype = v

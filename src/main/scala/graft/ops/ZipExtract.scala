@@ -85,7 +85,9 @@ object ZipExtract {
         val lfh = u32(bytes, cd + 42).toInt
         if (cd + 46 + nameLen > n) broken = true
         else {
-          val name = new String(bytes, cd + 46, nameLen, "US-ASCII")
+          // ISO-8859-1 is byte-preserving (US-ASCII maps >0x7F to '?'),
+          // matching GzipExtract/WarcIndex so re-binarize round-trips.
+          val name = new String(bytes, cd + 46, nameLen, "ISO-8859-1")
           // follow the LFH: ITS lengths locate the data
           if (lfh + 30 <= n && u32(bytes, lfh) == 0x04034b50L) {
             val dataOff = lfh + 30 + u16(bytes, lfh + 26) + u16(bytes, lfh + 28)
@@ -99,7 +101,7 @@ object ZipExtract {
                 val crcc = new java.util.zip.CRC32
                 crcc.update(c)
                 out += ZipMember(id, name, method.toLong, usize.toLong,
-                  new String(c, "US-ASCII"), crcc.getValue == crc)
+                  new String(c, "ISO-8859-1"), crcc.getValue == crc)
               }
             }
           }

@@ -47,6 +47,27 @@ class GzipExtractSpec extends SparkSpec {
     assert(GzipExtract.parse(0L, mixed).map(_.content) == Seq("payload"))
   }
 
+  test("FEXTRA is skipped when whole; a truncated FEXTRA is a structural break") {
+    // hand-build a FEXTRA member around a JDK deflate body: header with
+    // FLG=4, 2-byte XLEN, XLEN extra bytes, then the body+trailer of a
+    // JDK-written member (strip its own 10-byte header)
+    val jdk = jdkGzip("extra-field")
+    val body = jdk.drop(10)
+    val extra = Array[Byte](1, 2, 3, 4, 5)
+    val hdr = Array[Byte](0x1f, 0x8b.toByte, 8, 4, 0, 0, 0, 0, 0, 0) ++
+      Array[Byte](extra.length.toByte, 0) ++ extra
+    val whole = hdr ++ body
+    assert(GzipExtract.parse(0L, whole).map(m => (m.content, m.crc_ok)) ==
+      Seq(("extra-field", true)))
+    // truncate inside the 2-byte XLEN field: must yield zero members, not a
+    // misparse at an unadjusted offset
+    val truncatedXlen = Array[Byte](0x1f, 0x8b.toByte, 8, 4, 0, 0, 0, 0, 0, 0, 9)
+    assert(GzipExtract.parse(0L, truncatedXlen).isEmpty)
+    // a good member FOLLOWED by the truncated-FEXTRA tail keeps the good one
+    val mixed2 = jdkGzip("keep") ++ truncatedXlen
+    assert(GzipExtract.parse(0L, mixed2).map(_.content) == Seq("keep"))
+  }
+
   test("extract() explodes archives and survives null blobs") {
     import spark.implicits._
     val df = Seq((1L, Option(jdkGzip("zz"))), (2L, Option.empty[Array[Byte]]))

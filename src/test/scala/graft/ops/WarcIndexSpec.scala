@@ -26,6 +26,20 @@ class WarcIndexSpec extends SparkSpec {
       (1L, "metadata", "", 0L, "")))
   }
 
+  test("header matching is locale-independent (Turkish dotless-i)") {
+    // default-locale toLowerCase maps 'I' → 'ı' under tr, so
+    // 'WARC-Target-URI'/'Content-Length' keys would silently stop matching
+    val prev = java.util.Locale.getDefault
+    java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+    try {
+      val bytes = rec(Seq("WARC-Type" -> "response",
+        "WARC-Target-URI" -> "https://tr/1"), "icerik").getBytes("ISO-8859-1")
+      val rs = WarcIndex.parse(0L, bytes)
+      assert(rs.map(r => (r.warc_type, r.target_uri, r.content_length)) ==
+        Seq(("response", "https://tr/1", 6L)))
+    } finally java.util.Locale.setDefault(prev)
+  }
+
   test("payload containing fake headers does not desync the length-driven walk") {
     val evil = "WARC/1.0\r\nContent-Length: 999\r\n\r\nnot a record"
     val bytes = (rec(Seq("WARC-Type" -> "response"), evil) +

@@ -57,6 +57,28 @@ class ZipExtractSpec extends SparkSpec {
     assert(ZipExtract.parse(0L, Array.fill[Byte](50)(0)).isEmpty)
   }
 
+  test("bytes >0x7F in names and content round-trip byte-for-byte (ISO-8859-1)") {
+    // US-ASCII decode mapped every byte >0x7F to '?' — lossy for real
+    // scraped archives; ISO-8859-1 must preserve the bytes so a composed
+    // re-binarize stage (the x121 pattern) reproduces the payload exactly
+    val payload = Array[Byte]('h', 0xC3.toByte, 0xA9.toByte, 0x00, 0xFF.toByte)
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    val e = new ZipEntry("hé.bin") // JDK writes the name as UTF-8 bytes
+    e.setMethod(ZipEntry.STORED)
+    e.setSize(payload.length.toLong)
+    val c = new CRC32; c.update(payload); e.setCrc(c.getValue)
+    z.putNextEntry(e); z.write(payload); z.closeEntry(); z.close()
+    val ms = ZipExtract.parse(0L, bos.toByteArray)
+    assert(ms.size == 1)
+    // content bytes reproduce exactly; no byte collapsed to '?'
+    assert(ms.head.content.getBytes("ISO-8859-1").toSeq == payload.toSeq)
+    assert(ms.head.crc_ok)
+    // name round-trips to the raw UTF-8 bytes the writer emitted
+    assert(ms.head.name.getBytes("ISO-8859-1").toSeq ==
+      "hé.bin".getBytes("UTF-8").toSeq)
+  }
+
   test("extract() explodes archives to member rows and survives null blobs") {
     import spark.implicits._
     val bytes = jdkZip(("f", "qq", true))
