@@ -6,9 +6,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * The query inventory is assembled from:
-  *  - CoreQueries: SURVEY.md §2.4 Q1–Q27 (reference-semantics generalized);
-  *  - PipelineQueries: north-star training-data-pipeline extensions
-  *    (dedup, similarity search, text analysis, multimodal plumbing).
+  *  - CoreQueries: SURVEY.md §2.4 q01–q62 (reference semantics generalized
+  *    + analytics/graph kernels);
+  *  - PipelineQueries: SURVEY.md §2.4 x01+ north-star training-data-pipeline
+  *    extensions (dedup, similarity search, text analysis, multimodal
+  *    decode, container walks, sampling/splits, profiling/governance).
+  * The authoritative count is `catalog.size` — SURVEY.md §2.4 mirrors it.
   */
 object SparkEntry {
   val catalog: Seq[QueryDef] = CoreQueries.all ++ PipelineQueries.all

@@ -9,10 +9,12 @@ package graft.ops
   * library exists for this in the JDK below javax.imageio, which the spec
   * suite uses only as a CROSS-VALIDATOR).
   *
-  * Scope mirrors the other real decoders: global color table required,
-  * first image block decoded, extensions skipped (sub-block walk),
-  * four-pass interlace supported (the JDK's own GIF writer interlaces by
-  * default), no local color table, full-frame image only. Anything else —
+  * Scope mirrors the other real decoders: first image block decoded,
+  * extensions skipped (sub-block walk), four-pass interlace supported (the
+  * JDK's own GIF writer interlaces by default), global AND local color
+  * tables (a local table overrides the global for its image; a GIF with no
+  * global table decodes when its image carries a local one — a real
+  * population in scraped corpora), full-frame image only. Anything else —
   * and any stream-level violation (truncated codes, reference past the
   * dictionary, output overrun/underrun, index outside the palette) —
   * returns None so a caller routes to [[Multimodal.FakeDecoder]]: one bad
@@ -43,12 +45,15 @@ object GifDecoder {
     if (!isGif(bytes) || bytes.length < 13) return None
     val sw = le16(bytes, 6); val sh = le16(bytes, 8)
     val packed = u8(bytes, 10)
-    if ((packed & 0x80) == 0) return None // global color table required
-    val nColors = 2 << (packed & 7)
-    if (13 + nColors * 3 > bytes.length) return None
-    val palette = Array.tabulate(nColors)(k =>
-      (u8(bytes, 13 + k * 3) << 16) | (u8(bytes, 14 + k * 3) << 8) | u8(bytes, 15 + k * 3))
-    var i = 13 + nColors * 3
+    // Global color table is OPTIONAL when the image carries a local one.
+    val hasGlobal = (packed & 0x80) != 0
+    val nGlobal = if (hasGlobal) 2 << (packed & 7) else 0
+    if (13 + nGlobal * 3 > bytes.length) return None
+    val globalPalette: Array[Int] =
+      if (hasGlobal) Array.tabulate(nGlobal)(k =>
+        (u8(bytes, 13 + k * 3) << 16) | (u8(bytes, 14 + k * 3) << 8) | u8(bytes, 15 + k * 3))
+      else null
+    var i = 13 + nGlobal * 3
     // Block walk: skip extensions, decode the first image descriptor.
     while (i < bytes.length) {
       u8(bytes, i) match {
@@ -62,10 +67,21 @@ object GifDecoder {
           val ix = le16(bytes, i + 1); val iy = le16(bytes, i + 3)
           val iw = le16(bytes, i + 5); val ih = le16(bytes, i + 7)
           val ipacked = u8(bytes, i + 9)
-          if ((ipacked & 0x80) != 0) return None // local color table out of scope
           if (ix != 0 || iy != 0 || iw != sw || ih != sh) return None // sub-frame out of scope
           if (iw <= 0 || ih <= 0 || iw.toLong * ih > (1L << 26)) return None // size cap
-          return lzw(bytes, i + 10, iw, ih, nColors).map { ind =>
+          // A local color table (GIF89a §20) overrides the global for this
+          // image and sits between the descriptor and the LZW data.
+          val hasLocal = (ipacked & 0x80) != 0
+          val nLocal = if (hasLocal) 2 << (ipacked & 7) else 0
+          if (i + 10 + nLocal * 3 > bytes.length) return None
+          val palette: Array[Int] =
+            if (hasLocal) Array.tabulate(nLocal)(k =>
+              (u8(bytes, i + 10 + k * 3) << 16) | (u8(bytes, i + 11 + k * 3) << 8) |
+                u8(bytes, i + 12 + k * 3))
+            else globalPalette
+          if (palette == null) return None // neither table: indexes are colorless
+          val nColors = if (hasLocal) nLocal else nGlobal
+          return lzw(bytes, i + 10 + nLocal * 3, iw, ih, nColors).map { ind =>
             val plane = if ((ipacked & 0x40) != 0) deinterlace(ind, iw, ih) else ind
             Decoded(iw, ih, nColors, palette, plane)
           }

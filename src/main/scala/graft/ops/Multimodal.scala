@@ -264,6 +264,43 @@ object Multimodal {
       }
   }
 
+  /** [[GifMeta]] plus the resolved color table — the gate for LOCAL color
+    * tables, where the palette CONTENT (not just the index plane) proves
+    * which table the decoder resolved. `palette_hex` is RRGGBB per entry. */
+  final case class GifPaletteRow(
+      media_id: Long,
+      format: String,
+      width: Long,
+      height: Long,
+      n_colors: Option[Long],
+      palette_hex: Option[String],
+      pixel_hex: Option[String])
+
+  /** (media_id, media: binary) → GIF decode exposing the resolved palette:
+    * a local color table overrides the global, a global-less blob decodes
+    * via its local table, and structural breaks (e.g. a declared table the
+    * blob cannot hold) route to [[FakeDecoder]]. */
+  def gifPalette(media: DataFrame): Dataset[GifPaletteRow] = {
+    implicit val enc = Encoders.product[GifPaletteRow]
+    media.select(col("media_id").cast("long"), col("media"))
+      .mapPartitions { (it: Iterator[Row]) =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+          GifDecoder.decode(bytes) match {
+            case Some(g) =>
+              GifPaletteRow(id, "image/gif", g.width.toLong, g.height.toLong,
+                Some(g.nColors.toLong),
+                Some(g.palette.map("%06X".format(_)).mkString),
+                Some(g.indexes.map("%02X".format(_)).mkString))
+            case None =>
+              val (fmt, w, h) = FakeDecoder.decode(bytes)
+              GifPaletteRow(id, fmt, w.toLong, h.toLong, None, None, None)
+          }
+        }
+      }
+  }
+
   /** Deterministic fake: derives dimensions from the first bytes and a
     * feature vector from a rolling byte hash — stable across runs/engines. */
   object FakeDecoder extends Decoder {

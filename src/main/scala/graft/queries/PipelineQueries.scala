@@ -7412,6 +7412,77 @@ object PipelineQueries {
              |    AS BIGINT) AS n_accepted,
              |  CAST(sum(CASE WHEN i * 100 >= u * tau_pct THEN 1 ELSE 0 END)
              |    * 1000000 // count(*) AS BIGINT) AS precision_ppm
-             |FROM v CROSS JOIN taus GROUP BY tau_pct ORDER BY tau_pct""".stripMargin))
+             |FROM v CROSS JOIN taus GROUP BY tau_pct ORDER BY tau_pct""".stripMargin)),
+
+    // GIF LOCAL-COLOR-TABLE RESOLUTION (x133) — closes the decoder-scope
+    // gap x103 documented: scraped GIF corpora carry per-image LOCAL color
+    // tables (GIF89a §20), which must override the global table, and blobs
+    // with NO global table must still decode via their local one. x103
+    // gates the LZW index plane; this gates the PALETTE the decoder
+    // resolved — four populations over the same 51-bit code stream:
+    // kind 0 global-only (palette = the global literal), kind 1 global +
+    // local (the doc-parameterized local wins), kind 2 local-only (header
+    // declares no global table), kind 3 a structurally broken local table
+    // (declares 256 entries the blob cannot hold) that must route to the
+    // fake decoder, not throw. Paired construction: both engines build the
+    // blob hex from the same per-doc arithmetic; DuckDB predicts palette
+    // and plane in closed form without parsing. Narrow per-row flatMap —
+    // the x103 scale shape (blobs parallelize perfectly, zero shuffle
+    // before the final sort).
+    QueryDef(
+      "x133_gif_local_palette",
+      (s, d) => {
+        // x103 kind-0 stream: CLEAR p0 CLEAR p1 … CLEAR p7 EOI — 17 3-bit
+        // codes = 51 bits LSB-first in 7 bytes; pixel i = (doc*7+i*5+3)%4
+        val i_ = "(b * 8 + t)"
+        val cj = s"(CASE WHEN ($i_ div 3) = 16 THEN 5 WHEN ($i_ div 3) % 2 = 0 THEN 4 " +
+          s"ELSE (doc_id * 7 + ((($i_ div 3) - 1) div 2) * 5 + 3) % 4 END)"
+        val bit = s"(($cj div (CASE $i_ % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END)) % 2)"
+        val pw = "(CASE t WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8 " +
+          "WHEN 4 THEN 16 WHEN 5 THEN 32 WHEN 6 THEN 64 ELSE 128 END)"
+        val byteExpr = "aggregate(sequence(CAST(0 AS BIGINT), 7), CAST(0 AS BIGINT), " +
+          s"(acc, t) -> acc + CASE WHEN b * 8 + t >= 51 THEN 0 ELSE $bit * $pw END)"
+        val lpal = "array_join(transform(sequence(CAST(0 AS BIGINT), 3), k -> " +
+          s"concat(${hbS("(doc_id * 11 + k * 17) % 256")}, " +
+          s"${hbS("(doc_id * 7 + k * 29) % 256")}, " +
+          s"${hbS("(doc_id * 3 + k * 41) % 256")})), '')"
+        val base = documents(s, d).filter(col("doc_id") < 48)
+          .select(col("doc_id"), (col("doc_id") % 4).as("kind"))
+          .withColumn("payload_hex",
+            expr(s"array_join(transform(sequence(CAST(0 AS BIGINT), 6), b -> ${hbS(byteExpr)}), '')"))
+          .withColumn("lpal_hex", expr(lpal))
+          .withColumn("hx", expr(
+            "concat('474946383961', '04000200', " +
+              "CASE WHEN kind = 2 THEN '70' ELSE 'F1' END, '0000', " +
+              "CASE WHEN kind = 2 THEN '' ELSE '0000005511AAAA5511FFEE33' END, " +
+              "'2C', '00000000', '04000200', " +
+              "CASE WHEN kind = 0 THEN '00' WHEN kind = 3 THEN '87' ELSE '81' END, " +
+              "CASE WHEN kind = 0 THEN '' ELSE lpal_hex END, " +
+              "'02', '07', payload_hex, '00', '3B')"))
+        graft.ops.Multimodal.gifPalette(
+          base.select(col("doc_id").as("media_id"), unhex(col("hx")).as("media")))
+          .select(col("media_id"), col("format"), col("width"), col("height"),
+            col("n_colors"), col("palette_hex"), col("pixel_hex"))
+          .orderBy("media_id")
+      },
+      Some(s"""WITH b AS (SELECT doc_id, doc_id % 4 AS kind
+             |  FROM documents WHERE doc_id < 48)
+             |SELECT doc_id AS media_id,
+             |  CASE WHEN kind = 3 THEN 'img/fake-gray' ELSE 'image/gif' END AS format,
+             |  CAST(CASE WHEN kind = 3 THEN 23 ELSE 4 END AS BIGINT) AS width,
+             |  CAST(CASE WHEN kind = 3 THEN 25 ELSE 2 END AS BIGINT) AS height,
+             |  CAST(CASE WHEN kind = 3 THEN NULL ELSE 4 END AS BIGINT) AS n_colors,
+             |  CASE WHEN kind = 3 THEN NULL
+             |    WHEN kind = 0 THEN '0000005511AAAA5511FFEE33'
+             |    ELSE array_to_string(list_transform(range(0, 4), k ->
+             |      ${hbD("(doc_id * 11 + k * 17) % 256")} ||
+             |      ${hbD("(doc_id * 7 + k * 29) % 256")} ||
+             |      ${hbD("(doc_id * 3 + k * 41) % 256")}), '')
+             |  END AS palette_hex,
+             |  CASE WHEN kind = 3 THEN NULL
+             |    ELSE array_to_string(list_transform(range(0, 8),
+             |      i -> ${hbD("(doc_id * 7 + i * 5 + 3) % 4")}), '')
+             |  END AS pixel_hex
+             |FROM b ORDER BY media_id""".stripMargin))
   )
 }

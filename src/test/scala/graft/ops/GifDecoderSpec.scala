@@ -12,20 +12,35 @@ class GifDecoderSpec extends AnyFunSuite {
       w: Int, h: Int, gctBits: Int, palette: Array[Int], lzwData: Array[Byte],
       minCodeSize: Int = 2, interlace: Boolean = false, withExtension: Boolean = false,
       subBlockSplit: Int = 0, dropTerminator: Boolean = false,
-      localColorTable: Boolean = false): Array[Byte] = {
+      localColorTable: Boolean = false, localPalette: Array[Int] = null,
+      noGlobalTable: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     out.write("GIF89a".getBytes("US-ASCII"))
     out.write(le16(w)); out.write(le16(h))
-    out.write(0x80 | 0x70 | (gctBits - 1)); out.write(0); out.write(0)
-    palette.foreach { rgb =>
-      out.write((rgb >> 16) & 0xff); out.write((rgb >> 8) & 0xff); out.write(rgb & 0xff)
+    if (noGlobalTable) { out.write(0x70); out.write(0); out.write(0) }
+    else {
+      out.write(0x80 | 0x70 | (gctBits - 1)); out.write(0); out.write(0)
+      palette.foreach { rgb =>
+        out.write((rgb >> 16) & 0xff); out.write((rgb >> 8) & 0xff); out.write(rgb & 0xff)
+      }
     }
     if (withExtension) { // Graphic Control Extension: label F9, 4 data bytes
       out.write(Array[Byte](0x21, 0xf9.toByte, 4, 0, 0, 0, 0, 0))
     }
     out.write(0x2c)
     out.write(le16(0)); out.write(le16(0)); out.write(le16(w)); out.write(le16(h))
-    out.write((if (interlace) 0x40 else 0) | (if (localColorTable) 0x80 else 0))
+    val lctBits = if (localPalette != null) {
+      var b = 1; while ((2 << (b - 1)) < localPalette.length) b += 1; b
+    } else 1
+    out.write((if (interlace) 0x40 else 0) |
+      (if (localColorTable || localPalette != null) 0x80 | (lctBits - 1) else 0))
+    if (localPalette != null) {
+      // pad to the declared 2^lctBits entries
+      val full = localPalette ++ Array.fill((2 << (lctBits - 1)) - localPalette.length)(0)
+      full.foreach { rgb =>
+        out.write((rgb >> 16) & 0xff); out.write((rgb >> 8) & 0xff); out.write(rgb & 0xff)
+      }
+    }
     out.write(minCodeSize)
     if (subBlockSplit > 0 && subBlockSplit < lzwData.length) {
       out.write(subBlockSplit); out.write(lzwData, 0, subBlockSplit)
@@ -126,6 +141,35 @@ class GifDecoderSpec extends AnyFunSuite {
     }
   }
 
+  test("a local color table overrides the global; no-global + local decodes") {
+    val pixels = Array.tabulate(8)(i => i % 4)
+    val codes = pixels.flatMap(p => Seq((4, 3), (p, 3))) :+ ((5, 3))
+    val data = pack(codes.toIndexedSeq)
+    val localPal = Array(0x101010, 0x202020, 0x303030, 0x404040)
+    // global table present but the image's LOCAL table must win
+    val withBoth = gif(4, 2, 2, pal4, data, localPalette = localPal)
+    val d1 = GifDecoder.decode(withBoth).get
+    assert(d1.palette.toSeq == localPal.toSeq && d1.nColors == 4)
+    assert(d1.indexes.map(_.toInt).toSeq == pixels.toSeq)
+    // no global table at all: decodes via the local one (a real scraped-GIF
+    // population the global-only scope used to route to the fake decoder)
+    val localOnly = gif(4, 2, 2, pal4, data, localPalette = localPal,
+      noGlobalTable = true)
+    val d2 = GifDecoder.decode(localOnly).get
+    assert(d2.palette.toSeq == localPal.toSeq)
+    assert(d2.indexes.map(_.toInt).toSeq == pixels.toSeq)
+    // no global AND no local: colorless — None
+    val colorless = gif(4, 2, 2, pal4, data, noGlobalTable = true)
+    assert(GifDecoder.decode(colorless).isEmpty)
+    // cross-validation: the JDK ImageIO reader resolves the same RGB pixels
+    // from the hand-built local-table stream
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(withBoth))
+    assert(img != null)
+    val got = for (y <- 0 until 2; x <- 0 until 4)
+      yield img.getRGB(x, y) & 0xffffff
+    assert(got == pixels.map(localPal).toSeq)
+  }
+
   test("violations degrade to None, never throw") {
     val pixels = Array.tabulate(8)(i => i % 4)
     val codes = pixels.flatMap(p => Seq((4, 3), (p, 3))) :+ ((5, 3))
@@ -134,7 +178,10 @@ class GifDecoderSpec extends AnyFunSuite {
     assert(GifDecoder.decode(good).nonEmpty)
     assert(GifDecoder.decode(good.take(10)).isEmpty)                  // truncated header
     assert(GifDecoder.decode(good.take(good.length - 6)).isEmpty)     // truncated stream
-    assert(GifDecoder.decode(gif(4, 2, 2, pal4, data, localColorTable = true)).isEmpty)
+    // local-table flag set but blob ends before the declared table
+    val flagged = gif(4, 2, 2, pal4, Array.emptyByteArray, localColorTable = true)
+    val cut = flagged.take(flagged.indexOf(0x2c.toByte) + 10 + 3) // mid-table
+    assert(GifDecoder.decode(cut).isEmpty)
     assert(GifDecoder.decode(gif(4, 2, 2, pal4, data, dropTerminator = true)).isEmpty)
     // truncated mid-stream: plane under-filled even though codes parse
     val shortCodes = pixels.take(4).flatMap(p => Seq((4, 3), (p, 3))) :+ ((5, 3))

@@ -651,6 +651,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(opExchanges(p) == 0, s"tar indexing must not hash-shuffle:\n$p")
   }
 
+  test("x133's palette decode is a joinless narrow per-row map") {
+    val p = plans("x133_gif_local_palette")
+    assert(!p.contains("Join"), p)
+    assert(opExchanges(p) == 0, s"gif palette decode must not hash-shuffle:\n$p")
+  }
+
   test("x106's three windows and rollup share ONE event_type exchange") {
     val p = plans("x106_watermark_advisor")
     assert(opExchanges(p) == 1, s"expected one event_type exchange, plan:\n$p")
