@@ -7483,6 +7483,74 @@ object PipelineQueries {
              |    ELSE array_to_string(list_transform(range(0, 8),
              |      i -> ${hbD("(doc_id * 7 + i * 5 + 3) % 4")}), '')
              |  END AS pixel_hex
-             |FROM b ORDER BY media_id""".stripMargin))
+             |FROM b ORDER BY media_id""".stripMargin)),
+
+    // MJPEG FRAME DECODE FROM MP4 SAMPLES (x134) — the video-payload
+    // composition the metadata walk stopped short of: x111 reads box
+    // METADATA; this walks the SAMPLE TABLES (stsz sizes + stco chunk
+    // offsets, ISO/IEC 14496-12 §8.7) to locate each video sample inside
+    // mdat and runs motion-JPEG samples through the REAL baseline JPEG
+    // decoder (x101's Huffman/IDCT path) — MJPEG is exactly "every sample
+    // an independent baseline JPEG", so the two proven pure-Scala pieces
+    // compose with no new codec work (ops.Mp4Samples). Fixture: 1–3
+    // samples per doc, each x101's kind-0 DC-only 8×8 gray stream whose
+    // decoded plane is EXACTLY 128+v (integer end to end); every 5th doc's
+    // first sample has a broken SOI marker — the frame must be FLAGGED
+    // (decode_ok false, null pixels) while its siblings decode; the sample
+    // table itself (one chunk, consecutive samples) exercises the
+    // cumulative-offset layout. DuckDB predicts offsets, sizes, and planes
+    // arithmetically without parsing. Narrow per-row flatMap; zero shuffle
+    // before the final sort.
+    QueryDef(
+      "x134_mjpeg_frames",
+      (s, d) => {
+        val nS = "(1 + doc_id % 3)"
+        val vI = "(32 + (doc_id + 7 * i) % 32)"
+        val sampleHex = "concat(" +
+          "CASE WHEN doc_id % 5 = 4 AND i = 0 THEN 'FFD7' ELSE 'FFD8' END, " +
+          "'FFDB004300', '08', repeat('01', 63), " +
+          "'FFC0000B08', '0008', '0008', '01', '011100', " +
+          "'FFC4001500', '0002', repeat('00', 14), '0006', " +
+          "'FFC4001410', '000000000001', repeat('00', 10), '00', " +
+          s"'FFDA000801', '0100', '003F00', ${hbS(s"64 + $vI")}, '03', 'FFD9')"
+        val samples =
+          s"array_join(transform(sequence(CAST(0 AS BIGINT), $nS - 1), i -> $sampleHex), '')"
+        // 143-byte samples (0x8F); boxes: stsz 20+4n, stco 20, stbl 48+4n,
+        // minf/mdia/trak +8 each, moov 80+4n; mdat payload starts 104+4n
+        val stsz = s"concat(${be32S(s"20 + 4 * $nS")}, '7374737A', '00000000', " +
+          s"'00000000', ${be32S(nS)}, repeat('0000008F', CAST($nS AS INT)))"
+        val stco = s"concat('00000014', '7374636F', '00000000', '00000001', " +
+          s"${be32S(s"104 + 4 * $nS")})"
+        val moov = s"concat(${be32S(s"80 + 4 * $nS")}, '6D6F6F76', " +
+          s"${be32S(s"72 + 4 * $nS")}, '7472616B', ${be32S(s"64 + 4 * $nS")}, " +
+          s"'6D646961', ${be32S(s"56 + 4 * $nS")}, '6D696E66', " +
+          s"${be32S(s"48 + 4 * $nS")}, '7374626C', $stsz, $stco)"
+        val mdat = s"concat(${be32S(s"8 + 143 * $nS")}, '6D646174', $samples)"
+        val base = documents(s, d).filter(col("doc_id") < 24)
+          .select(col("doc_id"))
+          .withColumn("hx", expr(
+            s"concat('00000010', '66747970', '6D6A7067', '00000000', $moov, $mdat)"))
+        graft.ops.Mp4Samples.mjpegFrames(
+          base.select(col("doc_id").as("media_id"), unhex(col("hx")).as("media")))
+          .select(col("media_id"), col("sample_idx"), col("sample_offset"),
+            col("sample_size"), col("decode_ok"), col("width"), col("height"),
+            col("pixel_hex"))
+          .orderBy("media_id", "sample_idx")
+      },
+      Some(s"""WITH b AS (SELECT doc_id, 1 + doc_id % 3 AS n
+             |  FROM documents WHERE doc_id < 24),
+             |f AS (SELECT doc_id, n, unnest(range(0, 3)) AS i FROM b)
+             |SELECT doc_id AS media_id, CAST(i AS BIGINT) AS sample_idx,
+             |  CAST(104 + 4 * n + 143 * i AS BIGINT) AS sample_offset,
+             |  CAST(143 AS BIGINT) AS sample_size,
+             |  NOT (doc_id % 5 = 4 AND i = 0) AS decode_ok,
+             |  CAST(CASE WHEN doc_id % 5 = 4 AND i = 0 THEN NULL ELSE 8 END
+             |    AS BIGINT) AS width,
+             |  CAST(CASE WHEN doc_id % 5 = 4 AND i = 0 THEN NULL ELSE 8 END
+             |    AS BIGINT) AS height,
+             |  CASE WHEN doc_id % 5 = 4 AND i = 0 THEN NULL
+             |    ELSE repeat(${hbD("160 + (doc_id + 7 * i) % 32")}, 64)
+             |  END AS pixel_hex
+             |FROM f WHERE i < n ORDER BY media_id, sample_idx""".stripMargin))
   )
 }

@@ -657,6 +657,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(opExchanges(p) == 0, s"gif palette decode must not hash-shuffle:\n$p")
   }
 
+  test("x134's sample walk + frame decode is a joinless narrow per-row flatMap") {
+    val p = plans("x134_mjpeg_frames")
+    assert(!p.contains("Join"), p)
+    assert(opExchanges(p) == 0, s"mjpeg decode must not hash-shuffle:\n$p")
+  }
+
   test("x106's three windows and rollup share ONE event_type exchange") {
     val p = plans("x106_watermark_advisor")
     assert(opExchanges(p) == 1, s"expected one event_type exchange, plan:\n$p")
