@@ -7551,6 +7551,86 @@ object PipelineQueries {
              |  CASE WHEN doc_id % 5 = 4 AND i = 0 THEN NULL
              |    ELSE repeat(${hbD("160 + (doc_id + 7 * i) % 32")}, 64)
              |  END AS pixel_hex
-             |FROM f WHERE i < n ORDER BY media_id, sample_idx""".stripMargin))
+             |FROM f WHERE i < n ORDER BY media_id, sample_idx""".stripMargin)),
+
+    // MP3 FRAME WALK (x135) — the audio-stream counterpart of x105/x134's
+    // container walks and the step past x46's single-header probe: walk
+    // EVERY MPEG-1 Layer III frame (length = 144·bitrate/rate + padding,
+    // the public ISO/IEC 11172-3 header tables), skip a syncsafe ID3v2
+    // prefix, read the de-facto Xing VBR tag after the first frame's side
+    // info, and report what audio curation actually needs without a PCM
+    // decode: frame count, CBR/VBR, bitrate range, byte accounting, exact
+    // integer duration, and a clean/dirty tail flag. Three populations:
+    // CBR with REAL per-frame padding drift (44100 Hz streams pad
+    // unevenly), VBR with a Xing tag (bitrate varies per frame), and an
+    // ID3v2-prefixed stream with trailing garbage the walk must FLAG
+    // (clean_tail false) while keeping every parsed frame. DuckDB predicts
+    // all statistics arithmetically from the same per-frame formulas.
+    // Narrow per-row map; zero shuffle before the final sort.
+    QueryDef(
+      "x135_mp3_frame_walk",
+      (s, d) => {
+        def kb(bri: String) = s"(CASE CAST($bri AS INT) WHEN 1 THEN 32 " +
+          "WHEN 2 THEN 40 WHEN 3 THEN 48 WHEN 4 THEN 56 WHEN 5 THEN 64 " +
+          "WHEN 6 THEN 80 WHEN 7 THEN 96 WHEN 8 THEN 112 WHEN 9 THEN 128 " +
+          "WHEN 10 THEN 160 WHEN 11 THEN 192 WHEN 12 THEN 224 " +
+          "WHEN 13 THEN 256 ELSE 320 END)"
+        val briF = "(1 + (doc_id + 5 * f) % 14)" // kind-1 per-frame bitrate
+        val padF = "(CASE WHEN kind = 1 THEN 0 ELSE (doc_id + f) % 2 END)"
+        val briAny = s"(CASE WHEN kind = 1 THEN $briF ELSE bri0 END)"
+        val fbF = s"(144 * ${kb(briAny)} * 1000 div rate + $padF)"
+        val hdrF = s"concat('FFFB', ${hbS(s"$briAny * 16 + sri * 4 + $padF * 2")}, '00')"
+        val frameF = s"CASE WHEN kind = 1 AND f = 0 THEN " +
+          s"concat($hdrF, repeat('00', 32), '58696E67', '00000001', " +
+          s"${be32S("n")}, repeat('00', CAST($fbF - 48 AS INT))) " +
+          s"ELSE concat($hdrF, repeat('00', CAST($fbF - 4 AS INT))) END"
+        val framesHex =
+          s"array_join(transform(sequence(CAST(0 AS BIGINT), n - 1), f -> $frameF), '')"
+        val base = documents(s, d).filter(col("doc_id") < 24)
+          .select(col("doc_id"), (col("doc_id") % 3).as("kind"),
+            expr("2 + doc_id % 4").as("n"),
+            expr("(doc_id div 3) % 3").as("sri"),
+            expr("1 + doc_id % 14").as("bri0"))
+          .withColumn("rate", expr(
+            "CAST(CASE sri WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS BIGINT)"))
+          .withColumn("hx", expr(
+            s"concat(CASE WHEN kind = 2 THEN concat('494433', '0400', '00', " +
+              s"'000000', ${hbS("doc_id % 40")}, repeat('00', CAST(doc_id % 40 AS INT))) " +
+              s"ELSE '' END, $framesHex, " +
+              "CASE WHEN kind = 2 THEN 'FFFF' ELSE '' END)"))
+        graft.ops.Mp3Frames.walk(
+          base.select(col("doc_id").as("media_id"), unhex(col("hx")).as("media")))
+          .select(col("media_id"), col("n_frames"), col("sample_rate"),
+            col("channels"), col("is_cbr"), col("bitrate_kbps_min"),
+            col("bitrate_kbps_max"), col("total_frame_bytes"),
+            col("duration_ms"), col("xing_frames"), col("clean_tail"))
+          .orderBy("media_id")
+      },
+      Some("""WITH b AS (SELECT doc_id, doc_id % 3 AS kind, 2 + doc_id % 4 AS n,
+             |  (doc_id // 3) % 3 AS sri, 1 + doc_id % 14 AS bri0
+             |  FROM documents WHERE doc_id < 24),
+             |r AS (SELECT *, CASE sri WHEN 0 THEN 44100 WHEN 1 THEN 48000
+             |  ELSE 32000 END AS rate FROM b),
+             |fr AS (SELECT doc_id, kind, n, rate, f,
+             |  CASE WHEN kind = 1 THEN 1 + (doc_id + 5 * f) % 14 ELSE bri0 END AS bri,
+             |  CASE WHEN kind = 1 THEN 0 ELSE (doc_id + f) % 2 END AS pad
+             |  FROM r CROSS JOIN (SELECT unnest(range(0, 6)) AS f) WHERE f < n),
+             |fb AS (SELECT doc_id, kind, n, rate, f, pad,
+             |  CASE bri WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48 WHEN 4 THEN 56
+             |    WHEN 5 THEN 64 WHEN 6 THEN 80 WHEN 7 THEN 96 WHEN 8 THEN 112
+             |    WHEN 9 THEN 128 WHEN 10 THEN 160 WHEN 11 THEN 192 WHEN 12 THEN 224
+             |    WHEN 13 THEN 256 ELSE 320 END AS kb FROM fr)
+             |SELECT doc_id AS media_id,
+             |  CAST(max(n) AS BIGINT) AS n_frames,
+             |  CAST(max(rate) AS BIGINT) AS sample_rate,
+             |  CAST(2 AS BIGINT) AS channels,
+             |  max(kind) <> 1 AS is_cbr,
+             |  CAST(min(kb) AS BIGINT) AS bitrate_kbps_min,
+             |  CAST(max(kb) AS BIGINT) AS bitrate_kbps_max,
+             |  CAST(sum(144 * kb * 1000 // rate + pad) AS BIGINT) AS total_frame_bytes,
+             |  CAST(max(n) * 1152 * 1000 // max(rate) AS BIGINT) AS duration_ms,
+             |  CAST(CASE WHEN max(kind) = 1 THEN max(n) END AS BIGINT) AS xing_frames,
+             |  max(kind) <> 2 AS clean_tail
+             |FROM fb GROUP BY doc_id ORDER BY media_id""".stripMargin))
   )
 }

@@ -663,6 +663,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(opExchanges(p) == 0, s"mjpeg decode must not hash-shuffle:\n$p")
   }
 
+  test("x135's frame walk is a joinless narrow per-row map") {
+    val p = plans("x135_mp3_frame_walk")
+    assert(!p.contains("Join"), p)
+    assert(opExchanges(p) == 0, s"mp3 walk must not hash-shuffle:\n$p")
+  }
+
   test("x106's three windows and rollup share ONE event_type exchange") {
     val p = plans("x106_watermark_advisor")
     assert(opExchanges(p) == 1, s"expected one event_type exchange, plan:\n$p")
