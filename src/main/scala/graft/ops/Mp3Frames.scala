@@ -107,6 +107,115 @@ object Mp3Frames {
       nFrames * 1152L * 1000L / rate, xingFrames, cleanTail))
   }
 
+  // ——— Layer III side info (ISO/IEC 11172-3 §2.4.1.7) ———————————————————
+  //
+  // The granule structure is the entry gate of any Layer III decoder: the
+  // bit reservoir back-pointer, per-granule Huffman bit budgets, and
+  // global_gain (a direct loudness signal audio curation can use without
+  // any PCM decode). MSB-first bit layout; no-CRC MPEG-1 side info is
+  // 32 bytes stereo / 17 mono: main_data_begin(9), private(3|5),
+  // scfsi(4·nch), then per granule×channel 59 bits — part2_3_length(12),
+  // big_values(9), global_gain(8), scalefac_compress(4),
+  // window_switching(1), 22 region/table bits, preflag(1),
+  // scalefac_scale(1), count1table_select(1).
+
+  final case class GranuleInfo(
+      media_id: Long,
+      frame_idx: Long,
+      granule: Long,
+      channel: Long,
+      main_data_begin: Long,
+      reservoir_ok: Boolean,
+      part2_3_length: Long,
+      big_values: Long,
+      global_gain: Long,
+      block_type: Long)
+
+  private final class BitReader(b: Array[Byte], base: Int) {
+    private var pos = 0
+    def read(n: Int): Int = {
+      var v = 0
+      var k = 0
+      while (k < n) {
+        val j = pos + k
+        v = (v << 1) | ((b(base + (j >> 3)) >> (7 - (j & 7))) & 1)
+        k += 1
+      }
+      pos += n
+      v
+    }
+    def skip(n: Int): Unit = pos += n
+  }
+
+  /** Parse the side info of every frame in the stream (same walk contract
+    * as [[parse]]); `reservoir_ok` checks the main_data_begin back-pointer
+    * against the bytes actually accumulated in the reservoir (capped at
+    * the format's 511-byte/9-bit window). */
+  def granules(id: Long, bytes: Array[Byte]): Seq[GranuleInfo] = {
+    var i = 0
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
+      if ((u8(bytes, 6) | u8(bytes, 7) | u8(bytes, 8) | u8(bytes, 9)) >= 0x80)
+        return Seq.empty
+      i = 10 + ((u8(bytes, 6) << 21) | (u8(bytes, 7) << 14) |
+        (u8(bytes, 8) << 7) | u8(bytes, 9))
+      if (i < 0 || i > bytes.length) return Seq.empty
+    }
+    val out = Seq.newBuilder[GranuleInfo]
+    var frameIdx = 0L
+    var reservoir = 0L // main-data bytes accumulated before this frame
+    var done = false
+    while (!done) {
+      header(bytes, i) match {
+        case Some((_, _, channels, fb)) if i + fb <= bytes.length =>
+          val side = if (channels == 1) 17 else 32
+          if (4 + side > fb) { done = true }
+          else {
+            val br = new BitReader(bytes, i + 4)
+            val mdb = br.read(9).toLong
+            val ok = mdb <= math.min(reservoir, 511L)
+            br.skip(if (channels == 1) 5 else 3) // private bits
+            br.skip(4 * channels) // scfsi
+            var g = 0
+            while (g < 2) {
+              var c = 0
+              while (c < channels) {
+                val p23 = br.read(12).toLong
+                val big = br.read(9).toLong
+                val gain = br.read(8).toLong
+                br.skip(4) // scalefac_compress
+                val wsf = br.read(1)
+                val bt = if (wsf == 1) { val b = br.read(2); br.skip(20); b }
+                  else { br.skip(22); 0 }
+                br.skip(3) // preflag, scalefac_scale, count1table_select
+                out += GranuleInfo(id, frameIdx, g.toLong, c.toLong,
+                  mdb, ok, p23, big, gain, bt.toLong)
+                c += 1
+              }
+              g += 1
+            }
+            reservoir += fb - 4 - side
+            frameIdx += 1
+            i += fb
+            if (i == bytes.length) done = true
+          }
+        case _ => done = true // malformed/truncated: keep frames parsed so far
+      }
+    }
+    out.result()
+  }
+
+  /** DataFrame plumbing: (media_id, media BINARY) → exploded granule rows. */
+  def sideInfo(media: DataFrame): Dataset[GranuleInfo] = {
+    implicit val enc = Encoders.product[GranuleInfo]
+    media.select(col("media_id").cast("long"), col("media"))
+      .mapPartitions { (it: Iterator[Row]) =>
+        it.flatMap { r =>
+          val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+          granules(r.getLong(0), bytes)
+        }
+      }
+  }
+
   /** DataFrame plumbing: (media_id, media BINARY) → one walk row per blob
     * with a valid first frame; blobs with no parseable frame yield none. */
   def walk(media: DataFrame): Dataset[Walk] = {

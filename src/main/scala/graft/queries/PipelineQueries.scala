@@ -7631,6 +7631,109 @@ object PipelineQueries {
              |  CAST(max(n) * 1152 * 1000 // max(rate) AS BIGINT) AS duration_ms,
              |  CAST(CASE WHEN max(kind) = 1 THEN max(n) END AS BIGINT) AS xing_frames,
              |  max(kind) <> 2 AS clean_tail
-             |FROM fb GROUP BY doc_id ORDER BY media_id""".stripMargin))
+             |FROM fb GROUP BY doc_id ORDER BY media_id""".stripMargin)),
+
+    // MP3 LAYER III SIDE-INFO DECODE (x136) — the granule structure one
+    // level below x135's frame walk and the entry gate of any Layer III
+    // decoder (ISO/IEC 11172-3 §2.4.1.7): the bit-reservoir back-pointer
+    // (main_data_begin, validated against the bytes the reservoir actually
+    // holds), per-granule Huffman bit budgets (part2_3_length, big_values),
+    // window switching/block types, and global_gain — a direct LOUDNESS
+    // signal audio curation can rank on without any PCM decode. Paired
+    // construction at the BIT level: both engines assemble the 256-bit
+    // stereo side info from the same per-(frame, granule, channel) field
+    // arithmetic (x103's bit-packing discipline, MSB-first this time);
+    // Spark packs it into real frames and re-parses through ops.Mp3Frames;
+    // DuckDB predicts every field and the reservoir verdict arithmetically.
+    // First frames carry a 9-bit back-pointer into an EMPTY reservoir
+    // (flagged unless 0); later frames point within-or-past the 60-byte
+    // floor the smallest fixture frame accrues — both verdicts occur.
+    // Narrow per-row flatMap; zero shuffle before the final sort.
+    QueryDef(
+      "x136_mp3_side_info",
+      (s, d) => {
+        def gcE(g: Int, c: Int): String = {
+          val p23 = s"((100 + doc_id * 13 + f * 7 + $g * 3 + $c) % 4096)"
+          val big = s"((doc_id * 5 + f + 2 * $g + $c) % 289)"
+          val gain = s"((doc_id * 11 + f * 5 + $g * 2 + 3 * $c) % 256)"
+          val scomp = s"((doc_id + $g) % 16)"
+          val wsf = s"((doc_id + f + $g + $c) % 2)"
+          val bt = s"(1 + (doc_id + $g + 2 * $c) % 3)"
+          val rb = s"(CASE WHEN $wsf = 1 THEN $bt * 1048576 + " +
+            s"(doc_id % 32) * 32768 + ((doc_id * 3) % 32) * 1024 " +
+            s"ELSE (doc_id % 32) * 131072 + ((doc_id * 3) % 32) * 4096 + " +
+            s"((doc_id * 5) % 32) * 128 + (doc_id % 16) * 8 + doc_id % 8 END)"
+          val t3 = s"((doc_id + f + $g + $c) % 8)"
+          s"($p23 * 140737488355328 + $big * 274877906944 + $gain * 1073741824 + " +
+            s"$scomp * 67108864 + $wsf * 33554432 + $rb * 8 + $t3)"
+        }
+        val mdb = "(CASE WHEN f = 0 THEN (doc_id * 7) % 512 " +
+          "ELSE (doc_id * 3 + f) % 64 END)"
+        val scfsi = "(doc_id % 256)"
+        val j = "(k * 8 + t)"
+        val bit = s"(CASE WHEN $j < 9 THEN shiftright($mdb, CAST(8 - $j AS INT)) " +
+          s"WHEN $j < 12 THEN 0 " +
+          s"WHEN $j < 20 THEN shiftright($scfsi, CAST(19 - $j AS INT)) " +
+          s"WHEN $j < 79 THEN shiftright(${gcE(0, 0)}, CAST(78 - $j AS INT)) " +
+          s"WHEN $j < 138 THEN shiftright(${gcE(0, 1)}, CAST(137 - $j AS INT)) " +
+          s"WHEN $j < 197 THEN shiftright(${gcE(1, 0)}, CAST(196 - $j AS INT)) " +
+          s"ELSE shiftright(${gcE(1, 1)}, CAST(255 - $j AS INT)) END % 2)"
+        val byteE = "aggregate(sequence(CAST(0 AS BIGINT), 7), CAST(0 AS BIGINT), " +
+          s"(acc, t) -> acc * 2 + $bit)"
+        val sideHex =
+          s"array_join(transform(sequence(CAST(0 AS BIGINT), 31), k -> ${hbS(byteE)}), '')"
+        val frameF = s"concat('FFFB', ${hbS("bri0 * 16 + sri * 4")}, '00', " +
+          s"$sideHex, repeat('00', CAST(fb - 36 AS INT)))"
+        val base = documents(s, d).filter(col("doc_id") < 24)
+          .select(col("doc_id"), expr("2 + doc_id % 3").as("n"),
+            expr("(doc_id div 3) % 3").as("sri"),
+            expr("1 + doc_id % 14").as("bri0"))
+          .withColumn("rate", expr(
+            "CAST(CASE sri WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS BIGINT)"))
+          .withColumn("fb", expr(
+            "144 * (CASE CAST(bri0 AS INT) WHEN 1 THEN 32 WHEN 2 THEN 40 " +
+              "WHEN 3 THEN 48 WHEN 4 THEN 56 WHEN 5 THEN 64 WHEN 6 THEN 80 " +
+              "WHEN 7 THEN 96 WHEN 8 THEN 112 WHEN 9 THEN 128 WHEN 10 THEN 160 " +
+              "WHEN 11 THEN 192 WHEN 12 THEN 224 WHEN 13 THEN 256 ELSE 320 END) " +
+              "* 1000 div rate"))
+          .withColumn("hx", expr(
+            s"array_join(transform(sequence(CAST(0 AS BIGINT), n - 1), f -> $frameF), '')"))
+        graft.ops.Mp3Frames.sideInfo(
+          base.select(col("doc_id").as("media_id"), unhex(col("hx")).as("media")))
+          .select(col("media_id"), col("frame_idx"), col("granule"), col("channel"),
+            col("main_data_begin"), col("reservoir_ok"), col("part2_3_length"),
+            col("big_values"), col("global_gain"), col("block_type"))
+          .orderBy("media_id", "frame_idx", "granule", "channel")
+      },
+      Some("""WITH b AS (SELECT doc_id, 2 + doc_id % 3 AS n, (doc_id // 3) % 3 AS sri,
+             |  1 + doc_id % 14 AS bri0 FROM documents WHERE doc_id < 24),
+             |r AS (SELECT *,
+             |  CASE sri WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS rate,
+             |  CASE bri0 WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48 WHEN 4 THEN 56
+             |    WHEN 5 THEN 64 WHEN 6 THEN 80 WHEN 7 THEN 96 WHEN 8 THEN 112
+             |    WHEN 9 THEN 128 WHEN 10 THEN 160 WHEN 11 THEN 192 WHEN 12 THEN 224
+             |    WHEN 13 THEN 256 ELSE 320 END AS kb FROM b),
+             |fbx AS (SELECT *, 144 * kb * 1000 // rate AS fb FROM r),
+             |g AS (SELECT doc_id, n, fb, f, gr, c,
+             |  CASE WHEN f = 0 THEN (doc_id * 7) % 512
+             |    ELSE (doc_id * 3 + f) % 64 END AS mdb,
+             |  (doc_id + f + gr + c) % 2 AS wsf
+             |  FROM fbx
+             |  CROSS JOIN (SELECT unnest(range(0, 4)) AS f)
+             |  CROSS JOIN (SELECT unnest(range(0, 2)) AS gr)
+             |  CROSS JOIN (SELECT unnest(range(0, 2)) AS c)
+             |  WHERE f < n)
+             |SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+             |  CAST(gr AS BIGINT) AS granule, CAST(c AS BIGINT) AS channel,
+             |  CAST(mdb AS BIGINT) AS main_data_begin,
+             |  mdb <= least(511, f * (fb - 36)) AS reservoir_ok,
+             |  CAST((100 + doc_id * 13 + f * 7 + gr * 3 + c) % 4096 AS BIGINT)
+             |    AS part2_3_length,
+             |  CAST((doc_id * 5 + f + 2 * gr + c) % 289 AS BIGINT) AS big_values,
+             |  CAST((doc_id * 11 + f * 5 + gr * 2 + 3 * c) % 256 AS BIGINT)
+             |    AS global_gain,
+             |  CAST(CASE WHEN wsf = 1 THEN 1 + (doc_id + gr + 2 * c) % 3
+             |    ELSE 0 END AS BIGINT) AS block_type
+             |FROM g ORDER BY media_id, frame_idx, granule, channel""".stripMargin))
   )
 }

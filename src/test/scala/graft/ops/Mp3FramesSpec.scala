@@ -74,6 +74,50 @@ class Mp3FramesSpec extends SparkSpec {
     assert(ws.n_frames == 1 && !ws.clean_tail)
   }
 
+  // ——— spec-side MSB-first bit packer for side info ———
+  private def packBits(fields: Seq[(Int, Int)]): Array[Byte] = {
+    val bits = fields.flatMap { case (v, w) => (w - 1 to 0 by -1).map(t => (v >> t) & 1) }
+    bits.grouped(8).map(g =>
+      g.padTo(8, 0).zipWithIndex.map { case (b, t) => b << (7 - t) }.sum.toByte).toArray
+  }
+
+  private def granuleChunk(p23: Int, big: Int, gain: Int, wsf: Int, bt: Int): Seq[(Int, Int)] =
+    Seq((p23, 12), (big, 9), (gain, 8), (7, 4), (wsf, 1)) ++
+      (if (wsf == 1) Seq((bt, 2), (0, 20)) else Seq((0, 22))) ++ Seq((5, 3))
+
+  test("side info parses bit-exactly: stereo and mono layouts, block types, reservoir") {
+    // stereo frame: mdb=200 (flagged: reservoir empty), distinct fields per gr/ch
+    val side = packBits(Seq((200, 9), (0, 3), (0xA, 8)) ++
+      granuleChunk(1000, 100, 90, 0, 0) ++ granuleChunk(2000, 200, 130, 1, 2) ++
+      granuleChunk(3000, 150, 201, 0, 0) ++ granuleChunk(4095, 288, 255, 1, 3))
+    assert(side.length == 32)
+    val f0 = frame(9, 0, 0, body = side)
+    // second frame mdb=100: reservoir now fb0-36 bytes (>100) → ok
+    val side2 = packBits(Seq((100, 9), (0, 3), (0, 8)) ++
+      Seq.fill(4)(granuleChunk(1, 2, 3, 0, 0)).flatten)
+    val f1 = frame(9, 0, 0, body = side2)
+    val gs = Mp3Frames.granules(7L, f0 ++ f1)
+    assert(gs.size == 8)
+    assert(gs.take(4).map(g => (g.part2_3_length, g.big_values, g.global_gain,
+      g.block_type, g.reservoir_ok)) == Seq(
+      (1000L, 100L, 90L, 0L, false), (2000L, 200L, 130L, 2L, false),
+      (3000L, 150L, 201L, 0L, false), (4095L, 288L, 255L, 3L, false)))
+    assert(gs.drop(4).forall(g => g.frame_idx == 1L && g.main_data_begin == 100L &&
+      g.reservoir_ok))
+    assert(gs.map(g => (g.granule, g.channel)).take(4) ==
+      Seq((0L, 0L), (0L, 1L), (1L, 0L), (1L, 1L)))
+    // mono: 17-byte side info, 2 granules × 1 channel
+    val sideM = packBits(Seq((0, 9), (0, 5), (0xF, 4)) ++
+      granuleChunk(123, 45, 67, 0, 0) ++ granuleChunk(89, 10, 11, 1, 1))
+    assert(sideM.length == 17)
+    val gm = Mp3Frames.granules(1L, frame(9, 0, 0, mode = 3, body = sideM))
+    assert(gm.map(g => (g.granule, g.channel, g.part2_3_length, g.global_gain,
+      g.block_type)) == Seq((0L, 0L, 123L, 67L, 0L), (1L, 0L, 89L, 11L, 1L)))
+    // truncated second frame: first frame's granules kept
+    assert(Mp3Frames.granules(0L, (f0 ++ f1).dropRight(10)).size == 4)
+    assert(Mp3Frames.granules(0L, Array.emptyByteArray).isEmpty)
+  }
+
   test("no valid first frame → None; walk() survives null blobs") {
     import spark.implicits._
     assert(Mp3Frames.parse(0L, Array.emptyByteArray).isEmpty)

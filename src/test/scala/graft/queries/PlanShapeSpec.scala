@@ -669,6 +669,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(opExchanges(p) == 0, s"mp3 walk must not hash-shuffle:\n$p")
   }
 
+  test("x136's side-info decode is a joinless narrow per-row flatMap") {
+    val p = plans("x136_mp3_side_info")
+    assert(!p.contains("Join"), p)
+    assert(opExchanges(p) == 0, s"side-info decode must not hash-shuffle:\n$p")
+  }
+
   test("x106's three windows and rollup share ONE event_type exchange") {
     val p = plans("x106_watermark_advisor")
     assert(opExchanges(p) == 1, s"expected one event_type exchange, plan:\n$p")
