@@ -16,8 +16,12 @@ import org.apache.spark.sql.functions._
   * inflation, and type-0 unfiltering need no external codec. Baseline JPEG
   * is now ALSO real end to end: [[JpegDecoder]] implements the T.81
   * entropy path (canonical Huffman, run-length, dequant, IDCT, color
-  * convert) in pure Scala — see [[jpegPixels]]. The remaining entropy-coded
-  * codecs (H.264, MP3 audio frames, progressive/arithmetic JPEG) genuinely
+  * convert) in pure Scala — see [[jpegPixels]]. GIF LZW ([[GifDecoder]],
+  * incl. local color tables), MJPEG-in-MP4 frames ([[Mp4Samples]]), and
+  * the MP3 frame/side-info structure ([[Mp3Frames]] — full frame walk,
+  * Xing, bit reservoir, granule budgets, global_gain loudness) are real
+  * too. The remaining entropy-coded PAYLOADS (H.264, MP3 Huffman spectral
+  * data + IMDCT/synthesis PCM, progressive/arithmetic JPEG) genuinely
   * need external libraries that are not in the offline dependency budget;
   * those stay behind [[Multimodal.Decoder]] with
   * [[Multimodal.FakeDecoder]] as the deterministic stand-in, so the

@@ -2008,6 +2008,42 @@ object CoreQueries {
              |    AS region_share,
              |  round(CAST(rev AS DOUBLE) / CAST(sum(rev) OVER () AS DOUBLE), 6)
              |    AS total_share
-             |FROM bn ORDER BY n_regionkey, n_name""".stripMargin))
+             |FROM bn ORDER BY n_regionkey, n_name""".stripMargin)),
+
+    // Q63 — telemetry duplicate suppression (event throttling): instrumented
+    // clients double-fire; the standard ingestion repair drops an event that
+    // repeats its (user, type) within a debounce window (5 s) of the
+    // PREVIOUS event, reported per type as kept/suppressed volume. The
+    // dedup-family member for event streams: q10 dedups by key order, x01
+    // by content hash, this by RECENCY. One (user_id, event_type) window
+    // exchange; the per-type rollup partial-combines into a |types|-bounded
+    // frame. Integer-exact: µs gaps and a ppm ratio.
+    QueryDef(
+      "q63_event_throttle",
+      (s, d) => {
+        val wo = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+        events(s, d)
+          .withColumn("gap_us",
+            unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(wo))
+          .withColumn("kept",
+            when(col("gap_us").isNull || col("gap_us") > 5000000L, 1L).otherwise(0L))
+          .groupBy("event_type")
+          .agg(count(lit(1)).cast(LongType).as("n_total"),
+            sum(col("kept")).cast(LongType).as("n_kept"))
+          .withColumn("suppressed_ppm",
+            expr("CAST((n_total - n_kept) * 1000000 div n_total AS BIGINT)"))
+          .orderBy("event_type")
+      },
+      Some("""WITH g AS (SELECT user_id, event_type, event_id, ts,
+             |  epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+             |    ORDER BY ts, event_id) AS gap_us FROM events),
+             |k AS (SELECT event_type,
+             |  CASE WHEN gap_us IS NULL OR gap_us > 5000000 THEN 1 ELSE 0 END AS kept
+             |  FROM g)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
+             |  CAST(sum(kept) AS BIGINT) AS n_kept,
+             |  CAST((count(*) - sum(kept)) * 1000000 // count(*) AS BIGINT)
+             |    AS suppressed_ppm
+             |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

@@ -7734,6 +7734,61 @@ object PipelineQueries {
              |    AS global_gain,
              |  CAST(CASE WHEN wsf = 1 THEN 1 + (doc_id + gr + 2 * c) % 3
              |    ELSE 0 END AS BIGINT) AS block_type
-             |FROM g ORDER BY media_id, frame_idx, granule, channel""".stripMargin))
+             |FROM g ORDER BY media_id, frame_idx, granule, channel""".stripMargin)),
+
+    // DIFFERENTIALLY-PRIVATE COUNT RELEASE (x137) — the third privacy
+    // pillar after k-anonymity (x84) and l-diversity (x110): per-group
+    // counts released under the discrete (two-sided-geometric) Laplace
+    // mechanism — Ghosh/Roughgarden/Sundararajan's universally-optimal
+    // integer mechanism — at ε = ln 2, where α = e^-ε = 1/2 makes every
+    // inverse-CDF threshold an EXACT power of two: the whole mechanism is
+    // integer arithmetic, no float parity risk. The "randomness" is a
+    // deterministic per-group draw (md5 of a salted group key → 24 bits,
+    // folded into [0, 3·2^20)), so release is reproducible and the paired
+    // oracle re-derives it — this is the calibration AUDIT view (true
+    // count, noise, released count side by side); a production release
+    // drops n_true and swaps in a sampled draw. Sensitivity 1 (each doc
+    // contributes one count). Scale: ONE partial-combined lang rollup; the
+    // mechanism is narrow arithmetic on the |langs|-bounded frame.
+    QueryDef(
+      "x137_dp_release",
+      (s, d) => {
+        // |N|=k with prob (1/3)·2^-(k-1)·... : m < 2^20 - 2^(20-k) → k
+        def magCase(m: String) = (1 to 20).map { k =>
+          s"WHEN $m < ${(1L << 20) - (1L << (20 - k))} THEN $k"
+        }.mkString("(CASE ", " ", " ELSE 21 END)")
+        documents(s, d)
+          .groupBy("lang").agg(count(lit(1)).cast(LongType).as("n_true"))
+          .withColumn("hx", expr("substring(md5(concat('dp7:', lang)), 1, 6)"))
+          .withColumn("v", expr("CAST(conv(hx, 16, 10) AS BIGINT) % 3145728"))
+          .withColumn("noise", expr(
+            "CAST(CASE WHEN v < 1048576 THEN 0 ELSE " +
+              "(CASE WHEN (v - 1048576) % 2 = 0 THEN 1 ELSE -1 END) * " +
+              s"${magCase("((v - 1048576) div 2)")} END AS BIGINT)"))
+          .select(col("lang"), col("n_true"), col("noise"),
+            greatest(lit(0L), col("n_true") + col("noise")).as("n_released"))
+          .orderBy("lang")
+      },
+      Some {
+        def magCase(m: String) = (1 to 20).map { k =>
+          s"WHEN $m < ${(1L << 20) - (1L << (20 - k))} THEN $k"
+        }.mkString("(CASE ", " ", " ELSE 21 END)")
+        val hex6 = (0 until 6).map(k =>
+          s"(instr('0123456789abcdef', substr(hx, ${k + 1}, 1)) - 1) * ${1L << (4 * (5 - k))}")
+          .mkString("(", " + ", ")")
+        s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_true
+           |  FROM documents GROUP BY 1),
+           |h AS (SELECT lang, n_true, substring(md5('dp7:' || lang), 1, 6) AS hx
+           |  FROM c),
+           |vv AS (SELECT lang, n_true, $hex6 % 3145728 AS v FROM h)
+           |SELECT lang, n_true,
+           |  CAST(CASE WHEN v < 1048576 THEN 0 ELSE
+           |    (CASE WHEN (v - 1048576) % 2 = 0 THEN 1 ELSE -1 END) *
+           |    ${magCase("((v - 1048576) // 2)")} END AS BIGINT) AS noise,
+           |  CAST(greatest(0, n_true + CASE WHEN v < 1048576 THEN 0 ELSE
+           |    (CASE WHEN (v - 1048576) % 2 = 0 THEN 1 ELSE -1 END) *
+           |    ${magCase("((v - 1048576) // 2)")} END) AS BIGINT) AS n_released
+           |FROM vv ORDER BY lang""".stripMargin
+      })
   )
 }

@@ -675,6 +675,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(opExchanges(p) == 0, s"side-info decode must not hash-shuffle:\n$p")
   }
 
+  test("q63 is one window exchange + one partial-combined type rollup; x137 one lang rollup") {
+    val p = plans("q63_event_throttle")
+    // (user_id, event_type) hash does not co-partition event_type alone, so
+    // the rollup re-exchanges — but only AFTER partial combine (≤|types|
+    // rows per task), certified by the partial_count in the plan
+    assert(opExchanges(p) == 2, s"expected window + rollup exchanges:\n$p")
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("Join"), p)
+    val p2 = plans("x137_dp_release")
+    assert(opExchanges(p2) == 1, s"expected one lang exchange:\n$p2")
+    assert(!p2.contains("Join"), p2)
+  }
+
   test("x106's three windows and rollup share ONE event_type exchange") {
     val p = plans("x106_watermark_advisor")
     assert(opExchanges(p) == 1, s"expected one event_type exchange, plan:\n$p")
