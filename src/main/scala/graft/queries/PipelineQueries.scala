@@ -7789,6 +7789,150 @@ object PipelineQueries {
            |    (CASE WHEN (v - 1048576) % 2 = 0 THEN 1 ELSE -1 END) *
            |    ${magCase("((v - 1048576) // 2)")} END) AS BIGINT) AS n_released
            |FROM vv ORDER BY lang""".stripMargin
-      })
+      }),
+
+    // CHAT-CONVERSATION PACKING WITH LOSS-MASK ACCOUNTING (x138) — the
+    // whole-item counterpart of x48's span-splitting packing, and the
+    // SFT-training batch-assembly shape: conversations (4-turn groups of
+    // documents, alternating user/assistant roles) must land WHOLE in a
+    // ≤1024-token bin, so bin assignment carries true NEXT-FIT reset state
+    // (used + size > capacity → new bin) that no closed-form window
+    // expresses. ops.BinPacking runs the canonical Spark idiom for per-key
+    // sequential state — one repartition on source, secondary sort by
+    // conv_id, narrow mapPartitions state machine resetting on key change;
+    // the oracle replays the same next-fit chain in a recursive CTE, so
+    // the sequential semantics are engine-differentially checked, not just
+    // spec'd. Per bin: conversations, total tokens, LEARN tokens
+    // (assistant turns) vs MASKED tokens (user turns) — the loss-mask
+    // budget SFT dataloaders report — and fill ppm (oversize conversations
+    // overflow their own bin, visible as fill > 1e6). Scale: parallelism
+    // is per source (a 100 TB run shards the key further, e.g. (source,
+    // day) — the op doc pins this); the conv rollup and bin rollup
+    // partial-combine; nothing but the one source exchange moves data.
+    QueryDef(
+      "x138_chat_packing",
+      (s, d) => {
+        val convs = documents(s, d)
+          .select(col("doc_id"), col("source"),
+            size(tokens(col("text"))).cast(LongType).as("n_tok"))
+          .withColumn("conv_id", expr("doc_id div 4"))
+          .groupBy("conv_id")
+          .agg(min(col("source")).as("source"),
+            sum(col("n_tok")).cast(LongType).as("sz"),
+            sum(when(expr("doc_id % 2 = 1"), col("n_tok")).otherwise(0L))
+              .cast(LongType).as("learn"))
+        graft.ops.BinPacking
+          .nextFit(convs.select("source", "conv_id", "sz", "learn"),
+            "source", "conv_id", "sz", 1024L)
+          .groupBy("source", "bin")
+          .agg(count(lit(1)).cast(LongType).as("n_convs"),
+            sum(col("sz")).cast(LongType).as("n_tokens"),
+            sum(col("learn")).cast(LongType).as("n_learn"))
+          .withColumn("n_mask", (col("n_tokens") - col("n_learn")).cast(LongType))
+          .withColumn("fill_ppm", expr("CAST(n_tokens * 1000000 div 1024 AS BIGINT)"))
+          .orderBy("source", "bin")
+      },
+      Some(s"""WITH RECURSIVE t AS (SELECT doc_id, source,
+             |  CAST(len($tokensSql) AS BIGINT) AS n_tok FROM documents),
+             |c AS (SELECT doc_id // 4 AS conv_id, min(source) AS source,
+             |  CAST(sum(n_tok) AS BIGINT) AS sz,
+             |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+             |    AS learn
+             |  FROM t GROUP BY 1),
+             |o AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY conv_id)
+             |  AS rn FROM c),
+             |rec AS (
+             |  SELECT source, rn, conv_id, sz, learn, CAST(0 AS BIGINT) AS bin,
+             |    sz AS used FROM o WHERE rn = 1
+             |  UNION ALL
+             |  SELECT o.source, o.rn, o.conv_id, o.sz, o.learn,
+             |    CASE WHEN r.used + o.sz > 1024 THEN r.bin + 1 ELSE r.bin END,
+             |    CASE WHEN r.used + o.sz > 1024 THEN o.sz ELSE r.used + o.sz END
+             |  FROM rec r JOIN o ON o.source = r.source AND o.rn = r.rn + 1)
+             |SELECT source, bin, CAST(count(*) AS BIGINT) AS n_convs,
+             |  CAST(sum(sz) AS BIGINT) AS n_tokens,
+             |  CAST(sum(learn) AS BIGINT) AS n_learn,
+             |  CAST(sum(sz - learn) AS BIGINT) AS n_mask,
+             |  CAST(sum(sz) * 1000000 // 1024 AS BIGINT) AS fill_ppm
+             |FROM rec GROUP BY 1, 2 ORDER BY source, bin""".stripMargin)),
+
+    // CHANCE-CORRECTED AGREEMENT / COHEN'S KAPPA (x139) — the eval-pipeline
+    // statistic x98's confusion matrix stops short of: raw accuracy
+    // (p_observed) overstates a classifier or annotator on skewed label
+    // distributions; kappa corrects by the agreement two independent
+    // raters with these MARGINALS would reach by chance. Rides x08/x98's
+    // langid prediction against the gold lang column, so the "two raters"
+    // are model-vs-truth — the same computation scores annotator pairs.
+    // Exact: N, diagonal, and Σ row·col marginal products are BIGINTs from
+    // ONE |langs|²-bounded confusion frame (localCheckpoint — three
+    // consumers must not re-scan the corpus, x112's lesson); po/pe as
+    // integer ppm; kappa itself is ONE IEEE division of two
+    // exactly-equal BIGINTs (q62's discipline), rounded once. The N²
+    // term is fine up to ~3·10⁹ rows; past that a production run divides
+    // in ppm space first (the marginal frame stays |langs|-bounded either
+    // way). Scale: one corpus pass → one partial-combined (lang, pred)
+    // rollup; everything after runs on the ≤|langs|² frame.
+    QueryDef(
+      "x139_kappa_agreement",
+      (s, d) => {
+        val en = Seq("the", "a", "of", "and", "to")
+        val de = Seq("der", "die", "das", "und", "ist")
+        val fr = Seq("le", "la", "les", "et", "est")
+        val es = Seq("el", "los", "las", "y", "es")
+        val pred = documents(s, d)
+          .select(col("lang"), tokens(col("text")).as("tk"))
+          .withColumn("__sc",
+            graft.functions.TokenSetCounts.counts(col("tk"), Seq(en, de, fr, es)))
+          .withColumn("pred_lang",
+            when(col("__sc")(0) >= col("__sc")(1) && col("__sc")(0) >= col("__sc")(2)
+              && col("__sc")(0) >= col("__sc")(3), "en")
+              .when(col("__sc")(1) >= col("__sc")(2) && col("__sc")(1) >= col("__sc")(3), "de")
+              .when(col("__sc")(2) >= col("__sc")(3), "fr")
+              .otherwise("es"))
+        val cm = pred.groupBy("lang", "pred_lang")
+          .agg(count(lit(1)).cast(LongType).as("n"))
+          .localCheckpoint(true) // three consumers read ONE materialization
+        val totals = cm.agg(
+          sum(col("n")).cast(LongType).as("n"),
+          sum(when(col("lang") === col("pred_lang"), col("n")).otherwise(0L))
+            .cast(LongType).as("n_agree"))
+        val rows = cm.groupBy("lang").agg(sum(col("n")).as("r"))
+        val cols = cm.groupBy("pred_lang").agg(sum(col("n")).as("c"))
+        val rc = rows.join(cols, col("lang") === col("pred_lang"))
+          .agg(coalesce(sum(col("r") * col("c")), lit(0L)).cast(LongType).as("src"))
+        totals.crossJoin(broadcast(rc))
+          .withColumn("po_ppm", expr("CAST(n_agree * 1000000 div n AS BIGINT)"))
+          .withColumn("pe_ppm", expr("CAST(src * 1000000 div (n * n) AS BIGINT)"))
+          .withColumn("kappa", round(
+            expr("CAST(n * n_agree - src AS DOUBLE) / CAST(n * n - src AS DOUBLE)"), 6))
+          .select("n", "n_agree", "po_ppm", "pe_ppm", "kappa")
+      },
+      Some(s"""WITH t AS (SELECT lang, $tokensSql AS tk FROM documents),
+             |m AS (SELECT lang,
+             |  CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS s_en,
+             |  CAST(len(list_filter(tk, x -> x IN ('der','die','das','und','ist'))) AS BIGINT) AS s_de,
+             |  CAST(len(list_filter(tk, x -> x IN ('le','la','les','et','est'))) AS BIGINT) AS s_fr,
+             |  CAST(len(list_filter(tk, x -> x IN ('el','los','las','y','es'))) AS BIGINT) AS s_es
+             |  FROM t),
+             |p AS (SELECT lang,
+             |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+             |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+             |       WHEN s_fr >= s_es THEN 'fr'
+             |       ELSE 'es' END AS pred_lang FROM m),
+             |cm AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+             |  FROM p GROUP BY 1, 2),
+             |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+             |  CAST(sum(CASE WHEN lang = pred_lang THEN n ELSE 0 END) AS BIGINT)
+             |    AS n_agree FROM cm),
+             |r AS (SELECT lang, CAST(sum(n) AS BIGINT) AS r FROM cm GROUP BY 1),
+             |c AS (SELECT pred_lang, CAST(sum(n) AS BIGINT) AS c FROM cm GROUP BY 1),
+             |rc AS (SELECT CAST(coalesce(sum(r.r * c.c), 0) AS BIGINT) AS src
+             |  FROM r JOIN c ON r.lang = c.pred_lang)
+             |SELECT n, n_agree,
+             |  CAST(n_agree * 1000000 // n AS BIGINT) AS po_ppm,
+             |  CAST(src * 1000000 // (n * n) AS BIGINT) AS pe_ppm,
+             |  round(CAST(n * n_agree - src AS DOUBLE)
+             |    / CAST(n * n - src AS DOUBLE), 6) AS kappa
+             |FROM tot CROSS JOIN rc""".stripMargin))
   )
 }

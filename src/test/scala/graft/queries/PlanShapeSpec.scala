@@ -688,6 +688,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p2.contains("Join"), p2)
   }
 
+  test("x138 is joinless: conv rollup, source repartition, bin rollup — three exchanges") {
+    val p = plans("x138_chat_packing")
+    assert(!p.contains("Join"), p)
+    assert(opExchanges(p) == 3, s"expected conv + repartition + bin exchanges:\n$p")
+  }
+
+  test("x139's marginal algebra runs on the checkpointed confusion frame — no corpus re-scan") {
+    val p = plans("x139_kappa_agreement")
+    // one corpus scan feeds the checkpoint; the final plan reads the RDD
+    assert(!p.contains("FileScan"), s"corpus re-scan leaked into the final plan:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("x106's three windows and rollup share ONE event_type exchange") {
     val p = plans("x106_watermark_advisor")
     assert(opExchanges(p) == 1, s"expected one event_type exchange, plan:\n$p")
