@@ -7933,6 +7933,134 @@ object PipelineQueries {
              |  CAST(src * 1000000 // (n * n) AS BIGINT) AS pe_ppm,
              |  round(CAST(n * n_agree - src AS DOUBLE)
              |    / CAST(n * n - src AS DOUBLE), 6) AS kappa
-             |FROM tot CROSS JOIN rc""".stripMargin))
+             |FROM tot CROSS JOIN rc""".stripMargin)),
+
+    // SPAN-EXTRACTION MICRO-F1 (x140) — the second eval-family member
+    // (x139 scores LABEL agreement; this scores SPAN extraction, the
+    // NER/QA/grounding eval shape): per doc a gold token span and a
+    // predicted span (shifted/resized deterministically from the doc's
+    // own token count), scored micro-averaged — token-overlap TP summed
+    // over docs, precision/recall/F1 by cross-multiplied integer ppm, plus
+    // exact-match rate. ALL-integer (span bounds, overlaps, ppm ratios):
+    // zero float parity surface. Scale: one narrow corpus pass computes
+    // per-doc bounds from n_tok; the single-row rollup partial-combines;
+    // nothing shuffles except the 1-row agg.
+    QueryDef(
+      "x140_span_f1",
+      (s, d) => {
+        documents(s, d)
+          .select(col("doc_id"),
+            size(tokens(col("text"))).cast(LongType).as("n_tok"))
+          .withColumn("g_lo", expr("n_tok % 17"))
+          .withColumn("g_hi", expr("g_lo + 3 + doc_id % 5"))
+          .withColumn("p_lo", expr("greatest(0, g_lo + doc_id % 7 - 3)"))
+          .withColumn("p_hi", expr("p_lo + 3 + (doc_id * 2) % 5"))
+          .withColumn("ov", expr(
+            "greatest(0, least(g_hi, p_hi) - greatest(g_lo, p_lo))"))
+          .agg(count(lit(1)).cast(LongType).as("n_docs"),
+            sum(col("ov")).cast(LongType).as("tp_tokens"),
+            sum(expr("p_hi - p_lo")).cast(LongType).as("pred_tokens"),
+            sum(expr("g_hi - g_lo")).cast(LongType).as("gold_tokens"),
+            sum(expr("CASE WHEN p_lo = g_lo AND p_hi = g_hi THEN 1 ELSE 0 END"))
+              .cast(LongType).as("n_exact"))
+          .withColumn("precision_ppm",
+            expr("CAST(tp_tokens * 1000000 div pred_tokens AS BIGINT)"))
+          .withColumn("recall_ppm",
+            expr("CAST(tp_tokens * 1000000 div gold_tokens AS BIGINT)"))
+          .withColumn("f1_ppm", expr(
+            "CAST(2 * tp_tokens * 1000000 div (pred_tokens + gold_tokens) AS BIGINT)"))
+          .withColumn("exact_ppm",
+            expr("CAST(n_exact * 1000000 div n_docs AS BIGINT)"))
+          .select("n_docs", "tp_tokens", "pred_tokens", "gold_tokens", "n_exact",
+            "precision_ppm", "recall_ppm", "f1_ppm", "exact_ppm")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |sp AS (SELECT doc_id, n_tok % 17 AS g_lo,
+             |  n_tok % 17 + 3 + doc_id % 5 AS g_hi,
+             |  greatest(0, n_tok % 17 + doc_id % 7 - 3) AS p_lo FROM t),
+             |sp2 AS (SELECT *, p_lo + 3 + (doc_id * 2) % 5 AS p_hi FROM sp),
+             |ov AS (SELECT *,
+             |  greatest(0, least(g_hi, p_hi) - greatest(g_lo, p_lo)) AS ov FROM sp2),
+             |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(ov) AS BIGINT) AS tp_tokens,
+             |  CAST(sum(p_hi - p_lo) AS BIGINT) AS pred_tokens,
+             |  CAST(sum(g_hi - g_lo) AS BIGINT) AS gold_tokens,
+             |  CAST(sum(CASE WHEN p_lo = g_lo AND p_hi = g_hi THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_exact FROM ov)
+             |SELECT n_docs, tp_tokens, pred_tokens, gold_tokens, n_exact,
+             |  CAST(tp_tokens * 1000000 // pred_tokens AS BIGINT) AS precision_ppm,
+             |  CAST(tp_tokens * 1000000 // gold_tokens AS BIGINT) AS recall_ppm,
+             |  CAST(2 * tp_tokens * 1000000 // (pred_tokens + gold_tokens) AS BIGINT)
+             |    AS f1_ppm,
+             |  CAST(n_exact * 1000000 // n_docs AS BIGINT) AS exact_ppm
+             |FROM agg""".stripMargin)),
+
+    // CONFIDENCE CALIBRATION BY MARGIN (x141) — the third eval-family
+    // member: is the langid classifier's CONFIDENCE (its top-1 vs top-2
+    // marker-count margin — an integer) predictive of its accuracy? The
+    // reliability-diagram table behind ECE: bucket docs by margin (capped
+    // at 10), per bucket the observed accuracy vs a fixed monotone
+    // confidence mapping (500000 + margin·50000 ppm, capped at 1e6), and
+    // the |acc − conf| gap — all integer ppm, zero float surface. The
+    // top-2 margin comes from sorting the 4 marker counts (exact integer
+    // sort both engines). Scale: the fused TokenSetCounts pass is the one
+    // corpus scan; the margin rollup partial-combines into ≤11 rows.
+    QueryDef(
+      "x141_margin_calibration",
+      (s, d) => {
+        val en = Seq("the", "a", "of", "and", "to")
+        val de = Seq("der", "die", "das", "und", "ist")
+        val fr = Seq("le", "la", "les", "et", "est")
+        val es = Seq("el", "los", "las", "y", "es")
+        documents(s, d)
+          .select(col("lang"), tokens(col("text")).as("tk"))
+          .withColumn("__sc",
+            graft.functions.TokenSetCounts.counts(col("tk"), Seq(en, de, fr, es)))
+          .withColumn("pred_lang",
+            when(col("__sc")(0) >= col("__sc")(1) && col("__sc")(0) >= col("__sc")(2)
+              && col("__sc")(0) >= col("__sc")(3), "en")
+              .when(col("__sc")(1) >= col("__sc")(2) && col("__sc")(1) >= col("__sc")(3), "de")
+              .when(col("__sc")(2) >= col("__sc")(3), "fr")
+              .otherwise("es"))
+          .withColumn("sorted", expr("array_sort(__sc)"))
+          .withColumn("margin", expr("least(sorted[3] - sorted[2], CAST(10 AS BIGINT))"))
+          .groupBy("margin")
+          .agg(count(lit(1)).cast(LongType).as("n"),
+            sum(when(col("pred_lang") === col("lang"), 1L).otherwise(0L))
+              .cast(LongType).as("n_correct"))
+          .withColumn("acc_ppm", expr("CAST(n_correct * 1000000 div n AS BIGINT)"))
+          .withColumn("conf_ppm",
+            expr("CAST(least(500000 + margin * 50000, 1000000) AS BIGINT)"))
+          .withColumn("gap_ppm", expr("CAST(abs(acc_ppm - conf_ppm) AS BIGINT)"))
+          .select("margin", "n", "n_correct", "acc_ppm", "conf_ppm", "gap_ppm")
+          .orderBy("margin")
+      },
+      Some(s"""WITH t AS (SELECT lang, $tokensSql AS tk FROM documents),
+             |m AS (SELECT lang,
+             |  CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS s_en,
+             |  CAST(len(list_filter(tk, x -> x IN ('der','die','das','und','ist'))) AS BIGINT) AS s_de,
+             |  CAST(len(list_filter(tk, x -> x IN ('le','la','les','et','est'))) AS BIGINT) AS s_fr,
+             |  CAST(len(list_filter(tk, x -> x IN ('el','los','las','y','es'))) AS BIGINT) AS s_es
+             |  FROM t),
+             |p AS (SELECT lang,
+             |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+             |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+             |       WHEN s_fr >= s_es THEN 'fr'
+             |       ELSE 'es' END AS pred_lang,
+             |  list_sort([s_en, s_de, s_fr, s_es]) AS sorted FROM m),
+             |b AS (SELECT lang, pred_lang,
+             |  least(sorted[4] - sorted[3], 10) AS margin FROM p)
+             |SELECT CAST(margin AS BIGINT) AS margin,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_correct,
+             |  CAST(sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) * 1000000
+             |    // count(*) AS BIGINT) AS acc_ppm,
+             |  CAST(least(500000 + margin * 50000, 1000000) AS BIGINT) AS conf_ppm,
+             |  CAST(abs(sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) * 1000000
+             |    // count(*) - least(500000 + margin * 50000, 1000000)) AS BIGINT)
+             |    AS gap_ppm
+             |FROM b GROUP BY margin ORDER BY margin""".stripMargin))
   )
 }

@@ -701,6 +701,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("x140 is one narrow corpus pass into a single-row rollup; x141 one margin rollup") {
+    val p = plans("x140_span_f1")
+    assert(!p.contains("Join"), p)
+    // global agg exchanges to SinglePartition, not hashpartitioning
+    assert(opExchanges(p) == 0, s"span F1 must partial-combine into one row:\n$p")
+    val p2 = plans("x141_margin_calibration")
+    assert(!p2.contains("Join"), p2)
+    assert(opExchanges(p2) == 1, s"expected one margin exchange:\n$p2")
+  }
+
   test("x106's three windows and rollup share ONE event_type exchange") {
     val p = plans("x106_watermark_advisor")
     assert(opExchanges(p) == 1, s"expected one event_type exchange, plan:\n$p")
