@@ -8241,7 +8241,7 @@ object PipelineQueries {
     // STREAMING gate: the q24-family tumbling aggregate executed as a REAL
     // multi-micro-batch stream ([[graft.streaming.StreamGate]] replays the
     // events through a file source with maxFilesPerTrigger = 1, so window
-    // state is carried, merged, and re-emitted across 8 batches under
+    // state is carried, merged, and re-emitted across 4 batches under
     // Trigger.AvailableNow) and hash-compared against DuckDB's batch SQL.
     // This is the claim a streaming engine must defend — incremental
     // execution CONVERGES TO THE BATCH ANSWER — made engine-differential.
@@ -8255,7 +8255,7 @@ object PipelineQueries {
       (s, d) => {
         val out = graft.streaming.StreamGate.replay(
           s, events(s, d).select(col("ts"), col("event_type"), col("value")),
-          name = "x143_events", files = 8, mode = "complete") { stream =>
+          name = "x143_events", files = 4, mode = "complete") { stream =>
           stream
             .withColumn("cents", floor(col("value") * 100).cast(LongType))
             .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -8273,7 +8273,7 @@ object PipelineQueries {
 
     // STREAMING STATEFUL DEDUP (x144) — the second streaming gate: exactly-
     // once first-seen semantics across micro-batches. dropDuplicates over
-    // (user_id, event_type) runs as an 8-batch APPEND stream — the dedup
+    // (user_id, event_type) runs as a 4-batch APPEND stream — the dedup
     // state store must admit each pair exactly once no matter which batch
     // carries the duplicates — and the emitted first-seen rows are then
     // rolled up in batch and hash-compared against DuckDB's
@@ -8286,7 +8286,7 @@ object PipelineQueries {
       (s, d) => {
         val firstSeen = graft.streaming.StreamGate.replay(
           s, events(s, d).select(col("user_id"), col("event_type")),
-          name = "x144_events", files = 8, mode = "append") { stream =>
+          name = "x144_events", files = 4, mode = "append") { stream =>
           stream.dropDuplicates("user_id", "event_type")
         }
         firstSeen.groupBy("event_type")
@@ -8294,6 +8294,61 @@ object PipelineQueries {
           .orderBy("event_type")
       },
       Some("""SELECT event_type, count(DISTINCT user_id) AS n_users
-             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // MEMORIZATION SPAN AUDIT (x145) — the pre-release audit the dedup
+    // family (x01–x87) stops short of: WHICH long spans recur across
+    // documents, and how widely? Top-20 cross-document 8-gram spans by
+    // document frequency (8 words ≈ the span length memorization evals
+    // probe), with per-span occurrence totals and corpus-coverage ppm.
+    // Distinct from x34 (novelty vs a reference corpus), x52 (span dedup
+    // between doc pairs), x65 (winnowing fingerprints): this names the
+    // offending spans corpus-wide. Scale: (doc, span) rollup partial-
+    // combines before its exchange; the span rollup's partial state is
+    // the distinct-span frame; TakeOrdered(20) — never a global sort. At
+    // 100 TB the exchange would carry x11-style 64-bit fingerprints with
+    // a map-back join for the report text; the gate ships the 8-gram
+    // strings directly (documented trade).
+    QueryDef(
+      "x145_memorization_spans",
+      (s, d) => {
+        val nDocs = documents(s, d).count()
+        val spans = documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 8)
+          .select(col("doc_id"),
+            explode(graft.ops.TextDedup.shingles(col("tk"), 8)).as("span"))
+          .groupBy("doc_id", "span").agg(count(lit(1)).as("k"))
+        val w = Window.orderBy(col("n_docs").desc, col("n_occ").desc, col("span"))
+        spans.groupBy("span")
+          .agg(count(lit(1)).as("n_docs"), sum(col("k")).as("n_occ"))
+          .filter(col("n_docs") >= 2) // cross-document only
+          .orderBy(col("n_docs").desc, col("n_occ").desc, col("span"))
+          .limit(20)
+          .withColumn("rank", row_number().over(w).cast(LongType))
+          .select(col("rank"), col("span"),
+            col("n_docs").cast(LongType).as("n_docs"),
+            col("n_occ").cast(LongType).as("n_occ"),
+            expr(s"CAST(n_docs * 1000000 div $nDocs AS BIGINT)").as("doc_ppm"))
+          .orderBy("rank")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+             |sp AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 6),
+             |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+             |      || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6]
+             |      || ' ' || tk[i+7])) AS span
+             |  FROM t WHERE len(tk) >= 8),
+             |ds AS (SELECT doc_id, span, count(*) AS k FROM sp GROUP BY 1, 2),
+             |agg AS (SELECT span, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(k) AS BIGINT) AS n_occ FROM ds GROUP BY 1
+             |  HAVING count(*) >= 2),
+             |top AS (SELECT span, n_docs, n_occ,
+             |  CAST(row_number() OVER (ORDER BY n_docs DESC, n_occ DESC, span)
+             |    AS BIGINT) AS rank FROM agg
+             |  ORDER BY n_docs DESC, n_occ DESC, span LIMIT 20)
+             |SELECT rank, span, n_docs, n_occ,
+             |  CAST(n_docs * 1000000 // (SELECT count(*) FROM documents) AS BIGINT)
+             |    AS doc_ppm
+             |FROM top ORDER BY rank""".stripMargin))
   )
 }
