@@ -8349,6 +8349,43 @@ object PipelineQueries {
              |SELECT rank, span, n_docs, n_occ,
              |  CAST(n_docs * 1000000 // (SELECT count(*) FROM documents) AS BIGINT)
              |    AS doc_ppm
-             |FROM top ORDER BY rank""".stripMargin))
+             |FROM top ORDER BY rank""".stripMargin)),
+
+    // STREAMING SESSION WINDOWS (x146) — the third and hardest streaming
+    // gate: session windows MERGE (two sessions separated by a gap can be
+    // bridged by a later event), and the file replay delivers events in
+    // file order — heavily out of time order — so the state store must
+    // split, extend, and merge session state across micro-batches and
+    // still converge to q28's batch islands answer (the oracle is q28's
+    // lag/gap twin verbatim). Complete mode re-emits the merged state on
+    // the final batch. This is the stateful-streaming semantics
+    // SURVEY §2.3 promises, now hash-gated rather than spec-only.
+    QueryDef(
+      "x146_stream_sessions",
+      (s, d) => {
+        val out = graft.streaming.StreamGate.replay(
+          s, events(s, d).select(col("ts"), col("user_id")),
+          name = "x146_events", files = 4, mode = "complete") { stream =>
+          stream
+            .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+            .agg(count(lit(1)).as("n_events"))
+            .select(col("user_id"),
+              col("session_window.start").as("session_start"),
+              col("session_window.end").as("session_end"),
+              col("n_events"))
+        }
+        out.orderBy("user_id", "session_start")
+      },
+      Some("""WITH g AS (SELECT user_id, ts,
+             |  epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+             |FROM events),
+             |m AS (SELECT user_id, ts,
+             |  CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END AS new_s FROM g),
+             |ses AS (SELECT user_id, ts,
+             |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m)
+             |SELECT user_id, min(ts) AS session_start,
+             |  max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
+             |FROM ses GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin))
   )
 }

@@ -1,0 +1,45 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class StreamGateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("append replay emits every input row exactly once across micro-batches") {
+    val in = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
+    val out = StreamGate.replay(spark, in, "sgspec_append", files = 5, mode = "append")(identity)
+    assert(out.count() == 100)
+    assert(out.select("id").as[Long].collect().sorted.toSeq == (1L to 100L))
+  }
+
+  test("complete-mode aggregation over N batches equals the batch aggregate") {
+    val in = (1L to 1000L).map(i => (i % 7, i)).toDF("k", "x")
+    val out = StreamGate.replay(spark, in, "sgspec_agg", files = 4) {
+      _.groupBy("k").agg(sum("x").as("s"), count(lit(1)).as("n"))
+    }
+    val batch = in.groupBy("k").agg(sum("x").as("s"), count(lit(1)).as("n"))
+    assert(out.orderBy("k").collect().toSeq == batch.orderBy("k").collect().toSeq)
+  }
+
+  test("stateful dedup admits each key once regardless of batch placement") {
+    // every id appears 3 times; replay across 6 files scatters the copies
+    val in = (1L to 50L).flatMap(i => Seq.fill(3)(i)).toDF("id")
+    val out = StreamGate.replay(spark, in, "sgspec_dedup", files = 6, mode = "append") {
+      _.dropDuplicates("id")
+    }
+    assert(out.count() == 50)
+  }
+
+  test("the memory-sink temp view is dropped after replay") {
+    StreamGate.replay(spark, Seq(1L).toDF("id"), "sgspec_clean", files = 1, mode = "append")(identity)
+    assert(spark.catalog.listTables().collect()
+      .forall(t => !t.name.startsWith("graft_stream_sink_sgspec_clean")))
+  }
+
+  test("unsafe names are rejected") {
+    intercept[IllegalArgumentException] {
+      StreamGate.replay(spark, Seq(1L).toDF("id"), "../evil", files = 1)(identity)
+    }
+  }
+}
