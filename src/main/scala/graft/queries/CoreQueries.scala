@@ -2080,6 +2080,35 @@ object CoreQueries {
              |  CAST(sum(kept) AS BIGINT) AS n_kept,
              |  CAST((count(*) - sum(kept)) * 1000000 // count(*) AS BIGINT)
              |    AS suppressed_ppm
-             |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Q64 — ordered string aggregation (LISTAGG/string_agg), the report-
+    // building SQL surface the q-series still lacked. Per nation, its
+    // customer market segments as a deduplicated, '|'-separated list in
+    // segment order, plus the segment count. Spark has no ordered
+    // string_agg aggregate, so the plan composes codegen pieces with the
+    // SAME semantics: collect_set → array_sort → array_join — the
+    // determinism comes from sorting AFTER collection, never from
+    // collection order (which is partition-dependent on both engines).
+    // The oracle's string_agg(DISTINCT … ORDER BY …) is the reference
+    // semantics. Scale: one nation-keyed partial-combined agg over a
+    // broadcast-joined dim chain; |segments| ≤ 5 bounds every list.
+    QueryDef(
+      "q64_string_agg",
+      (s, d) =>
+        customer(s, d)
+          .join(broadcast(nation(s, d).select(col("n_nationkey"), col("n_name"))),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(collect_set(col("c_mktsegment")).as("segs"))
+          .select(col("n_name"),
+            array_join(array_sort(col("segs")), "|").as("segments"),
+            size(col("segs")).cast(LongType).as("n_segments"))
+          .orderBy("n_name"),
+      Some("""SELECT n_name,
+             |  string_agg(DISTINCT c_mktsegment, '|' ORDER BY c_mktsegment) AS segments,
+             |  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
