@@ -8386,6 +8386,65 @@ object PipelineQueries {
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m)
              |SELECT user_id, min(ts) AS session_start,
              |  max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
-             |FROM ses GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin))
+             |FROM ses GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)),
+
+    // SKETCH-UNION CARDINALITY (x147) — the MERGE semantics x37/x42's
+    // per-group error contracts don't exercise: vocabulary cardinality per
+    // source AND over the union of all sources, from ONE pass of HLL
+    // sketches (the 100 TB vocabulary-accounting shape — per-shard
+    // sketches roll up to any grouping without re-scanning). Contracts,
+    // all asserted TRUE by the oracle: per-source sketch within 5 % of
+    // the EXACT distinct count (kept exact — the two-stage hash distinct
+    // amortizes), and the union estimate obeys the lattice inequalities
+    // max(per-source) ≤ union ≤ Σ per-source with its own 5 % band.
+    // Scale: one explode pass; the exact distinct and the sketches share
+    // the (source, tok) partial-combined frame; output is |sources|+1
+    // rows.
+    QueryDef(
+      "x147_sketch_union",
+      (s, d) => {
+        // x37's measured plan trap: countDistinct co-located with an
+        // object-backed sketch makes the single-distinct rewrite partial-
+        // evaluate one HLL buffer per (source, tok) group. Shape that
+        // wins: dedup to (source, tok) pairs ONCE (codegen hash distinct,
+        // map-side partial), then exact counts are plain count(*) and the
+        // sketches run over the deduped pairs (HLL over distinct values
+        // estimates the same cardinality) — no distinct-rewrite anywhere.
+        val pairs = documents(s, d)
+          .select(col("source"), explode(tokens(col("text"))).as("tok"))
+          .distinct()
+          .localCheckpoint(eager = true) // 3 consumers below
+        val perSrc = pairs.groupBy("source").agg(
+          count(lit(1)).as("nd_exact"),
+          approx_count_distinct(col("tok"), 0.02).as("nd_est"))
+          .localCheckpoint(eager = true) // |sources| rows; 2 consumers
+        val union = pairs
+          .agg(approx_count_distinct(col("tok"), 0.02).as("nd_est"))
+          .crossJoin(broadcast(
+            pairs.select("tok").distinct().agg(count(lit(1)).as("nd_exact"))))
+        val bounds = perSrc.agg(sum(col("nd_est")).as("sum_est"),
+          max(col("nd_est")).as("max_est"))
+        val srcRows = perSrc.select(col("source"),
+          col("nd_exact").cast(LongType).as("nd_exact"),
+          (abs(col("nd_est") - col("nd_exact")) <=
+            greatest(lit(1.0), col("nd_exact") * 0.05)).as("est_ok"),
+          lit(true).as("union_ok"))
+        val allRow = union.crossJoin(broadcast(bounds)).select(
+          lit("ALL").as("source"),
+          col("nd_exact").cast(LongType).as("nd_exact"),
+          (abs(col("nd_est") - col("nd_exact")) <=
+            greatest(lit(1.0), col("nd_exact") * 0.05)).as("est_ok"),
+          (col("nd_est") <= col("sum_est") &&
+            col("nd_est") >= col("max_est") * 0.95).as("union_ok"))
+        srcRows.unionByName(allRow).orderBy("source")
+      },
+      Some(s"""WITH t AS (SELECT source, unnest($tokensSql) AS tok FROM documents),
+             |per AS (SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS nd_exact
+             |  FROM t GROUP BY 1),
+             |u AS (SELECT 'ALL' AS source, CAST(count(DISTINCT tok) AS BIGINT) AS nd_exact
+             |  FROM t)
+             |SELECT source, nd_exact, TRUE AS est_ok, TRUE AS union_ok FROM per
+             |UNION ALL SELECT source, nd_exact, TRUE, TRUE FROM u
+             |ORDER BY source""".stripMargin))
   )
 }
