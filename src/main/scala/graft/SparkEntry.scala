@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * The query inventory is assembled from:
-  *  - CoreQueries: SURVEY.md §2.4 q01–q63 (reference semantics generalized
+  *  - CoreQueries: SURVEY.md §2.4 q-series (reference semantics generalized
   *    + analytics/graph kernels);
   *  - PipelineQueries: SURVEY.md §2.4 x01+ north-star training-data-pipeline
   *    extensions (dedup, similarity search, text analysis, multimodal
