@@ -8469,6 +8469,43 @@ object PipelineQueries {
              |  FROM t)
              |SELECT source, nd_exact, TRUE AS est_ok, TRUE AS union_ok FROM per
              |UNION ALL SELECT source, nd_exact, TRUE, TRUE FROM u
-             |ORDER BY source""".stripMargin))
+             |ORDER BY source""".stripMargin)),
+
+    // DEDUP CLUSTER-SIZE DISTRIBUTION (x148) — the structural report over
+    // x18's near-dup components the audit family (x75 histogram of pair
+    // counts, x132 threshold sweep) stops short of: how many clusters of
+    // each size, covering how many documents? Real corpora are power-law
+    // here, and a fat tail (one giant component) is the classic sign of a
+    // too-loose LSH threshold — this table is what you read before
+    // trusting a dedup run. Consumes the SESSION-SHARED pair frame (store-
+    // backed via DerivedStore) and the same label-propagation mapping as
+    // x18; the oracle recomputes components with the x18 recursive CTE, so
+    // the iterative stage stays engine-differentially checked. Scale: the
+    // mapping rollup partial-combines per canonical id; the size histogram
+    // is ≤|distinct sizes| rows.
+    QueryDef(
+      "x148_cluster_sizes",
+      (s, d) => {
+        val corpus = docCorpus(s, d)
+        val pairs = lshPairsShared(s, d, corpus)
+        val mapping = graft.ops.TextDedup.dedupMappingFromPairs(corpus, pairs)
+        val total = mapping.count()
+        mapping.groupBy("canonical_id").agg(count(lit(1)).as("sz"))
+          .groupBy("sz")
+          .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"))
+          .select(col("sz").cast(LongType).as("cluster_size"),
+            col("n_clusters").cast(LongType).as("n_clusters"),
+            col("n_docs").cast(LongType).as("n_docs"),
+            expr(s"CAST(n_docs * 1000000 div $total AS BIGINT)").as("docs_ppm"))
+          .orderBy("cluster_size")
+      },
+      Some(s"""$dedupComponentsCtes,
+             |sizes AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS sz
+             |  FROM cmap GROUP BY 1)
+             |SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+             |  CAST(sum(sz) AS BIGINT) AS n_docs,
+             |  CAST(sum(sz) * 1000000 // (SELECT count(*) FROM cmap) AS BIGINT)
+             |    AS docs_ppm
+             |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
