@@ -8506,6 +8506,65 @@ object PipelineQueries {
              |  CAST(sum(sz) AS BIGINT) AS n_docs,
              |  CAST(sum(sz) * 1000000 // (SELECT count(*) FROM cmap) AS BIGINT)
              |    AS docs_ppm
-             |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // PASS@K ESTIMATOR (x149) — the code-eval statistic (HumanEval's
+    // unbiased pass@k: 1 − C(n−c, k)/C(n, k) per task, averaged) closing
+    // the eval family: x139 scores labels, x140 spans, x141 calibration,
+    // x142 ranking — this scores SAMPLING-based task success. n = 16
+    // samples per task with a deterministic per-task success count c
+    // (derived from the doc's own token count), k ∈ {1, 4, 8}. ALL
+    // integer: products of j consecutive integers divided by j! are exact
+    // BIGINT binomials at n = 16, the per-task estimator is one integer
+    // ppm division, and the corpus mean is a second — zero float surface.
+    // Scale: one narrow corpus pass computes c; the per-k rollup partial-
+    // combines into 3 rows (stack is narrow).
+    QueryDef(
+      "x149_pass_at_k",
+      (s, d) => {
+        // C(m, k) for k ∈ {1,4,8} as exact integer SQL on column m
+        def choose(m: String, k: Int): String = k match {
+          case 1 => s"CAST(CASE WHEN $m >= 1 THEN $m ELSE 0 END AS BIGINT)"
+          case _ =>
+            val prod = (0 until k).map(i => s"($m - $i)").mkString(" * ")
+            val fact = (1 to k).product
+            s"CAST(CASE WHEN $m >= $k THEN ($prod) div $fact ELSE 0 END AS BIGINT)"
+        }
+        val base = documents(s, d)
+          .select(size(tokens(col("text"))).cast(LongType).as("n_tok"))
+          .withColumn("c", expr("n_tok % 17")) // 0..16 successes of n = 16
+        val perK = Seq(1, 4, 8).map { k =>
+          val cn = choose("16", k)  // constant C(16, k)
+          val cm = choose("(16 - c)", k)
+          base.select(lit(k.toLong).as("k"),
+            expr(s"CAST(($cn - $cm) * 1000000 div $cn AS BIGINT)").as("p_ppm"))
+        }.reduce(_ unionByName _)
+        perK.groupBy("k")
+          .agg(count(lit(1)).as("n_tasks"), sum(col("p_ppm")).as("sp"))
+          .select(col("k"), col("n_tasks").cast(LongType).as("n_tasks"),
+            expr("CAST(sp div n_tasks AS BIGINT)").as("mean_pass_ppm"))
+          .orderBy("k")
+      },
+      Some {
+        def choose(m: String, k: Int): String =
+          if (k == 1) s"CAST(CASE WHEN $m >= 1 THEN $m ELSE 0 END AS BIGINT)"
+          else {
+            val prod = (0 until k).map(i => s"($m - $i)").mkString(" * ")
+            val fact = (1 to k).product
+            s"CAST(CASE WHEN $m >= $k THEN ($prod) // $fact ELSE 0 END AS BIGINT)"
+          }
+        val legs = Seq(1, 4, 8).map { k =>
+          val cn = choose("16", k)
+          val cm = choose("(16 - c)", k)
+          s"""SELECT $k AS k, CAST(($cn - $cm) * 1000000 // $cn AS BIGINT) AS p_ppm
+             |  FROM t""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH t AS (SELECT CAST(len($tokensSql) AS BIGINT) % 17 AS c
+           |  FROM documents),
+           |pk AS ($legs)
+           |SELECT CAST(k AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_tasks,
+           |  CAST(sum(p_ppm) // count(*) AS BIGINT) AS mean_pass_ppm
+           |FROM pk GROUP BY 1 ORDER BY 1""".stripMargin
+      })
   )
 }
