@@ -75,7 +75,16 @@ object DerivedStore {
         val p = new Path(f)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val st = fs.getFileStatus(p)
-        s"$f:${st.getLen}:${st.getModificationTime}"
+        if (!st.isDirectory) s"$f:${st.getLen}:${st.getModificationTime}"
+        else {
+          // A directory status carries len=0 and an mtime that does NOT move
+          // when an existing part file is rewritten in place (same filename
+          // set) — fold every contained file's (path, len, mtime) instead so
+          // a regenerated fixture always misses the stored fingerprint.
+          fs.listStatus(p).filterNot(_.isDirectory)
+            .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+            .sorted.mkString(s"$f[", ",", "]")
+        }
       }.mkString("|")
     } catch { case _: Exception => "" }
 

@@ -102,6 +102,9 @@ object Mp3Frames {
           cleanTail = false; done = true
       }
     }
+    // A valid first HEADER whose frame body is truncated walks zero frames;
+    // that is a fake-route (None), not a sentinel row with brMin=MaxValue.
+    if (nFrames == 0) return None
     Some(Walk(id, nFrames, rate.toLong, channels.toLong,
       is_cbr = brMin == brMax, brMin.toLong, brMax.toLong, totalBytes,
       nFrames * 1152L * 1000L / rate, xingFrames, cleanTail))

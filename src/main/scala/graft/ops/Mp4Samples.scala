@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
   * pure-Scala pieces compose with no new codec work.
   *
   * Sample-location scope (documented, checked, degrades to no rows):
-  * the first `stsz`+`stco` pair found under `moov → trak → mdia → minf →
-  * stbl`; chunk layouts supported are the two degenerate-but-common ones —
+  * the first `stbl` under `moov → trak → mdia → minf` that contains BOTH
+  * an `stsz` and an `stco` (resolved as a pair within that one stbl, so a
+  * multi-trak file can never splice sizes from one trak with offsets from
+  * another); chunk layouts supported are the two degenerate-but-common ones —
   * one chunk per sample (`stco` entries == sample count) and one single
   * chunk holding consecutive samples (`stco` entries == 1, offsets by
   * cumulative size). General `stsc` interleave is out of scope. Per-SAMPLE
@@ -47,12 +49,20 @@ object Mp4Samples {
   private val Containers = Set("moov", "trak", "mdia", "minf", "stbl")
   private val MaxSamples = 1 << 20 // corrupt count field must not OOM a task
 
-  /** Locate the first stsz+stco pair under the container path and resolve
-    * per-sample (offset, size). None = no parseable sample table. */
+  /** Locate the first `stbl` box that contains BOTH an stsz and an stco and
+    * resolve per-sample (offset, size). The pair is resolved WITHIN one
+    * stbl — on a multi-trak file (or a trak with a corrupt stsz), taking
+    * the first stsz and first stco found anywhere would mix sizes from one
+    * trak with offsets from another, producing plausible-looking but
+    * mismatched sample locations. Per-trak state resets; a trak whose stbl
+    * lacks either table is skipped, never spliced. None = no parseable
+    * complete sample table in any trak. */
   def sampleTable(bytes: Array[Byte]): Option[(Array[Long], Array[Long])] = {
-    var stsz: Option[(Int, Int)] = None // payload [start, end)
-    var stco: Option[(Int, Int)] = None
-    def walk(start: Long, end: Long, depth: Int): Unit = {
+    var found: Option[(Array[Long], Array[Long])] = None
+    // Inside an stbl, collect this stbl's own stsz/stco payload ranges.
+    def scanStbl(start: Long, end: Long): Option[(Array[Long], Array[Long])] = {
+      var stsz: Option[(Int, Int)] = None // payload [start, end)
+      var stco: Option[(Int, Int)] = None
       var off = start
       while (off + 8 <= end && (stsz.isEmpty || stco.isEmpty)) {
         val size32 = u32(bytes, off.toInt)
@@ -62,23 +72,42 @@ object Mp4Samples {
             ((u32(bytes, off.toInt + 8) << 32) | u32(bytes, off.toInt + 12), 16L)
           else if (size32 == 0L) (end - off, 8L)
           else (size32, 8L)
-        if (size < hdr || off + size > end) return // malformed: stop this level
+        if (size < hdr || off + size > end) return None // malformed stbl
         typ match {
-          case t if Containers(t) && depth < 8 => walk(off + hdr, off + size, depth + 1)
           case "stsz" if stsz.isEmpty => stsz = Some(((off + hdr).toInt, (off + size).toInt))
           case "stco" if stco.isEmpty => stco = Some(((off + hdr).toInt, (off + size).toInt))
           case _ => ()
         }
         off += size
       }
+      for {
+        (szS, szE) <- stsz
+        (coS, coE) <- stco
+        sizes <- parseStsz(bytes, szS, szE)
+        offsets <- parseStco(bytes, coS, coE, sizes)
+      } yield (sizes, offsets)
+    }
+    def walk(start: Long, end: Long, depth: Int): Unit = {
+      var off = start
+      while (off + 8 <= end && found.isEmpty) {
+        val size32 = u32(bytes, off.toInt)
+        val typ = fourcc(bytes, off.toInt + 4)
+        val (size, hdr) =
+          if (size32 == 1L && off + 16 <= end)
+            ((u32(bytes, off.toInt + 8) << 32) | u32(bytes, off.toInt + 12), 16L)
+          else if (size32 == 0L) (end - off, 8L)
+          else (size32, 8L)
+        if (size < hdr || off + size > end) return // malformed: stop this level
+        typ match {
+          case "stbl" => found = scanStbl(off + hdr, off + size)
+          case t if Containers(t) && depth < 8 => walk(off + hdr, off + size, depth + 1)
+          case _ => ()
+        }
+        off += size
+      }
     }
     walk(0L, bytes.length.toLong, 0)
-    for {
-      (szS, szE) <- stsz
-      (coS, coE) <- stco
-      sizes <- parseStsz(bytes, szS, szE)
-      offsets <- parseStco(bytes, coS, coE, sizes)
-    } yield (sizes, offsets)
+    found
   }
 
   /** stsz payload: verflags(4) sample_size(4) count(4) [sizes]; a nonzero

@@ -79,5 +79,8 @@ object SharedCache {
     cache.values.toArray(Array.empty[DataFrame]).flatMap(CheckpointBlocks.rddIds).toSet
   }
 
-  def clear(): Unit = cache.clear()
+  /** Also drops the per-key lock objects: lock identity only needs to be
+    * stable within one getOrCompute race, and keeping them would grow the
+    * map without bound across fixture dirs over a long-lived JVM. */
+  def clear(): Unit = { cache.clear(); locks.clear() }
 }

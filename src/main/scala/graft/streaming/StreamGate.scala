@@ -37,18 +37,29 @@ object StreamGate {
       files: Int = 8,
       mode: String = "complete")(transform: DataFrame => DataFrame): DataFrame = {
     require(name.matches("[A-Za-z0-9_]+"), s"unsafe stream-gate name: $name")
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_stream_$name"
+    // Per-run directory (pid + seq): two concurrent JVMs or parallel bench
+    // runs replaying the same gate must not overwrite each other's staged
+    // input between write and streaming read. Deleted after the replay.
+    val seq = runSeq.incrementAndGet()
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_stream_${name}_" +
+      s"${ProcessHandle.current().pid()}_$seq"
     input.repartition(files).write.mode("overwrite").parquet(dir)
-    val schema = spark.read.parquet(dir).schema
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(dir)
-    val sink = s"graft_stream_sink_${name}_${runSeq.incrementAndGet()}"
-    val q = transform(stream).writeStream
-      .format("memory").queryName(sink).outputMode(mode)
-      .trigger(Trigger.AvailableNow()).start()
-    try q.awaitTermination() finally if (q.isActive) q.stop()
-    val out = spark.table(sink).localCheckpoint(eager = true)
-    spark.catalog.dropTempView(sink)
-    out
+    try {
+      val schema = spark.read.parquet(dir).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      val sink = s"graft_stream_sink_${name}_$seq"
+      val q = transform(stream).writeStream
+        .format("memory").queryName(sink).outputMode(mode)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+      val out = spark.table(sink).localCheckpoint(eager = true)
+      spark.catalog.dropTempView(sink)
+      out
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      try p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      catch { case _: Exception => () }
+    }
   }
 }

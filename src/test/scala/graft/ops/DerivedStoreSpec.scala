@@ -43,6 +43,33 @@ class DerivedStoreSpec extends SparkSpec {
     assert(builds == 2)
   }
 
+  test("a part file rewritten IN PLACE (same filename set) still invalidates") {
+    // A directory's own status is len=0 and its mtime does not move when an
+    // existing child is modified in place — the fingerprint must fold the
+    // per-file (name, len, mtime) of the directory's contents.
+    val inA = s"/tmp/dstore_in_${System.nanoTime()}_a"
+    val inB = s"/tmp/dstore_in_${System.nanoTime()}_b"
+    writeInput(Seq((1L, "a")), inA)
+    Seq((2L, "bb"), (3L, "ccc")).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(inB)
+    val name = freshName("inplace")
+    var builds = 0
+    def get() = DerivedStore.getOrBuild(spark, name, Seq(inA), Seq("id")) {
+      builds += 1
+      spark.read.parquet(inA)
+    }
+    assert(get().count() == 1 && builds == 1)
+    // splice B's part file bytes over A's part file, keeping A's filenames
+    val partA = new java.io.File(inA).listFiles().filter(_.getName.endsWith(".parquet")).head
+    val partB = new java.io.File(inB).listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(partB.toPath, partA.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // drop Hadoop's .crc sidecars: they'd fail checksum on the spliced bytes
+    new java.io.File(inA).listFiles().filter(_.getName.endsWith(".crc")).foreach(_.delete())
+    assert(get().count() == 2, "stale store served after in-place part rewrite")
+    assert(builds == 2)
+  }
+
   test("unreadable inputs skip persistence but still return the build") {
     val name = freshName("nofp")
     var builds = 0

@@ -123,6 +123,9 @@ class Mp3FramesSpec extends SparkSpec {
     assert(Mp3Frames.parse(0L, Array.emptyByteArray).isEmpty)
     assert(Mp3Frames.parse(0L, "MThd not an mp3".getBytes("US-ASCII")).isEmpty)
     assert(Mp3Frames.parse(0L, Array[Byte](0xff.toByte, 0xe0.toByte, 0, 0)).isEmpty)
+    // a valid first HEADER whose frame body is truncated walks zero frames:
+    // that is a fake-route (None), never a sentinel row with brMin=MaxValue
+    assert(Mp3Frames.parse(0L, frame(9, 0, 0).take(10)).isEmpty)
     val df = Seq((1L, Option(frame(9, 0, 0))), (2L, Option.empty[Array[Byte]]))
       .toDF("media_id", "media")
     val rows = Mp3Frames.walk(df).collect().toSeq

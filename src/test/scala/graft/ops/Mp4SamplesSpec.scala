@@ -100,6 +100,29 @@ class Mp4SamplesSpec extends SparkSpec {
     assert(Mp4Samples.frames(0L, twoCo).isEmpty)
   }
 
+  test("multi-trak: stsz and stco are never spliced across traks") {
+    val good = realJpeg(8, 8)
+    // trak 1: stbl with ONLY an stsz (claims one sample of a bogus size);
+    // trak 2: complete stsz+stco pair locating the real sample. Taking the
+    // first stsz and first stco found ANYWHERE would pair trak 1's size
+    // with trak 2's offset — a plausible-looking wrong slice.
+    val ftyp = box("ftyp", "mjpg".getBytes("US-ASCII") ++ be32(0))
+    val bogusStsz = box("stsz", be32(0) ++ be32(0) ++ be32(1L) ++ be32(7L))
+    val trak1 = box("trak", box("mdia", box("minf", box("stbl", bogusStsz))))
+    val realStsz = box("stsz", be32(0) ++ be32(0) ++ be32(1L) ++ be32(good.length.toLong))
+    def moovWith(stco: Array[Byte]) = box("moov", trak1 ++
+      box("trak", box("mdia", box("minf", box("stbl", realStsz ++ stco)))))
+    // fixed point: mdat payload position depends only on sizes, not offset value
+    val probe = moovWith(box("stco", be32(0) ++ be32(1L) ++ be32(0L)))
+    val mdatStart = ftyp.length + probe.length + 8
+    val moov = moovWith(box("stco", be32(0) ++ be32(1L) ++ be32(mdatStart.toLong)))
+    val blob = ftyp ++ moov ++ box("mdat", good)
+    val fs = Mp4Samples.frames(9L, blob)
+    assert(fs.map(f => (f.sample_idx, f.sample_size, f.decode_ok, f.width)) ==
+      Seq((0L, good.length.toLong, true, Some(8L))),
+      "sizes must come from the SAME stbl as the offsets")
+  }
+
   test("mjpegFrames() explodes blobs and survives null media") {
     import spark.implicits._
     val blob = container(Seq(realJpeg(8, 8)), perSampleChunks = false)

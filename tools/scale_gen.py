@@ -31,11 +31,19 @@ still resolves and replica 0 is byte-identical to the source:
   cosine well below the 0.99 near-dup threshold (~0.97 from the scale
   pattern alone, lower once sign flips differ) and perturbs the sign-LSH
   bucket of most replicas.
-- region nation customer supplier part events: straight file copies
-  (a straight copy preserves events.ts's physical parquet type across
-  generator vintages — TIMESTAMP(MICROS) today, TIMESTAMP(NANOS) before
-  the 2026-08-13 fixture regeneration; graft.Tables.events dispatches on
-  whichever it finds).
+- events: event_id shifted by replica * (max(event_id)+1); ts shifted by
+  replica * (span + 1 day) so each replica occupies its own disjoint time
+  block — the "longer history" scale story. user_id is NOT shifted: q12/q22
+  join events.user_id to o_custkey and x85 measures containment against
+  c_custkey, so user ids must stay inside the dimension key range. Keeping
+  user_id fixed while extending the time axis preserves per-user ordering
+  and every session-gap/window structure (the inter-replica joint gap is
+  ~30 days, far above any session threshold), while windowed queries see
+  FACTOR x more windows at constant rows per window. The rewrite goes
+  through DuckDB, so ts lands as TIMESTAMP(MICROS) — the current fixture
+  vintage; graft.Tables.events dispatches on whichever physical type it
+  finds.
+- region nation customer supplier part: straight file copies.
 
 Then benchmark with:
   SPARK_GRAFT_SF_DIR=OUT_DIR SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Bench"
@@ -47,7 +55,7 @@ import sys
 
 import duckdb
 
-COPY_AS_IS = ["region", "nation", "customer", "supplier", "part", "events"]
+COPY_AS_IS = ["region", "nation", "customer", "supplier", "part"]
 
 
 def write(con, query, out_dir, table):
@@ -67,6 +75,16 @@ def main():
     for t in COPY_AS_IS:
         shutil.copyfile(f"{src}/{t}.parquet", f"{out}/{t}.parquet")
         print(f"  {t}: copied as-is")
+
+    k_ev, span_us = con.sql(f"""
+        SELECT max(event_id) + 1,
+               epoch_us(max(ts)) - epoch_us(min(ts)) + 86400000000
+        FROM '{src}/events.parquet'""").fetchone()
+    write(con, f"""
+        SELECT event_id + r * {k_ev} AS event_id,
+               ts + to_microseconds(r * {span_us}) AS ts,
+               user_id, event_type, value, props
+        FROM '{src}/events.parquet', range({factor}) t(r)""", out, "events")
 
     k_ord = con.sql(
         f"SELECT max(o_orderkey) + 1 FROM '{src}/orders.parquet'").fetchone()[0]
