@@ -189,10 +189,17 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // store-build attribution: wall seconds each DerivedStore spent
+    // BUILDING this JVM (absent = served from disk). A first-build is a
+    // once-per-fixture cost that lands inside whichever query touched the
+    // store first — readers comparing per-query ratios cross-engine
+    // subtract it (or read the min-of-2, whose second run reads the store).
+    val stores = graft.ops.DerivedStore.buildSeconds.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     // per-query detail first (raw runs, then mins), summary last: a
     // tail-truncated capture keeps the END of the line, so
     // totals/annotations must sit there
-    val line = s"""{"runs":${fmtRuns(results)},"cold_runs":${fmtRuns(cold)},"queries":$qs,"cold_rerun":$colds,"metric":"total","value":$total,"unit":"sec","failed":$failed,"leaked_rdds":$leaked,"log":${js(logPath)},"json":${js(jsonPath)},"sf":${js(sfDir)}}"""
+    val line = s"""{"runs":${fmtRuns(results)},"cold_runs":${fmtRuns(cold)},"queries":$qs,"cold_rerun":$colds,"store_build":$stores,"metric":"total","value":$total,"unit":"sec","failed":$failed,"leaked_rdds":$leaked,"log":${js(logPath)},"json":${js(jsonPath)},"sf":${js(sfDir)}}"""
     try {
       val w = new java.io.PrintStream(new java.io.FileOutputStream(jsonPath), false, "UTF-8")
       try w.println(line) finally w.close()

@@ -32,6 +32,19 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object DerivedStore {
 
+  private val buildLog = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+
+  /** Wall-clock seconds spent BUILDING each store this JVM (store name →
+    * build+persist seconds; absent = served from disk). A benchmark
+    * harness reports this map as its own line so per-query timings that
+    * happened to pay a first-build can be read at steady state — the
+    * store-build is a once-per-fixture cost, not a per-query cost. */
+  def buildSeconds: Map[String, Double] = {
+    val out = Map.newBuilder[String, Double]
+    buildLog.forEach((k, v) => out += k -> v)
+    out.result()
+  }
+
   /** Returns the stored frame when the fingerprint matches; otherwise runs
     * `build`, persists it, and returns a scan of the persisted table.
     * On any store I/O failure the build result is returned directly — the
@@ -52,18 +65,21 @@ object DerivedStore {
         return spark.table(table)
       }
     } catch { case _: Exception => () }
-    val df = build
-    if (fp.isEmpty) return df // inputs unreadable: don't persist unkeyed
+    val t0 = System.nanoTime()
     try {
-      spark.sql(s"DROP TABLE IF EXISTS $table")
-      df.write.mode(SaveMode.Overwrite)
-        .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
-        .sortBy(bucketCols.head, bucketCols.tail: _*)
-        .option("path", location)
-        .saveAsTable(table)
-      writeSidecar(spark, location, fp)
-      spark.table(table)
-    } catch { case _: Exception => df }
+      val df = build
+      if (fp.isEmpty) return df // inputs unreadable: don't persist unkeyed
+      try {
+        spark.sql(s"DROP TABLE IF EXISTS $table")
+        df.write.mode(SaveMode.Overwrite)
+          .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+          .sortBy(bucketCols.head, bucketCols.tail: _*)
+          .option("path", location)
+          .saveAsTable(table)
+        writeSidecar(spark, location, fp)
+        spark.table(table)
+      } catch { case _: Exception => df }
+    } finally buildLog.put(name, (System.nanoTime() - t0) / 1e9)
   }
 
   private def warehouseDir(spark: SparkSession): String =
