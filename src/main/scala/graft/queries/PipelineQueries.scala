@@ -8565,6 +8565,134 @@ object PipelineQueries {
            |SELECT CAST(k AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_tasks,
            |  CAST(sum(p_ppm) // count(*) AS BIGINT) AS mean_pass_ppm
            |FROM pk GROUP BY 1 ORDER BY 1""".stripMargin
-      })
+      }),
+
+    // STREAMING WATERMARK GATE (x150) — the UNBOUNDED form x143 stops
+    // short of: withWatermark + APPEND-mode windowed aggregation, with
+    // LATE data deliberately staged two micro-batches behind its event
+    // time, hash-gated on WHICH rows were admitted vs dropped and WHICH
+    // windows were emitted vs withheld. Staging is deterministic: batch =
+    // day-quartile of ts (8-day blocks from 2024-01-01), except rows with
+    // event_id % 7 = 3 arrive two batches late ([[graft.streaming
+    // .StreamGate.replayStaged]] pins per-batch files and their order).
+    // The oracle computes the SAME watermark arithmetic Spark executes —
+    // calibrated, not assumed, by streaming/WatermarkGateSpec: per-batch
+    // max event time is ms-truncated; eviction/emission uses
+    // wmEvict_b = M_{b-1} - delay (inclusive, final no-data flush batch
+    // included); late filtering uses the one-batch-LAGGED
+    // wmLate_b = wmEvict_{b-1} (SPARK-40925's two-watermark model,
+    // inclusive boundary). A row is admitted iff its 4h window end >
+    // wmLate of its arrival batch; a window is emitted iff its end <=
+    // M_last - delay. Sums are exact integer cents (x29 discipline).
+    // Scale: this IS the 100 TB shape — state is bounded by delay x
+    // window-rate instead of growing forever, and the gate proves the
+    // bound costs EXACTLY the documented rows, not approximately.
+    QueryDef(
+      "x150_stream_watermark",
+      (s, d) => {
+        val staged = events(s, d)
+          .select(col("ts"), col("event_type"), col("value"),
+            expr("""CAST(least(greatest(
+                   |  CAST(datediff(to_date(ts), DATE '2024-01-01') div 8 AS INT),
+                   |  0), 3) AS INT)""".stripMargin).as("q"),
+            col("event_id"))
+          .select(col("ts"), col("event_type"), col("value"),
+            expr("CAST(CASE WHEN event_id % 7 = 3 THEN least(q + 2, 3) " +
+              "ELSE q END AS INT)").as("b"))
+        val out = graft.streaming.StreamGate.replayStaged(
+          s, staged, "x150_events", "b", 4, "append") { stream =>
+          stream
+            .withColumn("cents", floor(col("value") * 100).cast(LongType))
+            .withWatermark("ts", "36 hours")
+            .groupBy(window(col("ts"), "4 hours"), col("event_type"))
+            .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+            .select(unix_micros(col("window.start")).as("w_us"),
+              col("event_type"), col("n"), col("sum_cents"))
+        }
+        out.orderBy("w_us", "event_type")
+      },
+      Some("""WITH e AS (SELECT epoch_us(ts) AS us, event_type,
+             |    CAST(floor("value" * 100) AS BIGINT) AS cents,
+             |    CASE WHEN event_id % 7 = 3
+             |      THEN LEAST(LEAST(GREATEST(date_diff('day', DATE '2024-01-01',
+             |        CAST(ts AS DATE)) // 8, 0), 3) + 2, 3)
+             |      ELSE LEAST(GREATEST(date_diff('day', DATE '2024-01-01',
+             |        CAST(ts AS DATE)) // 8, 0), 3) END AS b
+             |  FROM events),
+             |mb AS (SELECT b, max(us) AS mx FROM e GROUP BY b),
+             |wm AS (SELECT b,
+             |  (max(mx) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+             |    AND 2 PRECEDING) // 1000) * 1000 - 129600000000 AS wm_late
+             |  FROM mb),
+             |adm AS (SELECT e.us - e.us % 14400000000 + 14400000000 AS w_end,
+             |    e.event_type, e.cents
+             |  FROM e JOIN wm ON e.b = wm.b
+             |  WHERE wm.wm_late IS NULL
+             |    OR e.us - e.us % 14400000000 + 14400000000 > wm.wm_late),
+             |fin AS (SELECT (max(us) // 1000) * 1000 - 129600000000 AS wm_fin
+             |  FROM e)
+             |SELECT w_end - 14400000000 AS w_us, event_type,
+             |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+             |FROM adm, fin WHERE w_end <= wm_fin
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // STREAMING DEDUP WITHIN WATERMARK (x151) — x144's unbounded-safe
+    // form: dropDuplicatesWithinWatermark with per-key state that EXPIRES
+    // instead of growing forever, replayed with the same deterministic
+    // two-batches-late staging (event_id % 5 = 2) and gated on exactly
+    // WHICH (user, event_type, day) keys were admitted. The dedup key
+    // includes the day-truncated event-time column, so every row of a key
+    // carries the SAME event time — which makes the emitted set exactly
+    // computable: a key is emitted iff its FIRST-arriving batch passes
+    // the lagged late filter (day_us > wmLate_b, calibrated inclusive/
+    // ms-truncated in WatermarkGateSpec); re-emission after state expiry
+    // is impossible for same-event-time duplicates (expiry implies
+    // lateness), and later arrivals are either in-state duplicates or
+    // late. The oracle computes that set arithmetically. Scale: dedup
+    // state bounded by delay x key-rate — the only admissible shape for
+    // a 100 TB exactly-once ingest; the gate pins its exact admit/drop
+    // frontier.
+    QueryDef(
+      "x151_stream_dedup_watermark",
+      (s, d) => {
+        val staged = events(s, d)
+          .select(col("user_id"), col("event_type"),
+            date_trunc("day", col("ts")).as("ts_day"),
+            expr("""CAST(least(greatest(
+                   |  CAST(datediff(to_date(ts), DATE '2024-01-01') div 8 AS INT),
+                   |  0), 3) AS INT)""".stripMargin).as("q"),
+            col("event_id"))
+          .select(col("user_id"), col("event_type"), col("ts_day"),
+            expr("CAST(CASE WHEN event_id % 5 = 2 THEN least(q + 2, 3) " +
+              "ELSE q END AS INT)").as("b"))
+        val out = graft.streaming.StreamGate.replayStaged(
+          s, staged, "x151_events", "b", 4, "append") { stream =>
+          stream
+            .withWatermark("ts_day", "2 days")
+            .dropDuplicatesWithinWatermark("user_id", "event_type", "ts_day")
+            .select(col("user_id"), col("event_type"),
+              unix_micros(col("ts_day")).as("day_us"))
+        }
+        out.orderBy("user_id", "event_type", "day_us")
+      },
+      Some("""WITH e AS (SELECT user_id, event_type,
+             |    epoch_us(date_trunc('day', ts)) AS day_us,
+             |    CASE WHEN event_id % 5 = 2
+             |      THEN LEAST(LEAST(GREATEST(date_diff('day', DATE '2024-01-01',
+             |        CAST(ts AS DATE)) // 8, 0), 3) + 2, 3)
+             |      ELSE LEAST(GREATEST(date_diff('day', DATE '2024-01-01',
+             |        CAST(ts AS DATE)) // 8, 0), 3) END AS b
+             |  FROM events),
+             |mb AS (SELECT b, max(day_us) AS mx FROM e GROUP BY b),
+             |wm AS (SELECT b,
+             |  (max(mx) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+             |    AND 2 PRECEDING) // 1000) * 1000 - 172800000000 AS wm_late
+             |  FROM mb),
+             |k AS (SELECT user_id, event_type, day_us, min(b) AS bmin
+             |  FROM e GROUP BY 1, 2, 3)
+             |SELECT k.user_id, k.event_type, k.day_us
+             |FROM k JOIN wm ON k.bmin = wm.b
+             |WHERE wm.wm_late IS NULL OR k.day_us > wm.wm_late
+             |ORDER BY 1, 2, 3""".stripMargin))
   )
 }
