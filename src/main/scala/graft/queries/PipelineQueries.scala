@@ -202,6 +202,31 @@ object PipelineQueries {
     e.unionByName(e.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
   }
 
+  /** Session-shared, store-backed IVF assignment frame (vec_id, cent_id,
+    * embedding): corpus × pseudo-sampled centroids (vec_id % modulus = rem),
+    * nearest by cosine with lowest-cent_id tie-break. The corpus×centroids
+    * cross join is the dominant cost of the vector family (x07's cluster-
+    * local top-k and x45's within-cluster pair stage both start from it)
+    * and is a pure function of the embeddings fixture — so it follows the
+    * LSH-pair discipline: computed once per session, durably materialized
+    * bucketed by cent_id (the downstream join key), fingerprinted on
+    * embeddings.parquet. v1: bump when assignment semantics change. */
+  private def ivfAssignedShared(s: SparkSession, d: String, tag: String,
+      modulus: Int, rem: Int, corpus: => DataFrame): DataFrame =
+    SharedCache.getOrCompute(SharedCache.key(s, d, s"ivf_assign:$tag:m$modulus:r$rem")) {
+      graft.ops.DerivedStore.getOrBuild(s,
+        name = s"ivf_assign_v1_${tag}_m${modulus}_r${rem}_" + dirSlug(d),
+        inputFiles = Seq(s"$d/embeddings.parquet"),
+        bucketCols = Seq("cent_id")) {
+        val cent = corpus.filter(col("vec_id") % modulus === rem)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
+        // the public ops API (graft.ops.KMeansLite.assign): max_by hash-agg,
+        // lowest-cent_id tie-break — plan-pinned in PlanShapeSpec
+        graft.ops.KMeansLite.assign(corpus, cent)
+          .select(col("vec_id"), col("cent_id"), col("embedding"))
+      }.localCheckpoint(eager = true)
+    }
+
   /** 8-bit sign-LSH bucket key over the first 8 dimensions. */
   private def signBucket(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     graft.ops.TextDedup.signBucket(emb, 8)
@@ -544,23 +569,13 @@ object PipelineQueries {
     QueryDef(
       "x07_ann_ivf",
       (s, d) => {
-        val e = embeddings(s, d)
-        val cent = e.filter(col("vec_id") % 97 === 0)
-          .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
-        // max_by hash-agg, not a ranking window: the partial aggregate
-        // collapses the k candidates per vector map-side, so the shuffle
-        // carries n rows instead of n×k (the window form shuffled and
-        // sorted the whole crossJoin). Ties on ccos break to the lowest
-        // cent_id via the -cent_id struct field, same as the oracle's
-        // ORDER BY ccos DESC, cent_id.
-        val assigned = e.crossJoin(broadcast(cent))
-          .withColumn("ccos", VectorFunctions.cosine(col("embedding"), col("c_emb")))
-          .groupBy("vec_id")
-          .agg(max_by(
-            struct(col("cent_id"), col("embedding")),
-            struct(col("ccos"), (-col("cent_id")).as("tie"))).as("best"))
-          .select(col("vec_id"), col("best.cent_id").as("cent_id"),
-            col("best.embedding").as("embedding"))
+        // max_by hash-agg assignment (not a ranking window: the partial
+        // aggregate collapses the k candidates per vector map-side, so the
+        // shuffle carries n rows instead of n×k; ties on ccos break to the
+        // lowest cent_id, same as the oracle's ORDER BY ccos DESC,
+        // cent_id), session-shared and store-backed via ivfAssignedShared.
+        val assigned = ivfAssignedShared(s, d, "base", 97, 0,
+          embeddings(s, d).select("vec_id", "embedding"))
         val q = assigned.filter(col("vec_id").isin(1L, 2L, 3L))
           .select(col("vec_id").as("q_id"), col("cent_id"), col("embedding").as("q_emb"))
         val wTop = Window.partitionBy("q_id").orderBy(col("cos_raw").desc, col("n_id"))
@@ -1141,51 +1156,66 @@ object PipelineQueries {
         // Former shape (pos-joins + per-round vec×cent aggregations)
         // measured 3.2 s at sf0.1 on 2000 vectors — pure plan overhead.
         val k = 8
-        val packed = embeddings(s, d)
-          .select(col("vec_id"),
-            expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
-              .as("qa"))
-          .withColumn("nv", graft.functions.IntDotProduct.intDot(col("qa"), col("qa")))
-          .localCheckpoint(eager = true)
-        val r0 = packed.agg(min(col("vec_id")), max(col("vec_id"))).head()
-        val (mn, mx) = (r0.getLong(0), r0.getLong(1))
-        val step = math.max(1L, (mx - mn + 1) / k)
-        // initial centroids: each id-range bucket's lowest-id vector
-        val c0 = packed
-          .groupBy(least(floor((col("vec_id") - mn) / step), lit(k - 1L))
-            .cast("long").as("cent_id"))
-          .agg(min_by(col("qa"), col("vec_id")).as("cq"))
-          .collect()
-          .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-          .sortBy(_._1)
-        // one narrow pass: cos against all k centroids, argmax with
-        // tie → smallest cent_id (struct max over (cos, -cent_id), the
-        // same order the previous max_by used)
-        def assign(cents: Array[(Long, Array[Long])]): DataFrame = {
-          val scored = array(cents.map { case (cid, arr) =>
-            val nc = arr.map(x => x * x).sum
-            struct(
-              (graft.functions.IntDotProduct.intDot(col("qa"), typedLit(arr))
-                .cast(DoubleType) /
-                (sqrt(col("nv").cast(DoubleType)) * sqrt(lit(nc.toDouble))))
-                .as("cos"),
-              lit(-cid).as("ncid"))
-          }: _*)
-          packed.withColumn("cent_id", (-array_max(scored).getField("ncid")).cast("long"))
-        }
-        // centroid update: floor(mean) per (cent_id, pos) — k×dim rows
-        def update(assigned: DataFrame): Array[(Long, Array[Long])] =
-          assigned.select(col("cent_id"), posexplode(col("qa")))
-            .groupBy("cent_id", "pos")
-            .agg(floor(sum(col("col")).cast(DoubleType) / count(lit(1)))
-              .cast("long").as("cq"))
-            .collect()
-            .groupBy(_.getLong(0)).toArray
-            .map { case (cid, rs) =>
-              (cid, rs.sortBy(_.getInt(1)).map(_.getLong(2)))
+        // the TRAINED state — two Lloyd rounds of driver-held centroid
+        // updates plus the final assignment — is a pure exact-integer
+        // function of the embeddings fixture, so it persists like the LSH
+        // pair frame: trained once per fixture, served to fresh sessions
+        // from the cent_id-bucketed store (centroid arrays are implied by
+        // the assignment the consumers actually read). v1: bump when k,
+        // the init rule, or the iteration count changes.
+        val a2 = SharedCache.getOrCompute(
+          SharedCache.key(s, d, s"ann_trained:k$k:i2")) {
+          graft.ops.DerivedStore.getOrBuild(s,
+            name = s"ann_trained_v1_k${k}_i2_" + dirSlug(d),
+            inputFiles = Seq(s"$d/embeddings.parquet"),
+            bucketCols = Seq("cent_id")) {
+            val packed = embeddings(s, d)
+              .select(col("vec_id"),
+                expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
+                  .as("qa"))
+              .withColumn("nv", graft.functions.IntDotProduct.intDot(col("qa"), col("qa")))
+              .localCheckpoint(eager = true)
+            val r0 = packed.agg(min(col("vec_id")), max(col("vec_id"))).head()
+            val (mn, mx) = (r0.getLong(0), r0.getLong(1))
+            val step = math.max(1L, (mx - mn + 1) / k)
+            // initial centroids: each id-range bucket's lowest-id vector
+            val c0 = packed
+              .groupBy(least(floor((col("vec_id") - mn) / step), lit(k - 1L))
+                .cast("long").as("cent_id"))
+              .agg(min_by(col("qa"), col("vec_id")).as("cq"))
+              .collect()
+              .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+              .sortBy(_._1)
+            // one narrow pass: cos against all k centroids, argmax with
+            // tie → smallest cent_id (struct max over (cos, -cent_id), the
+            // same order the previous max_by used)
+            def assign(cents: Array[(Long, Array[Long])]): DataFrame = {
+              val scored = array(cents.map { case (cid, arr) =>
+                val nc = arr.map(x => x * x).sum
+                struct(
+                  (graft.functions.IntDotProduct.intDot(col("qa"), typedLit(arr))
+                    .cast(DoubleType) /
+                    (sqrt(col("nv").cast(DoubleType)) * sqrt(lit(nc.toDouble))))
+                    .as("cos"),
+                  lit(-cid).as("ncid"))
+              }: _*)
+              packed.withColumn("cent_id", (-array_max(scored).getField("ncid")).cast("long"))
             }
-            .sortBy(_._1)
-        val a2 = assign(update(assign(c0)))
+            // centroid update: floor(mean) per (cent_id, pos) — k×dim rows
+            def update(assigned: DataFrame): Array[(Long, Array[Long])] =
+              assigned.select(col("cent_id"), posexplode(col("qa")))
+                .groupBy("cent_id", "pos")
+                .agg(floor(sum(col("col")).cast(DoubleType) / count(lit(1)))
+                  .cast("long").as("cq"))
+                .collect()
+                .groupBy(_.getLong(0)).toArray
+                .map { case (cid, rs) =>
+                  (cid, rs.sortBy(_.getInt(1)).map(_.getLong(2)))
+                }
+                .sortBy(_._1)
+            assign(update(assign(c0)))
+          }.localCheckpoint(eager = true)
+        }
         val qrows = a2.filter(col("vec_id").isin(1L, 2L, 3L))
           .select("vec_id", "cent_id", "qa", "nv").collect().sortBy(_.getLong(0))
         val dots = qrows.map { qr =>
@@ -2313,21 +2343,11 @@ object PipelineQueries {
     QueryDef(
       "x45_semdedup",
       (s, d) => {
-        val e = embCorpus(s, d)
-        val cent = e.filter(col("vec_id") % 83 === 2)
-          .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
-        val assigned = e.crossJoin(broadcast(cent))
-          .withColumn("ccos", VectorFunctions.cosine(col("embedding"), col("c_emb")))
-          .groupBy("vec_id")
-          .agg(max_by(
-            struct(col("cent_id"), col("embedding")),
-            struct(col("ccos"), (-col("cent_id")).as("tie"))).as("best"))
-          .select(col("vec_id"), col("best.cent_id").as("cent_id"),
-            col("best.embedding").as("embedding"))
-          // the corpus×centroids assignment is the dominant cost and has
-          // THREE consumers (both pair-join sides + the final projection) —
-          // checkpoint so it runs once (ScanAudit: 12 scans un-cached)
-          .localCheckpoint(true)
+        // the corpus×centroids assignment is the dominant cost and has
+        // THREE consumers (both pair-join sides + the final projection) —
+        // ivfAssignedShared computes it once per session (checkpointed)
+        // and serves cold re-runs from the bucketed store
+        val assigned = ivfAssignedShared(s, d, "corpus", 83, 2, embCorpus(s, d))
         val dup = assigned.as("a")
           .join(assigned.as("b").hint("shuffle_hash"),
             col("a.cent_id") === col("b.cent_id") && col("b.vec_id") < col("a.vec_id"))

@@ -36,9 +36,17 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("IVF assignment is a hash aggregate, not a ranking window (x07)") {
+    // the assignment frame is store-backed (ivfAssignedShared), so the
+    // pin targets the production build path: the public KMeansLite.assign
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.embeddings(spark, sf001).select("vec_id", "embedding")
+    val cent = e.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
+    val b = graft.ops.KMeansLite.assign(e, cent)
+      .queryExecution.executedPlan.toString
+    assert(b.contains("max_by") && !b.contains("Window"), b)
+    // and the query itself: the only window left is the per-query top-k
     val p = plans("x07_ann_ivf")
-    assert(p.contains("max_by"), p)
-    // the ASSIGNMENT window is gone; the only window left is per-query top-k
     assert("Window \\[row_number".r.findAllIn(p).length <= 1, p)
   }
 
