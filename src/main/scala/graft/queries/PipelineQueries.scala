@@ -8725,6 +8725,60 @@ object PipelineQueries {
              |SELECT k.user_id, k.event_type, k.day_us
              |FROM k JOIN wm ON k.bmin = wm.b
              |WHERE wm.wm_late IS NULL OR k.day_us > wm.wm_late
+             |ORDER BY 1, 2, 3""".stripMargin)),
+
+    // STREAM-STREAM JOIN (x152) — the remaining stateful-streaming
+    // primitive x143–x151 don't touch: an event-time range INNER join
+    // where BOTH sides arrive incrementally. Signups and purchases of the
+    // same replayed event stream (a self-join — two filters of one file
+    // source) join on user with p_ts in (s_ts, s_ts + 4h]; batches are
+    // day-quartiles in time order, so matches straddle micro-batch
+    // boundaries in BOTH directions (a quartile-b signup pairing with a
+    // quartile-b+1 purchase, and — via the within-quartile shuffle of
+    // arrival — purchases buffered before their signup arrives). Each
+    // side carries a watermark (the production posture: with the range
+    // condition it bounds join state to ~4h of per-side history at 100
+    // TB); the replay sets the delay to cover the staged span, the regime
+    // where the gate's claim is EXACT equality with the batch join —
+    // incremental two-sided state converges to the batch answer, which
+    // DuckDB computes directly. Emitted pair multiset hash-compared;
+    // integer event-ids make the gate exact.
+    QueryDef(
+      "x152_stream_join",
+      (s, d) => {
+        val staged = events(s, d)
+          .filter(col("event_type").isin("signup", "purchase"))
+          .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+            expr("""CAST(least(greatest(
+                   |  CAST(datediff(to_date(ts), DATE '2024-01-01') div 8 AS INT),
+                   |  0), 3) AS INT)""".stripMargin).as("b"))
+        val out = graft.streaming.StreamGate.replayStaged(
+          s, staged, "x152_events", "b", 4, "append") { stream =>
+          val left = stream.filter(col("event_type") === "signup")
+            .select(col("event_id").as("s_id"), col("user_id"), col("ts").as("s_ts"))
+            .withWatermark("s_ts", "40 days")
+          val right = stream.filter(col("event_type") === "purchase")
+            .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+              col("ts").as("p_ts"))
+            .withWatermark("p_ts", "40 days")
+          left.join(right,
+              col("user_id") === col("p_user") &&
+                col("p_ts") > col("s_ts") &&
+                col("p_ts") <= col("s_ts") + expr("INTERVAL 4 HOURS"))
+            .select(col("user_id"), col("s_id"), col("p_id"),
+              unix_micros(col("s_ts")).as("s_us"),
+              unix_micros(col("p_ts")).as("p_us"))
+        }
+        out.orderBy("user_id", "s_id", "p_id")
+      },
+      Some("""WITH s AS (SELECT event_id AS s_id, user_id, ts AS s_ts
+             |  FROM events WHERE event_type = 'signup'),
+             |p AS (SELECT event_id AS p_id, user_id, ts AS p_ts
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT s.user_id, s.s_id, p.p_id,
+             |  epoch_us(s.s_ts) AS s_us, epoch_us(p.p_ts) AS p_us
+             |FROM s JOIN p ON p.user_id = s.user_id
+             |  AND p.p_ts > s.s_ts AND p.p_ts <= s.s_ts + INTERVAL 4 HOUR
              |ORDER BY 1, 2, 3""".stripMargin))
   )
 }
