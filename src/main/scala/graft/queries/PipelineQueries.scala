@@ -8779,6 +8779,99 @@ object PipelineQueries {
              |  epoch_us(s.s_ts) AS s_us, epoch_us(p.p_ts) AS p_us
              |FROM s JOIN p ON p.user_id = s.user_id
              |  AND p.p_ts > s.s_ts AND p.p_ts <= s.s_ts + INTERVAL 4 HOUR
-             |ORDER BY 1, 2, 3""".stripMargin))
+             |ORDER BY 1, 2, 3""".stripMargin)),
+
+    // MP3 SPECTRAL RECONSTRUCTION (x153) — the decode stage below x136's
+    // side-info walk, closing the audio leg the way x101/x102 closed
+    // images: count1-region Huffman (spec Table B — the fixed-length
+    // quadruple codebook: code = one's complement of (v,w,x,y), one sign
+    // bit per nonzero), requantization (± 2^((global_gain − 210)/4) for
+    // ±1 count1 values), the 8 Table-B.9 alias-reduction butterflies,
+    // 36-point IMDCT, sin windowing and 50% overlap-add
+    // ([[graft.ops.Mp3Spectra]]; the spec-tabulated big-values codebooks
+    // B.7 are the documented out-of-class route: such granules fake-route
+    // to ok = false, which media_id 28 exercises). Paired construction at
+    // the bit level (the x136 discipline, third independent construction
+    // counting the unit spec's bit-writer): Spark assembles real mono
+    // frames from per-(doc, frame, granule) field arithmetic in SQL
+    // expressions, the Scala decoder reconstructs spectra and time
+    // samples, and DuckDB predicts every observable arithmetically —
+    // Huffman line positions and signs exactly, magnitudes as exact
+    // BIGINTs (gains constructed ≡ 210 mod 4 so 2^((g−210)/4)·2^20 is an
+    // integer shift), and the float path through alias + IMDCT + window
+    // pinned by two EXACT energy identities (Σ X_t² = 18·Σ xr², and
+    // Σ (w_t X_t)² = 9·Σ xr² — the window's cos factor sums to zero over
+    // the 36-point period for every line index) asserted to 1e-9. Narrow
+    // per-row flatMap, zero shuffle before the final sort.
+    QueryDef(
+      "x153_mp3_spectra",
+      (s, d) => {
+        def Q(g: Int) = if (g == 0) "(2 + doc_id % 3)" else "(6 + (doc_id + 1) % 3)"
+        def P(g: Int) = s"((doc_id + ${2 * g} + f) % 4)"
+        def Sg(g: Int) = s"((doc_id + $g + f) % 2)"
+        def Gain(g: Int) = s"(162 + 4 * ((doc_id * 5 + f * 3 + $g * 7) % 25))"
+        val big = "(CASE WHEN doc_id = 28 THEN 5 ELSE 0 END)"
+        // 59-bit granule side info: part2_3(12) big(9) gain(8) scomp(4)
+        // wsf(1) regions(22) preflag(1) sfs(1) count1table_select(1) = 1
+        def side(g: Int) = s"((4 * ${Q(g)} + 1) * 140737488355328 + " +
+          s"$big * 274877906944 + ${Gain(g)} * 1073741824 + 1)"
+        // side-info bit j of 136: mdb+priv+scfsi zeros, then 2×59
+        val sbit = s"(CASE WHEN j < 18 THEN 0 " +
+          s"WHEN j < 77 THEN shiftright(${side(0)}, CAST(76 - j AS INT)) " +
+          s"ELSE shiftright(${side(1)}, CAST(135 - j AS INT)) END % 2)"
+        val sideByte = "aggregate(sequence(CAST(0 AS BIGINT), 7), CAST(0 AS BIGINT), " +
+          s"(acc, t) -> acc * 2 + (CASE WHEN true THEN $sbit END))"
+            .replace("j", "(k * 8 + t)")
+        val sideHex =
+          s"array_join(transform(sequence(CAST(0 AS BIGINT), 16), k -> ${hbS(sideByte)}), '')"
+        // main-data bit j: granule 0 then granule 1 quadruple codes
+        def gbits(g: Int, off: String) =
+          s"WHEN (j) - $off < 4 * (${Q(g)} - 1) THEN 1 " +
+            s"WHEN (j) - $off < 4 * ${Q(g)} THEN shiftright(15 - shiftright(8, CAST(${P(g)} AS INT)), " +
+            s"CAST(3 - ((j) - $off - 4 * (${Q(g)} - 1)) AS INT)) " +
+            s"WHEN (j) - $off = 4 * ${Q(g)} THEN ${Sg(g)} "
+        val mbit = (s"(CASE ${gbits(0, "0")} ${gbits(1, s"(4 * ${Q(0)} + 1)")} " +
+          "ELSE 0 END % 2)").replace("j", "(k * 8 + t)")
+        val mainByte = "aggregate(sequence(CAST(0 AS BIGINT), 7), CAST(0 AS BIGINT), " +
+          s"(acc, t) -> acc * 2 + $mbit)"
+        val mainHex =
+          s"array_join(transform(sequence(CAST(0 AS BIGINT), 186), k -> ${hbS(mainByte)}), '')"
+        // mono 64 kbps @ 44.1 kHz no-CRC no-pad: FF FB 50 C0, 208 bytes
+        val frameF = s"concat('FFFB50C0', $sideHex, $mainHex)"
+        val base = documents(s, d).filter(col("doc_id") < 32)
+          .select(col("doc_id"), expr("2 + doc_id % 2").as("n"))
+          .withColumn("hx", expr(
+            s"array_join(transform(sequence(CAST(0 AS BIGINT), n - 1), f -> $frameF), '')"))
+        graft.ops.Mp3Spectra.spectra(
+          base.select(col("doc_id").as("media_id"), unhex(col("hx")).as("media")))
+          .toDF()
+          .orderBy("media_id", "frame_idx", "granule")
+      },
+      Some("""WITH b AS (SELECT doc_id, 2 + doc_id % 2 AS n FROM documents
+             |  WHERE doc_id < 32),
+             |g AS (SELECT doc_id, n, f, gr,
+             |  CASE WHEN gr = 0 THEN 2 + doc_id % 3
+             |    ELSE 6 + (doc_id + 1) % 3 END AS q,
+             |  (doc_id + 2 * gr + f) % 4 AS p,
+             |  (doc_id + gr + f) % 2 AS sg,
+             |  162 + 4 * ((doc_id * 5 + f * 3 + gr * 7) % 25) AS gain,
+             |  doc_id <> 28 AS okk
+             |  FROM b
+             |  CROSS JOIN (SELECT unnest(range(0, 3)) AS f)
+             |  CROSS JOIN (SELECT unnest(range(0, 2)) AS gr)
+             |  WHERE f < n)
+             |SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+             |  CAST(gr AS BIGINT) AS granule, okk AS ok,
+             |  CAST(CASE WHEN okk THEN q ELSE 0 END AS BIGINT) AS n_quads,
+             |  CAST(CASE WHEN okk THEN 4 * (q - 1) + p ELSE -1 END AS BIGINT)
+             |    AS nonzero_line,
+             |  CAST(CASE WHEN okk THEN 1 - 2 * sg ELSE 0 END AS BIGINT) AS sign_val,
+             |  CAST(gain AS BIGINT) AS gain,
+             |  CAST(CASE WHEN okk
+             |    THEN (CAST(1 AS BIGINT) << CAST((gain - 210) // 4 + 20 AS INT))
+             |    ELSE 0 END AS BIGINT) AS mag_q20,
+             |  okk AS bits_ok, okk AS energy_pre_ok, okk AS energy_win_ok,
+             |  CAST((2 * n + 1) * 576 AS BIGINT) AS total_samples
+             |FROM g ORDER BY 1, 2, 3""".stripMargin))
   )
 }
