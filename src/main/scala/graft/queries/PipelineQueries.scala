@@ -8872,6 +8872,65 @@ object PipelineQueries {
              |    ELSE 0 END AS BIGINT) AS mag_q20,
              |  okk AS bits_ok, okk AS energy_pre_ok, okk AS energy_win_ok,
              |  CAST((2 * n + 1) * 576 AS BIGINT) AS total_samples
-             |FROM g ORDER BY 1, 2, 3""".stripMargin))
+             |FROM g ORDER BY 1, 2, 3""".stripMargin)),
+
+    // ARBITRARY STATEFUL STREAMING (x154) — the last streaming API tier
+    // after window/dedup/session/watermark/join (x143–x152): Spark 4's
+    // transformWithState (StatefulProcessor + typed ValueState in the
+    // RocksDB-backed store), running [[graft.streaming.RunningUserStats]]
+    // — per-user running (count, exact-cents sum, max) emitted once per
+    // ACTIVE key per micro-batch — through the staged day-quartile
+    // replay. The emitted set is closed-form: one row per (user, batch
+    // the user appeared in) carrying the cumulative stats over that
+    // user's rows in batches ≤ b, which the oracle computes as windowed
+    // running sums over the per-(user, batch) rollup. Integer cents make
+    // within-batch order invisible (the processor folds rows in arrival
+    // order — only exact addition keeps that deterministic). The
+    // RocksDB provider is set for the replay and restored after; running
+    // queries pin their provider at start, so the flip cannot affect a
+    // concurrently-replaying gate. Scale: one fixed-width state row per
+    // user, emission per active key per batch — the 100 TB running-
+    // profile shape.
+    QueryDef(
+      "x154_stream_running_stats",
+      (s, d) => {
+        val staged = events(s, d)
+          .select(col("user_id"), col("event_id"),
+            floor(col("value") * 100).cast(LongType).as("cents"),
+            expr("""CAST(least(greatest(
+                   |  CAST(datediff(to_date(ts), DATE '2024-01-01') div 8 AS INT),
+                   |  0), 3) AS INT)""".stripMargin).as("b"))
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val out =
+          try graft.streaming.StreamGate.replayStaged(
+            s, staged, "x154_events", "b", 4, "append") { stream =>
+            graft.streaming.RunningUserStats.runningStats(
+              stream.as[graft.streaming.RunningUserStats.EventIn](
+                org.apache.spark.sql.Encoders.product)).toDF()
+          } finally prev match {
+            case Some(v) => s.conf.set(key, v)
+            case None    => s.conf.unset(key)
+          }
+        out.orderBy("user_id", "n_events")
+      },
+      Some("""WITH e AS (SELECT user_id,
+             |    CAST(floor("value" * 100) AS BIGINT) AS cents,
+             |    LEAST(GREATEST(date_diff('day', DATE '2024-01-01',
+             |      CAST(ts AS DATE)) // 8, 0), 3) AS b
+             |  FROM events),
+             |g AS (SELECT user_id, b, count(*) AS n, sum(cents) AS sc,
+             |    max(cents) AS mc
+             |  FROM e GROUP BY 1, 2)
+             |SELECT user_id,
+             |  CAST(sum(n) OVER w AS BIGINT) AS n_events,
+             |  CAST(sum(sc) OVER w AS BIGINT) AS sum_cents,
+             |  CAST(max(mc) OVER w AS BIGINT) AS max_cents
+             |FROM g
+             |WINDOW w AS (PARTITION BY user_id ORDER BY b
+             |  ROWS UNBOUNDED PRECEDING)
+             |ORDER BY user_id, n_events""".stripMargin))
   )
 }
