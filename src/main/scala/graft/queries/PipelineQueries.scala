@@ -227,12 +227,21 @@ object PipelineQueries {
       }.localCheckpoint(eager = true)
     }
 
-  /** 8-bit sign-LSH bucket key over the first 8 dimensions. */
+  /** Sign-LSH bucket key over the first 16 dimensions. WIDTH IS A COST
+    * KNOB, not a tuning nicety: with b bits the bucket-local pair stage
+    * costs ~n²/2^b, so a fixed-width bucket eventually goes quadratic —
+    * measured at the 100× decade point (8 bits, 400k vectors → 1.5k
+    * occupancy → 17.8× the 10× cost). 16 bits holds occupancy ≤ ~10² out
+    * past 10⁷ vectors; identical near-dups (the fixture's true pairs)
+    * share every sign, and the recall trade on borderline-0.99 pairs is
+    * the documented sign-LSH semantic (both engines compute the same
+    * bucket, so the gate moves with the knob). At deployment the width
+    * scales as ~log2(n / target_occupancy). */
   private def signBucket(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    graft.ops.TextDedup.signBucket(emb, 8)
+    graft.ops.TextDedup.signBucket(emb, 16)
 
   private val signBucketSql: String =
-    (1 to 8).map(i => s"(CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+    (1 to 16).map(i => s"(CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
 
   /** Shared oracle CTE chain for x18, x25, AND x38: connected components
     * over the LSH pair set via a recursive CTE, canonicalized to the min
@@ -536,8 +545,10 @@ object PipelineQueries {
               |WHERE round(i / CAST(sa.n + sb.n - i AS DOUBLE), 6) >= 0.8
               |ORDER BY a_id, b_id""".stripMargin)),
 
-    // Embedding near-dup via sign-LSH buckets (the scale path: pairs are only
-    // formed inside an 8-bit hyperplane-sign bucket, never all-pairs).
+    // Embedding near-dup via sign-LSH buckets (the scale path: pairs are
+    // only formed inside a 16-bit hyperplane-sign bucket, never all-pairs;
+    // width rationale at signBucket above — the 100× decade point showed
+    // 8 bits saturating into an n²/256 pair stage).
     QueryDef(
       "x06_embed_neardup",
       (s, d) => {
