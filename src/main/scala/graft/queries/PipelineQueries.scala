@@ -8942,6 +8942,96 @@ object PipelineQueries {
              |FROM g
              |WINDOW w AS (PARTITION BY user_id ORDER BY b
              |  ROWS UNBOUNDED PRECEDING)
-             |ORDER BY user_id, n_events""".stripMargin))
+             |ORDER BY user_id, n_events""".stripMargin)),
+
+    // STREAMING LEFT-OUTER JOIN (x155) — x152's hard sibling: the OUTER
+    // side of a stream-stream join is where watermark semantics bite,
+    // because a null row may only be emitted once the GLOBAL watermark
+    // proves no match can still arrive. Purchases are staged two batches
+    // late for event_id % 6 = 1 (real late-data drops on the match side);
+    // signups that never match emit null-extended rows when the watermark
+    // passes s_ts + 4h, and signups whose window is still open at stream
+    // end are withheld. The oracle recomputes the calibrated arithmetic
+    // (all probed, not assumed): the global watermark is the MIN of the
+    // per-side (ms-truncated max − delay) values; the late filter lags it
+    // by one batch (wmLate_b = W_{b-2}); a pair survives iff BOTH rows
+    // pass their arrival batch's late filter (state eviction is provably
+    // subsumed: an evicted-left's match is always late-dropped first);
+    // null-emission iff no admitted match AND s_ts + 4h < W_final — the
+    // trailing flush batch does run the final eviction (probed). Strict-
+    // vs-inclusive boundaries are measure-zero on microsecond event data.
+    // Scale: two-sided state bounded by delay × arrival rate — and the
+    // null-emission frontier is exactly the data-completeness watermark a
+    // 100 TB pipeline publishes downstream.
+    QueryDef(
+      "x155_stream_outer_join",
+      (s, d) => {
+        val staged = events(s, d)
+          .filter(col("event_type").isin("signup", "purchase"))
+          .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+            expr("""CAST(least(greatest(
+                   |  CAST(datediff(to_date(ts), DATE '2024-01-01') div 8 AS INT),
+                   |  0), 3) AS INT)""".stripMargin).as("q"))
+          .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+            expr("CAST(CASE WHEN event_type = 'purchase' AND event_id % 6 = 1 " +
+              "THEN least(q + 2, 3) ELSE q END AS INT)").as("b"))
+        val out = graft.streaming.StreamGate.replayStaged(
+          s, staged, "x155_events", "b", 4, "append") { stream =>
+          val left = stream.filter(col("event_type") === "signup")
+            .select(col("event_id").as("s_id"), col("user_id"), col("ts").as("s_ts"))
+            .withWatermark("s_ts", "3 days")
+          val right = stream.filter(col("event_type") === "purchase")
+            .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+              col("ts").as("p_ts"))
+            .withWatermark("p_ts", "3 days")
+          left.join(right,
+              col("user_id") === col("p_user") &&
+                col("p_ts") > col("s_ts") &&
+                col("p_ts") <= col("s_ts") + expr("INTERVAL 4 HOURS"),
+              "left_outer")
+            .select(col("user_id"), col("s_id"),
+              unix_micros(col("s_ts")).as("s_us"),
+              col("p_id"), unix_micros(col("p_ts")).as("p_us"))
+        }
+        out.orderBy("user_id", "s_id", "p_id")
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, event_type,
+             |    epoch_us(ts) AS us,
+             |    LEAST(GREATEST(date_diff('day', DATE '2024-01-01',
+             |      CAST(ts AS DATE)) // 8, 0), 3) AS q
+             |  FROM events WHERE event_type IN ('signup', 'purchase')),
+             |e AS (SELECT *, CASE WHEN event_type = 'purchase' AND event_id % 6 = 1
+             |    THEN LEAST(q + 2, 3) ELSE q END AS b FROM ev),
+             |mb AS (SELECT b,
+             |    max(CASE WHEN event_type = 'signup' THEN us END) AS ml,
+             |    max(CASE WHEN event_type = 'purchase' THEN us END) AS mr
+             |  FROM e GROUP BY b),
+             |rm AS (SELECT b,
+             |    max(ml) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cml,
+             |    max(mr) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cmr
+             |  FROM mb),
+             |w AS (SELECT b, LEAST((cml // 1000) * 1000, (cmr // 1000) * 1000)
+             |    - 259200000000 AS wv FROM rm),
+             |wl AS (SELECT b, lag(wv, 2) OVER (ORDER BY b) AS wm_late FROM w),
+             |sa AS (SELECT e.event_id AS s_id, e.user_id, e.us AS s_us
+             |  FROM e JOIN wl ON e.b = wl.b
+             |  WHERE e.event_type = 'signup'
+             |    AND (wl.wm_late IS NULL OR e.us > wl.wm_late)),
+             |pa AS (SELECT e.event_id AS p_id, e.user_id, e.us AS p_us
+             |  FROM e JOIN wl ON e.b = wl.b
+             |  WHERE e.event_type = 'purchase'
+             |    AND (wl.wm_late IS NULL OR e.us > wl.wm_late)),
+             |pairs AS (SELECT sa.user_id, sa.s_id, sa.s_us, pa.p_id, pa.p_us
+             |  FROM sa JOIN pa ON pa.user_id = sa.user_id
+             |    AND pa.p_us > sa.s_us AND pa.p_us <= sa.s_us + 14400000000),
+             |fin AS (SELECT wv AS wfin FROM w WHERE b = 3),
+             |nulls AS (SELECT sa.user_id, sa.s_id, sa.s_us,
+             |    CAST(NULL AS BIGINT) AS p_id, CAST(NULL AS BIGINT) AS p_us
+             |  FROM sa, fin
+             |  WHERE sa.s_us + 14400000000 < fin.wfin
+             |    AND NOT EXISTS (SELECT 1 FROM pairs p WHERE p.s_id = sa.s_id))
+             |SELECT user_id, s_id, s_us, p_id, p_us FROM pairs
+             |UNION ALL SELECT user_id, s_id, s_us, p_id, p_us FROM nulls
+             |ORDER BY user_id, s_id, p_id""".stripMargin))
   )
 }
