@@ -2125,6 +2125,91 @@ object CoreQueries {
              |  string_agg(DISTINCT c_mktsegment, '|' ORDER BY c_mktsegment) AS segments,
              |  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
              |FROM customer JOIN nation ON c_nationkey = n_nationkey
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Q65 — recursive CTE (WITH RECURSIVE, new SQL surface in Spark 4):
+    // the set-based recursion the reference fakes with a fixed-depth
+    // manual expansion (main.py:81-93 emits exactly one PARENT_OF level;
+    // q27/q37/q38 generalized it via iterative DataFrame joins). Here the
+    // RECURSION ITSELF is the gated surface: every part key walks its
+    // implicit binary ancestry k -> k div 2 down to root 1, an unbounded-
+    // depth walk whose depth grows with the key domain (log2 n levels at
+    // any SF), then rolls up per depth. DuckDB runs the identical
+    // recursive SQL natively — the one engine-surface where both sides
+    // execute the same recursion rather than Spark vs a closed form.
+    // Scale: each recursion step is one narrow filter+project over the
+    // previous frontier (no join, no shuffle inside the loop — Spark
+    // plans it as an iterated local step), and the frontier SHRINKS
+    // monotonically as keys reach the root; depth is log2(n), so the
+    // step count grows by +3 per 10x of data. Integer-exact output.
+    QueryDef(
+      "q65_recursive_cte",
+      (s, d) => {
+        val t = s"parquet.`$d/part.parquet`"
+        s.sql(s"""WITH RECURSIVE anc(k, a, depth) AS (
+                 |  SELECT CAST(p_partkey AS BIGINT), CAST(p_partkey AS BIGINT), 0
+                 |  FROM $t
+                 |  UNION ALL
+                 |  SELECT k, a DIV 2, depth + 1 FROM anc WHERE a > 1)
+                 |SELECT CAST(depth AS BIGINT) AS depth,
+                 |  CAST(count(*) AS BIGINT) AS n_nodes,
+                 |  CAST(sum(a) AS BIGINT) AS sum_anc,
+                 |  CAST(min(k) AS BIGINT) AS min_key,
+                 |  CAST(max(k) AS BIGINT) AS max_key
+                 |FROM anc GROUP BY depth ORDER BY depth""".stripMargin)
+      },
+      Some("""WITH RECURSIVE anc(k, a, depth) AS (
+             |  SELECT CAST(p_partkey AS BIGINT), CAST(p_partkey AS BIGINT), 0
+             |  FROM part
+             |  UNION ALL
+             |  SELECT k, a // 2, depth + 1 FROM anc WHERE a > 1)
+             |SELECT CAST(depth AS BIGINT) AS depth,
+             |  CAST(count(*) AS BIGINT) AS n_nodes,
+             |  CAST(sum(a) AS BIGINT) AS sum_anc,
+             |  CAST(min(k) AS BIGINT) AS min_key,
+             |  CAST(max(k) AS BIGINT) AS max_key
+             |FROM anc GROUP BY depth ORDER BY depth""".stripMargin)),
+
+    // Q66 — VARIANT semi-structured type (Spark 4's open JSON type:
+    // parse_json -> VARIANT -> typed-path extraction), generalizing the
+    // reference's ad-hoc json.loads row handling (main.py:59,88,336) to
+    // the engine-native type. Two legs, both integer-exact:
+    //   (a) REAL fixture JSON: events.props ('{"k": N}') through
+    //       parse_json + variant_get('$.k','bigint'), summed per type —
+    //       the oracle extracts the same value with DuckDB's JSON ops;
+    //   (b) PAIRED CONSTRUCTION: a nested object + array built from
+    //       event_id arithmetic, probed via nested path '$.a.b', array
+    //       index '$.a.arr[2]', and a missing path under try_variant_get
+    //       — the oracle predicts these ARITHMETICALLY without parsing,
+    //       so a wrong extraction (null, wrong element, wrong cast)
+    //       cannot hash-match.
+    // Scale: pure per-row codegen expressions feeding one partial-
+    // combined agg on a low-cardinality key; no UDF, no shuffle beyond
+    // the final 4-group exchange.
+    QueryDef(
+      "q66_variant",
+      (s, d) => {
+        val t = s"parquet.`$d/events.parquet`"
+        s.sql(s"""WITH v AS (SELECT event_type,
+                 |    parse_json(props) AS vp,
+                 |    parse_json(concat('{"a": {"b": ', CAST(event_id % 97 AS STRING),
+                 |      ', "arr": [1, 2, ', CAST(event_id % 5 AS STRING), ']}}')) AS vb
+                 |  FROM $t)
+                 |SELECT event_type,
+                 |  CAST(sum(variant_get(vp, '$$.k', 'bigint')) AS BIGINT) AS sum_k,
+                 |  CAST(sum(variant_get(vb, '$$.a.b', 'bigint')) AS BIGINT) AS sum_b,
+                 |  CAST(sum(variant_get(vb, '$$.a.arr[2]', 'bigint')) AS BIGINT) AS sum_arr2,
+                 |  CAST(count(try_variant_get(vb, '$$.a.missing', 'bigint')) AS BIGINT)
+                 |    AS n_missing,
+                 |  CAST(count(*) AS BIGINT) AS n
+                 |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin)
+      },
+      Some("""SELECT event_type,
+             |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             |  CAST(sum(event_id % 97) AS BIGINT) AS sum_b,
+             |  CAST(sum(event_id % 5) AS BIGINT) AS sum_arr2,
+             |  CAST(0 AS BIGINT) AS n_missing,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }
