@@ -9032,6 +9032,48 @@ object PipelineQueries {
              |    AND NOT EXISTS (SELECT 1 FROM pairs p WHERE p.s_id = sa.s_id))
              |SELECT user_id, s_id, s_us, p_id, p_us FROM pairs
              |UNION ALL SELECT user_id, s_id, s_us, p_id, p_us FROM nulls
-             |ORDER BY user_id, s_id, p_id""".stripMargin))
+             |ORDER BY user_id, s_id, p_id""".stripMargin)),
+
+    // STREAMING CHECKPOINT RECOVERY (x156) — the exactly-once restart
+    // contract: the query is KILLED after 2 of 4 micro-batches and a
+    // brand-new query resumes from the same checkpoint (foreachBatch +
+    // checkpointLocation — the production sink path; the memory sink
+    // refuses append-mode recovery). Stateful dedup keys (event_id % 997)
+    // recur across ALL four day-quartile batches, so post-restart batches
+    // carry thousands of duplicates of keys first seen BEFORE the kill:
+    //   - lost operator state -> those keys re-emit with b in {2,3};
+    //   - lost source offsets -> run 2 reprocesses files 0-1 and every
+    //     pre-restart emission appears twice;
+    // either way the hash breaks. Emission payload is (dup_key, b) where
+    // b = the row's staged batch: all in-batch duplicates of a key share
+    // b, so the kept-row race inside dropDuplicates is invisible and the
+    // emitted set is exactly {(k, min staged batch of k)} — which the
+    // oracle computes as a plain GROUP BY. Scale: state is one entry per
+    // distinct key (bounded here; unbounded keys take x151's
+    // within-watermark form), and checkpoint recovery cost is offsets +
+    // state reload — independent of history length, the property that
+    // makes week-long streams restartable at 100 TB.
+    QueryDef(
+      "x156_stream_restart",
+      (s, d) => {
+        val staged = events(s, d)
+          .select(
+            (col("event_id") % 997).cast(LongType).as("dup_key"),
+            expr("""CAST(least(greatest(
+                   |  CAST(datediff(to_date(ts), DATE '2024-01-01') div 8 AS INT),
+                   |  0), 3) AS INT)""".stripMargin).as("stage_b"))
+          .withColumn("b", col("stage_b").cast(LongType))
+        val out = graft.streaming.StreamGate.replayStagedRestart(
+          s, staged, "x156_events", "stage_b", 4, 2) { stream =>
+          stream.dropDuplicates("dup_key").select(col("dup_key"), col("b"))
+        }
+        out.orderBy("dup_key")
+      },
+      Some("""WITH e AS (SELECT CAST(event_id % 997 AS BIGINT) AS dup_key,
+             |    CAST(LEAST(GREATEST(date_diff('day', DATE '2024-01-01',
+             |      CAST(ts AS DATE)) // 8, 0), 3) AS BIGINT) AS b
+             |  FROM events)
+             |SELECT dup_key, min(b) AS b FROM e GROUP BY dup_key
+             |ORDER BY dup_key""".stripMargin))
   )
 }

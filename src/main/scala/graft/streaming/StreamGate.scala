@@ -89,6 +89,100 @@ object StreamGate {
     }
   }
 
+  /** Replays `input` like [[replayStaged]] but KILLS the query after
+    * `restartAfter` micro-batches and starts a brand-new query from the
+    * same checkpoint — the exactly-once restart contract a production
+    * pipeline lives on. The sink is `foreachBatch` with an explicit
+    * `checkpointLocation` (the memory sink refuses append-mode recovery;
+    * foreachBatch + checkpoint is the real production sink path), so run 2
+    * recovers BOTH the source offsets (staged files 0..restartAfter-1 must
+    * not be reprocessed — a fresh start would re-emit their rows) and the
+    * operator state (keys seen before the restart must still suppress /
+    * merge after it). Returns the union of both runs' emissions.
+    *
+    * Failure modes are all hash-visible downstream: lost offsets duplicate
+    * every pre-restart emission; lost state re-emits or under-aggregates
+    * post-restart rows; a sink that reprocessed batch N-1 after a crash
+    * between commit points would duplicate one batch (foreachBatch is
+    * at-least-once per batch — here each staged batch is delivered once
+    * because run 1 terminates cleanly via AvailableNow before the kill). */
+  def replayStagedRestart(
+      spark: SparkSession,
+      input: DataFrame,
+      name: String,
+      batchCol: String,
+      nBatches: Int,
+      restartAfter: Int)(
+      transform: DataFrame => DataFrame): DataFrame = {
+    require(name.matches("[A-Za-z0-9_]+"), s"unsafe stream-gate name: $name")
+    require(restartAfter > 0 && restartAfter < nBatches,
+      s"restartAfter must split the replay: $restartAfter of $nBatches")
+    val seq = runSeq.incrementAndGet()
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_stream_${name}_" +
+      s"${ProcessHandle.current().pid()}_$seq"
+    val dir = s"$root/in"
+    val hold = s"$root/hold"
+    val ckpt = s"$root/ckpt"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = System.currentTimeMillis() - (nBatches + 1) * 2000L
+    try {
+      fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+      // Stage every batch as one pinned-mtime file in a holding area;
+      // files are revealed to the watched dir in two waves around the kill.
+      for (i <- 0 until nBatches) {
+        val stage = s"$root/_stage_$i"
+        input.filter(org.apache.spark.sql.functions.col(batchCol) === i)
+          .drop(batchCol).coalesce(1)
+          .write.mode("overwrite").parquet(stage)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+          .map(_.getPath).find(_.getName.startsWith("part-"))
+          .getOrElse(sys.error(s"stream gate $name: no part file for batch $i"))
+        val dst = new org.apache.hadoop.fs.Path(f"$hold/batch-$i%04d.parquet")
+        fs.mkdirs(new org.apache.hadoop.fs.Path(hold))
+        if (!fs.rename(part, dst)) sys.error(s"stream gate $name: rename failed")
+        fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+        fs.setTimes(dst, base + i * 2000L, -1)
+      }
+      def reveal(from: Int, until: Int): Unit =
+        for (i <- from until until) {
+          val n = f"batch-$i%04d.parquet"
+          if (!fs.rename(new org.apache.hadoop.fs.Path(s"$hold/$n"),
+            new org.apache.hadoop.fs.Path(s"$dir/$n")))
+            sys.error(s"stream gate $name: reveal failed for $n")
+        }
+      val schema = input.drop(batchCol).schema
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+      @volatile var outSchema: org.apache.spark.sql.types.StructType = null
+      def run(): Unit = {
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .option("latestFirst", "false")
+          .parquet(s"$dir/batch-*.parquet")
+        val q = transform(stream).writeStream
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            if (outSchema == null) outSchema = df.schema
+            df.collect().foreach(buf.add)
+          }
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally if (q.isActive) q.stop()
+      }
+      reveal(0, restartAfter)
+      run() // run 1: first wave, then the query dies (clean AvailableNow drain)
+      reveal(restartAfter, nBatches)
+      run() // run 2: NEW query, same checkpoint — offsets + state recovered
+      import scala.jdk.CollectionConverters._
+      val rows = buf.iterator().asScala.toSeq
+      if (outSchema == null) sys.error(s"stream gate $name: no batch delivered")
+      spark.createDataFrame(rows.asJava, outSchema).localCheckpoint(eager = true)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(root)
+      try fs.delete(p, true) catch { case _: Exception => () }
+    }
+  }
+
   /** @param mode  output mode — "complete" for aggregations (all groups
     *              re-emitted on the final batch), "append" for row streams.
     * @param files number of micro-batches to replay (input repartitioned
