@@ -9074,6 +9074,67 @@ object PipelineQueries {
              |      CAST(ts AS DATE)) // 8, 0), 3) AS BIGINT) AS b
              |  FROM events)
              |SELECT dup_key, min(b) AS b FROM e GROUP BY dup_key
-             |ORDER BY dup_key""".stripMargin))
+             |ORDER BY dup_key""".stripMargin)),
+
+    // EVENT-TIME TIMERS (x157) — the timer half of transformWithState
+    // (x154 gated the typed-state half): gap-sessionization where the
+    // OPEN session registers an idle timer at end + 30 min and the
+    // watermark's passage fires it — `registerTimer` / `deleteTimer` /
+    // `handleExpiredTimer` on the RocksDB store, the mechanism a
+    // production pipeline uses to close idle state instead of holding
+    // it forever. Spark processes each batch's input BEFORE its timers
+    // (probed; SessionTimersSpec pins it), which collapses the semantics
+    // to a closed form: every session closed by a later event has
+    // batch-independent boundaries — exactly batch gap-sessionization —
+    // and timer arithmetic decides only whether each user's LAST session
+    // emits: iff floor((end_us + gap)/1000) <= ms_trunc(max ts) − delay
+    // (the trailing AvailableNow flush batch applies the final
+    // watermark; exact-tie boundary pinned in the spec). Scale: one
+    // fixed-width state row + one timer per ACTIVE user — timers ARE the
+    // eviction, so state is gap × arrival-rate bounded, not history-
+    // bounded.
+    QueryDef(
+      "x157_stream_session_timers",
+      (s, d) => {
+        val staged = events(s, d)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            unix_micros(col("ts")).as("us"),
+            expr("""CAST(least(greatest(
+                   |  CAST(datediff(to_date(ts), DATE '2024-01-01') div 8 AS INT),
+                   |  0), 3) AS INT)""".stripMargin).as("b"))
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val out =
+          try graft.streaming.StreamGate.replayStaged(
+            s, staged, "x157_events", "b", 4, "append") { stream =>
+            graft.streaming.SessionTimers.sessions(
+              stream.withWatermark("ts", "3 days")
+                .as[graft.streaming.SessionTimers.EventIn](
+                  org.apache.spark.sql.Encoders.product)).toDF()
+          } finally prev match {
+            case Some(v) => s.conf.set(key, v)
+            case None    => s.conf.unset(key)
+          }
+        out.orderBy("user_id", "start_us")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+             |br AS (SELECT user_id, event_id, us,
+             |    CASE WHEN lag(us) OVER w IS NULL
+             |      OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+             |g AS (SELECT user_id, us, sum(brk) OVER (PARTITION BY user_id
+             |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM br),
+             |sess AS (SELECT user_id, sid, min(us) AS start_us, max(us) AS end_us,
+             |    count(*) AS n_events FROM g GROUP BY 1, 2),
+             |fin AS (SELECT (max(us) // 1000) - 259200000 AS wfin_ms FROM e),
+             |ls AS (SELECT user_id, max(sid) AS last_sid FROM sess GROUP BY 1)
+             |SELECT s.user_id, s.start_us, s.end_us,
+             |  CAST(s.n_events AS BIGINT) AS n_events
+             |FROM sess s JOIN ls ON s.user_id = ls.user_id, fin
+             |WHERE s.sid < ls.last_sid
+             |  OR (s.end_us + 1800000000) // 1000 <= fin.wfin_ms
+             |ORDER BY s.user_id, s.start_us""".stripMargin))
   )
 }
