@@ -9135,6 +9135,104 @@ object PipelineQueries {
              |FROM sess s JOIN ls ON s.user_id = ls.user_id, fin
              |WHERE s.sid < ls.last_sid
              |  OR (s.end_us + 1800000000) // 1000 <= fin.wfin_ms
-             |ORDER BY s.user_id, s.start_us""".stripMargin))
+             |ORDER BY s.user_id, s.start_us""".stripMargin)),
+
+    // REAL FLAC DECODE (x158) — the lossless-audio leg next to x135/x136/
+    // x153 (MP3) and x101/x102/x103 (images): ops/FlacFrames.scala walks
+    // "fLaC" + STREAMINFO + frames and decodes CONSTANT / VERBATIM /
+    // FIXED(0–4) subframes with rice-partitioned residuals, verifying the
+    // header CRC-8 and whole-frame CRC-16 (RFC 9639). LPC subframes are
+    // the documented out-of-class route (x153's big-values discipline),
+    // exercised by a constructed LPC tail frame on doc_id%8=5 streams.
+    // Paired construction: the FLAC bitstream is assembled bit-for-bit in
+    // pure SQL (variable-length rice codes as '0'/'1' strings, CRC-8/
+    // CRC-16 as aggregate() folds — no UDF), while the ORACLE predicts
+    // the decoded samples ARITHMETICALLY from the same doc_id formula
+    // without touching bits: a decoder that mis-reconstructs any fixed
+    // predictor, rice quotient, zigzag, or CRC cannot hash-match
+    // (position-weighted dot_s pins sample ORDER, not just the sum).
+    // FlacFramesSpec adds the third independent construction (a Scala
+    // bit-writer + hand-assembled vectors). Scale: narrow per-row decode,
+    // no shuffle; corrupt/unsupported frames degrade one row.
+    QueryDef(
+      "x158_flac_decode",
+      (s, d) => {
+        def bin(e: String, n: Int) = s"lpad(conv(CAST($e AS BIGINT), 10, 2), $n, '0')"
+        def s16(e: String) = bin(s"(($e) + 65536) % 65536", 16)
+        def samp(f: String, i: String) =
+          s"((doc_id * 37 + ($f) * 11 + ($i) * 7 + ($i) * ($i)) % 128 - 64)"
+        def rice6(v: String) = {
+          val zz = s"(CASE WHEN ($v) < 0 THEN -2 * ($v) - 1 ELSE 2 * ($v) END)"
+          s"concat(repeat('0', CAST($zz DIV 64 AS INT)), '1', ${bin(s"$zz % 64", 6)})"
+        }
+        // subframe bodies (bit strings)
+        val constBits = s"concat('00000000', ${s16(samp("0", "0"))})"
+        val verbBits = "concat('00000010', aggregate(sequence(0, 7), CAST('' AS STRING), " +
+          s"(a, i) -> concat(a, ${s16(samp("1", "i"))})))"
+        val res = "(CASE doc_id % 3 " +
+          s"WHEN 0 THEN ${samp("2", "i")} " +
+          s"WHEN 1 THEN ${samp("2", "i")} - ${samp("2", "i - 1")} " +
+          s"ELSE ${samp("2", "i")} - 2 * ${samp("2", "i - 1")} + ${samp("2", "i - 2")} END)"
+        val fixedBits = s"concat('0', ${bin("8 + doc_id % 3", 6)}, '0', " +
+          // sequence(0, -1) is DESCENDING in Spark, so the order-0 warmup
+          // needs an explicit empty-string guard
+          "CASE WHEN doc_id % 3 = 0 THEN '' ELSE " +
+          "aggregate(sequence(0, doc_id % 3 - 1), CAST('' AS STRING), " +
+          s"(a, i) -> concat(a, ${s16(samp("2", "i"))})) END, " +
+          "'000000', '0110', " + // rice4 method, porder 0, param 6
+          "aggregate(sequence(doc_id % 3, 7), CAST('' AS STRING), " +
+          s"(a, i) -> concat(a, ${rice6(res)})))"
+        // byte/crc machinery
+        def crc8(arr: String) = s"aggregate($arr, 0, (c, b) -> aggregate(sequence(1, 8), " +
+          "c ^ b, (a, t) -> CASE WHEN a >= 128 THEN ((a * 2) % 256) ^ 7 ELSE (a * 2) % 256 END))"
+        def crc16(arr: String) = s"aggregate($arr, 0, (c, b) -> aggregate(sequence(1, 8), " +
+          "c ^ (b * 256), (a, t) -> CASE WHEN a >= 32768 THEN ((a * 2) % 65536) ^ 32773 " +
+          "ELSE (a * 2) % 65536 END))"
+        def hdr(f: String) = s"array(255, 248, 96, 8, $f, 7)"
+        def frameHex(f: String, bodyBits: String) = {
+          val pb = s"concat($bodyBits, repeat('0', (8 - length($bodyBits) % 8) % 8))"
+          val bodyBytes = s"transform(sequence(0, CAST(length($pb) DIV 8 AS INT) - 1), " +
+            s"k -> CAST(conv(substr($pb, CAST(k * 8 + 1 AS INT), 8), 2, 10) AS INT))"
+          val all = s"concat(${hdr(f)}, array(${crc8(hdr(f))}), $bodyBytes)"
+          s"concat(array_join(transform($all, b -> lpad(hex(b), 2, '0')), ''), " +
+            s"lpad(hex(${crc16(all)}), 4, '0'))"
+        }
+        val lpcStub = s"concat(array_join(transform(concat(${hdr("3")}, " +
+          s"array(${crc8(hdr("3"))}, 64)), b -> lpad(hex(b), 2, '0')), ''))"
+        val streamInfo = "664C61438000002200080008000000000000" +
+          "0AC440F000000000" + "0" * 32
+        val base = documents(s, d).filter(col("doc_id") < 24)
+          .withColumn("fx0", expr(frameHex("0", constBits)))
+          .withColumn("fx1", expr(frameHex("1", verbBits)))
+          .withColumn("fx2", expr(frameHex("2", fixedBits)))
+          .withColumn("hx", expr(
+            s"concat('$streamInfo', fx0, fx1, fx2, " +
+              s"CASE WHEN doc_id % 8 = 5 THEN $lpcStub ELSE '' END)"))
+        graft.ops.FlacFrames.frames(
+          base.select(col("doc_id").as("media_id"), unhex(col("hx")).as("media")))
+          .toDF()
+          .orderBy("media_id", "frame_idx")
+      },
+      Some("""WITH b AS (SELECT doc_id FROM documents WHERE doc_id < 24),
+             |s AS (SELECT doc_id, f, i,
+             |    CASE WHEN f = 0 THEN (doc_id * 37) % 128 - 64
+             |      ELSE (doc_id * 37 + f * 11 + i * 7 + i * i) % 128 - 64 END AS v
+             |  FROM b
+             |  CROSS JOIN (SELECT unnest(range(0, 3)) AS f)
+             |  CROSS JOIN (SELECT unnest(range(0, 8)) AS i)),
+             |ag AS (SELECT doc_id, f, sum(v) AS sum_s, sum((i + 1) * v) AS dot_s,
+             |    min(v) AS min_s, max(v) AS max_s FROM s GROUP BY 1, 2)
+             |SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+             |  CAST(8 AS BIGINT) AS blocksize, CAST(44100 AS BIGINT) AS sample_rate,
+             |  CAST(LEAST(f, 2) AS BIGINT) AS subframe_type,
+             |  CAST(CASE WHEN f = 2 THEN doc_id % 3 ELSE 0 END AS BIGINT) AS pred_order,
+             |  CAST(sum_s AS BIGINT) AS sum_s, CAST(dot_s AS BIGINT) AS dot_s,
+             |  CAST(min_s AS BIGINT) AS min_s, CAST(max_s AS BIGINT) AS max_s,
+             |  TRUE AS ok
+             |FROM ag
+             |UNION ALL
+             |SELECT doc_id, 3, 0, 0, -1, -1, 0, 0, 0, 0, FALSE
+             |FROM b WHERE doc_id % 8 = 5
+             |ORDER BY media_id, frame_idx""".stripMargin))
   )
 }
