@@ -2210,6 +2210,44 @@ object CoreQueries {
              |  CAST(sum(event_id % 5) AS BIGINT) AS sum_arr2,
              |  CAST(0 AS BIGINT) AS n_missing,
              |  CAST(count(*) AS BIGINT) AS n
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Q67 — SQL user-defined functions (Spark 4's CREATE FUNCTION ...
+    // RETURN — both the SCALAR and the TABLE form), the declarative
+    // successor to the reference's row-level Python helpers
+    // (main.py:44-49 sanitize_value is the archetype): the body is SQL,
+    // so Catalyst INLINES it into the calling plan — codegen, pushdown,
+    // and pruning all survive, unlike an opaque Scala/Python UDF. The
+    // query registers a scalar cents-quantizer, a scalar string
+    // normalizer, and a TABLE function (parameterized segment slice of
+    // customer) and composes all three; the oracle runs the same logic
+    // with the bodies textually inlined — equality proves the UDF layer
+    // adds nothing semantically. Names are q67-prefixed and CREATE OR
+    // REPLACE idempotent: concurrent builders in one session (Verify)
+    // cannot race on them (q32's temp-view lesson). Scale: after
+    // inlining this is one partial-combined agg over a pruned scan.
+    QueryDef(
+      "q67_sql_udf",
+      (s, d) => {
+        val cust = s"parquet.`$d/customer.parquet`"
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION q67_cents(v DOUBLE)
+                |RETURNS BIGINT RETURN CAST(floor(v * 100) AS BIGINT)""".stripMargin)
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION q67_flag(s STRING)
+                |RETURNS STRING RETURN upper(substr(trim(s), 1, 8))""".stripMargin)
+        s.sql(s"""CREATE OR REPLACE TEMPORARY FUNCTION q67_seg(seg STRING)
+                 |RETURNS TABLE(nat BIGINT, bal DOUBLE, name STRING)
+                 |RETURN SELECT CAST(c_nationkey AS BIGINT), c_acctbal, c_name
+                 |FROM $cust WHERE c_mktsegment = seg""".stripMargin)
+        s.sql("""SELECT nat, CAST(count(*) AS BIGINT) AS n,
+                |  CAST(sum(q67_cents(bal)) AS BIGINT) AS cents,
+                |  q67_flag(min(name)) AS first_name
+                |FROM q67_seg('BUILDING') GROUP BY nat ORDER BY nat""".stripMargin)
+      },
+      Some("""SELECT CAST(c_nationkey AS BIGINT) AS nat,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS cents,
+             |  upper(substr(trim(min(c_name)), 1, 8)) AS first_name
+             |FROM customer WHERE c_mktsegment = 'BUILDING'
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
