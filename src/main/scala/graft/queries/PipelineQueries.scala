@@ -9233,6 +9233,95 @@ object PipelineQueries {
              |UNION ALL
              |SELECT doc_id, 3, 0, 0, -1, -1, 0, 0, 0, 0, FALSE
              |FROM b WHERE doc_id % 8 = 5
-             |ORDER BY media_id, frame_idx""".stripMargin))
+             |ORDER BY media_id, frame_idx""".stripMargin)),
+
+    // UNIGRAM-TOKENIZER VITERBI (x159) — the segmentation half of the
+    // tokenizer family (x54/x57/x104 cover BPE's merge side; this is the
+    // SentencePiece-style side: given a unit vocabulary with additive
+    // costs, find each word's MINIMUM-cost segmentation). The DP runs
+    // entirely in codegen'd higher-order functions — an aggregate() over
+    // positions whose accumulator is the best-cost ARRAY, with an inner
+    // aggregate() over the vocabulary trying every unit ending at j — no
+    // UDF, no shuffle: the classic "functions, not UDFs" escape hatch
+    // carrying real dynamic programming. Words = the corpus' distinct
+    // a-z words (4..18 chars) plus all pairwise concatenations (built
+    // with nested transform() lambdas, not a cartesian join), so the DP
+    // must pick multi-char units across original word boundaries.
+    // Integer costs make ties cost-equal (only the min cost is emitted,
+    // so tie-broken segmentations cannot diverge). The oracle runs the
+    // SAME recurrence as a recursive CTE with a list accumulator —
+    // engine-independent DP, two implementations. Scale: per-word narrow
+    // compute over a corpus-vocabulary-sized frame; the vocab is a
+    // broadcast-sized literal, the 100 TB shape for tokenizer scoring.
+    QueryDef(
+      "x159_unigram_viterbi",
+      (s, d) => {
+        val vocab: Seq[(String, Int)] =
+          ('a' to 'z').map(c => c.toString -> 100) ++ Seq(
+            "th" -> 150, "he" -> 155, "in" -> 140, "er" -> 150, "an" -> 145,
+            "re" -> 152, "on" -> 148, "at" -> 147, "en" -> 151, "nd" -> 153,
+            "ti" -> 149, "es" -> 150, "or" -> 154, "te" -> 150,
+            "the" -> 180, "ing" -> 200, "and" -> 185, "ion" -> 205,
+            "ent" -> 210, "for" -> 215, "ati" -> 207,
+            "tion" -> 250, "ment" -> 260, "atio" -> 262)
+        val sparkVocab = vocab
+          .map { case (u, c) => s"named_struct('u', '$u', 'c', CAST($c AS BIGINT))" }
+          .mkString("array(", ", ", ")")
+        val words = documents(s, d)
+          .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+          .filter(length(col("w")).between(4, 18))
+          .distinct()
+        val all = words.agg(collect_list(col("w")).as("ws"))
+          .select(explode(expr(
+            "concat(ws, flatten(transform(ws, w1 -> transform(ws, w2 -> concat(w1, w2)))))"))
+            .as("word"))
+          .distinct()
+        all
+          .withColumn("cost", expr(
+            s"""aggregate(sequence(1, length(word)), array(CAST(0 AS BIGINT)),
+               |  (acc, j) -> array_append(acc,
+               |    aggregate($sparkVocab, CAST(4611686018427387904 AS BIGINT),
+               |      (m, v) -> CASE WHEN j >= length(v.u)
+               |          AND substr(word, CAST(j - length(v.u) + 1 AS INT), length(v.u)) = v.u
+               |        THEN least(m, element_at(acc, CAST(j - length(v.u) + 1 AS INT)) + v.c)
+               |        ELSE m END)),
+               |  acc -> element_at(acc, CAST(length(word) + 1 AS INT)))""".stripMargin))
+          .select(col("word"), length(col("word")).cast(LongType).as("len"),
+            col("cost"),
+            (length(col("word")).cast(LongType) * 100 - col("cost")).as("savings"))
+          .orderBy("word")
+      },
+      Some {
+        val duckVocab =
+          (('a' to 'z').map(c => c.toString -> 100) ++ Seq(
+            "th" -> 150, "he" -> 155, "in" -> 140, "er" -> 150, "an" -> 145,
+            "re" -> 152, "on" -> 148, "at" -> 147, "en" -> 151, "nd" -> 153,
+            "ti" -> 149, "es" -> 150, "or" -> 154, "te" -> 150,
+            "the" -> 180, "ing" -> 200, "and" -> 185, "ion" -> 205,
+            "ent" -> 210, "for" -> 215, "ati" -> 207,
+            "tion" -> 250, "ment" -> 260, "atio" -> 262))
+            .map { case (u, c) => s"{'u': '$u', 'c': $c}" }
+            .mkString("[", ", ", "]")
+        s"""WITH RECURSIVE
+           |raw AS (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+           |  FROM documents),
+           |w AS (SELECT DISTINCT w FROM raw WHERE length(w) BETWEEN 4 AND 18),
+           |allw AS (SELECT w AS word FROM w
+           |  UNION SELECT a.w || b.w AS word FROM w a, w b),
+           |dp AS (
+           |  SELECT word, 0 AS j, [CAST(0 AS BIGINT)] AS bests FROM allw
+           |  UNION ALL
+           |  SELECT word, j + 1, list_append(bests,
+           |    list_min(list_filter(list_transform($duckVocab, t ->
+           |      CASE WHEN j + 1 >= length(t.u)
+           |          AND substr(word, j + 2 - length(t.u), length(t.u)) = t.u
+           |        THEN bests[j + 2 - length(t.u)] + t.c ELSE NULL END),
+           |      y -> y IS NOT NULL)))
+           |  FROM dp WHERE j < length(word))
+           |SELECT word, CAST(length(word) AS BIGINT) AS len,
+           |  CAST(bests[length(word) + 1] AS BIGINT) AS cost,
+           |  CAST(100 * length(word) - bests[length(word) + 1] AS BIGINT) AS savings
+           |FROM dp WHERE j = length(word) ORDER BY word""".stripMargin
+      })
   )
 }
