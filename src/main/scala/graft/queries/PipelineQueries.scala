@@ -9322,6 +9322,100 @@ object PipelineQueries {
            |  CAST(bests[length(word) + 1] AS BIGINT) AS cost,
            |  CAST(100 * length(word) - bests[length(word) + 1] AS BIGINT) AS savings
            |FROM dp WHERE j = length(word) ORDER BY word""".stripMargin
-      })
+      }),
+
+    // MLLIB LSH DIFFERENTIAL TWIN (x160) — x25's discipline (GraphX twin
+    // for components) applied to near-dup search: the SAME corpus slice
+    // runs through spark.ml's MinHashLSH (fit + approxSimilarityJoin,
+    // fixed seed → deterministic) AND through this repo's exact
+    // inverted-index Jaccard machinery, and the gate pins their
+    // AGREEMENT as error contracts (the x37 accepted class — MLlib's
+    // internal hash coefficients are not oracle-computable, so the
+    // oracle asserts the exact pair count plus three booleans):
+    //   subset_ok — every MLlib pair really is similar (jac > 0.34,
+    //     slack below MLlib's 0.35 post-filter so float boundaries
+    //     can't flip it);
+    //   dist_ok  — MLlib's keyDistance equals our integer-rational
+    //     Jaccard to 1e-9 on every returned pair (the genuine
+    //     cross-validation: two independent Jaccard implementations);
+    //   recall_ok — ≥ 70% of strong pairs (jac > 0.45 exact-rational)
+    //     are found (8 OR'd tables ⇒ expected recall ~0.99 at 0.45).
+    // Shingles are dictionary-encoded (row_number over the sorted
+    // vocabulary, capped at 512) into dense binary vectors via
+    // ml.functions.array_to_vector — no UDF. Scale: the slice is
+    // bounded (doc_id < 200); the production path is x03's banded LSH,
+    // this gate certifies the library composes with the MLlib
+    // ecosystem and agrees with it where their semantics overlap.
+    QueryDef(
+      "x160_mllib_lsh_twin",
+      (s, d) => {
+        val docs = documents(s, d).filter(col("doc_id") < 200)
+          .select(col("doc_id"), lower(col("text")).as("t"))
+        val sh = docs.select(col("doc_id"), explode(expr(
+          "array_distinct(transform(sequence(1, length(t) - 2), " +
+            "i -> substr(t, CAST(i AS INT), 3)))")).as("g"))
+        val ids = sh.select("g").distinct()
+          .withColumn("gid", row_number().over(Window.orderBy("g")))
+          .filter(col("gid") <= 512) // vocab cap, same on both engines
+        val kept = sh.join(broadcast(ids), "g").select(col("doc_id"), col("gid"))
+        val byDoc = kept.groupBy("doc_id")
+          .agg(sort_array(collect_set(col("gid"))).as("gids"))
+          .localCheckpoint(eager = true) // feeds vectors AND sizes
+        val vecs = byDoc.withColumn("features",
+          org.apache.spark.ml.functions.array_to_vector(expr(
+            "transform(sequence(0, 512), i -> " +
+              "CASE WHEN array_contains(gids, i) THEN 1.0D ELSE 0.0D END)")))
+        val model = new org.apache.spark.ml.feature.MinHashLSH()
+          .setNumHashTables(8).setSeed(42L)
+          .setInputCol("features").setOutputCol("hashes")
+          .fit(vecs)
+        val found = model.approxSimilarityJoin(vecs, vecs, 0.65, "dist")
+          .select(col("datasetA.doc_id").as("d1"),
+            col("datasetB.doc_id").as("d2"), col("dist"))
+          .filter(col("d1") < col("d2"))
+        val sz = byDoc.select(col("doc_id"), size(col("gids")).as("n"))
+        val pairs = kept.as("a")
+          .join(kept.as("b"),
+            col("a.gid") === col("b.gid") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .agg(count(lit(1)).as("inter"))
+          .join(broadcast(sz.select(col("doc_id").as("d1"), col("n").as("n1"))), "d1")
+          .join(broadcast(sz.select(col("doc_id").as("d2"), col("n").as("n2"))), "d2")
+          .withColumn("un", col("n1") + col("n2") - col("inter"))
+          .localCheckpoint(eager = true) // strong set + found-side audit
+        val audit = found.join(pairs, Seq("d1", "d2"), "left")
+          .agg(
+            coalesce(expr("every(inter * 50 > un * 17)"), lit(true)).as("subset_ok"),
+            coalesce(expr(
+              "every(abs(dist - (1.0D - CAST(inter AS DOUBLE) / un)) < 1e-9)"),
+              lit(true)).as("dist_ok"))
+          .withColumn("k", lit(1))
+        val strong = pairs.filter(col("inter") * 20 > col("un") * 9)
+        val recall = strong
+          .join(found.select("d1", "d2"), Seq("d1", "d2"), "left_semi")
+          .agg(count(lit(1)).as("n_hit")).withColumn("k", lit(1))
+        val nStrong = strong.agg(count(lit(1)).as("n_strong")).withColumn("k", lit(1))
+        nStrong.join(audit, "k").join(recall, "k")
+          .select(col("n_strong"), col("subset_ok"), col("dist_ok"),
+            (col("n_hit") * 10 >= col("n_strong") * 7).as("recall_ok"))
+      },
+      Some("""WITH d AS (SELECT doc_id, lower(text) AS t FROM documents
+             |  WHERE doc_id < 200),
+             |sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 3) AS g
+             |  FROM d, unnest(range(1, length(t) - 1)) AS u(i)),
+             |ids AS (SELECT g, row_number() OVER (ORDER BY g) AS gid
+             |  FROM (SELECT DISTINCT g FROM sh)),
+             |kept AS (SELECT sh.doc_id, ids.gid FROM sh JOIN ids USING (g)
+             |  WHERE gid <= 512),
+             |sz AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY 1),
+             |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+             |  FROM kept a JOIN kept b ON a.gid = b.gid AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |j AS (SELECT d1, d2, inter, s1.n + s2.n - inter AS un
+             |  FROM pairs JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id)
+             |SELECT CAST(count(*) FILTER (WHERE inter * 20 > un * 9) AS BIGINT)
+             |    AS n_strong,
+             |  TRUE AS subset_ok, TRUE AS dist_ok, TRUE AS recall_ok
+             |FROM j""".stripMargin))
   )
 }
