@@ -2248,6 +2248,42 @@ object CoreQueries {
              |  CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS cents,
              |  upper(substr(trim(min(c_name)), 1, 8)) AS first_name
              |FROM customer WHERE c_mktsegment = 'BUILDING'
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Q68 — SQL pipe syntax (Spark 4's `|>` operator chain: FROM |> JOIN
+    // |> EXTEND |> WHERE |> AGGREGATE |> WHERE |> ORDER BY), the linear
+    // re-spelling of the reference's imperative row pipeline
+    // (main.py:400-409 chains read -> transform -> filter -> write the
+    // same way). The gate proves the pipe parser produces the SAME plan
+    // semantics as nested ANSI SQL: a customer⋈orders join, a computed
+    // EXTEND column, a post-aggregate WHERE (HAVING position), and a
+    // total-order sort — the DuckDB oracle runs the classical spelling.
+    // Scale: parses to the identical Catalyst plan as the ANSI form
+    // (broadcast dim join + partial-combined agg); the surface is pure
+    // front-end, zero runtime cost — which is exactly what the gate
+    // certifies.
+    QueryDef(
+      "q68_pipe_syntax",
+      (s, d) => {
+        val ord  = s"parquet.`$d/orders.parquet`"
+        val cust = s"parquet.`$d/customer.parquet`"
+        s.sql(s"""FROM $ord
+                 ||> JOIN $cust ON o_custkey = c_custkey
+                 ||> EXTEND CAST(o_totalprice AS DECIMAL(18,4)) AS price_d
+                 ||> WHERE o_orderstatus <> 'F'
+                 ||> AGGREGATE CAST(count(*) AS BIGINT) AS n,
+                 |     CAST(sum(price_d) AS DOUBLE) AS revenue,
+                 |     CAST(min(o_orderkey) AS BIGINT) AS min_ok
+                 |   GROUP BY c_mktsegment AS segment
+                 ||> WHERE n > 2
+                 ||> ORDER BY segment""".stripMargin)
+      },
+      Some("""SELECT c_mktsegment AS segment,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             |  CAST(min(o_orderkey) AS BIGINT) AS min_ok
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |WHERE o_orderstatus <> 'F'
+             |GROUP BY 1 HAVING count(*) > 2 ORDER BY segment""".stripMargin))
   )
 }

@@ -9416,6 +9416,114 @@ object PipelineQueries {
              |SELECT CAST(count(*) FILTER (WHERE inter * 20 > un * 9) AS BIGINT)
              |    AS n_strong,
              |  TRUE AS subset_ok, TRUE AS dist_ok, TRUE AS recall_ok
-             |FROM j""".stripMargin))
+             |FROM j""".stripMargin)),
+
+    // OBSERVED-PASS AUDIT METRICS (x161) — `Dataset.observe` +
+    // `Observation`: named accumulator aggregates collected DURING a
+    // pass, with no second scan. This is the 100 TB audit posture — a
+    // production write job publishes row counts / checksums / ranges as
+    // a side effect of the one pass it already makes, instead of paying
+    // a full re-read to validate what it wrote (the reference validates
+    // by re-querying Neo4j after load, main.py:385-398 — a second pass).
+    // The gate: observe 5 metrics on the filtered stream feeding a
+    // group-agg, then emit metrics + the downstream agg's own total and
+    // a consistency boolean (metrics row count == sum of group counts —
+    // i.e. the observation saw exactly the rows the agg consumed). The
+    // DuckDB oracle computes the same numbers with plain aggregates, so
+    // a metric that double-counts retried partitions or misses rows
+    // cannot hash-match. The sum is observed as DECIMAL (exact,
+    // order-independent) then cast once to DOUBLE (QueryDef.dsum's
+    // parity rule). Driver sees only the 5-value metric map and 3 group
+    // rows — no data collect.
+    QueryDef(
+      "x161_observe_audit",
+      (s, d) => {
+        import org.apache.spark.sql.Observation
+        val li = s.read.parquet(s"$d/lineitem.parquet")
+        val obs = Observation("x161_metrics")
+        val pass = li.filter(col("l_quantity") > 5)
+          .observe(obs,
+            count(lit(1)).as("n_seen"),
+            sum(col("l_extendedprice").cast(DecimalType(18, 4))).as("price_dec"),
+            min(col("l_orderkey")).as("min_ok"),
+            max(col("l_orderkey")).as("max_ok"),
+            count(when(col("l_returnflag") === "R", lit(1))).as("n_flag_r"))
+          .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+        val groupsTotal = pass.collect().map(_.getAs[Long]("n")).sum
+        val m = obs.get
+        val nSeen = m("n_seen").asInstanceOf[Long]
+        import s.implicits._
+        Seq((nSeen,
+          m("price_dec").asInstanceOf[java.math.BigDecimal].doubleValue,
+          m("min_ok").asInstanceOf[Long],
+          m("max_ok").asInstanceOf[Long],
+          m("n_flag_r").asInstanceOf[Long],
+          groupsTotal,
+          nSeen == groupsTotal))
+          .toDF("n_seen", "sum_price", "min_ok", "max_ok", "n_flag_r",
+            "groups_total", "consistent")
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_seen,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             |    AS sum_price,
+             |  CAST(min(l_orderkey) AS BIGINT) AS min_ok,
+             |  CAST(max(l_orderkey) AS BIGINT) AS max_ok,
+             |  CAST(count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS BIGINT)
+             |    AS n_flag_r,
+             |  CAST(count(*) AS BIGINT) AS groups_total,
+             |  TRUE AS consistent
+             |FROM lineitem WHERE l_quantity > 5""".stripMargin)),
+
+    // XML INGESTION (x162) — `from_xml` (Spark 4's native XML parser:
+    // attributes, nested elements, repeated-element arrays) plus the
+    // classic `xpath_long` path probe, by PAIRED CONSTRUCTION (x154/
+    // x158's discipline): each event row is rendered into a real XML
+    // document whose attribute (`id="N"`), nested scalar (`<k>`), and
+    // repeated `<t>` children are pure functions of event_id — so the
+    // DuckDB oracle predicts every extraction ARITHMETICALLY without an
+    // XML parser. A wrong attribute prefix, dropped array element, or
+    // 1-off xpath index cannot hash-match. Internal cross-check: the
+    // xpath leg must agree with the from_xml leg on the same field.
+    // Scale: per-row parse expressions feeding one partial-combined agg
+    // on event_type; no UDF, no extra shuffle — the crawl-ingest posture
+    // (sitemaps/RSS/MathML land as XML at corpus scale).
+    QueryDef(
+      "x162_xml_decode",
+      (s, d) => {
+        val ev = s"parquet.`$d/events.parquet`"
+        s.sql(s"""WITH x AS (SELECT event_type, event_id,
+                 |    event_id % 4 AS m,
+                 |    concat('<e id="', CAST(event_id AS STRING), '"><k>',
+                 |      CAST(event_id % 97 AS STRING), '</k><tags>',
+                 |      CASE WHEN event_id % 4 >= 1 THEN
+                 |        aggregate(sequence(1L, event_id % 4), '',
+                 |          (acc, i) -> concat(acc, '<t>', CAST(i AS STRING), '</t>'))
+                 |      ELSE '' END,
+                 |      '</tags></e>') AS xml
+                 |  FROM $ev),
+                 |p AS (SELECT event_type, m, xml,
+                 |    from_xml(xml, '_id BIGINT, k BIGINT, tags STRUCT<t: ARRAY<BIGINT>>')
+                 |      AS r
+                 |  FROM x)
+                 |SELECT event_type,
+                 |  CAST(sum(r._id) AS BIGINT) AS sum_id,
+                 |  CAST(sum(r.k) AS BIGINT) AS sum_k,
+                 |  CAST(sum(aggregate(coalesce(r.tags.t, array()),
+                 |    0L, (a, v) -> a + v)) AS BIGINT) AS sum_tags,
+                 |  CAST(count(element_at(r.tags.t, 1)) AS BIGINT) AS n_first,
+                 |  CAST(sum(xpath_long(xml, '/e/k/text()')) AS BIGINT) AS xp_k,
+                 |  CAST(count(*) AS BIGINT) AS n
+                 |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin)
+      },
+      Some("""SELECT event_type,
+             |  CAST(sum(event_id) AS BIGINT) AS sum_id,
+             |  CAST(sum(event_id % 97) AS BIGINT) AS sum_k,
+             |  CAST(sum((event_id % 4) * (event_id % 4 + 1) // 2) AS BIGINT)
+             |    AS sum_tags,
+             |  CAST(count(CASE WHEN event_id % 4 >= 1 THEN 1 END) AS BIGINT)
+             |    AS n_first,
+             |  CAST(sum(event_id % 97) AS BIGINT) AS xp_k,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

@@ -26,6 +26,36 @@ object StreamGate {
 
   private val runSeq = new AtomicLong(0)
 
+  /** A stateful streaming query fixes its state-store partition count from
+    * `spark.sql.shuffle.partitions` at START (it is recorded in the offset
+    * log and kept for the query's life) — so a replay that inherits the
+    * batch width pays that many state-store commits PER OPERATOR PER
+    * MICRO-BATCH, almost all of them for empty partitions at gate corpus
+    * size (measured: the stream-stream joins, 4 stores/partition, fall
+    * 23 s → 7 s going 32 → 8 partitions). State width is a throughput knob
+    * — sized to key cardinality and write rate at scale, not inherited
+    * from the batch side — so the gates pin it to 8 for the replay span.
+    * Depth-guarded flip: concurrent gates (Verify runs 4 threads) share
+    * one flip and only the outermost restores; partition count is
+    * semantically neutral catalog-wide, so a batch query planned inside
+    * the window only narrows, never breaks. */
+  private val gateDepth = new java.util.concurrent.atomic.AtomicInteger(0)
+  private var savedShuffle: Option[String] = None
+  private def withGateShuffle[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    StreamGate.synchronized {
+      if (gateDepth.getAndIncrement() == 0) {
+        savedShuffle = Some(spark.conf.get(key))
+        spark.conf.set(key, "8")
+      }
+    }
+    try body
+    finally StreamGate.synchronized {
+      if (gateDepth.decrementAndGet() == 0)
+        savedShuffle.foreach(spark.conf.set(key, _))
+    }
+  }
+
   /** Replays `input` with EXPLICIT micro-batch assignment: `batchCol` (an
     * integral column with values 0..nBatches-1) decides which micro-batch
     * carries each row, and batches are guaranteed to be processed IN batch
@@ -68,21 +98,23 @@ object StreamGate {
         fs.setTimes(dst, base + i * 2000L, -1)
       }
       val schema = input.drop(batchCol).schema
-      val stream = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("latestFirst", "false")
-        .parquet(s"$dir/batch-*.parquet")
-      val sink = s"graft_stream_sink_${name}_$seq"
-      val q = transform(stream).writeStream
-        .format("memory").queryName(sink).outputMode(mode)
-        .trigger(Trigger.AvailableNow()).start()
-      try {
-        q.awaitTermination()
-        q.recentProgress.foreach(progress)
-      } finally if (q.isActive) q.stop()
-      val out = spark.table(sink).localCheckpoint(eager = true)
-      spark.catalog.dropTempView(sink)
-      out
+      withGateShuffle(spark) {
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .option("latestFirst", "false")
+          .parquet(s"$dir/batch-*.parquet")
+        val sink = s"graft_stream_sink_${name}_$seq"
+        val q = transform(stream).writeStream
+          .format("memory").queryName(sink).outputMode(mode)
+          .trigger(Trigger.AvailableNow()).start()
+        try {
+          q.awaitTermination()
+          q.recentProgress.foreach(progress)
+        } finally if (q.isActive) q.stop()
+        val out = spark.table(sink).localCheckpoint(eager = true)
+        spark.catalog.dropTempView(sink)
+        out
+      }
     } finally {
       val p = new org.apache.hadoop.fs.Path(dir)
       try fs.delete(p, true) catch { case _: Exception => () }
@@ -154,7 +186,7 @@ object StreamGate {
       val schema = input.drop(batchCol).schema
       val buf = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
       @volatile var outSchema: org.apache.spark.sql.types.StructType = null
-      def run(): Unit = {
+      def run(): Unit = withGateShuffle(spark) {
         val stream = spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1)
           .option("latestFirst", "false")
@@ -201,7 +233,7 @@ object StreamGate {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_stream_${name}_" +
       s"${ProcessHandle.current().pid()}_$seq"
     input.repartition(files).write.mode("overwrite").parquet(dir)
-    try {
+    try withGateShuffle(spark) {
       val schema = spark.read.parquet(dir).schema
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(dir)
