@@ -9486,7 +9486,11 @@ object PipelineQueries {
     // xpath leg must agree with the from_xml leg on the same field.
     // Scale: per-row parse expressions feeding one partial-combined agg
     // on event_type; no UDF, no extra shuffle — the crawl-ingest posture
-    // (sitemaps/RSS/MathML land as XML at corpus scale).
+    // (sitemaps/RSS/MathML land as XML at corpus scale). StAX parse is a
+    // real ~20 µs/row cost that grows linearly with the fixture, so the
+    // GATE bounds its corpus to a fixed 60k-event slice (the x86 lesson:
+    // price the surface, not fixture replication) — the oracle twin
+    // applies the identical bound.
     QueryDef(
       "x162_xml_decode",
       (s, d) => {
@@ -9500,7 +9504,7 @@ object PipelineQueries {
                  |          (acc, i) -> concat(acc, '<t>', CAST(i AS STRING), '</t>'))
                  |      ELSE '' END,
                  |      '</tags></e>') AS xml
-                 |  FROM $ev),
+                 |  FROM $ev WHERE event_id < 60000),
                  |p AS (SELECT event_type, m, xml,
                  |    from_xml(xml, '_id BIGINT, k BIGINT, tags STRUCT<t: ARRAY<BIGINT>>')
                  |      AS r
@@ -9524,6 +9528,68 @@ object PipelineQueries {
              |    AS n_first,
              |  CAST(sum(event_id % 97) AS BIGINT) AS xp_k,
              |  CAST(count(*) AS BIGINT) AS n
+             |FROM events WHERE event_id < 60000
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // PERSISTED HLL SKETCH ROLLUP (x163) — the DataSketches binary-HLL
+    // surface (`hll_sketch_agg` → VARBINARY, `hll_union_agg`,
+    // `hll_sketch_estimate`), which is what x147's approx_count_distinct
+    // (internal HLL++, not persistable) cannot do: sketch state that
+    // SURVIVES serialization. That is the incremental-profiling posture
+    // at 100 TB — daily jobs persist per-partition sketches (bytes, not
+    // row sets), and any later union answers cross-window distincts
+    // without re-reading the data. The gate proves the full life cycle:
+    // per-(event_type, week) sketches are built, WRITTEN TO PARQUET,
+    // read back, and union-merged per event_type. Both booleans are
+    // x37-class error contracts at ~3× lgK=12's ±1.6% rsd: est_ok pins
+    // the direct estimate within 5% of exact distinct, merge_ok pins the
+    // estimate of the RELOADED-then-unioned weekly sketches within the
+    // same bound — corrupted bytes after the parquet round-trip, a
+    // dropped weekly sketch, or a broken register merge all blow the
+    // bound. (Exact equality between the direct and merged estimates is
+    // NOT a law: DataSketches keeps an order-dependent HIP accumulator
+    // while coupons stream in, so two groupings of the same rows can
+    // differ by a few counts — measured ±0.7% at sf0.1 — which is why
+    // the gate pins bounds, not bits.) Estimates are not
+    // oracle-computable (DataSketches internals), so the oracle asserts
+    // exact counts + booleans. Scale: one partial-combined sketch agg,
+    // a bytes-only write/read, and a 5-group union.
+    QueryDef(
+      "x163_hll_sketch_store",
+      (s, d) => {
+        val weekly = events(s, d)
+          .groupBy(col("event_type"),
+            weekofyear(col("ts")).as("wk"))
+          .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+        val store = s"${System.getProperty("java.io.tmpdir")}/graft_x163_" +
+          s"${ProcessHandle.current().pid()}_${System.nanoTime()}"
+        weekly.write.mode("overwrite").parquet(store)
+        try {
+          val reloaded = s.read.parquet(store)
+            .groupBy("event_type")
+            .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_merged"))
+          val direct = events(s, d)
+            .groupBy("event_type")
+            .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))")
+              .as("est_direct"),
+              countDistinct(col("user_id")).as("nd_exact"))
+          direct.join(reloaded, "event_type")
+            .select(col("event_type"), col("nd_exact").cast(LongType).as("nd_exact"),
+              (abs(col("est_merged") - col("nd_exact")) * 100 <=
+                col("nd_exact") * 5).as("merge_ok"),
+              (abs(col("est_direct") - col("nd_exact")) * 100 <=
+                col("nd_exact") * 5).as("est_ok"))
+            .orderBy("event_type")
+            .localCheckpoint(true)
+        } finally {
+          val p = new org.apache.hadoop.fs.Path(store)
+          try p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+          catch { case _: Exception => () }
+        }
+      },
+      Some("""SELECT event_type,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS nd_exact,
+             |  TRUE AS merge_ok, TRUE AS est_ok
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }
