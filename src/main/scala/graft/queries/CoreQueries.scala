@@ -2284,6 +2284,54 @@ object CoreQueries {
              |  CAST(min(o_orderkey) AS BIGINT) AS min_ok
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |WHERE o_orderstatus <> 'F'
-             |GROUP BY 1 HAVING count(*) > 2 ORDER BY segment""".stripMargin))
+             |GROUP BY 1 HAVING count(*) > 2 ORDER BY segment""".stripMargin)),
+
+    // Q69 — collated strings (Spark 4's COLLATE: comparison/grouping/
+    // distinct under UTF8_LCASE instead of binary), the engine-native
+    // answer to the reference's sanitize-then-compare convention
+    // (main.py:44-49 lowercases by hand before every match). The fixture
+    // strings are single-case, so the gate BUILDS a mixed-case column
+    // (odd keys lowercased, even keys uppercased — deterministic per
+    // row) and pins the deterministic collation surfaces: equality,
+    // endswith, count(DISTINCT) under LCASE (5 segments despite 10 byte-
+    // distinct variants), and binary distinct alongside as the control.
+    // Group keys are re-normalized through lower() for output (a collated
+    // group's representative value is whichever variant arrived first —
+    // not deterministic under parallelism, so the gate never emits it
+    // raw). Oracle: DuckDB lower()-normalized equivalents. Scale: pure
+    // per-row codegen comparisons + one partial-combined agg; collation
+    // compares cost ~2× binary but stay in whole-stage codegen.
+    QueryDef(
+      "q69_collation",
+      (s, d) => {
+        val cust = s"parquet.`$d/customer.parquet`"
+        s.sql(s"""WITH m AS (SELECT c_custkey,
+                 |    CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                 |      ELSE lower(c_mktsegment) END AS seg_mixed
+                 |  FROM $cust)
+                 |SELECT lower(seg_mixed) AS segment,
+                 |  CAST(count(*) AS BIGINT) AS n,
+                 |  CAST(count(CASE WHEN collate(seg_mixed, 'UTF8_LCASE') =
+                 |    'bUiLdInG' THEN 1 END) AS BIGINT) AS n_eq_ci,
+                 |  CAST(count(CASE WHEN endswith(collate(seg_mixed, 'UTF8_LCASE'),
+                 |    'TURE') THEN 1 END) AS BIGINT) AS n_ends_ci,
+                 |  CAST(count(DISTINCT collate(seg_mixed, 'UTF8_LCASE')) AS BIGINT)
+                 |    AS nd_ci,
+                 |  CAST(count(DISTINCT seg_mixed) AS BIGINT) AS nd_bin
+                 |FROM m GROUP BY lower(seg_mixed) ORDER BY segment""".stripMargin)
+      },
+      Some("""WITH m AS (SELECT c_custkey,
+             |    CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+             |      ELSE lower(c_mktsegment) END AS seg_mixed
+             |  FROM customer)
+             |SELECT lower(seg_mixed) AS segment,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(count(CASE WHEN lower(seg_mixed) = 'building' THEN 1 END)
+             |    AS BIGINT) AS n_eq_ci,
+             |  CAST(count(CASE WHEN lower(seg_mixed) LIKE '%ture' THEN 1 END)
+             |    AS BIGINT) AS n_ends_ci,
+             |  CAST(count(DISTINCT lower(seg_mixed)) AS BIGINT) AS nd_ci,
+             |  CAST(count(DISTINCT seg_mixed) AS BIGINT) AS nd_bin
+             |FROM m GROUP BY lower(seg_mixed) ORDER BY segment""".stripMargin))
   )
 }

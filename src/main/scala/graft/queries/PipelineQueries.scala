@@ -9590,6 +9590,116 @@ object PipelineQueries {
       Some("""SELECT event_type,
              |  CAST(count(DISTINCT user_id) AS BIGINT) AS nd_exact,
              |  TRUE AS merge_ok, TRUE AS est_ok
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // STREAM-STATIC JOIN (x164) — the enrichment shape every production
+    // stream runs before anything else: a micro-batched fact stream
+    // joined against a STATIC dimension table (the reference's entity-id
+    // join, main.py:332-355, is exactly this shape run in batch). Unlike
+    // x152/x155's stream-stream joins there is NO join state — the
+    // static side is re-planned each micro-batch and broadcast (an
+    // explicit broadcast() hint below, the 100 TB posture for a dim that
+    // fits an executor); the gate proves per-batch enrichment of an
+    // incrementally-arriving fact side converges to the batch join,
+    // including facts with NO dim match (left_outer null leg) — all
+    // hash-compared against DuckDB's batch join. Integer cents make the
+    // rollup exact.
+    QueryDef(
+      "x164_stream_static_join",
+      (s, d) => {
+        val dim = broadcast(
+          s.read.parquet(s"$d/customer.parquet")
+            .select(col("c_custkey"), col("c_mktsegment")))
+        val out = graft.streaming.StreamGate.replay(
+          s, events(s, d).select(col("user_id"), col("event_type"), col("value")),
+          name = "x164_events", files = 4, mode = "append") { stream =>
+          stream
+            .withColumn("cents", floor(col("value") * 100).cast(LongType))
+            // user ids 1..150 enrich; a shifted probe key (user_id + 1e7,
+            // beyond any SF's custkey range) exercises the no-match null
+            // leg for every 7th row at every scale.
+            .withColumn("k",
+              when(col("cents") % 7 === 0, col("user_id") + 10000000L)
+                .otherwise(col("user_id")))
+            .join(dim, col("k") === col("c_custkey"), "left_outer")
+        }
+        out.groupBy(coalesce(col("c_mktsegment"), lit("(none)")).as("segment"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+          .orderBy("segment", "event_type")
+      },
+      Some("""WITH e AS (SELECT user_id, event_type,
+             |    CAST(floor("value" * 100) AS BIGINT) AS cents FROM events),
+             |k AS (SELECT event_type, cents,
+             |    CASE WHEN cents % 7 = 0 THEN user_id + 10000000 ELSE user_id END
+             |      AS k FROM e)
+             |SELECT coalesce(c.c_mktsegment, '(none)') AS segment, k.event_type,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(k.cents) AS BIGINT) AS sum_cents
+             |FROM k LEFT JOIN customer c ON k.k = c.c_custkey
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // CSV INGESTION (x165) — `from_csv` with the quoting corner cases a
+    // crawl manifest actually contains: quoted fields holding the
+    // delimiter, RFC-4180 doubled-quote escapes, empty fields, and
+    // SHORT (malformed) rows that must surface as nulls under PERMISSIVE
+    // mode rather than kill the job. Paired construction: each line is
+    // rendered from event_id arithmetic (field 2 cycles through a
+    // 4-entry pool of adversarial strings — comma-bearing, quote-
+    // bearing, empty, plain), so the oracle predicts every parsed field
+    // ARITHMETICALLY. A parser that mis-splits on the embedded comma,
+    // mangles the doubled quote, or drops short rows instead of
+    // null-filling cannot hash-match. Two pinned Spark-CSV semantics:
+    // RFC-4180 doubled-quote unescaping requires escape='"' (the default
+    // escape is backslash — with it, `""` survives verbatim and the
+    // n_s_exact leg fails), and an empty field parses to NULL (nullValue
+    // defaults to ""), counted by n_empty among well-formed rows. Scale:
+    // per-row parse into one partial-combined agg; the ingest twin of
+    // x162's XML leg, bounded to the same fixed 60k-event slice.
+    QueryDef(
+      "x165_csv_decode",
+      (s, d) => {
+        val ev = s"parquet.`$d/events.parquet`"
+        s.sql(s"""WITH src AS (SELECT event_type, event_id,
+                 |    element_at(array('plain', 'a,b', 'say "hi"', ''),
+                 |      CAST(event_id % 4 AS INT) + 1) AS f2
+                 |  FROM $ev WHERE event_id < 60000),
+                 |lines AS (SELECT event_type,
+                 |    CASE WHEN event_id % 11 = 3
+                 |      THEN CAST(event_id AS STRING)  -- short row: 1 of 3 fields
+                 |      ELSE concat(CAST(event_id AS STRING), ',',
+                 |        '"', replace(f2, '"', '""'), '"', ',',
+                 |        CAST(event_id % 89 AS STRING)) END AS line,
+                 |    f2 FROM src),
+                 |p AS (SELECT event_type, f2,
+                 |    from_csv(line, 'id BIGINT, s STRING, v BIGINT',
+                 |      map('escape', '"')) AS r
+                 |  FROM lines)
+                 |SELECT event_type,
+                 |  CAST(sum(r.id) AS BIGINT) AS sum_id,
+                 |  CAST(sum(r.v) AS BIGINT) AS sum_v,
+                 |  CAST(count(CASE WHEN r.v IS NULL THEN 1 END) AS BIGINT)
+                 |    AS n_short,
+                 |  CAST(count(CASE WHEN r.s = f2 THEN 1 END) AS BIGINT)
+                 |    AS n_s_exact,
+                 |  CAST(count(CASE WHEN r.v IS NOT NULL AND r.s IS NULL
+                 |    THEN 1 END) AS BIGINT) AS n_empty,
+                 |  CAST(count(*) AS BIGINT) AS n
+                 |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin)
+      },
+      Some("""WITH src AS (SELECT event_type, event_id,
+             |    (['plain', 'a,b', 'say "hi"', ''])[(event_id % 4) + 1] AS f2,
+             |    event_id % 11 = 3 AS short FROM events WHERE event_id < 60000)
+             |SELECT event_type,
+             |  CAST(sum(event_id) AS BIGINT) AS sum_id,
+             |  CAST(sum(CASE WHEN NOT short THEN event_id % 89 END) AS BIGINT)
+             |    AS sum_v,
+             |  CAST(count(CASE WHEN short THEN 1 END) AS BIGINT) AS n_short,
+             |  CAST(count(CASE WHEN NOT short AND f2 <> '' THEN 1 END)
+             |    AS BIGINT) AS n_s_exact,
+             |  CAST(count(CASE WHEN NOT short AND f2 = '' THEN 1 END) AS BIGINT)
+             |    AS n_empty,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM src GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }
