@@ -9700,6 +9700,173 @@ object PipelineQueries {
              |  CAST(count(CASE WHEN NOT short AND f2 = '' THEN 1 END) AS BIGINT)
              |    AS n_empty,
              |  CAST(count(*) AS BIGINT) AS n
-             |FROM src GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |FROM src GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // LEGACY ARBITRARY-STATE API (x166) — `flatMapGroupsWithState`, the
+    // pre-Spark-4 stateful-processing surface the installed base actually
+    // runs (x154/x157 gate its successor transformWithState; this gates
+    // the API a migrating user leaves FROM). streaming/StatefulEnrichment
+    // annotates each event with the user's running sequence number and a
+    // first-seen flag — the "have I already enriched this entity"
+    // bookkeeping the reference did by re-reading its own output file
+    // (main.py:341-348). Replayed through 4 explicit day-quartile
+    // micro-batches: the emitted seq equals the rank of the event within
+    // its user ordered by (batch, event_id) — the processor sorts within
+    // the group iterator, batch order does the rest — so the DuckDB twin
+    // is one row_number() window. A state cell lost between batches
+    // restarts a user's sequence and cannot hash-match; first_seen fires
+    // exactly once per user in its first carrying batch. Scale: one
+    // counter per key in the state store, emission per event — the same
+    // bounded-state shape as x154.
+    QueryDef(
+      "x166_flatmap_groups_state",
+      (s, d) => {
+        val staged = events(s, d)
+          .select(col("user_id"), col("event_id"),
+            expr("""CAST(least(greatest(
+                   |  CAST(datediff(to_date(ts), DATE '2024-01-01') div 8 AS INT),
+                   |  0), 3) AS INT)""".stripMargin).as("b"))
+        val out = graft.streaming.StreamGate.replayStaged(
+          s, staged, "x166_events", "b", 4, "append") { stream =>
+          graft.streaming.StatefulEnrichment.annotate(
+            stream.as[graft.streaming.StatefulEnrichment.EventIn](
+              org.apache.spark.sql.Encoders.product)).toDF()
+        }
+        out.orderBy("user_id", "seq_in_user")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id,
+             |    LEAST(GREATEST(date_diff('day', DATE '2024-01-01',
+             |      CAST(ts AS DATE)) // 8, 0), 3) AS b
+             |  FROM events),
+             |r AS (SELECT user_id, event_id,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY b, event_id)
+             |      AS seq_in_user
+             |  FROM e)
+             |SELECT user_id, event_id, seq_in_user,
+             |  seq_in_user = 1 AS first_seen
+             |FROM r ORDER BY user_id, seq_in_user""".stripMargin)),
+
+    // IMA ADPCM DECODE (x167) — the predictive-audio leg between x40's
+    // plain PCM and x158's FLAC: the IMA/DVI ADPCM recurrence (public
+    // spec: 89-entry step table, 8-entry index table, 4-bit nibbles,
+    // predictor clamp ±32767) decoded ENTIRELY in codegen'd higher-order
+    // functions — aggregate() over nibble positions with a
+    // (predictor, index, sum, weighted-sum) struct accumulator, no UDF.
+    // The nibble stream round-trips through real BYTES first (packed
+    // lo-nibble-first per the IMA layout, unhex → BINARY → hex), so byte
+    // packing and nibble order are pinned, not assumed. The DuckDB twin
+    // runs the SAME recurrence as a recursive CTE from the arithmetic
+    // nibble definition — two independent engine-native implementations
+    // of the codec (x159's discipline); a wrong step-table entry, a
+    // missed clamp, or a swapped nibble diverges within a few samples
+    // and the position-weighted checksum cannot hash-match. Scale:
+    // per-row narrow decode, one partial-combined agg, zero shuffle
+    // beyond the 10-group exchange.
+    QueryDef(
+      "x167_adpcm_decode",
+      (s, d) => {
+        val doc = s"parquet.`$d/documents.parquet`"
+        s.sql(s"""WITH n AS (SELECT doc_id,
+                 |    transform(sequence(0, 63),
+                 |      i -> CAST((doc_id * 7 + i * 13) % 16 AS INT)) AS nibs,
+                 |    CAST(doc_id % 177 - 88 AS INT) AS pred0,
+                 |    CAST(doc_id % 89 AS INT) AS idx0
+                 |  FROM $doc WHERE doc_id < 500),
+                 |packed AS (SELECT doc_id, pred0, idx0,
+                 |    hex(unhex(aggregate(sequence(0, 31), '', (acc, j) ->
+                 |      concat(acc,
+                 |        substr('0123456789ABCDEF', nibs[CAST(2*j+1 AS INT)] + 1, 1),
+                 |        substr('0123456789ABCDEF', nibs[CAST(2*j AS INT)] + 1, 1)))))
+                 |      AS hx
+                 |  FROM n),
+                 |-- unpack the BYTES back to nibbles (lo-first: k even -> low
+                 |-- hex char of byte k div 2) — packing and order are pinned
+                 |-- by the round-trip, the decode below reads only `nks`.
+                 |unpacked AS (SELECT doc_id, pred0, idx0,
+                 |    transform(sequence(0, 63), k -> CAST(conv(substr(hx,
+                 |      CAST(2 * (k div 2) + IF(k % 2 = 0, 2, 1) AS INT), 1),
+                 |      16, 10) AS INT)) AS nks
+                 |  FROM packed),
+                 |-- scalar let-bindings via single-element transform(array(x))
+                 |-- (expression SQL has no WITH): a = (nk, step), then diff,
+                 |-- then p2, innermost builds the next accumulator.
+                 |dec AS (SELECT doc_id, aggregate(sequence(0, 63),
+                 |    named_struct('p', pred0, 'ix', idx0,
+                 |      's', CAST(0 AS BIGINT), 'w', CAST(0 AS BIGINT)),
+                 |    (st, k) -> element_at(transform(array(named_struct(
+                 |        'nk', nks[CAST(k AS INT)],
+                 |        'step', element_at(array(${AdpcmTables.stepsSql}),
+                 |          st.ix + 1))), a ->
+                 |      element_at(transform(array(CAST(
+                 |          (a.step div 8) + IF((a.nk & 4) > 0, a.step, 0)
+                 |          + IF((a.nk & 2) > 0, a.step div 2, 0)
+                 |          + IF((a.nk & 1) > 0, a.step div 4, 0) AS INT)), diff ->
+                 |        element_at(transform(array(greatest(-32768, least(32767,
+                 |            IF((a.nk & 8) > 0, st.p - diff, st.p + diff)))), p2 ->
+                 |          named_struct('p', p2,
+                 |            'ix', greatest(0, least(88, st.ix + element_at(
+                 |              array(${AdpcmTables.idxSql}), (a.nk % 8) + 1))),
+                 |            's', st.s + p2,
+                 |            'w', st.w + CAST(p2 AS BIGINT) * CAST(k + 1 AS BIGINT))),
+                 |          1)), 1)), 1)) AS r
+                 |  FROM unpacked)
+                 |SELECT CAST(doc_id % 10 AS BIGINT) AS grp,
+                 |  CAST(count(*) AS BIGINT) AS n_docs,
+                 |  CAST(sum(r.s) AS BIGINT) AS sum_samples,
+                 |  CAST(sum(r.w) AS BIGINT) AS sum_weighted,
+                 |  CAST(sum(r.p) AS BIGINT) AS sum_final_pred,
+                 |  CAST(min(r.ix) AS BIGINT) AS min_final_idx,
+                 |  CAST(max(r.ix) AS BIGINT) AS max_final_idx
+                 |FROM dec GROUP BY 1 ORDER BY 1""".stripMargin)
+      },
+      Some(s"""WITH RECURSIVE d AS (SELECT doc_id,
+             |    CAST(doc_id % 177 - 88 AS INT) AS pred0,
+             |    CAST(doc_id % 89 AS INT) AS idx0
+             |  FROM documents WHERE doc_id < 500),
+             |st(doc_id, k, p, ix, s, w) AS (
+             |  SELECT doc_id, -1, pred0, idx0,
+             |    CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM d
+             |  UNION ALL
+             |  SELECT doc_id, k + 1, p2, ix2, s + p2, w + p2 * (k + 2)
+             |  FROM (
+             |    SELECT doc_id, k, p, ix, s, w,
+             |      GREATEST(-32768, LEAST(32767,
+             |        CASE WHEN (nk & 8) > 0 THEN p - diff ELSE p + diff END))
+             |        AS p2,
+             |      GREATEST(0, LEAST(88, ix +
+             |        ([-1,-1,-1,-1,2,4,6,8])[(nk % 8) + 1])) AS ix2
+             |    FROM (
+             |      SELECT *, (step // 8)
+             |        + CASE WHEN (nk & 4) > 0 THEN step ELSE 0 END
+             |        + CASE WHEN (nk & 2) > 0 THEN step // 2 ELSE 0 END
+             |        + CASE WHEN (nk & 1) > 0 THEN step // 4 ELSE 0 END AS diff
+             |      FROM (
+             |        SELECT doc_id, k, p, ix, s, w,
+             |          CAST((doc_id * 7 + (k + 1) * 13) % 16 AS INT) AS nk,
+             |          ([${AdpcmTables.stepsSql}])[ix + 1] AS step
+             |        FROM st WHERE k < 63)))
+             |)
+             |SELECT CAST(doc_id % 10 AS BIGINT) AS grp,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(s) AS BIGINT) AS sum_samples,
+             |  CAST(sum(w) AS BIGINT) AS sum_weighted,
+             |  CAST(sum(p) AS BIGINT) AS sum_final_pred,
+             |  CAST(min(ix) AS BIGINT) AS min_final_idx,
+             |  CAST(max(ix) AS BIGINT) AS max_final_idx
+             |FROM st WHERE k = 63 GROUP BY 1 ORDER BY 1""".stripMargin))
   )
+
+  /** IMA/DVI ADPCM public-spec tables, shared by x167's two engine-native
+    * decoders (Spark higher-order aggregate; DuckDB recursive CTE). */
+  private object AdpcmTables {
+    val stepsSql: String = Seq(
+      7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+      41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+      190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+      724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+      2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+      6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+      16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767).mkString(", ")
+    val idxSql: String = "-1, -1, -1, -1, 2, 4, 6, 8"
+  }
 }
