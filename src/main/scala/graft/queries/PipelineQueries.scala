@@ -9853,8 +9853,128 @@ object PipelineQueries {
              |  CAST(sum(p) AS BIGINT) AS sum_final_pred,
              |  CAST(min(ix) AS BIGINT) AS min_final_idx,
              |  CAST(max(ix) AS BIGINT) AS max_final_idx
-             |FROM st WHERE k = 63 GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM st WHERE k = 63 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // REAL TIFF DECODE (x168) — the IFD-walking image leg next to PNG
+    // (x36/x102), JPEG (x101), GIF (x103/x133): ops/TiffDecoder.scala
+    // reads BOTH byte orders ("II"/"MM" — in TIFF, endianness is data),
+    // walks the tag directory with inline vs offset-stored values, and
+    // decodes the two baseline grayscale compressions (none + PackBits
+    // run-length, TIFF 6.0 spec). Paired construction: header + IFD are
+    // Scala-computed constant hex (TiffFixture — three variants: LE raw,
+    // LE PackBits with literal AND run opcodes, big-endian TWO-strip
+    // whose strip arrays live behind file offsets); pixel bytes are
+    // assembled per-doc in SQL from arithmetic, so the oracle predicts
+    // the decoded sums WITHOUT parsing — a swapped byte order, 1-off
+    // strip offset, or mis-decoded run changes the position-weighted
+    // checksum. Every 17th doc is truncated mid-IFD and must degrade to
+    // no row (fake-route), not an error. Scale: narrow per-row decode,
+    // zero shuffle beyond the 10-group exchange.
+    QueryDef(
+      "x168_tiff_decode",
+      (s, d) => {
+        val doc = s"parquet.`$d/documents.parquet`"
+        val media = s.sql(
+          s"""WITH n AS (SELECT doc_id, CAST(doc_id % 3 AS INT) AS v
+             |  FROM $doc WHERE doc_id < 400),
+             |px AS (SELECT doc_id, v,
+             |    CASE WHEN v = 1 THEN
+             |      aggregate(sequence(0, 7), '', (acc, y) -> concat(acc,
+             |        CASE WHEN y % 2 = 0 THEN concat('0F',
+             |          aggregate(sequence(0, 15), '', (a2, x) -> concat(a2,
+             |            lpad(hex((doc_id * 5 + (y * 16 + x) * 11) % 256), 2, '0'))))
+             |        ELSE concat('F1', lpad(hex((doc_id + y) % 256), 2, '0'))
+             |        END))
+             |    ELSE
+             |      aggregate(sequence(0, 127), '', (acc, i) -> concat(acc,
+             |        lpad(hex((doc_id * 5 + i * 11) % 256), 2, '0')))
+             |    END AS pxhex
+             |  FROM n),
+             |f AS (SELECT doc_id, concat(
+             |    CASE v WHEN 0 THEN '${TiffFixture.leRaw}'
+             |      WHEN 1 THEN '${TiffFixture.lePackBits}'
+             |      ELSE '${TiffFixture.beTwoStrip}' END, pxhex) AS hx
+             |  FROM px)
+             |SELECT doc_id AS media_id,
+             |  unhex(CASE WHEN doc_id % 17 = 5 THEN substr(hx, 1, 40) ELSE hx END)
+             |    AS media
+             |FROM f""".stripMargin)
+        graft.ops.TiffDecoder.images(media).toDF()
+          .groupBy((col("media_id") % 10).cast(LongType).as("grp"))
+          .agg(count(lit(1)).as("n_imgs"),
+            sum(when(col("byte_order") === "II" && col("compression") === 1, 1L)
+              .otherwise(0L)).as("n_le_raw"),
+            sum(when(col("compression") === 32773, 1L).otherwise(0L))
+              .as("n_packbits"),
+            sum(when(col("byte_order") === "MM", 1L).otherwise(0L)).as("n_be"),
+            sum(col("n_strips").cast(LongType)).as("n_strips"),
+            sum(col("sum_px")).as("sum_px"),
+            sum(col("wsum_px")).as("sum_wsum"))
+          .orderBy("grp")
+      },
+      Some("""WITH d AS (SELECT doc_id, doc_id % 3 AS v FROM documents
+             |  WHERE doc_id < 400 AND doc_id % 17 <> 5),
+             |p AS (SELECT d.doc_id, d.v, r.i,
+             |    CASE WHEN d.v = 1 AND ((r.i // 16) % 2) = 1
+             |      THEN (d.doc_id + (r.i // 16)) % 256
+             |      ELSE (d.doc_id * 5 + r.i * 11) % 256 END AS px
+             |  FROM d, range(0, 128) r(i)),
+             |s AS (SELECT doc_id, v, sum(px) AS sp, sum(px * (i + 1)) AS wp
+             |  FROM p GROUP BY 1, 2)
+             |SELECT CAST(doc_id % 10 AS BIGINT) AS grp,
+             |  CAST(count(*) AS BIGINT) AS n_imgs,
+             |  CAST(count(CASE WHEN v = 0 THEN 1 END) AS BIGINT) AS n_le_raw,
+             |  CAST(count(CASE WHEN v = 1 THEN 1 END) AS BIGINT) AS n_packbits,
+             |  CAST(count(CASE WHEN v = 2 THEN 1 END) AS BIGINT) AS n_be,
+             |  CAST(sum(CASE WHEN v = 2 THEN 2 ELSE 1 END) AS BIGINT) AS n_strips,
+             |  CAST(sum(sp) AS BIGINT) AS sum_px,
+             |  CAST(sum(wp) AS BIGINT) AS sum_wsum
+             |FROM s GROUP BY 1 ORDER BY 1""".stripMargin))
   )
+
+  /** TIFF fixture prefixes for x168 (header + IFD as constant hex,
+    * computed here so byte-order and offset arithmetic live in ONE
+    * place): three variants — LE single-strip raw, LE PackBits, and
+    * big-endian TWO-strip raw whose StripOffsets/ByteCounts arrays are
+    * stored behind file offsets (the >4-byte path). Pixel data is
+    * appended by the gate's SQL. 16×8 grayscale, IFD at 8, 9 ascending
+    * tags, data at 122. */
+  private object TiffFixture {
+    private def u16(v: Int, le: Boolean): String =
+      if (le) f"${v & 255}%02X${(v >> 8) & 255}%02X"
+      else f"${(v >> 8) & 255}%02X${v & 255}%02X"
+    private def u32(v: Long, le: Boolean): String =
+      if (le) f"${v & 255}%02X${(v >> 8) & 255}%02X${(v >> 16) & 255}%02X${(v >> 24) & 255}%02X"
+      else f"${(v >> 24) & 255}%02X${(v >> 16) & 255}%02X${(v >> 8) & 255}%02X${v & 255}%02X"
+    // Inline values are LEFT-JUSTIFIED in the 4-byte field in both orders.
+    private def entry(le: Boolean, tag: Int, typ: Int, cnt: Long, value: Long): String =
+      u16(tag, le) + u16(typ, le) + u32(cnt, le) +
+        (if (typ == 3 && cnt == 1) u16(value.toInt, le) + "0000" else u32(value, le))
+    private def build(le: Boolean, entries: Seq[(Int, Int, Long, Long)],
+        tail: String = ""): String = {
+      val header = (if (le) "49492A00" else "4D4D002A") + u32(8, le)
+      header + u16(entries.size, le) +
+        entries.map(e => entry(le, e._1, e._2, e._3, e._4)).mkString +
+        u32(0, le) + tail
+    }
+    private def base(comp: Int, count: Long): Seq[(Int, Int, Long, Long)] = Seq(
+      (256, 3, 1L, 16L), (257, 3, 1L, 8L), (258, 3, 1L, 8L),
+      (259, 3, 1L, comp.toLong), (262, 3, 1L, 1L), (273, 4, 1L, 122L),
+      (277, 3, 1L, 1L), (278, 3, 1L, 8L), (279, 4, 1L, count))
+    /** LE, single strip, uncompressed (128 pixel bytes at 122). */
+    val leRaw: String = build(le = true, base(1, 128L))
+    /** LE, single strip, PackBits (76 bytes at 122: 4 literal rows of
+      * 0x0F+16 bytes interleaved with 4 run rows of 0xF1+1 byte). */
+    val lePackBits: String = build(le = true, base(32773, 76L))
+    /** Big-endian, TWO strips (RowsPerStrip 4): offsets array at 122
+      * (strips at 138/202), counts array at 130 — both behind offsets. */
+    val beTwoStrip: String = build(le = false, Seq(
+      (256, 3, 1L, 16L), (257, 3, 1L, 8L), (258, 3, 1L, 8L),
+      (259, 3, 1L, 1L), (262, 3, 1L, 1L), (273, 4, 2L, 122L),
+      (277, 3, 1L, 1L), (278, 3, 1L, 4L), (279, 4, 2L, 130L)),
+      tail = u32(138, le = false) + u32(202, le = false) +
+        u32(64, le = false) + u32(64, le = false))
+  }
 
   /** IMA/DVI ADPCM public-spec tables, shared by x167's two engine-native
     * decoders (Spark higher-order aggregate; DuckDB recursive CTE). */
