@@ -2332,6 +2332,49 @@ object CoreQueries {
              |    AS BIGINT) AS n_ends_ci,
              |  CAST(count(DISTINCT lower(seg_mixed)) AS BIGINT) AS nd_ci,
              |  CAST(count(DISTINCT seg_mixed) AS BIGINT) AS nd_bin
-             |FROM m GROUP BY lower(seg_mixed) ORDER BY segment""".stripMargin))
+             |FROM m GROUP BY lower(seg_mixed) ORDER BY segment""".stripMargin)),
+
+    // Q70 — parameterized SQL (`spark.sql(text, args)` with NAMED markers:
+    // scalar, timestamp-typed, and ARRAY-valued parameters bound as
+    // literals by the parser, NOT string-spliced), the injection-safe
+    // successor to the reference's f-string query assembly
+    // (main.py:341-355 interpolates ids straight into Cypher — the
+    // classic injection shape; named markers make that impossible by
+    // construction). The gate binds an integer threshold, a string set
+    // (array param consumed via array_contains), and a timestamp bound,
+    // and must produce exactly the constant-folded plan the oracle runs
+    // with inlined literals. Scale: parameters reach Catalyst as foldable
+    // literals, so pushdown/pruning see them exactly like constants —
+    // which is the claim being gated.
+    QueryDef(
+      "q70_parameterized_sql",
+      (s, d) => {
+        val ord = s"parquet.`$d/orders.parquet`"
+        s.sql(
+          s"""SELECT o_orderpriority AS priority,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             |    AS revenue,
+             |  CAST(min(o_orderkey) AS BIGINT) AS min_ok
+             |FROM $ord
+             |WHERE o_totalprice > :minPrice
+             |  AND array_contains(:statuses, o_orderstatus)
+             |  AND o_orderdate >= :since
+             |GROUP BY o_orderpriority ORDER BY priority""".stripMargin,
+          Map(
+            "minPrice" -> 1000.0,
+            "statuses" -> Array("O", "P"),
+            "since" -> java.sql.Timestamp.valueOf("1995-06-01 00:00:00")))
+      },
+      Some("""SELECT o_orderpriority AS priority,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             |    AS revenue,
+             |  CAST(min(o_orderkey) AS BIGINT) AS min_ok
+             |FROM orders
+             |WHERE o_totalprice > 1000.0
+             |  AND o_orderstatus IN ('O', 'P')
+             |  AND o_orderdate >= TIMESTAMP '1995-06-01 00:00:00'
+             |GROUP BY o_orderpriority ORDER BY priority""".stripMargin))
   )
 }

@@ -9929,7 +9929,56 @@ object PipelineQueries {
              |  CAST(sum(CASE WHEN v = 2 THEN 2 ELSE 1 END) AS BIGINT) AS n_strips,
              |  CAST(sum(sp) AS BIGINT) AS sum_px,
              |  CAST(sum(wp) AS BIGINT) AS sum_wsum
-             |FROM s GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM s GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // STREAMING UPDATE MODE (x169) — the third and last output mode
+    // (x143 gates complete, x144/x150/x155 append): update emits each
+    // aggregation group AT MOST ONCE PER TRIGGER, only when that batch
+    // changed it, carrying the post-merge value — the changelog shape a
+    // downstream upsert sink (the reference's MERGE loop, main.py:304-330)
+    // consumes. The emitted multiset is fully deterministic under staged
+    // replay: one row per (day-window, event_type, batch that touched
+    // it) holding the CUMULATIVE count/cents through that batch — so the
+    // DuckDB twin is a running-sum window over per-batch partials. A
+    // group emitted without change, a missed emission, or a pre-merge
+    // value all change the multiset and cannot hash-match. Scale: state
+    // is one row per open window-group; update mode is what bounds sink
+    // traffic to changed groups (vs complete's full re-emit) — the
+    // 100 TB changelog posture.
+    QueryDef(
+      "x169_stream_update_mode",
+      (s, d) => {
+        val staged = events(s, d)
+          .select(col("ts"), col("event_type"),
+            floor(col("value") * 100).cast(LongType).as("cents"),
+            expr("""CAST(least(greatest(
+                   |  CAST(datediff(to_date(ts), DATE '2024-01-01') div 8 AS INT),
+                   |  0), 3) AS INT)""".stripMargin).as("b"))
+        val out = graft.streaming.StreamGate.replayStaged(
+          s, staged, "x169_events", "b", 4, "update") { stream =>
+          stream
+            .groupBy(window(col("ts"), "1 day"), col("event_type"))
+            .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+            .select(unix_micros(col("window.start")).as("day_us"),
+              col("event_type"), col("n"), col("sum_cents"))
+        }
+        out.orderBy("day_us", "event_type", "n")
+      },
+      Some("""WITH e AS (SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+             |    event_type, CAST(floor("value" * 100) AS BIGINT) AS cents,
+             |    LEAST(GREATEST(date_diff('day', DATE '2024-01-01',
+             |      CAST(ts AS DATE)) // 8, 0), 3) AS b
+             |  FROM events),
+             |g AS (SELECT day_us, event_type, b, count(*) AS pn,
+             |    sum(cents) AS psc
+             |  FROM e GROUP BY 1, 2, 3)
+             |SELECT day_us, event_type,
+             |  CAST(sum(pn) OVER w AS BIGINT) AS n,
+             |  CAST(sum(psc) OVER w AS BIGINT) AS sum_cents
+             |FROM g
+             |WINDOW w AS (PARTITION BY day_us, event_type ORDER BY b
+             |  ROWS UNBOUNDED PRECEDING)
+             |ORDER BY day_us, event_type, n""".stripMargin))
   )
 
   /** TIFF fixture prefixes for x168 (header + IFD as constant hex,
