@@ -9978,7 +9978,103 @@ object PipelineQueries {
              |FROM g
              |WINDOW w AS (PARTITION BY day_us, event_type ORDER BY b
              |  ROWS UNBOUNDED PRECEDING)
-             |ORDER BY day_us, event_type, n""".stripMargin))
+             |ORDER BY day_us, event_type, n""".stripMargin)),
+
+    // OGG PAGE WALK (x170) — the audio CONTAINER leg the payload decoders
+    // (x158 FLAC, x135/x153 MP3) were missing: ops/OggPages.scala walks
+    // RFC 3533 pages — capture scan, header-type flags, 64-bit granule,
+    // lacing-value segment table (255 continues a packet, <255 ends one),
+    // and OGG's CRC-32 variant (poly 0x04C11DB7, init 0, UNREFLECTED, no
+    // final xor — three differences from zlib's crc32) over the page with
+    // the CRC field zeroed. Paired construction, x158's discipline: two
+    // pages per doc are assembled as INT byte-arrays in pure SQL — the
+    // CRC computed by a nested aggregate() bit-fold and spliced back in —
+    // page 1 carrying a 255-laced continued packet; every 13th doc gets
+    // one payload byte flipped AFTER the CRC splice, so its page 1 MUST
+    // fail CRC and degrade to its own loss while page 0 still decodes
+    // (the resync contract). The oracle predicts granules, packet counts,
+    // and payload checksums arithmetically — and excludes exactly the
+    // corrupted pages. Scale: narrow per-row walk, zero shuffle beyond
+    // the 10-group exchange.
+    QueryDef(
+      "x170_ogg_pages",
+      (s, d) => {
+        val doc = s"parquet.`$d/documents.parquet`"
+        def leN(e: String, n: Int) =
+          s"transform(sequence(0, ${n - 1}), k -> " +
+            s"CAST(shiftright(CAST($e AS BIGINT), 8 * CAST(k AS INT)) & 255 AS INT))"
+        def crc32(arr: String) =
+          s"aggregate($arr, CAST(0 AS BIGINT), (c, b) -> aggregate(sequence(1, 8), " +
+            "c ^ (CAST(b AS BIGINT) * 16777216), (a, t) -> " +
+            "CASE WHEN a >= 2147483648 THEN ((a * 2) % 4294967296) ^ 79764919 " +
+            "ELSE (a * 2) % 4294967296 END))"
+        def splice(pg: String, crc: String) =
+          s"concat(slice($pg, 1, 22), ${leN(crc, 4)}, slice($pg, 27, size($pg) - 26))"
+        val a0 = "concat(array(79, 103, 103, 83, 0, 2), " +
+          s"${leN("doc_id * 3", 8)}, ${leN("doc_id % 1000", 4)}, " +
+          "array(0, 0, 0, 0), array(0, 0, 0, 0), array(1, l1), " +
+          "transform(sequence(0, l1 - 1), i -> CAST((doc_id + i * 17) % 256 AS INT)))"
+        val a1 = "concat(array(79, 103, 103, 83, 0, 4), " +
+          s"${leN("doc_id * 7", 8)}, ${leN("doc_id % 1000", 4)}, " +
+          "array(1, 0, 0, 0), array(0, 0, 0, 0), array(3, 255, 5, 3), " +
+          "transform(sequence(0, 259), i -> CAST((doc_id * 3 + i * 7) % 256 AS INT)), " +
+          "transform(sequence(0, 2), i -> CAST((doc_id + 99 + i) % 256 AS INT)))"
+        val media = s.sql(
+          s"""WITH n AS (SELECT doc_id, CAST(20 + doc_id % 30 AS INT) AS l1
+             |  FROM $doc WHERE doc_id < 300),
+             |raw AS (SELECT doc_id, $a0 AS r0, $a1 AS r1 FROM n),
+             |crcd AS (SELECT doc_id, r0, r1, ${crc32("r0")} AS c0,
+             |    ${crc32("r1")} AS c1 FROM raw),
+             |pages AS (SELECT doc_id, ${splice("r0", "c0")} AS pg0,
+             |    ${splice("r1", "c1")} AS pg1 FROM crcd),
+             |fin AS (SELECT doc_id, pg0,
+             |    IF(doc_id % 13 = 4,
+             |      concat(slice(pg1, 1, 40),
+             |        array(CAST((element_at(pg1, 41) + 1) % 256 AS INT)),
+             |        slice(pg1, 42, size(pg1) - 41)),
+             |      pg1) AS pg1
+             |  FROM pages)
+             |SELECT doc_id AS media_id,
+             |  unhex(aggregate(concat(pg0, pg1), '', (acc, b) ->
+             |    concat(acc, lpad(hex(b), 2, '0')))) AS media
+             |FROM fin""".stripMargin)
+        graft.ops.OggPages.pages(media).toDF()
+          .groupBy((col("media_id") % 10).cast(LongType).as("grp"))
+          .agg(count(lit(1)).as("n_pages"),
+            sum(when(col("is_bos"), 1L).otherwise(0L)).as("n_bos"),
+            sum(when(col("is_eos"), 1L).otherwise(0L)).as("n_eos"),
+            sum(col("n_packets").cast(LongType)).as("n_packets"),
+            sum(col("granule")).as("sum_granule"),
+            sum(col("payload_len").cast(LongType)).as("payload_len"),
+            sum(col("payload_sum")).as("payload_sum"))
+          .orderBy("grp")
+      },
+      Some("""WITH d AS (SELECT doc_id, 20 + doc_id % 30 AS l1,
+             |    doc_id % 13 <> 4 AS p1ok
+             |  FROM documents WHERE doc_id < 300),
+             |s0 AS (SELECT d.doc_id,
+             |    sum((d.doc_id + r.i * 17) % 256) AS ps
+             |  FROM d, range(0, 50) r(i) WHERE r.i < d.l1 GROUP BY 1),
+             |s1 AS (SELECT d.doc_id,
+             |    sum(CASE WHEN r.i < 260 THEN (d.doc_id * 3 + r.i * 7) % 256
+             |      ELSE (d.doc_id + 99 + (r.i - 260)) % 256 END) AS ps
+             |  FROM d, range(0, 263) r(i) WHERE d.p1ok GROUP BY 1),
+             |pg AS (
+             |  SELECT d.doc_id, TRUE AS bos, FALSE AS eos, 1 AS pk,
+             |    d.doc_id * 3 AS gr, d.l1 AS pl, s0.ps
+             |  FROM d JOIN s0 USING (doc_id)
+             |  UNION ALL
+             |  SELECT d.doc_id, FALSE, TRUE, 2, d.doc_id * 7, 263, s1.ps
+             |  FROM d JOIN s1 USING (doc_id) WHERE d.p1ok)
+             |SELECT CAST(doc_id % 10 AS BIGINT) AS grp,
+             |  CAST(count(*) AS BIGINT) AS n_pages,
+             |  CAST(count(CASE WHEN bos THEN 1 END) AS BIGINT) AS n_bos,
+             |  CAST(count(CASE WHEN eos THEN 1 END) AS BIGINT) AS n_eos,
+             |  CAST(sum(pk) AS BIGINT) AS n_packets,
+             |  CAST(sum(gr) AS BIGINT) AS sum_granule,
+             |  CAST(sum(pl) AS BIGINT) AS payload_len,
+             |  CAST(sum(ps) AS BIGINT) AS payload_sum
+             |FROM pg GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** TIFF fixture prefixes for x168 (header + IFD as constant hex,
