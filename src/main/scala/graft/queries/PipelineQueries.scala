@@ -9622,6 +9622,9 @@ object PipelineQueries {
               when(col("cents") % 7 === 0, col("user_id") + 10000000L)
                 .otherwise(col("user_id")))
             .join(dim, col("k") === col("c_custkey"), "left_outer")
+            // project before the sink: the gate consumes 3 columns, and
+            // every extra column is paid per-event through the replay sink
+            .select(col("c_mktsegment"), col("event_type"), col("cents"))
         }
         out.groupBy(coalesce(col("c_mktsegment"), lit("(none)")).as("segment"),
             col("event_type"))
@@ -9749,19 +9752,24 @@ object PipelineQueries {
     // IMA ADPCM DECODE (x167) — the predictive-audio leg between x40's
     // plain PCM and x158's FLAC: the IMA/DVI ADPCM recurrence (public
     // spec: 89-entry step table, 8-entry index table, 4-bit nibbles,
-    // predictor clamp ±32767) decoded ENTIRELY in codegen'd higher-order
+    // predictor clamp ±32767) decoded ENTIRELY in higher-order
     // functions — aggregate() over nibble positions with a
     // (predictor, index, sum, weighted-sum) struct accumulator, no UDF.
-    // The nibble stream round-trips through real BYTES first (packed
-    // lo-nibble-first per the IMA layout, unhex → BINARY → hex), so byte
-    // packing and nibble order are pinned, not assumed. The DuckDB twin
-    // runs the SAME recurrence as a recursive CTE from the arithmetic
-    // nibble definition — two independent engine-native implementations
-    // of the codec (x159's discipline); a wrong step-table entry, a
-    // missed clamp, or a swapped nibble diverges within a few samples
-    // and the position-weighted checksum cannot hash-match. Scale:
-    // per-row narrow decode, one partial-combined agg, zero shuffle
-    // beyond the 10-group exchange.
+    // The nibble stream also round-trips through real BYTES (packed
+    // lo-nibble-first per the IMA layout, unhex → BINARY → hex, unpacked
+    // back and array-compared) — pinned by the every(unpack_ok) column
+    // rather than by feeding the decode from the unpacked alias: HOFs
+    // evaluate interpreted, and CollapseProject inlines an aliased
+    // expression into EVERY lambda position that reads it, so
+    // decode-from-unpack re-evaluated the 32-step pack fold O(steps²)
+    // times per row (measured 32 s for 500 docs; this shape runs in
+    // ~1 s). The DuckDB twin runs the SAME recurrence as a recursive
+    // CTE from the arithmetic nibble definition — two independent
+    // engine-native implementations of the codec (x159's discipline);
+    // a wrong step-table entry, a missed clamp, or a swapped nibble
+    // diverges within a few samples and the position-weighted checksum
+    // cannot hash-match. Scale: per-row narrow decode, one
+    // partial-combined agg, zero shuffle beyond the 10-group exchange.
     QueryDef(
       "x167_adpcm_decode",
       (s, d) => {
@@ -9772,7 +9780,7 @@ object PipelineQueries {
                  |    CAST(doc_id % 177 - 88 AS INT) AS pred0,
                  |    CAST(doc_id % 89 AS INT) AS idx0
                  |  FROM $doc WHERE doc_id < 500),
-                 |packed AS (SELECT doc_id, pred0, idx0,
+                 |packed AS (SELECT doc_id, pred0, idx0, nibs,
                  |    hex(unhex(aggregate(sequence(0, 31), '', (acc, j) ->
                  |      concat(acc,
                  |        substr('0123456789ABCDEF', nibs[CAST(2*j+1 AS INT)] + 1, 1),
@@ -9780,21 +9788,23 @@ object PipelineQueries {
                  |      AS hx
                  |  FROM n),
                  |-- unpack the BYTES back to nibbles (lo-first: k even -> low
-                 |-- hex char of byte k div 2) — packing and order are pinned
-                 |-- by the round-trip, the decode below reads only `nks`.
-                 |unpacked AS (SELECT doc_id, pred0, idx0,
+                 |-- hex char of byte k div 2) and pin equality ONCE per row;
+                 |-- the decode reads the arithmetic `nibs` (see scaladoc:
+                 |-- reading the unpacked alias from inside the fold would
+                 |-- re-evaluate the pack fold per step under CollapseProject).
+                 |unpacked AS (SELECT doc_id, pred0, idx0, nibs,
                  |    transform(sequence(0, 63), k -> CAST(conv(substr(hx,
                  |      CAST(2 * (k div 2) + IF(k % 2 = 0, 2, 1) AS INT), 1),
-                 |      16, 10) AS INT)) AS nks
+                 |      16, 10) AS INT)) = nibs AS unpack_ok
                  |  FROM packed),
                  |-- scalar let-bindings via single-element transform(array(x))
                  |-- (expression SQL has no WITH): a = (nk, step), then diff,
                  |-- then p2, innermost builds the next accumulator.
-                 |dec AS (SELECT doc_id, aggregate(sequence(0, 63),
+                 |dec AS (SELECT doc_id, unpack_ok, aggregate(sequence(0, 63),
                  |    named_struct('p', pred0, 'ix', idx0,
                  |      's', CAST(0 AS BIGINT), 'w', CAST(0 AS BIGINT)),
                  |    (st, k) -> element_at(transform(array(named_struct(
-                 |        'nk', nks[CAST(k AS INT)],
+                 |        'nk', nibs[CAST(k AS INT)],
                  |        'step', element_at(array(${AdpcmTables.stepsSql}),
                  |          st.ix + 1))), a ->
                  |      element_at(transform(array(CAST(
@@ -9816,7 +9826,8 @@ object PipelineQueries {
                  |  CAST(sum(r.w) AS BIGINT) AS sum_weighted,
                  |  CAST(sum(r.p) AS BIGINT) AS sum_final_pred,
                  |  CAST(min(r.ix) AS BIGINT) AS min_final_idx,
-                 |  CAST(max(r.ix) AS BIGINT) AS max_final_idx
+                 |  CAST(max(r.ix) AS BIGINT) AS max_final_idx,
+                 |  every(unpack_ok) AS pack_ok
                  |FROM dec GROUP BY 1 ORDER BY 1""".stripMargin)
       },
       Some(s"""WITH RECURSIVE d AS (SELECT doc_id,
@@ -9852,7 +9863,8 @@ object PipelineQueries {
              |  CAST(sum(w) AS BIGINT) AS sum_weighted,
              |  CAST(sum(p) AS BIGINT) AS sum_final_pred,
              |  CAST(min(ix) AS BIGINT) AS min_final_idx,
-             |  CAST(max(ix) AS BIGINT) AS max_final_idx
+             |  CAST(max(ix) AS BIGINT) AS max_final_idx,
+             |  TRUE AS pack_ok
              |FROM st WHERE k = 63 GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // REAL TIFF DECODE (x168) — the IFD-walking image leg next to PNG
