@@ -10086,7 +10086,82 @@ object PipelineQueries {
              |  CAST(sum(gr) AS BIGINT) AS sum_granule,
              |  CAST(sum(pl) AS BIGINT) AS payload_len,
              |  CAST(sum(ps) AS BIGINT) AS payload_sum
-             |FROM pg GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM pg GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // SNAPPY BLOCK DECODE (x171) — the compression format a 100 TB lake
+    // physically holds (parquet data pages, Kafka message sets):
+    // ops/SnappyBlock.scala implements the public block format — LE
+    // varint preamble, literal tags, and all the back-reference copy
+    // forms including the OVERLAPPING copy (offset < length), snappy's
+    // run-length idiom where the copy reads bytes it is itself writing.
+    // Paired construction: each doc's block is assembled in SQL as hex —
+    // literal A (arithmetic bytes), a 2-byte-offset copy with offset 7 <
+    // length 13 (so out[p] = A[l1-7 + (p-l1) mod 7], a closed form the
+    // oracle computes), a 1-byte-offset copy with offset 1 (a pure run of
+    // A[l1-2]), and literal B — so the oracle predicts the decompressed
+    // plane's checksum ARITHMETICALLY, per segment, without running any
+    // decompressor. Every 19th doc gets its copy offset rewritten to 255
+    // (beyond the output written so far) and must degrade to no row.
+    // SnappyBlockSpec cross-validates against snappy-java's compressor
+    // (whatever tag mix it emits must decode to the original bytes).
+    // Scale: narrow per-row decode, zero shuffle beyond the 10-group
+    // exchange.
+    QueryDef(
+      "x171_snappy_block",
+      (s, d) => {
+        val doc = s"parquet.`$d/documents.parquet`"
+        val media = s.sql(
+          s"""WITH n AS (SELECT doc_id,
+             |    CAST(30 + doc_id % 20 AS INT) AS l1,
+             |    CAST(4 + doc_id % 8 AS INT) AS q
+             |  FROM $doc WHERE doc_id < 400),
+             |hx AS (SELECT doc_id, concat(
+             |    lpad(hex(l1 + 18 + q), 2, '0'),
+             |    lpad(hex((l1 - 1) * 4), 2, '0'),
+             |    aggregate(sequence(0, l1 - 1), '', (acc, i) ->
+             |      concat(acc, lpad(hex((doc_id + 3 * i) % 256), 2, '0'))),
+             |    IF(doc_id % 19 = 7, '32FF00', '320700'),
+             |    lpad(hex((q - 4) * 4 + 1), 2, '0'), '01',
+             |    '10',
+             |    aggregate(sequence(0, 4), '', (acc, i) ->
+             |      concat(acc, lpad(hex((doc_id * 7 + i) % 256), 2, '0')))
+             |  ) AS h FROM n)
+             |SELECT doc_id AS media_id, unhex(h) AS media FROM hx""".stripMargin)
+        graft.ops.SnappyBlock.blocks(media).toDF()
+          .groupBy((col("media_id") % 10).cast(LongType).as("grp"))
+          .agg(count(lit(1)).as("n_blocks"),
+            sum(col("out_len").cast(LongType)).as("out_len"),
+            sum(col("n_literals").cast(LongType)).as("n_literals"),
+            sum(col("n_copies").cast(LongType)).as("n_copies"),
+            sum(col("sum_bytes")).as("sum_bytes"),
+            sum(col("wsum_bytes")).as("wsum_bytes"))
+          .orderBy("grp")
+      },
+      Some("""WITH d AS (SELECT doc_id, 30 + doc_id % 20 AS l1,
+             |    4 + doc_id % 8 AS q
+             |  FROM documents WHERE doc_id < 400 AND doc_id % 19 <> 7),
+             |a AS (SELECT doc_id, r.i + 1 AS pos,
+             |    (doc_id + 3 * r.i) % 256 AS v
+             |  FROM d, range(0, 50) r(i) WHERE r.i < d.l1),
+             |c1 AS (SELECT doc_id, l1 + r.k + 1 AS pos,
+             |    (doc_id + 3 * (l1 - 7 + (r.k % 7))) % 256 AS v
+             |  FROM d, range(0, 13) r(k)),
+             |c2 AS (SELECT doc_id, l1 + 13 + r.k + 1 AS pos,
+             |    (doc_id + 3 * (l1 - 2)) % 256 AS v
+             |  FROM d, range(0, 11) r(k) WHERE r.k < d.q),
+             |b AS (SELECT doc_id, l1 + 13 + q + r.i + 1 AS pos,
+             |    (doc_id * 7 + r.i) % 256 AS v
+             |  FROM d, range(0, 5) r(i)),
+             |allb AS (SELECT * FROM a UNION ALL SELECT * FROM c1
+             |  UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM b)
+             |SELECT CAST(doc_id % 10 AS BIGINT) AS grp,
+             |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_blocks,
+             |  CAST(count(*) AS BIGINT) AS out_len,
+             |  CAST(count(DISTINCT doc_id) * 2 AS BIGINT) AS n_literals,
+             |  CAST(count(DISTINCT doc_id) * 2 AS BIGINT) AS n_copies,
+             |  CAST(sum(v) AS BIGINT) AS sum_bytes,
+             |  CAST(sum(v * pos) AS BIGINT) AS wsum_bytes
+             |FROM allb GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** TIFF fixture prefixes for x168 (header + IFD as constant hex,
