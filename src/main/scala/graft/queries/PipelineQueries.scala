@@ -10161,6 +10161,70 @@ object PipelineQueries {
              |  CAST(count(DISTINCT doc_id) * 2 AS BIGINT) AS n_copies,
              |  CAST(sum(v) AS BIGINT) AS sum_bytes,
              |  CAST(sum(v * pos) AS BIGINT) AS wsum_bytes
+             |FROM allb GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // LZ4 BLOCK DECODE (x172) — x171's sibling for the OTHER codec a
+    // parquet lake holds (LZ4_RAW data pages): ops/Lz4Block.scala
+    // implements the public block format — token nibbles, 255-chained
+    // length extensions, 2-byte LE offsets, overlapping matches, and the
+    // literals-only end-of-block rule (no length preamble: the block ends
+    // when input does, which makes truncation detection the decoder's
+    // job). Paired construction: per-doc blocks assembled in SQL hex —
+    // the first sequence's literal length (16..31) FORCES the 15+ext
+    // encoding, its match has offset 5 < length 8 (closed form
+    // out[p]=A[l1-5+(p-l1) mod 5]), the last sequence is literals-only —
+    // so the oracle predicts the plane's checksum arithmetically. Every
+    // 23rd doc gets a zero offset and must fake-route. Lz4BlockSpec
+    // cross-validates against lz4-java's compressor. Scale: narrow
+    // per-row decode, zero shuffle beyond the 10-group exchange.
+    QueryDef(
+      "x172_lz4_block",
+      (s, d) => {
+        val doc = s"parquet.`$d/documents.parquet`"
+        val media = s.sql(
+          s"""WITH n AS (SELECT doc_id,
+             |    CAST(16 + doc_id % 16 AS INT) AS l1
+             |  FROM $doc WHERE doc_id < 400),
+             |hx AS (SELECT doc_id, concat(
+             |    'F4', lpad(hex(l1 - 15), 2, '0'),
+             |    aggregate(sequence(0, l1 - 1), '', (acc, i) ->
+             |      concat(acc, lpad(hex((doc_id + 3 * i) % 256), 2, '0'))),
+             |    IF(doc_id % 23 = 9, '0000', '0500'),
+             |    '60',
+             |    aggregate(sequence(0, 5), '', (acc, i) ->
+             |      concat(acc, lpad(hex((doc_id * 7 + i) % 256), 2, '0')))
+             |  ) AS h FROM n)
+             |SELECT doc_id AS media_id, unhex(h) AS media FROM hx""".stripMargin)
+        graft.ops.Lz4Block.blocks(media).toDF()
+          .groupBy((col("media_id") % 10).cast(LongType).as("grp"))
+          .agg(count(lit(1)).as("n_blocks"),
+            sum(col("out_len").cast(LongType)).as("out_len"),
+            sum(col("n_sequences").cast(LongType)).as("n_sequences"),
+            sum(col("n_matches").cast(LongType)).as("n_matches"),
+            sum(col("sum_bytes")).as("sum_bytes"),
+            sum(col("wsum_bytes")).as("wsum_bytes"))
+          .orderBy("grp")
+      },
+      Some("""WITH d AS (SELECT doc_id, 16 + doc_id % 16 AS l1
+             |  FROM documents WHERE doc_id < 400 AND doc_id % 23 <> 9),
+             |a AS (SELECT doc_id, r.i + 1 AS pos,
+             |    (doc_id + 3 * r.i) % 256 AS v
+             |  FROM d, range(0, 32) r(i) WHERE r.i < d.l1),
+             |m AS (SELECT doc_id, l1 + r.k + 1 AS pos,
+             |    (doc_id + 3 * (l1 - 5 + (r.k % 5))) % 256 AS v
+             |  FROM d, range(0, 8) r(k)),
+             |b AS (SELECT doc_id, l1 + 8 + r.i + 1 AS pos,
+             |    (doc_id * 7 + r.i) % 256 AS v
+             |  FROM d, range(0, 6) r(i)),
+             |allb AS (SELECT * FROM a UNION ALL SELECT * FROM m
+             |  UNION ALL SELECT * FROM b)
+             |SELECT CAST(doc_id % 10 AS BIGINT) AS grp,
+             |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_blocks,
+             |  CAST(count(*) AS BIGINT) AS out_len,
+             |  CAST(count(DISTINCT doc_id) * 2 AS BIGINT) AS n_sequences,
+             |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_matches,
+             |  CAST(sum(v) AS BIGINT) AS sum_bytes,
+             |  CAST(sum(v * pos) AS BIGINT) AS wsum_bytes
              |FROM allb GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
