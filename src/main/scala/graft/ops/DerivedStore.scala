@@ -96,10 +96,16 @@ object DerivedStore {
           // A directory status carries len=0 and an mtime that does NOT move
           // when an existing part file is rewritten in place (same filename
           // set) — fold every contained file's (path, len, mtime) instead so
-          // a regenerated fixture always misses the stored fingerprint.
-          fs.listStatus(p).filterNot(_.isDirectory)
-            .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
-            .sorted.mkString(s"$f[", ",", "]")
+          // a regenerated fixture always misses the stored fingerprint. The
+          // walk RECURSES: partitioned layouts rewrite part files inside
+          // key=value subdirectories, and those must move the print too.
+          def walk(d: Path, prefix: String): Seq[String] =
+            fs.listStatus(d).toSeq.flatMap { s =>
+              val rel = prefix + s.getPath.getName
+              if (s.isDirectory) walk(s.getPath, rel + "/")
+              else Seq(s"$rel:${s.getLen}:${s.getModificationTime}")
+            }
+          walk(p, "").sorted.mkString(s"$f[", ",", "]")
         }
       }.mkString("|")
     } catch { case _: Exception => "" }

@@ -50,12 +50,19 @@ object FlacFrames {
       max_s: Long,
       ok: Boolean)
 
+  /** Control-flow signal for a read past the end of the byte array — a
+    * frame truncated mid-subframe (header CRC-8 can still be valid on a
+    * partially-downloaded file) must route() that frame, never throw an
+    * ArrayIndexOutOfBoundsException out of the flatMap and kill the task. */
+  private object Underflow extends RuntimeException with scala.util.control.NoStackTrace
+
   private final class BitReader(b: Array[Byte]) {
     var pos = 0L // bit position
     def bytePos: Int = (pos / 8).toInt
     def aligned: Boolean = pos % 8 == 0
     def remaining: Long = b.length.toLong * 8 - pos
     def bits(n: Int): Long = {
+      if (pos + n > b.length.toLong * 8) throw Underflow
       var v = 0L
       var k = n
       while (k > 0) {
@@ -181,6 +188,7 @@ object FlacFrames {
       val r = new BitReader(bytes)
       r.pos = i.toLong * 8
       def route(): Unit = { out += FlacFrame(mediaId, frameIdx, 0, 0, -1, -1, 0, 0, 0, 0, ok = false); done = true }
+      try {
       if (r.remaining < 40) { done = true }
       else if (r.bits(14) != 0x3ffe || r.bits(1) != 0) route()
       else {
@@ -302,6 +310,7 @@ object FlacFrames {
           }
         }
       }
+      } catch { case Underflow => route() } // truncated mid-frame: one row, walk stops
     }
     out.result()
   }

@@ -32,9 +32,22 @@ object Lz4Block {
 
   private val MaxOut = 1 << 26 // 64 MiB guard for one block
 
-  def decode(mediaId: Long, bytes: Array[Byte]): Option[Lz4Decoded] = {
+  /** The single decode walk both entry points share: a growable flat
+    * array with index-based back-references (O(output), not the
+    * O(output²) a buffer-snapshot per match would cost on match-heavy
+    * blocks), and 255-extension lengths accumulated as Long with an
+    * in-loop MaxOut rejection so a malformed multi-megabyte chain can
+    * never wrap Int into a negative length. Returns (plane, outLen,
+    * nSeq, nMatch); None on any structural violation. */
+  private def decodeRaw(bytes: Array[Byte]): Option[(Array[Byte], Int, Int, Int)] = {
     if (bytes == null || bytes.length == 0) return None
-    val out = new java.io.ByteArrayOutputStream()
+    var out = new Array[Byte](math.min(math.max(bytes.length * 3, 64), MaxOut))
+    var o = 0
+    def ensure(n: Int): Unit = if (o + n > out.length) {
+      var cap = out.length.toLong
+      while (cap < o.toLong + n) cap = math.min(cap * 2, MaxOut.toLong)
+      out = java.util.Arrays.copyOf(out, cap.toInt)
+    }
     var i = 0
     var nSeq = 0
     var nMatch = 0
@@ -43,18 +56,21 @@ object Lz4Block {
       i += 1
       nSeq += 1
       // literal length with 255-extensions
-      var litLen = token >> 4
+      var litLen = (token >> 4).toLong
       if (litLen == 15) {
         var b = 255
         while (b == 255) {
           if (i >= bytes.length) return None
           b = bytes(i) & 0xff; i += 1
           litLen += b
+          if (litLen > MaxOut) return None
         }
       }
-      if (i + litLen > bytes.length || out.size + litLen > MaxOut) return None
-      out.write(bytes, i, litLen)
-      i += litLen
+      if (litLen > bytes.length - i || litLen > MaxOut - o) return None
+      val ll = litLen.toInt
+      ensure(ll)
+      System.arraycopy(bytes, i, out, o, ll)
+      i += ll; o += ll
       if (i == bytes.length) {
         // end-of-block: last sequence is literals-only — token's match
         // nibble must be 0 per the spec's end conditions
@@ -63,73 +79,45 @@ object Lz4Block {
         if (i + 2 > bytes.length) return None
         val off = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
         i += 2
-        var mLen = (token & 0xf) + 4
+        var mLen = ((token & 0xf) + 4).toLong
         if ((token & 0xf) == 15) {
           var b = 255
           while (b == 255) {
             if (i >= bytes.length) return None
             b = bytes(i) & 0xff; i += 1
             mLen += b
+            if (mLen > MaxOut) return None
           }
         }
-        val o = out.size
-        if (off <= 0 || off > o || o + mLen > MaxOut) return None
-        val buf = out.toByteArray // o is small for gate corpora; spec sizes modest
+        if (off <= 0 || off > o || mLen > MaxOut - o) return None
+        val ml = mLen.toInt
+        ensure(ml)
         var k = 0
-        val grow = new Array[Byte](mLen)
-        while (k < mLen) {
-          grow(k) = if (o - off + k < o) buf(o - off + k) else grow(o - off + k - o)
-          k += 1
-        }
-        out.write(grow, 0, mLen)
+        while (k < ml) { out(o + k) = out(o + k - off); k += 1 } // may overlap
+        o += ml
         nMatch += 1
       }
     }
-    val plane = out.toByteArray
-    if (plane.isEmpty && nSeq == 0) return None
-    var sum = 0L
-    var wsum = 0L
-    var j = 0
-    while (j < plane.length) {
-      val v = plane(j) & 0xff
-      sum += v; wsum += v.toLong * (j + 1)
-      j += 1
-    }
-    Some(Lz4Decoded(mediaId, plane.length, nSeq, nMatch, sum, wsum))
+    Some((out, o, nSeq, nMatch))
   }
+
+  def decode(mediaId: Long, bytes: Array[Byte]): Option[Lz4Decoded] =
+    decodeRaw(bytes).map { case (plane, outLen, nSeq, nMatch) =>
+      var sum = 0L
+      var wsum = 0L
+      var j = 0
+      while (j < outLen) {
+        val v = plane(j) & 0xff
+        sum += v; wsum += v.toLong * (j + 1)
+        j += 1
+      }
+      Lz4Decoded(mediaId, outLen, nSeq, nMatch, sum, wsum)
+    }
 
   /** Raw decompressed bytes — the spec's cross-validation entry point. */
   def decompress(bytes: Array[Byte]): Option[Array[Byte]] =
-    decode(0L, bytes).map { _ =>
-      val out = new java.io.ByteArrayOutputStream()
-      var i = 0
-      while (i < bytes.length) {
-        val token = bytes(i) & 0xff; i += 1
-        var litLen = token >> 4
-        if (litLen == 15) {
-          var b = 255
-          while (b == 255) { b = bytes(i) & 0xff; i += 1; litLen += b }
-        }
-        out.write(bytes, i, litLen); i += litLen
-        if (i < bytes.length) {
-          val off = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8); i += 2
-          var mLen = (token & 0xf) + 4
-          if ((token & 0xf) == 15) {
-            var b = 255
-            while (b == 255) { b = bytes(i) & 0xff; i += 1; mLen += b }
-          }
-          val o = out.size
-          val buf = out.toByteArray
-          val grow = new Array[Byte](mLen)
-          var k = 0
-          while (k < mLen) {
-            grow(k) = if (o - off + k < o) buf(o - off + k) else grow(o - off + k - o)
-            k += 1
-          }
-          out.write(grow, 0, mLen)
-        }
-      }
-      out.toByteArray
+    decodeRaw(bytes).map { case (plane, outLen, _, _) =>
+      java.util.Arrays.copyOf(plane, outLen)
     }
 
   /** DataFrame plumbing: (media_id, media BINARY) → decoded stats rows;

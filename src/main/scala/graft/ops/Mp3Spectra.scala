@@ -84,8 +84,16 @@ object Mp3Spectra {
   private val SinWin = Array.tabulate(36)(t => math.sin(math.Pi / 36.0 * (t + 0.5)))
 
   private final class BitReader(b: Array[Byte], base: Int) {
+    private val limit = (b.length - base).toLong * 8
     var pos = 0
+    /** Whether n more bits exist IN THE ARRAY from the current position —
+      * the caller's pre-flight for a granule's whole main-data budget
+      * (part2_3_length can promise up to 4095 bits; the final frame of a
+      * stream may hold fewer, and reading past the array must fake-route
+      * the granule, never throw). */
+    def hasBits(n: Int): Boolean = pos.toLong + n <= limit
     def read(n: Int): Int = {
+      if (pos.toLong + n > limit) { pos += n; return 0 } // saturate, don't touch b
       var v = 0
       var k = 0
       while (k < n) {
@@ -171,8 +179,11 @@ object Mp3Spectra {
             var g = 0
             while (g < 2) {
               val s = sides(g)
+              // hasBits: a last frame whose earlier granule's p23 pushed the
+              // reader to the stream tail must fake-route, not read past the
+              // array (read() also saturates as a second layer)
               val okStruct = s.mdb == 0 && s.big == 0 && s.blockType == 0 &&
-                s.c1ts == 1 && s.scomp == 0
+                s.c1ts == 1 && s.scomp == 0 && md.hasBits(s.p23)
               if (!okStruct) {
                 // fake route: structural deviation — consume the granule's
                 // bit budget blind so granule 1 stays aligned, emit the

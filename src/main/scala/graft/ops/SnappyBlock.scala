@@ -60,17 +60,21 @@ object SnappyBlock {
       val upper = tag >> 2
       (tag & 3) match {
         case 0 =>
-          var len = upper + 1
+          var lenL = (upper + 1).toLong
           if (upper >= 60) {
             val nb = upper - 59
             if (i + nb > bytes.length) return None
-            len = 0
+            lenL = 0L
             var k = nb - 1
-            while (k >= 0) { len = (len << 8) | (bytes(i + k) & 0xff); k -= 1 }
-            len += 1
+            while (k >= 0) { lenL = (lenL << 8) | (bytes(i + k) & 0xff); k -= 1 }
+            lenL += 1
             i += nb
           }
-          if (i + len > bytes.length || o + len > out.length) return None
+          // Long accumulation + subtraction-form bounds: a 4-byte extension
+          // can encode up to 2^32, which wraps Int and slips past an
+          // additive `i + len > length` check before reaching arraycopy
+          if (lenL <= 0 || lenL > bytes.length - i || lenL > out.length - o) return None
+          val len = lenL.toInt
           System.arraycopy(bytes, i, out, o, len)
           i += len; o += len; nLit += 1
         case c =>
@@ -126,23 +130,29 @@ object SnappyBlock {
       var more = true
       while (more) { val b = bytes(i) & 0xff; shift += 7; i += 1; more = (b & 0x80) != 0 }
       var o = 0
-      while (i < bytes.length && o < out.length) {
+      var bad = false // unreachable on streams decode() validated; kept so the guards cannot diverge
+      while (!bad && i < bytes.length && o < out.length) {
         val tag = bytes(i) & 0xff
         i += 1
         val upper = tag >> 2
         (tag & 3) match {
           case 0 =>
-            var len = upper + 1
+            // same Long accumulation as decode()
+            var lenL = (upper + 1).toLong
             if (upper >= 60) {
               val nb = upper - 59
-              len = 0
+              lenL = 0L
               var k = nb - 1
-              while (k >= 0) { len = (len << 8) | (bytes(i + k) & 0xff); k -= 1 }
-              len += 1
+              while (k >= 0) { lenL = (lenL << 8) | (bytes(i + k) & 0xff); k -= 1 }
+              lenL += 1
               i += nb
             }
-            System.arraycopy(bytes, i, out, o, len)
-            i += len; o += len
+            if (lenL <= 0 || lenL > bytes.length - i || lenL > out.length - o) bad = true
+            else {
+              val len = lenL.toInt
+              System.arraycopy(bytes, i, out, o, len)
+              i += len; o += len
+            }
           case c =>
             var len = 0
             var off = 0

@@ -70,6 +70,31 @@ class DerivedStoreSpec extends SparkSpec {
     assert(builds == 2)
   }
 
+  test("a part file rewritten in place inside a PARTITION subdirectory still invalidates") {
+    // partitioned layouts nest part files under key=value subdirectories;
+    // only a RECURSIVE fingerprint walk sees an in-place rewrite down there
+    val in = s"/tmp/dstore_in_${System.nanoTime()}_part"
+    Seq((1L, "a", 0), (2L, "b", 1)).toDF("id", "v", "k")
+      .write.mode("overwrite").partitionBy("k").parquet(in)
+    val name = freshName("nested")
+    var builds = 0
+    def get() = DerivedStore.getOrBuild(spark, name, Seq(in), Seq("id")) {
+      builds += 1
+      spark.read.parquet(in)
+    }
+    assert(get().count() == 2 && builds == 1)
+    val d0 = new java.io.File(in, "k=0")
+    val d1 = new java.io.File(in, "k=1")
+    val p0 = d0.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val p1 = d1.listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(p1.toPath, p0.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Seq(d0, d1).foreach(d =>
+      d.listFiles().filter(_.getName.endsWith(".crc")).foreach(_.delete()))
+    get()
+    assert(builds == 2, "stale store served after a nested in-place rewrite")
+  }
+
   test("unreadable inputs skip persistence but still return the build") {
     val name = freshName("nofp")
     var builds = 0

@@ -151,6 +151,21 @@ class FlacFramesSpec extends AnyFunSuite {
       Seq(FlacFrames.FlacFrame(4L, 0, 0, 0, -1, -1, 0, 0, 0, 0, ok = false)))
   }
 
+  test("a frame truncated mid-subframe routes the frame, never throws") {
+    // header + CRC-8 intact (a partially-downloaded file), verbatim sample
+    // bytes cut off: the bit reader underflows inside the subframe and the
+    // decoder must emit one ok=false row instead of an
+    // ArrayIndexOutOfBoundsException out of the flatMap
+    val fr = frame(Seq(0), 4, 9, 0, 1) { w =>
+      w.bit(0); w.bits(1, 6); w.bit(0)
+      Seq(1L, 2L, 3L, 4L).foreach(v => signed(w, v, 8))
+    }
+    val si = streamInfo(44100, 1, 8)
+    val cut = (si ++ fr).take(si.length + 10) // inside the sample bytes
+    assert(FlacFrames.decode(6L, cut) ==
+      Seq(FlacFrames.FlacFrame(6L, 0, 0, 0, -1, -1, 0, 0, 0, 0, ok = false)))
+  }
+
   test("truncated and non-FLAC inputs yield no rows") {
     assert(FlacFrames.decode(5L, Array[Byte]()) == Nil)
     assert(FlacFrames.decode(5L, "fLaX1234".getBytes) == Nil)

@@ -64,6 +64,30 @@ class Lz4BlockSpec extends AnyFunSuite {
     assert(Lz4Block.decode(1, null).isEmpty)
   }
 
+  test("255-chained lengths cannot wrap Int: mega-extensions degrade to None") {
+    // a ~9 MB run of 255 extension bytes sums past Int.MaxValue under Int
+    // accumulation; the decoder must reject at the 64 MiB guard instead
+    val litChain = Array((15 << 4).toByte) ++ Array.fill(9 * 1000 * 1000)(255.toByte)
+    assert(Lz4Block.decode(1, litChain).isEmpty)
+    val lits = Array.tabulate(8)(_.toByte)
+    val matchChain = Array(((8 << 4) | 15).toByte) ++ lits ++
+      Array[Byte](4, 0) ++ Array.fill(9 * 1000 * 1000)(255.toByte)
+    assert(Lz4Block.decode(1, matchChain).isEmpty)
+  }
+
+  test("match-heavy expansion: chained 64 KiB matches build a 4 MiB run correctly") {
+    // 64 sequences each extending the same run — the index-based
+    // back-reference walk is O(output), not O(output^2)
+    val block = seq(Array(65.toByte), 1, 65535) ++
+      (1 to 63).flatMap(_ => seq(Array.emptyByteArray, 1, 65535)).toArray ++
+      lastSeq(Array[Byte](66))
+    val d = Lz4Block.decode(1, block).get
+    val n = 1 + 64 * 65535 + 1
+    assert(d.out_len === n)
+    assert(d.n_matches === 64)
+    assert(d.sum_bytes === 65L * (n - 1) + 66L)
+  }
+
   test("cross-validation: lz4-java's compressor output decodes to the original") {
     val rnd = new scala.util.Random(7)
     val factory = net.jpountz.lz4.LZ4Factory.fastestInstance()

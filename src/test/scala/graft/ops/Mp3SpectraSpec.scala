@@ -143,6 +143,24 @@ class Mp3SpectraSpec extends AnyFunSuite {
     }
   }
 
+  test("a p23 promising bits past the byte array fake-routes the granule") {
+    // a final frame whose part2_3_length (up to 4095 bits) outruns both the
+    // 208-byte frame and the array itself: reads must saturate and the
+    // granule must fake-route, not throw from the flatMap
+    val w = new BitWriter(FrameBytes)
+    w.write(0xfffb50c0L, 32)
+    w.write(0, 9); w.write(0, 5); w.write(0, 4)
+    for (_ <- 0 until 2) {
+      w.write(4095, 12) // main data region holds only (208-21)*8 = 1496 bits
+      w.write(0, 9); w.write(210, 8); w.write(0, 4); w.write(0, 1)
+      w.write(0, 22); w.write(0, 2); w.write(1, 1)
+    }
+    val rows = Mp3Spectra.decode(4L, w.buf)
+    assert(rows.length == 2)
+    assert(rows.forall(r => !r.ok && r.nonzero_line == -1))
+    assert(rows.forall(_.total_samples == 3 * 576L)) // stream stays continuous
+  }
+
   test("stereo / truncated / garbage streams yield no rows, never throw") {
     assert(Mp3Spectra.decode(9L, Array[Byte](1, 2, 3)).isEmpty)
     assert(Mp3Spectra.decode(9L, Array.emptyByteArray).isEmpty)

@@ -71,6 +71,18 @@ class SnappyBlockSpec extends AnyFunSuite {
     assert(SnappyBlock.decode(1, null).isEmpty)
   }
 
+  test("a 4-byte extended literal length that would wrap Int degrades, never throws") {
+    // 0x7FFFFFFF encoded -> +1 wraps to Int.MinValue under Int accumulation,
+    // and a huge positive value overflows an additive `i + len` bound; both
+    // must come back None instead of reaching System.arraycopy
+    val wrap = varint(16) ++ Array((63 << 2).toByte,
+      0xff.toByte, 0xff.toByte, 0xff.toByte, 0x7f.toByte) ++ Array.fill(8)(1.toByte)
+    assert(SnappyBlock.decode(1, wrap).isEmpty)
+    val huge = varint(16) ++ Array((63 << 2).toByte,
+      0xf0.toByte, 0xff.toByte, 0xff.toByte, 0x7e.toByte)
+    assert(SnappyBlock.decode(1, huge).isEmpty)
+  }
+
   test("cross-validation: snappy-java's compressor output decodes to the original") {
     val rnd = new scala.util.Random(42)
     for (n <- Seq(1, 17, 100, 1000, 65536)) {
