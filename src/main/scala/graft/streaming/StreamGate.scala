@@ -2,8 +2,9 @@ package graft.streaming
 
 import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
 
 /** Replays a batch frame through Structured Streaming in REAL micro-batches
   * and hands back the final result as a plain DataFrame — the bridge that
@@ -13,9 +14,12 @@ import org.apache.spark.sql.streaming.Trigger
   * source with `maxFilesPerTrigger = 1`, so the query genuinely runs N
   * stateful micro-batches (state carried, merged, and re-emitted across
   * batches — not one degenerate batch), under `Trigger.AvailableNow` so it
-  * terminates when the backlog drains. The memory sink's final table is
-  * localCheckpointed and the temp view dropped, so callers get an ordinary
-  * frame with no streaming residue.
+  * terminates when the backlog drains. The sink is `foreachBatch` landing
+  * each micro-batch in a staging parquet directory — executor-side writes,
+  * so gate output NEVER collects on the driver (the production posture: at
+  * 100× a per-event-output gate emits 10M+ rows). The scan of that staging
+  * dir is localCheckpointed (distributed block-manager partitions) and the
+  * directory deleted, so callers get an ordinary frame with no residue.
   *
   * This is exactly the claim a streaming engine must defend: INCREMENTAL
   * execution converges to the batch answer. The catalog gates (x143/x144)
@@ -54,6 +58,53 @@ object StreamGate {
       if (gateDepth.decrementAndGet() == 0)
         savedShuffle.foreach(spark.conf.set(key, _))
     }
+  }
+
+  /** The gate sink: every micro-batch lands in `outDir` as parquet via
+    * `foreachBatch` — executor-side writes, so the stream's output stays
+    * DISTRIBUTED end to end. The memory-format sink (and a collect()-into-
+    * a-queue foreachBatch) buffers the whole output table on the driver,
+    * which for per-event-output gates is 10M+ rows at 100× — a
+    * scale-killer in a src/main path. complete mode overwrites per batch
+    * (each emission is the full result; the last one wins); append and
+    * update append their per-batch deltas, so the directory accumulates
+    * exactly the memory sink's table. Returns the query so callers can
+    * drain progress. */
+  private def runDistributed(
+      transformed: DataFrame,
+      outDir: String,
+      mode: String,
+      checkpoint: Option[String],
+      progress: org.apache.spark.sql.streaming.StreamingQueryProgress => Unit): Unit = {
+    val writer = transformed.writeStream
+      .foreachBatch { (df: Dataset[Row], _: Long) =>
+        df.write.mode(if (mode == "complete") "overwrite" else "append").parquet(outDir)
+      }
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+    checkpoint.foreach(writer.option("checkpointLocation", _))
+    val q = writer.start()
+    try {
+      q.awaitTermination()
+      q.recentProgress.foreach(progress)
+    } finally if (q.isActive) q.stop()
+  }
+
+  /** Scan of the gate output, pinned with a DISTRIBUTED localCheckpoint
+    * (block-manager partitions, memory-and-disk) so the caller's finally
+    * can delete the temp directory; the explicit schema keeps types and
+    * nullability exactly what the streaming plan declared. A stream whose
+    * every batch emitted nothing (legal: all rows dropped by a watermark)
+    * has no part files — that is an empty frame, not an error. */
+  private def readBack(spark: SparkSession, outDir: String, schema: StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(outDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(p) &&
+      fs.listStatus(p).exists(s => s.getPath.getName.startsWith("part-") && s.getLen > 0)
+    val df =
+      if (hasData) spark.read.schema(schema).parquet(outDir)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    df.localCheckpoint(eager = true)
   }
 
   /** Replays `input` with EXPLICIT micro-batch assignment: `batchCol` (an
@@ -103,17 +154,9 @@ object StreamGate {
           .option("maxFilesPerTrigger", 1)
           .option("latestFirst", "false")
           .parquet(s"$dir/batch-*.parquet")
-        val sink = s"graft_stream_sink_${name}_$seq"
-        val q = transform(stream).writeStream
-          .format("memory").queryName(sink).outputMode(mode)
-          .trigger(Trigger.AvailableNow()).start()
-        try {
-          q.awaitTermination()
-          q.recentProgress.foreach(progress)
-        } finally if (q.isActive) q.stop()
-        val out = spark.table(sink).localCheckpoint(eager = true)
-        spark.catalog.dropTempView(sink)
-        out
+        val transformed = transform(stream)
+        runDistributed(transformed, s"$dir/out", mode, None, progress)
+        readBack(spark, s"$dir/out", transformed.schema)
       }
     } finally {
       val p = new org.apache.hadoop.fs.Path(dir)
@@ -184,31 +227,23 @@ object StreamGate {
             sys.error(s"stream gate $name: reveal failed for $n")
         }
       val schema = input.drop(batchCol).schema
-      val buf = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
-      @volatile var outSchema: org.apache.spark.sql.types.StructType = null
+      @volatile var outSchema: StructType = null
       def run(): Unit = withGateShuffle(spark) {
         val stream = spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1)
           .option("latestFirst", "false")
           .parquet(s"$dir/batch-*.parquet")
-        val q = transform(stream).writeStream
-          .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-            if (outSchema == null) outSchema = df.schema
-            df.collect().foreach(buf.add)
-          }
-          .outputMode("append")
-          .option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow()).start()
-        try q.awaitTermination() finally if (q.isActive) q.stop()
+        val transformed = transform(stream)
+        outSchema = transformed.schema
+        // both runs APPEND to one output dir: the union of the two runs'
+        // emissions, distributed (no driver-side row buffering)
+        runDistributed(transformed, s"$root/out", "append", Some(ckpt), _ => ())
       }
       reveal(0, restartAfter)
       run() // run 1: first wave, then the query dies (clean AvailableNow drain)
       reveal(restartAfter, nBatches)
       run() // run 2: NEW query, same checkpoint — offsets + state recovered
-      import scala.jdk.CollectionConverters._
-      val rows = buf.iterator().asScala.toSeq
-      if (outSchema == null) sys.error(s"stream gate $name: no batch delivered")
-      spark.createDataFrame(rows.asJava, outSchema).localCheckpoint(eager = true)
+      readBack(spark, s"$root/out", outSchema)
     } finally {
       val p = new org.apache.hadoop.fs.Path(root)
       try fs.delete(p, true) catch { case _: Exception => () }
@@ -230,23 +265,19 @@ object StreamGate {
     // runs replaying the same gate must not overwrite each other's staged
     // input between write and streaming read. Deleted after the replay.
     val seq = runSeq.incrementAndGet()
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_stream_${name}_" +
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_stream_${name}_" +
       s"${ProcessHandle.current().pid()}_$seq"
+    val dir = s"$root/in"
     input.repartition(files).write.mode("overwrite").parquet(dir)
     try withGateShuffle(spark) {
       val schema = spark.read.parquet(dir).schema
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(dir)
-      val sink = s"graft_stream_sink_${name}_$seq"
-      val q = transform(stream).writeStream
-        .format("memory").queryName(sink).outputMode(mode)
-        .trigger(Trigger.AvailableNow()).start()
-      try q.awaitTermination() finally if (q.isActive) q.stop()
-      val out = spark.table(sink).localCheckpoint(eager = true)
-      spark.catalog.dropTempView(sink)
-      out
+      val transformed = transform(stream)
+      runDistributed(transformed, s"$root/out", mode, None, _ => ())
+      readBack(spark, s"$root/out", transformed.schema)
     } finally {
-      val p = new org.apache.hadoop.fs.Path(dir)
+      val p = new org.apache.hadoop.fs.Path(root)
       try p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
       catch { case _: Exception => () }
     }

@@ -31,10 +31,14 @@ class StreamGateSpec extends SparkSpec {
     assert(out.count() == 50)
   }
 
-  test("the memory-sink temp view is dropped after replay") {
+  test("replay leaves no residue: no temp views, staging directory deleted") {
     StreamGate.replay(spark, Seq(1L).toDF("id"), "sgspec_clean", files = 1, mode = "append")(identity)
     assert(spark.catalog.listTables().collect()
       .forall(t => !t.name.startsWith("graft_stream_sink_sgspec_clean")))
+    // the result was localCheckpointed, so the per-run staging root
+    // (input batches + parquet output) is gone
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    assert(!tmp.listFiles().exists(_.getName.startsWith("graft_stream_sgspec_clean_")))
   }
 
   test("unsafe names are rejected") {

@@ -26,10 +26,18 @@ class WatermarkGateSpec extends SparkSpec {
 
   test("staged replay processes batches in batch order") {
     val rows = Seq((0, 1L), (1, 2L), (2, 3L), (3, 4L)).toDF("b", "v")
-    val out = StreamGate.replayStaged(spark, rows, "wmspec_order", "b", 4,
+    // The distributed parquet sink guarantees the output MULTISET, not
+    // arrival order — so pin processing order through an order-sensitive
+    // observable: running-sum update emissions are the prefix sums of the
+    // processing order, and with distinct per-batch values {1,3,6,10}
+    // arises from 0,1,2,3 only (any permutation changes the multiset).
+    val sums = StreamGate.replayStaged(spark, rows, "wmspec_order", "b", 4,
+      "update") { s => s.groupBy().agg(sum("v").as("s")) }
+    assert(sums.select("s").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 6L, 10L))
+    // and an identity append replay delivers every staged row exactly once
+    val app = StreamGate.replayStaged(spark, rows, "wmspec_once", "b", 4,
       "append")(identity)
-    // append memory sink preserves arrival (batch) order
-    assert(out.select("v").as[Long].collect().toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(app.select("v").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
   test("windowed agg: lagged late filter, inclusive boundaries, final flush") {
