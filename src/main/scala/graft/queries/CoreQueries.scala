@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables._
 import graft.functions.VectorFunctions
-import graft.ops.{GraphAlgos, TransitiveClosure}
+import graft.ops.{BucketedRangeJoin, GraphAlgos, TransitiveClosure}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -461,26 +461,23 @@ object CoreQueries {
     QueryDef(
       "q22_range_join",
       (s, d) => {
-        // Interval-bucketed range join — the open-source answer to a
-        // bounded-range temporal join. A plain user_id equi-join with the
-        // range as a residual filter degrades to per-user quadratic work
-        // (user_id cardinality is FIXED while events/user grows with SF:
-        // measured 0.8 s -> 8.7 s across the 10x step). Because the probe
-        // range (s_ts, s_ts + 1h] spans at most TWO hour-aligned buckets,
-        // each signup explodes to exactly 2 (user, hour) join keys and
-        // every candidate event falls in exactly one of them — the join
-        // key becomes (user, hour), whose group size is bounded by the
-        // per-user event RATE, not by history length. 10x: 1.1 s.
+        // Interval-bucketed range join ([[graft.ops.BucketedRangeJoin]],
+        // which documents the multiset-equality argument): a plain
+        // user_id equi-join with the range as a residual filter degrades
+        // to per-user quadratic work (user_id cardinality is FIXED while
+        // events/user grows with SF: measured 0.8 s -> 8.7 s across the
+        // 10x step). Each signup explodes to its 2 candidate (user, hour)
+        // keys (range looks FORWARD: dir = +1) and every candidate event
+        // falls in exactly one of them — group size bounded by the
+        // per-user event RATE, not history length. 10x: 1.1 s.
         val ev = events(s, d)
         val hourUs = 3600000000L
         val sgn = ev.filter(col("event_type") === "signup")
           .select(col("event_id").as("s_id"), col("user_id").as("s_user"),
             col("ts").as("s_ts"))
-          .withColumn("bkt", explode(array(
-            floor(unix_micros(col("s_ts")) / hourUs).cast("long"),
-            (floor(unix_micros(col("s_ts")) / hourUs) + 1).cast("long"))))
+          .withColumn("bkt", BucketedRangeJoin.candidateBuckets(col("s_ts"), hourUs, dir = 1))
         val oth = ev.select(col("user_id").as("e_user"), col("ts").as("e_ts"))
-          .withColumn("bkt", floor(unix_micros(col("e_ts")) / hourUs).cast("long"))
+          .withColumn("bkt", BucketedRangeJoin.bucketOf(col("e_ts"), hourUs))
         sgn.join(
             oth,
             col("e_user") === col("s_user") && sgn("bkt") === oth("bkt") &&

@@ -5060,18 +5060,18 @@ object PipelineQueries {
         val touches = ev.filter(col("event_type").isin("view", "click"))
           .select(col("event_id").as("t_id"), col("user_id"),
             col("event_type").as("t_type"), col("ts").as("t_ts"))
-        // q22's interval-bucketed range join: the [p_ts - 24h, p_ts)
-        // probe range spans at most two DAY-aligned buckets, so each
+        // q22's interval-bucketed range join ([[graft.ops
+        // .BucketedRangeJoin]] documents the multiset argument): the
+        // [p_ts - 24h, p_ts) range looks BACKWARD (dir = -1), so each
         // purchase explodes to 2 (user, day) keys and each touch joins
         // its own day — group size bounded by per-user RATE, not history
         // length (plain user_id join: per-user purchases x touches grows
         // quadratically with SF; measured 0.7 -> 3.2 s at the 10x step).
         val dayUs = 86400000000L
-        val pB = purchases.withColumn("bkt", explode(array(
-          (floor(unix_micros(col("p_ts")) / dayUs) - 1).cast("long"),
-          floor(unix_micros(col("p_ts")) / dayUs).cast("long"))))
+        val pB = purchases.withColumn("bkt",
+          graft.ops.BucketedRangeJoin.candidateBuckets(col("p_ts"), dayUs, dir = -1))
         val tB = touches
-          .withColumn("bkt", floor(unix_micros(col("t_ts")) / dayUs).cast("long"))
+          .withColumn("bkt", graft.ops.BucketedRangeJoin.bucketOf(col("t_ts"), dayUs))
         val joined = pB.join(tB, Seq("user_id", "bkt"))
           .filter(col("t_ts") < col("p_ts") &&
             col("t_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS"))
@@ -8768,24 +8768,24 @@ object PipelineQueries {
           val left = stream.filter(col("event_type") === "signup")
             .select(col("event_id").as("s_id"), col("user_id"), col("ts").as("s_ts"))
             .withWatermark("s_ts", "40 days")
-            // interval bucketing, q22's lesson applied to streaming: the
-            // join-state probe iterates EVERY buffered row sharing the
-            // equi-key, so a low-cardinality user key + range predicate
-            // is O(per-user history) per arriving row (measured 28x on a
-            // 10x step at 100x). Adding the 4h bucket to the key bounds
-            // each probe to one bucket's rows; a signup matches in
-            // exactly one bucket, so the pair set is unchanged.
+            // interval bucketing, q22's lesson applied to streaming
+            // ([[graft.ops.BucketedRangeJoin]] documents the multiset
+            // argument): the join-state probe iterates EVERY buffered row
+            // sharing the equi-key, so a low-cardinality user key + range
+            // predicate is O(per-user history) per arriving row (measured
+            // 28x on a 10x step at 100x). Adding the 4h bucket to the key
+            // bounds each probe to one bucket's rows.
             .withColumn("s_bkt",
-              (unix_micros(col("s_ts")) / lit(14400000000L)).cast(LongType))
+              graft.ops.BucketedRangeJoin.bucketOf(col("s_ts"), 14400000000L))
           val right = stream.filter(col("event_type") === "purchase")
             .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
               col("ts").as("p_ts"))
             .withWatermark("p_ts", "40 days")
             // a purchase can match signups in its own or the previous
-            // 4h bucket — duplicate it into both candidate keys
-            .withColumn("cand", explode(array(
-              (unix_micros(col("p_ts")) / lit(14400000000L)).cast(LongType),
-              (unix_micros(col("p_ts")) / lit(14400000000L)).cast(LongType) - 1)))
+            // 4h bucket (it probes BACKWARD into the signup's forward
+            // range) — duplicate it into both candidate keys
+            .withColumn("cand",
+              graft.ops.BucketedRangeJoin.candidateBuckets(col("p_ts"), 14400000000L, dir = -1))
           left.join(right,
               col("user_id") === col("p_user") &&
                 col("s_bkt") === col("cand") &&
@@ -8995,21 +8995,21 @@ object PipelineQueries {
           val left = stream.filter(col("event_type") === "signup")
             .select(col("event_id").as("s_id"), col("user_id"), col("ts").as("s_ts"))
             .withWatermark("s_ts", "3 days")
-            // interval bucketing (x152's probe-cost fix): one bucket key
-            // on the left, candidate duplication on the right; a signup
-            // still emits its null row exactly once (the LEFT side is
-            // never duplicated), and every potential match routes to the
+            // interval bucketing (x152's probe-cost fix, shared via
+            // [[graft.ops.BucketedRangeJoin]]): one bucket key on the
+            // left, candidate duplication on the right; a signup still
+            // emits its null row exactly once (the preserved LEFT side is
+            // never exploded), and every potential match routes to the
             // signup's own bucket, so null-emission semantics are
             // unchanged.
             .withColumn("s_bkt",
-              (unix_micros(col("s_ts")) / lit(14400000000L)).cast(LongType))
+              graft.ops.BucketedRangeJoin.bucketOf(col("s_ts"), 14400000000L))
           val right = stream.filter(col("event_type") === "purchase")
             .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
               col("ts").as("p_ts"))
             .withWatermark("p_ts", "3 days")
-            .withColumn("cand", explode(array(
-              (unix_micros(col("p_ts")) / lit(14400000000L)).cast(LongType),
-              (unix_micros(col("p_ts")) / lit(14400000000L)).cast(LongType) - 1)))
+            .withColumn("cand",
+              graft.ops.BucketedRangeJoin.candidateBuckets(col("p_ts"), 14400000000L, dir = -1))
           left.join(right,
               col("user_id") === col("p_user") &&
                 col("s_bkt") === col("cand") &&
