@@ -16,18 +16,21 @@ import org.apache.spark.sql.functions._
   *     read-from-STREAMINFO codes and the 8/16-bit blocksize-follows
   *     forms), UTF-8-coded frame number, CRC-8 (poly 0x07) verified;
   *   - subframes: CONSTANT, VERBATIM, FIXED orders 0–4 (the closed-form
-  *     predictors with binomial coefficients), wasted-bits unary prefix;
-  *     rice-coded residual partitions (4- and 5-bit parameter forms,
-  *     escape-to-raw, zigzag, quotient = run of 0s terminated by 1 —
-  *     the run polarity that cannot emulate the all-ones sync);
+  *     predictors with binomial coefficients), LPC orders 1–32
+  *     (quantized integer coefficients at 1–15 bits + arithmetic right
+  *     shift on a 64-bit accumulator — integer-exact, RFC 9639 §9.2.5),
+  *     wasted-bits unary prefix; rice-coded residual partitions (4- and
+  *     5-bit parameter forms, escape-to-raw, zigzag, quotient = run of
+  *     0s terminated by 1 — the run polarity that cannot emulate the
+  *     all-ones sync);
   *   - frame footer CRC-16 (poly 0x8005) over the whole frame, verified.
   *
-  * LPC subframes (arbitrary-precision coefficients) are the documented
-  * out-of-class route, same contract as [[Mp3Spectra]]'s big-values:
-  * the walk STOPS at the first LPC / unknown-typed subframe and emits
-  * one `ok = false` row for that frame — one unsupported frame costs
-  * the tail, never the task; a CRC mismatch does the same. Stereo
-  * decorrelation modes (left/right/mid-side) are likewise routed.
+  * Out-of-class routes, same contract as [[Mp3Spectra]]'s big-values:
+  * reserved subframe types, the 1111 invalid LPC precision escape, a
+  * negative (reserved) LPC shift, and stereo decorrelation modes
+  * (left/right/mid-side) all STOP the walk and emit one `ok = false`
+  * row for that frame — one unsupported frame costs the tail, never the
+  * task; a CRC mismatch does the same.
   *
   * Scale shape: narrow per-row flatMap, one media blob in → frame rows
   * out, no shuffle; corrupt bytes degrade a single row.
@@ -42,7 +45,7 @@ object FlacFrames {
       frame_idx: Long,
       blocksize: Long,
       sample_rate: Long,
-      subframe_type: Long, // 0 constant, 1 verbatim, 2 fixed; -1 routed
+      subframe_type: Long, // 0 constant, 1 verbatim, 2 fixed, 3 lpc; -1 routed
       pred_order: Long,
       sum_s: Long,
       dot_s: Long,
@@ -275,7 +278,36 @@ object FlacFrames {
                       if (ch == 0) { sfType = 2; sfOrder = order.toLong }
                       true
                     } else false
-                  } else false // LPC (t >= 32) and reserved types: routed
+                  } else if (t >= 32 && ((t & 0x1f) + 1) <= blocksize) { // LPC order 1..32 (type 1xxxxx)
+                    val order = (t & 0x1f) + 1
+                    var k = 0
+                    while (k < order) { s(k) = r.signed(effBps); k += 1 }
+                    val precM1 = r.bits(4).toInt
+                    val shift = r.signed(5)
+                    // 1111 is the spec's invalid precision escape; a
+                    // negative shift is reserved (RFC 9639 §9.2.5) — route
+                    if (precM1 == 15 || shift < 0) false
+                    else {
+                      val coef = new Array[Long](order)
+                      var j = 0
+                      while (j < order) { coef(j) = r.signed(precM1 + 1); j += 1 }
+                      if (residual(r, s, order, blocksize)) {
+                        // quantized-integer prediction: 64-bit accumulator,
+                        // arithmetic right shift — integer-exact, same gate
+                        // pattern as FIXED
+                        k = order
+                        while (k < blocksize) {
+                          var acc = 0L
+                          var j2 = 0
+                          while (j2 < order) { acc += coef(j2) * s(k - 1 - j2); j2 += 1 }
+                          s(k) += (acc >> shift)
+                          k += 1
+                        }
+                        if (ch == 0) { sfType = 3; sfOrder = order.toLong }
+                        true
+                      } else false
+                    }
+                  } else false // reserved subframe types: routed
                 if (!okSf) okFrame = false
                 else {
                   if (wasted > 0) { var k = 0; while (k < blocksize) { s(k) <<= wasted; k += 1 } }

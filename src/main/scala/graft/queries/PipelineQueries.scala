@@ -9167,10 +9167,13 @@ object PipelineQueries {
     // REAL FLAC DECODE (x158) — the lossless-audio leg next to x135/x136/
     // x153 (MP3) and x101/x102/x103 (images): ops/FlacFrames.scala walks
     // "fLaC" + STREAMINFO + frames and decodes CONSTANT / VERBATIM /
-    // FIXED(0–4) subframes with rice-partitioned residuals, verifying the
-    // header CRC-8 and whole-frame CRC-16 (RFC 9639). LPC subframes are
-    // the documented out-of-class route (x153's big-values discipline),
-    // exercised by a constructed LPC tail frame on doc_id%8=5 streams.
+    // FIXED(0–4) and LPC subframes with rice-partitioned residuals,
+    // verifying the header CRC-8 and whole-frame CRC-16 (RFC 9639).
+    // doc_id%8=5 streams carry a fourth frame with an order-1 LPC
+    // subframe (4-bit coefficient 4, shift 2 — the quantized-integer
+    // prediction (4·s)>>2 = s makes the reconstruction the prefix sum of
+    // the rice residuals, which the oracle predicts arithmetically; the
+    // full arbitrary-coefficient path is pinned by FlacFramesSpec).
     // Paired construction: the FLAC bitstream is assembled bit-for-bit in
     // pure SQL (variable-length rice codes as '0'/'1' strings, CRC-8/
     // CRC-16 as aggregate() folds — no UDF), while the ORACLE predicts
@@ -9224,17 +9227,22 @@ object PipelineQueries {
           s"concat(array_join(transform($all, b -> lpad(hex(b), 2, '0')), ''), " +
             s"lpad(hex(${crc16(all)}), 4, '0'))"
         }
-        val lpcStub = s"concat(array_join(transform(concat(${hdr("3")}, " +
-          s"array(${crc8(hdr("3"))}, 64)), b -> lpad(hex(b), 2, '0')), ''))"
+        // order-1 LPC: header '0'+100000+'0', 16-bit warm-up, prec-1=3,
+        // shift=2, coef=4, then rice4/porder0/param6 residuals v_i−v_{i−1}
+        val lpcBits = s"concat('01000000', ${s16(samp("3", "0"))}, " +
+          "'0011', '00010', '0100', '000000', '0110', " +
+          "aggregate(sequence(1, 7), CAST('' AS STRING), " +
+          s"(a, i) -> concat(a, ${rice6(s"${samp("3", "i")} - ${samp("3", "i - 1")}")})))"
         val streamInfo = "664C61438000002200080008000000000000" +
           "0AC440F000000000" + "0" * 32
         val base = documents(s, d).filter(col("doc_id") < 24)
           .withColumn("fx0", expr(frameHex("0", constBits)))
           .withColumn("fx1", expr(frameHex("1", verbBits)))
           .withColumn("fx2", expr(frameHex("2", fixedBits)))
+          .withColumn("fx3", expr(frameHex("3", lpcBits)))
           .withColumn("hx", expr(
             s"concat('$streamInfo', fx0, fx1, fx2, " +
-              s"CASE WHEN doc_id % 8 = 5 THEN $lpcStub ELSE '' END)"))
+              "CASE WHEN doc_id % 8 = 5 THEN fx3 ELSE '' END)"))
         graft.ops.FlacFrames.frames(
           base.select(col("doc_id").as("media_id"), unhex(col("hx")).as("media")))
           .toDF()
@@ -9245,21 +9253,19 @@ object PipelineQueries {
              |    CASE WHEN f = 0 THEN (doc_id * 37) % 128 - 64
              |      ELSE (doc_id * 37 + f * 11 + i * 7 + i * i) % 128 - 64 END AS v
              |  FROM b
-             |  CROSS JOIN (SELECT unnest(range(0, 3)) AS f)
-             |  CROSS JOIN (SELECT unnest(range(0, 8)) AS i)),
+             |  CROSS JOIN (SELECT unnest(range(0, 4)) AS f)
+             |  CROSS JOIN (SELECT unnest(range(0, 8)) AS i)
+             |  WHERE f < 3 OR doc_id % 8 = 5),
              |ag AS (SELECT doc_id, f, sum(v) AS sum_s, sum((i + 1) * v) AS dot_s,
              |    min(v) AS min_s, max(v) AS max_s FROM s GROUP BY 1, 2)
              |SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
              |  CAST(8 AS BIGINT) AS blocksize, CAST(44100 AS BIGINT) AS sample_rate,
-             |  CAST(LEAST(f, 2) AS BIGINT) AS subframe_type,
-             |  CAST(CASE WHEN f = 2 THEN doc_id % 3 ELSE 0 END AS BIGINT) AS pred_order,
+             |  CAST(CASE WHEN f = 3 THEN 3 ELSE LEAST(f, 2) END AS BIGINT) AS subframe_type,
+             |  CAST(CASE WHEN f = 2 THEN doc_id % 3 WHEN f = 3 THEN 1 ELSE 0 END AS BIGINT) AS pred_order,
              |  CAST(sum_s AS BIGINT) AS sum_s, CAST(dot_s AS BIGINT) AS dot_s,
              |  CAST(min_s AS BIGINT) AS min_s, CAST(max_s AS BIGINT) AS max_s,
              |  TRUE AS ok
              |FROM ag
-             |UNION ALL
-             |SELECT doc_id, 3, 0, 0, -1, -1, 0, 0, 0, 0, FALSE
-             |FROM b WHERE doc_id % 8 = 5
              |ORDER BY media_id, frame_idx""".stripMargin)),
 
     // UNIGRAM-TOKENIZER VITERBI (x159) — the segmentation half of the

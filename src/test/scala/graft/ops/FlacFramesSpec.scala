@@ -133,7 +133,7 @@ class FlacFramesSpec extends AnyFunSuite {
     assert(got == Seq(FlacFrames.FlacFrame(2L, 0, 4, 44100, 0, 0, -192, -480, -48, -48, ok = true)))
   }
 
-  test("corrupt CRC-16 fake-routes the frame; LPC subframe fake-routes") {
+  test("corrupt CRC-16 fake-routes the frame; reserved subframe type fake-routes") {
     val fr = frame(Seq(0), 4, 9, 0, 1) { w =>
       w.bit(0); w.bits(1, 6); w.bit(0)
       Seq(1L, 2L, 3L, 4L).foreach(v => signed(w, v, 8))
@@ -143,12 +143,57 @@ class FlacFramesSpec extends AnyFunSuite {
     assert(FlacFrames.decode(3L, bad) ==
       Seq(FlacFrames.FlacFrame(3L, 0, 0, 0, -1, -1, 0, 0, 0, 0, ok = false)))
 
-    val lpc = frame(Seq(0), 4, 9, 0, 1) { w =>
-      w.bit(0); w.bits(33, 6); w.bit(0) // LPC order 2
-      w.bits(0, 32)                     // garbage the decoder must not reach
+    val reserved = frame(Seq(0), 4, 9, 0, 1) { w =>
+      w.bit(0); w.bits(2, 6); w.bit(0) // type 000010: reserved
+      w.bits(0, 32)                    // garbage the decoder must not reach
     }
-    assert(FlacFrames.decode(4L, streamInfo(44100, 1, 8) ++ lpc) ==
+    assert(FlacFrames.decode(4L, streamInfo(44100, 1, 8) ++ reserved) ==
       Seq(FlacFrames.FlacFrame(4L, 0, 0, 0, -1, -1, 0, 0, 0, 0, ok = false)))
+  }
+
+  test("LPC order 2: quantized coefficients, shift, rice residual — integer-exact") {
+    val c0 = 3L; val c1 = -2L; val shift = 1
+    val warm = Seq(5L, -3L)
+    val res = Seq(4L, -7L, 2L, 0L, -1L, 6L)
+    val lpc = frame(Seq(0), 8, 9, 0, 1) { w =>
+      w.bit(0); w.bits(33, 6); w.bit(0) // LPC order 2 (type 100001)
+      warm.foreach(v => signed(w, v, 8))
+      w.bits(3, 4)       // precision-1 = 3 -> 4-bit coefficients
+      w.bits(shift.toLong, 5)
+      signed(w, c0, 4); signed(w, c1, 4)
+      w.bits(0, 2)       // rice4 method
+      w.bits(0, 4)       // partition order 0
+      w.bits(3, 4)       // param 3
+      res.foreach(v => rice(w, v, 3))
+    }
+    // independent reference recurrence (the decoder's is in the flatMap)
+    val s = Array.ofDim[Long](8)
+    s(0) = warm(0); s(1) = warm(1)
+    for (k <- 2 until 8) s(k) = res(k - 2) + ((c0 * s(k - 1) + c1 * s(k - 2)) >> shift)
+    val sum = s.sum
+    val dot = s.zipWithIndex.map { case (v, i) => (i + 1) * v }.sum
+    val got = FlacFrames.decode(8L, streamInfo(44100, 1, 8) ++ lpc)
+    assert(got == Seq(FlacFrames.FlacFrame(8L, 0, 8, 44100, 3, 2, sum, dot, s.min, s.max, ok = true)))
+  }
+
+  test("LPC escapes route: invalid precision 1111 and negative (reserved) shift") {
+    val badPrec = frame(Seq(0), 4, 9, 0, 1) { w =>
+      w.bit(0); w.bits(32, 6); w.bit(0) // LPC order 1
+      signed(w, 1, 8)                    // warm-up
+      w.bits(15, 4)                      // precision escape
+      w.bits(0, 5); w.bits(0, 16)
+    }
+    assert(FlacFrames.decode(6L, streamInfo(44100, 1, 8) ++ badPrec) ==
+      Seq(FlacFrames.FlacFrame(6L, 0, 0, 0, -1, -1, 0, 0, 0, 0, ok = false)))
+    val negShift = frame(Seq(0), 4, 9, 0, 1) { w =>
+      w.bit(0); w.bits(32, 6); w.bit(0)
+      signed(w, 1, 8)
+      w.bits(3, 4)
+      w.bits(31, 5)                      // two's-complement -1
+      w.bits(0, 16)
+    }
+    assert(FlacFrames.decode(7L, streamInfo(44100, 1, 8) ++ negShift) ==
+      Seq(FlacFrames.FlacFrame(7L, 0, 0, 0, -1, -1, 0, 0, 0, 0, ok = false)))
   }
 
   test("a frame truncated mid-subframe routes the frame, never throws") {
