@@ -81,4 +81,51 @@ object KMeansLite {
         struct(col("cos"), (-col("cent_id")).as("tie"))).as("best"))
       .select(col("vec_id"), col("best.embedding").as("embedding"),
         col("best.cent_id").as("cent_id"), col("best.cos").as("cos"))
+
+  /** Two-level coarse→fine IVF assignment — the scale path when the FINE
+    * centroid count k grows with the corpus (IVF's constant-occupancy
+    * regime, k = n/target): single-level [[assign]] scores every vector
+    * against every centroid, an n·k = n²/target term that dominated the
+    * 100× store builds. Here each vector is routed to its best COARSE
+    * centroid (|coarse| ≈ √k of the fine set), then scored only against
+    * the fine centroids living in that coarse cell — n·(k/m + m) work,
+    * minimized at m = √k to n·2√k.
+    *
+    * Semantics (the standard IVF-on-IVF approximation, and what an
+    * oracle twin must mirror): the result is the best fine centroid
+    * WITHIN the vector's coarse cell, each argmax breaking cosine ties
+    * toward the lowest id. A vector whose true nearest fine centroid
+    * sits in a neighboring cell gets that cell's best instead — the
+    * accepted miss, exactly SemDeDup's cross-cluster trade.
+    *
+    * `coarseCentroids` must be a SUBSET of `fineCentroids` (same ids,
+    * same embeddings). That guarantees every vector's cell is non-empty:
+    * a vector tie-breaks to the lowest id among duplicate-embedding
+    * coarse centroids, and that lowest twin assigns itself to its own
+    * cell (cos = 1 is the maximum, ties again break lowest).
+    *
+    * Scale shape: two broadcast joins (coarse ≈ √k rows; fine-with-cell
+    * k rows — model state, broadcastable far past 10⁶ centroids) and two
+    * n-row max_by hash-agg shuffles; candidate inflation n·m collapses
+    * map-side, never shuffled. */
+  def assignTwoLevel(
+      vectors: DataFrame,
+      fineCentroids: DataFrame,
+      coarseCentroids: DataFrame): DataFrame = {
+    val fineCell = assign(
+      fineCentroids.select(col("cent_id").as("vec_id"), col("c_emb").as("embedding")),
+      coarseCentroids)
+      .select(col("vec_id").as("f_id"), col("embedding").as("f_emb"),
+        col("cent_id").as("cell"))
+    val vecCell = assign(vectors, coarseCentroids)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    vecCell.join(broadcast(fineCell), Seq("cell"))
+      .withColumn("cos", VectorFunctions.cosine(col("embedding"), col("f_emb")))
+      .groupBy("vec_id")
+      .agg(max_by(
+        struct(col("embedding"), col("f_id"), col("cos")),
+        struct(col("cos"), (-col("f_id")).as("tie"))).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        col("best.f_id").as("cent_id"), col("best.cos").as("cos"))
+  }
 }

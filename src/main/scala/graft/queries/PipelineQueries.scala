@@ -215,14 +215,25 @@ object PipelineQueries {
       modulus: Int, rem: Int, corpus: => DataFrame): DataFrame =
     SharedCache.getOrCompute(SharedCache.key(s, d, s"ivf_assign:$tag:m$modulus:r$rem")) {
       graft.ops.DerivedStore.getOrBuild(s,
-        name = s"ivf_assign_v1_${tag}_m${modulus}_r${rem}_" + dirSlug(d),
+        name = s"ivf_assign_v2_${tag}_m${modulus}_r${rem}_" + dirSlug(d),
         inputFiles = Seq(s"$d/embeddings.parquet"),
         bucketCols = Seq("cent_id")) {
-        val cent = corpus.filter(col("vec_id") % modulus === rem)
+        val fine = corpus.filter(col("vec_id") % modulus === rem)
           .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
-        // the public ops API (graft.ops.KMeansLite.assign): max_by hash-agg,
-        // lowest-cent_id tie-break — plan-pinned in PlanShapeSpec
-        graft.ops.KMeansLite.assign(corpus, cent)
+        // TWO-LEVEL coarse→fine assignment (graft.ops.KMeansLite
+        // .assignTwoLevel): the centroid count here grows with the corpus
+        // (constant ~modulus occupancy), so single-level scoring was the
+        // catalog's one n² build term (111–184 s at the 100× decade).
+        // Coarse = every m-th fine centroid with m = ⌊√k⌋, giving
+        // n·(k/m + m) ≈ n·2√k work. k is model-state cardinality — the
+        // driver-side count is a scalar of the centroid frame, not data.
+        // Both argmax stages tie-break to the lowest id, and the oracle
+        // twins (x07/x45) mirror the same two stages CTE for CTE. v2:
+        // assignment semantics changed from exact to within-coarse-cell.
+        val k = fine.count()
+        val m = math.max(1L, math.sqrt(k.toDouble).toLong)
+        val coarse = fine.filter(((col("cent_id") - rem) % (modulus * m)) === 0)
+        graft.ops.KMeansLite.assignTwoLevel(corpus, fine, coarse)
           .select(col("vec_id"), col("cent_id"), col("embedding"))
       }.localCheckpoint(eager = true)
     }
@@ -574,9 +585,12 @@ object PipelineQueries {
 
     // ——— Similarity search ———
 
-    // IVF-style ANN: coarse centroids (deterministic pseudo-sample), assign
-    // every vector to its nearest centroid (broadcast), then search only the
-    // query's cluster. The brute-force baseline is q21_cosine_topk.
+    // IVF-style ANN: fine centroids (deterministic pseudo-sample, count ∝
+    // corpus for constant occupancy), TWO-LEVEL coarse→fine assignment
+    // (KMeansLite.assignTwoLevel — √k coarse router, then the fine argmax
+    // within the coarse cell; n·2√k build work instead of the n·k ≈ n²/97
+    // single-level term), then search only the query's cluster. The
+    // brute-force baseline is q21_cosine_topk.
     QueryDef(
       "x07_ann_ivf",
       (s, d) => {
@@ -602,11 +616,22 @@ object PipelineQueries {
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
              |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm FROM embeddings),
              |cent AS (SELECT vec_id AS cent_id, emb AS c_emb, norm AS c_norm FROM e WHERE vec_id % 97 = 0),
-             |ac AS (SELECT e.vec_id, cent.cent_id, e.emb, e.norm,
-             |  list_dot_product(e.emb, cent.c_emb) / (e.norm * cent.c_norm) AS ccos,
+             |mm AS (SELECT greatest(1, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) AS m FROM cent),
+             |co AS (SELECT cent.* FROM cent, mm WHERE cent_id % (97 * m) = 0),
+             |fc AS (SELECT f.cent_id, f.c_emb, f.c_norm, co.cent_id AS cell,
+             |  row_number() OVER (PARTITION BY f.cent_id
+             |    ORDER BY list_dot_product(f.c_emb, co.c_emb) / (f.c_norm * co.c_norm) DESC, co.cent_id) AS rn
+             |  FROM cent f CROSS JOIN co),
+             |fcell AS (SELECT cent_id, c_emb, c_norm, cell FROM fc WHERE rn = 1),
+             |vc AS (SELECT e.vec_id, e.emb, e.norm, co.cent_id AS cell,
              |  row_number() OVER (PARTITION BY e.vec_id
-             |    ORDER BY list_dot_product(e.emb, cent.c_emb) / (e.norm * cent.c_norm) DESC, cent.cent_id) AS arn
-             |  FROM e CROSS JOIN cent),
+             |    ORDER BY list_dot_product(e.emb, co.c_emb) / (e.norm * co.c_norm) DESC, co.cent_id) AS rn
+             |  FROM e CROSS JOIN co),
+             |vcell AS (SELECT vec_id, emb, norm, cell FROM vc WHERE rn = 1),
+             |ac AS (SELECT v.vec_id, f.cent_id, v.emb, v.norm,
+             |  row_number() OVER (PARTITION BY v.vec_id
+             |    ORDER BY list_dot_product(v.emb, f.c_emb) / (v.norm * f.c_norm) DESC, f.cent_id) AS arn
+             |  FROM vcell v JOIN fcell f ON f.cell = v.cell),
              |assigned AS (SELECT vec_id, cent_id, emb, norm FROM ac WHERE arn = 1),
              |q AS (SELECT vec_id AS q_id, cent_id, emb AS q_emb, norm AS q_norm FROM assigned
              |  WHERE vec_id IN (1, 2, 3)),
@@ -2345,12 +2370,14 @@ object PipelineQueries {
     // — a fixed centroid count would make cluster size, and the pair
     // stage, grow quadratically. (Clone ids ≥ 10000 duplicate some
     // centroid embeddings; ties break to the lowest cent_id identically in
-    // both engines, so that is harmless.) At extreme scale the pseudo-
-    // sample swaps for trained k-means centroids (x23, k ≈ √n or corpus/
-    // target-occupancy) and, past broadcastable k, two-level coarse→fine
-    // assignment. The id-shifted clone corpus guarantees positives: a
-    // clone's embedding is identical, so it co-clusters with its original
-    // (same ccos per centroid, same tie-break) and cosines to 1.0.
+    // both engines, so that is harmless.) Assignment is TWO-LEVEL
+    // coarse→fine (ivfAssignedShared → KMeansLite.assignTwoLevel): with k
+    // ∝ corpus the single-level scoring was itself an n²/83 build term;
+    // the √k coarse router makes the build n·2√k while keeping constant
+    // expected occupancy. The id-shifted clone corpus guarantees
+    // positives: a clone's embedding is identical, so every argmax stage
+    // scores and tie-breaks it identically to its original — clones
+    // co-cluster through both levels and cosine to 1.0.
     QueryDef(
       "x45_semdedup",
       (s, d) => {
@@ -2377,11 +2404,22 @@ object PipelineQueries {
              |  FROM corpus),
              |cent AS (SELECT vec_id AS cent_id, emb AS c_emb, norm AS c_norm FROM e
              |  WHERE vec_id % 83 = 2),
-             |ac AS (SELECT e.vec_id, cent.cent_id, e.emb, e.norm,
+             |mm AS (SELECT greatest(1, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) AS m FROM cent),
+             |co AS (SELECT cent.* FROM cent, mm WHERE (cent_id - 2) % (83 * m) = 0),
+             |fc AS (SELECT f.cent_id, f.c_emb, f.c_norm, co.cent_id AS cell,
+             |  row_number() OVER (PARTITION BY f.cent_id
+             |    ORDER BY list_dot_product(f.c_emb, co.c_emb) / (f.c_norm * co.c_norm) DESC, co.cent_id) AS rn
+             |  FROM cent f CROSS JOIN co),
+             |fcell AS (SELECT cent_id, c_emb, c_norm, cell FROM fc WHERE rn = 1),
+             |vc AS (SELECT e.vec_id, e.emb, e.norm, co.cent_id AS cell,
              |  row_number() OVER (PARTITION BY e.vec_id
-             |    ORDER BY list_dot_product(e.emb, cent.c_emb) / (e.norm * cent.c_norm)
-             |      DESC, cent.cent_id) AS arn
-             |  FROM e CROSS JOIN cent),
+             |    ORDER BY list_dot_product(e.emb, co.c_emb) / (e.norm * co.c_norm) DESC, co.cent_id) AS rn
+             |  FROM e CROSS JOIN co),
+             |vcell AS (SELECT vec_id, emb, norm, cell FROM vc WHERE rn = 1),
+             |ac AS (SELECT v.vec_id, f.cent_id, v.emb, v.norm,
+             |  row_number() OVER (PARTITION BY v.vec_id
+             |    ORDER BY list_dot_product(v.emb, f.c_emb) / (v.norm * f.c_norm) DESC, f.cent_id) AS arn
+             |  FROM vcell v JOIN fcell f ON f.cell = v.cell),
              |assigned AS (SELECT vec_id, cent_id, emb, norm FROM ac WHERE arn = 1)
              |SELECT a.vec_id AS vec_id, a.cent_id AS cent_id,
              |  coalesce(bool_or(

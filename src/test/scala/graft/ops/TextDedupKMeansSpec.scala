@@ -26,6 +26,33 @@ class TextDedupKMeansSpec extends SparkSpec {
     assert(arr.filter(size(col("sigs")) =!= 8).count() == 0)
   }
 
+  test("two-level assignment == within-cell reference, and cells are never empty") {
+    val vecs = Tables.embeddings(spark, sf001).select("vec_id", "embedding")
+    val fine = vecs.filter(col("vec_id") % 11 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
+    val coarse = fine.filter(col("cent_id") % 55 === 0) // every 5th fine centroid
+    val twoLevel = KMeansLite.assignTwoLevel(vecs, fine, coarse)
+      .select("vec_id", "cent_id").as[(Long, Long)].collect().toMap
+    // reference: coarse argmax, then exact argmax restricted to that cell,
+    // computed through the single-level op (independent composition)
+    val vecCell = KMeansLite.assign(vecs, coarse)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+    val fineCell = KMeansLite.assign(
+      fine.select(col("cent_id").as("vec_id"), col("c_emb").as("embedding")), coarse)
+      .select(col("vec_id").as("f_id"), col("embedding").as("f_emb"), col("cent_id").as("cell"))
+    val ref = vecs.join(vecCell, "vec_id").join(fineCell, "cell")
+      .withColumn("cos", graft.functions.VectorFunctions.cosine(col("embedding"), col("f_emb")))
+      .groupBy("vec_id")
+      .agg(max_by(col("f_id"), struct(col("cos"), (-col("f_id")).as("t"))).as("cent_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(twoLevel == ref)
+    assert(twoLevel.size == vecs.count(), "every vector must land in a non-empty cell")
+    // a vector that IS a fine centroid must assign to itself (cos = 1,
+    // lowest-id tie-break, and its own cell contains it)
+    val selfIds = fine.select("cent_id").as[Long].collect().toSet
+    assert(selfIds.forall(id => twoLevel(id) == id))
+  }
+
   test("spherical k-means improves (or maintains) mean max-cosine over init") {
     val vecs = Tables.embeddings(spark, sf001).select("vec_id", "embedding")
     val init = KMeansLite.fit(vecs, k = 4, iterations = 0)
