@@ -200,6 +200,43 @@ object TextDedup {
         .select("a_id", "b_id"))
   }
 
+  /** One-row diagnostic of the LSH banding's actual join work — the
+    * per-decade instrument behind SCALE.md's pair-count table. The
+    * band-bucket self-join's cost is Σ over buckets of c·(c−1)/2
+    * (`joined_rows`); if that grows faster than the corpus, band
+    * occupancy is saturating the way x06's 8-bit sign buckets did and
+    * the banding needs retuning (more bands / wider signatures). Columns:
+    * n_docs, n_buckets, max_bucket (largest single bucket), joined_rows
+    * (pre-dedup pair candidates the join physically produces),
+    * n_candidates (distinct candidate pairs), n_verified (n_match ≥
+    * minMatch — what the dedup family consumes). One shuffle over the
+    * band frame + the same bucket join the production path runs. */
+  def lshPairStats(
+      docs: DataFrame,
+      seeds: Int = 8,
+      rowsPerBand: Int = 2,
+      minMatch: Int = 6): DataFrame = {
+    val bands = bandFrame(docs, seeds, rowsPerBand).localCheckpoint(true)
+    val nDocs = bands.select(col("doc_id")).distinct().agg(count(lit(1)).as("n_docs"))
+    val buckets = bands.groupBy("band", "bsig").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_buckets"), max(col("c")).as("max_bucket"),
+        sum(col("c") * (col("c") - 1) / 2).cast("long").as("joined_rows"))
+    val pairs = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.sigs").as("sa"), col("b.sigs").as("sb"))
+      .groupBy("a_id", "b_id")
+      .agg(first(col("sa")).as("sa"), first(col("sb")).as("sb"))
+      .select(
+        size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y), p => p))
+          .cast("long").as("n_match"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("n_match") >= minMatch, 1L).otherwise(0L)).as("n_verified"))
+    nDocs.crossJoin(buckets).crossJoin(pairs)
+  }
+
   /** [[dedupMapping]] over a PREBUILT pair set (see [[lshPairs]]): only the
     * iterative component stage runs here. `pairs` is consumed lazily every
     * pass — hand in a materialized frame, and release it yourself (the

@@ -9556,17 +9556,23 @@ object PipelineQueries {
     // 1-off xpath index cannot hash-match. Internal cross-check: the
     // xpath leg must agree with the from_xml leg on the same field.
     // Scale: per-row parse expressions feeding one partial-combined agg
-    // on event_type; no UDF, no extra shuffle — the crawl-ingest posture
-    // (sitemaps/RSS/MathML land as XML at corpus scale). StAX parse is a
-    // real ~20 µs/row cost that grows linearly with the fixture, so the
-    // GATE bounds its corpus to a fixed 60k-event slice (the x86 lesson:
-    // price the surface, not fixture replication) — the oracle twin
-    // applies the identical bound.
+    // on event_type; no UDF — the crawl-ingest posture (sitemaps/RSS/
+    // MathML land as XML at corpus scale). StAX parse is a real ~20 µs/row
+    // cost that grows linearly with the fixture, so the GATE bounds its
+    // corpus to a fixed 60k-event slice (the x86 lesson: price the
+    // surface, not fixture replication) — the oracle twin applies the
+    // identical bound. The slice is REPARTITIONED before the parse: a
+    // bounded slice of a small file is otherwise however many parquet
+    // splits the FIXTURE's byte size produced (1 split at sf0.1, ~4 at
+    // 10× — the round-8 "inversion": 10× measured FASTER because its
+    // bigger file happened to parallelize the same 60k rows). One
+    // round-robin exchange of 60k tiny rows buys 32-way parse
+    // parallelism at every SF.
     QueryDef(
       "x162_xml_decode",
       (s, d) => {
         val ev = s"parquet.`$d/events.parquet`"
-        s.sql(s"""WITH x AS (SELECT event_type, event_id,
+        s.sql(s"""WITH x AS (SELECT /*+ REPARTITION(32) */ event_type, event_id,
                  |    event_id % 4 AS m,
                  |    concat('<e id="', CAST(event_id AS STRING), '"><k>',
                  |      CAST(event_id % 97 AS STRING), '</k><tags>',
