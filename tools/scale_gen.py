@@ -15,7 +15,7 @@ still resolves and replica 0 is byte-identical to the source:
   1e6 keeps replica ranges clear of the +10000/+20000/+30000 clone ids the
   gated dedup queries synthesize (see the stride comment below); for
   replicas > 0
-  every 5th token gets a per-replica suffix and n_chars is recomputed.
+  every 3rd token gets a per-replica suffix and n_chars is recomputed.
   WHY: cross-replica docs must NOT be near-duplicates, or the LSH/Jaccard/
   SimHash pair stages grow quadratically on fake duplicates that real
   corpora don't have (the dedup queries' cost would be dominated by an
@@ -106,10 +106,20 @@ def main():
     k_doc = con.sql(
         f"SELECT max(doc_id) + 1 + 1000000 FROM '{src}/documents.parquet'"
     ).fetchone()[0]
-    # DuckDB list lambdas: (tok, i) -> ... with 1-based index i
+    # DuckDB list lambdas: (tok, i) -> ... with 1-based index i.
+    # Stride 3, not 5: the dedup family shingles TOKEN 3-GRAMS, and every
+    # window of 3 consecutive tokens contains an index === 1 (mod 3), so a
+    # stride-3 per-replica suffix perturbs EVERY shingle — no shingle, no
+    # minhash minimum, and no LSH band signature survives across replicas.
+    # The round-8 stride of 5 left 2 of every 5 shingles byte-identical
+    # across replicas, which preserved enough minhash minima that at the
+    # 100x decade 28.5M of 29.2M candidate pairs were CROSS-replica
+    # (measured, graft.PairStats round 9) — a generator artifact that made
+    # the pair stage look quadratic when the operator itself is linear on
+    # decorrelated data.
     perturbed = """CASE WHEN r = 0 THEN text ELSE array_to_string(
         list_transform(string_split(text, ' '),
-            (tok, i) -> CASE WHEN i % 5 = 1 THEN tok || '~r' || r::VARCHAR
+            (tok, i) -> CASE WHEN i % 3 = 1 THEN tok || '~r' || r::VARCHAR
                         ELSE tok END), ' ') END"""
     write(con, f"""
         SELECT doc_id + r * {k_doc} AS doc_id,
