@@ -11,13 +11,19 @@ import org.apache.spark.sql.functions._
   * the supported bitstream class is scoped to what is verifiable without
   * the spec's tabulated big-values codebooks (Table B.7, 32 data tables):
   *
+  *   - big-values-region Huffman ([[Mp3Huffman]]): `big_values` PAIRS of
+  *     spectral lines decoded with the granule's selected codebook —
+  *     linbits escapes and per-nonzero sign bits included — when all
+  *     three regions select ONE transcribed codebook (equal selects make
+  *     the Table-B.8 region boundaries irrelevant: the same book decodes
+  *     either side of every boundary, so the scalefactor-band tables are
+  *     not needed). Differing selects or an untranscribed book degrade
+  *     that granule to ok = false with zeroed fields — the documented
+  *     fake-route, never a crash.
   *   - count1-region Huffman with count1table_select = 1 — Table B, the
   *     spec's fixed-length quadruple table (code = one's complement of the
   *     4-bit (v,w,x,y) tuple, one sign bit per nonzero value, sign bit 1
-  *     = negative). big_values must be 0 (a legal granule: the entire
-  *     spectrum is count1 quadruples + rzero); a granule selecting data
-  *     codebooks degrades to ok = false with zeroed spectral fields — the
-  *     documented fake-route, never a crash.
+  *     = negative) — following the big-values pairs, while budget remains.
   *   - Requantization: xr = sign · |v|^(4/3) · 2^((global_gain − 210)/4)
   *     with all-zero scalefactors (scalefac_compress = 0, preflag = 0,
   *     scalefac_scale = 0) — count1 values are ±1, so |v|^(4/3) = |v| and
@@ -63,7 +69,10 @@ object Mp3Spectra {
       bits_ok: Boolean,
       energy_pre_ok: Boolean,
       energy_win_ok: Boolean,
-      total_samples: Long)
+      total_samples: Long,
+      n_pairs: Long,  // big-values pairs decoded (0 for count1-only granules)
+      sum_v: Long,    // Σ signed INTEGER spectral values over the big region
+      dot_v: Long)    // Σ (line+1)·value — position-weighted, pins line placement
 
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
 
@@ -109,7 +118,7 @@ object Mp3Spectra {
 
   private final case class Side(
       mdb: Int, p23: Int, big: Int, gain: Int, scomp: Int,
-      blockType: Int, c1ts: Int)
+      blockType: Int, c1ts: Int, ts0: Int, ts1: Int, ts2: Int)
 
   /** Decode one mono no-CRC MPEG-1 Layer III stream into per-granule
     * spectral rows. Structural deviations from the supported class
@@ -168,11 +177,17 @@ object Mp3Spectra {
               val gain = r.read(8)
               val scomp = r.read(4)
               val wsf = r.read(1)
+              var t0 = 0; var t1 = 0; var t2 = 0
               val bt = if (wsf == 1) { val b = r.read(2); r.skip(20); b }
-                else { r.skip(22); 0 }
+                else {
+                  // 3×5 table_select + region_address1(4) + region_address2(3)
+                  t0 = r.read(5); t1 = r.read(5); t2 = r.read(5)
+                  r.skip(7)
+                  0
+                }
               r.skip(2) // preflag, scalefac_scale
               val c1ts = r.read(1)
-              Side(mdb, p23, big, gain, scomp, if (wsf == 1) bt else 0, c1ts)
+              Side(mdb, p23, big, gain, scomp, if (wsf == 1) bt else 0, c1ts, t0, t1, t2)
             }
             // main data (mdb must be 0 in the supported class: no reservoir)
             val md = new BitReader(bytes, i + 4 + 17)
@@ -181,9 +196,16 @@ object Mp3Spectra {
               val s = sides(g)
               // hasBits: a last frame whose earlier granule's p23 pushed the
               // reader to the stream tail must fake-route, not read past the
-              // array (read() also saturates as a second layer)
-              val okStruct = s.mdb == 0 && s.big == 0 && s.blockType == 0 &&
-                s.c1ts == 1 && s.scomp == 0 && md.hasBits(s.p23)
+              // array (read() also saturates as a second layer). big_values
+              // granules are IN CLASS when all three regions select one
+              // transcribed codebook (equal selects make the Table-B.8
+              // scalefactor-band region boundaries irrelevant to decoding —
+              // same book either side of every boundary); differing selects
+              // or an untranscribed book fake-route.
+              val okStruct = s.mdb == 0 && s.blockType == 0 &&
+                s.c1ts == 1 && s.scomp == 0 && md.hasBits(s.p23) &&
+                (s.big == 0 || (s.ts0 == s.ts1 && s.ts1 == s.ts2 &&
+                  Mp3Huffman.tables.contains(s.ts0)))
               if (!okStruct) {
                 // fake route: structural deviation — consume the granule's
                 // bit budget blind so granule 1 stays aligned, emit the
@@ -203,7 +225,7 @@ object Mp3Spectra {
                 totalSamples += 576
                 pending += GranuleSpectra(id, frameIdx, g.toLong, ok = false,
                   0L, -1L, 0L, s.gain.toLong, 0L, bits_ok = false,
-                  energy_pre_ok = false, energy_win_ok = false, 0L)
+                  energy_pre_ok = false, energy_win_ok = false, 0L, 0L, 0L, 0L)
               } else {
                 val start = md.pos
                 // scalefac_compress = 0 → slen1 = slen2 = 0 → 0 scalefactor bits
@@ -215,6 +237,37 @@ object Mp3Spectra {
                 var magQ20 = 0L
                 val q = (s.gain - 210) / 4 // gain ≡ 210 (mod 4) in-class
                 val mag = java.lang.Math.scalb(1.0, q)
+                // big-values region first (ISO §2.4.3.4.6): s.big PAIRS of
+                // lines decoded with the selected codebook; value == max in
+                // an escape book adds `linbits` raw bits; one sign bit per
+                // nonzero (1 = negative); xr = sign · |v|^(4/3) · mag. The
+                // integer observables (n_pairs/sum_v/dot_v) pin the Huffman
+                // walk exactly; the float |v|^(4/3) leg rides the energy
+                // identities like every other spectral line.
+                var nPairs = 0L
+                var sumV = 0L
+                var dotV = 0L
+                if (s.big > 0) {
+                  val cb = Mp3Huffman.tables(s.ts0)
+                  var pi = 0
+                  while (pi < s.big && md.pos - start < s.p23 && line + 2 <= 576) {
+                    val (vx, vy) =
+                      Mp3Huffman.decodeValuePair(cb, () => md.read(1), n => md.read(n))
+                    if (vx != 0) {
+                      xr(line) = java.lang.Math.signum(vx.toDouble) *
+                        math.pow(math.abs(vx.toDouble), 4.0 / 3.0) * mag
+                      sumV += vx; dotV += (line + 1) * vx
+                    }
+                    if (vy != 0) {
+                      xr(line + 1) = java.lang.Math.signum(vy.toDouble) *
+                        math.pow(math.abs(vy.toDouble), 4.0 / 3.0) * mag
+                      sumV += vy; dotV += (line + 2) * vy
+                    }
+                    line += 2
+                    pi += 1
+                    nPairs += 1
+                  }
+                }
                 while (md.pos - start < s.p23 && line + 4 <= 576) {
                   // Table B: 4-bit code = ~(v,w,x,y)
                   val code = (~md.read(4)) & 0xf
@@ -288,7 +341,7 @@ object Mp3Spectra {
                 val winOk = math.abs(eWin - eSpec9) <= 1e-9 * (eSpec9 + 1e-30)
                 pending += GranuleSpectra(id, frameIdx, g.toLong, ok = true,
                   nQuads, nzLine, signVal, s.gain.toLong, magQ20, bitsOk,
-                  preOk, winOk, 0L)
+                  preOk, winOk, 0L, nPairs, sumV, dotV)
               }
               nGranules += 1
               g += 1

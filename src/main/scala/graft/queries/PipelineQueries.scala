@@ -8847,14 +8847,17 @@ object PipelineQueries {
 
     // MP3 SPECTRAL RECONSTRUCTION (x153) — the decode stage below x136's
     // side-info walk, closing the audio leg the way x101/x102 closed
-    // images: count1-region Huffman (spec Table B — the fixed-length
+    // images: BIG-VALUES-region Huffman (graft.ops.Mp3Huffman — the
+    // Table-B.7 codebooks, pair codes + linbits escapes + per-nonzero
+    // signs, in-class when all three regions select one transcribed
+    // book), count1-region Huffman (spec Table B — the fixed-length
     // quadruple codebook: code = one's complement of (v,w,x,y), one sign
-    // bit per nonzero), requantization (± 2^((global_gain − 210)/4) for
-    // ±1 count1 values), the 8 Table-B.9 alias-reduction butterflies,
-    // 36-point IMDCT, sin windowing and 50% overlap-add
-    // ([[graft.ops.Mp3Spectra]]; the spec-tabulated big-values codebooks
-    // B.7 are the documented out-of-class route: such granules fake-route
-    // to ok = false, which media_id 28 exercises). Paired construction at
+    // bit per nonzero), requantization (sign · |v|^(4/3) ·
+    // 2^((global_gain − 210)/4)), the 8 Table-B.9 alias-reduction
+    // butterflies, 36-point IMDCT, sin windowing and 50% overlap-add
+    // ([[graft.ops.Mp3Spectra]]; a granule selecting an UNTRANSCRIBED
+    // codebook fake-routes to ok = false, which media_id 28 exercises
+    // via table_select 7). Paired construction at
     // the bit level (the x136 discipline, third independent construction
     // counting the unit spec's bit-writer): Spark assembles real mono
     // frames from per-(doc, frame, granule) field arithmetic in SQL
@@ -8870,15 +8873,35 @@ object PipelineQueries {
     QueryDef(
       "x153_mp3_spectra",
       (s, d) => {
-        def Q(g: Int) = if (g == 0) "(2 + doc_id % 3)" else "(6 + (doc_id + 1) % 3)"
+        // doc_id % 8 = 3 streams carry a BIG-VALUES granule 0: big = 1,
+        // all three regions selecting transcribed codebook 2 (pair
+        // (2, 0), its code '00011' + one sign bit = 6 main-data bits
+        // before the count1 quads), count1 pushed deep enough (7–8
+        // quads) that its line lands past the alias butterflies —
+        // one nonzero per subband keeps the energy identities exact.
+        // doc 28 keeps the fake-route exercised, now via table_select =
+        // 7 (untranscribed codebook; table 0 would legally decode).
+        def Q(g: Int) = if (g == 0)
+          "(CASE WHEN doc_id % 8 = 3 THEN 7 + (doc_id DIV 8) % 2 ELSE 2 + doc_id % 3 END)"
+        else "(6 + (doc_id + 1) % 3)"
         def P(g: Int) = s"((doc_id + ${2 * g} + f) % 4)"
         def Sg(g: Int) = s"((doc_id + $g + f) % 2)"
         def Gain(g: Int) = s"(162 + 4 * ((doc_id * 5 + f * 3 + $g * 7) % 25))"
-        val big = "(CASE WHEN doc_id = 28 THEN 5 ELSE 0 END)"
+        def Big(g: Int) = if (g == 0)
+          "(CASE WHEN doc_id = 28 THEN 5 WHEN doc_id % 8 = 3 THEN 1 ELSE 0 END)"
+        else "(CASE WHEN doc_id = 28 THEN 5 ELSE 0 END)"
+        // table_select ×3 sits at bits 24-20/19-15/14-10 of the 59-bit
+        // granule: 2 everywhere = 2164736, 7 everywhere = 7576576
+        def Tsel(g: Int) = if (g == 0)
+          "(CASE WHEN doc_id = 28 THEN 7576576 WHEN doc_id % 8 = 3 THEN 2164736 ELSE 0 END)"
+        else "(CASE WHEN doc_id = 28 THEN 7576576 ELSE 0 END)"
+        def P23(g: Int) = if (g == 0)
+          s"(CASE WHEN doc_id % 8 = 3 THEN 4 * ${Q(0)} + 7 ELSE 4 * ${Q(0)} + 1 END)"
+        else s"(4 * ${Q(1)} + 1)"
         // 59-bit granule side info: part2_3(12) big(9) gain(8) scomp(4)
         // wsf(1) regions(22) preflag(1) sfs(1) count1table_select(1) = 1
-        def side(g: Int) = s"((4 * ${Q(g)} + 1) * 140737488355328 + " +
-          s"$big * 274877906944 + ${Gain(g)} * 1073741824 + 1)"
+        def side(g: Int) = s"(${P23(g)} * 140737488355328 + " +
+          s"${Big(g)} * 274877906944 + ${Gain(g)} * 1073741824 + ${Tsel(g)} + 1)"
         // side-info bit j of 136: mdb+priv+scfsi zeros, then 2×59
         val sbit = s"(CASE WHEN j < 18 THEN 0 " +
           s"WHEN j < 77 THEN shiftright(${side(0)}, CAST(76 - j AS INT)) " +
@@ -8888,13 +8911,20 @@ object PipelineQueries {
             .replace("j", "(k * 8 + t)")
         val sideHex =
           s"array_join(transform(sequence(CAST(0 AS BIGINT), 16), k -> ${hbS(sideByte)}), '')"
-        // main-data bit j: granule 0 then granule 1 quadruple codes
+        // main-data bit j: granule 0's big-values prefix (code '00011' for
+        // (2,0) + sign), then granule 0 and granule 1 quadruple codes
+        val bigSign = "((doc_id * 3 + f) % 2)"
+        val bigPrefix0 =
+          s"WHEN doc_id % 8 = 3 AND (j) < 3 THEN 0 " +
+            s"WHEN doc_id % 8 = 3 AND (j) < 5 THEN 1 " +
+            s"WHEN doc_id % 8 = 3 AND (j) = 5 THEN $bigSign "
+        val off0 = "(CASE WHEN doc_id % 8 = 3 THEN 6 ELSE 0 END)"
         def gbits(g: Int, off: String) =
           s"WHEN (j) - $off < 4 * (${Q(g)} - 1) THEN 1 " +
             s"WHEN (j) - $off < 4 * ${Q(g)} THEN shiftright(15 - shiftright(8, CAST(${P(g)} AS INT)), " +
             s"CAST(3 - ((j) - $off - 4 * (${Q(g)} - 1)) AS INT)) " +
             s"WHEN (j) - $off = 4 * ${Q(g)} THEN ${Sg(g)} "
-        val mbit = (s"(CASE ${gbits(0, "0")} ${gbits(1, s"(4 * ${Q(0)} + 1)")} " +
+        val mbit = (s"(CASE $bigPrefix0 ${gbits(0, off0)} ${gbits(1, P23(0))} " +
           "ELSE 0 END % 2)").replace("j", "(k * 8 + t)")
         val mainByte = "aggregate(sequence(CAST(0 AS BIGINT), 7), CAST(0 AS BIGINT), " +
           s"(acc, t) -> acc * 2 + $mbit)"
@@ -8914,8 +8944,11 @@ object PipelineQueries {
       Some("""WITH b AS (SELECT doc_id, 2 + doc_id % 2 AS n FROM documents
              |  WHERE doc_id < 32),
              |g AS (SELECT doc_id, n, f, gr,
-             |  CASE WHEN gr = 0 THEN 2 + doc_id % 3
+             |  CASE WHEN gr = 0 THEN (CASE WHEN doc_id % 8 = 3
+             |      THEN 7 + (doc_id // 8) % 2 ELSE 2 + doc_id % 3 END)
              |    ELSE 6 + (doc_id + 1) % 3 END AS q,
+             |  CASE WHEN gr = 0 AND doc_id % 8 = 3 THEN 1 ELSE 0 END AS bv,
+             |  (doc_id * 3 + f) % 2 AS bsg,
              |  (doc_id + 2 * gr + f) % 4 AS p,
              |  (doc_id + gr + f) % 2 AS sg,
              |  162 + 4 * ((doc_id * 5 + f * 3 + gr * 7) % 25) AS gain,
@@ -8927,7 +8960,7 @@ object PipelineQueries {
              |SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
              |  CAST(gr AS BIGINT) AS granule, okk AS ok,
              |  CAST(CASE WHEN okk THEN q ELSE 0 END AS BIGINT) AS n_quads,
-             |  CAST(CASE WHEN okk THEN 4 * (q - 1) + p ELSE -1 END AS BIGINT)
+             |  CAST(CASE WHEN okk THEN 2 * bv + 4 * (q - 1) + p ELSE -1 END AS BIGINT)
              |    AS nonzero_line,
              |  CAST(CASE WHEN okk THEN 1 - 2 * sg ELSE 0 END AS BIGINT) AS sign_val,
              |  CAST(gain AS BIGINT) AS gain,
@@ -8935,7 +8968,10 @@ object PipelineQueries {
              |    THEN (CAST(1 AS BIGINT) << CAST((gain - 210) // 4 + 20 AS INT))
              |    ELSE 0 END AS BIGINT) AS mag_q20,
              |  okk AS bits_ok, okk AS energy_pre_ok, okk AS energy_win_ok,
-             |  CAST((2 * n + 1) * 576 AS BIGINT) AS total_samples
+             |  CAST((2 * n + 1) * 576 AS BIGINT) AS total_samples,
+             |  CAST(CASE WHEN okk THEN bv ELSE 0 END AS BIGINT) AS n_pairs,
+             |  CAST(CASE WHEN okk THEN bv * (1 - 2 * bsg) * 2 ELSE 0 END AS BIGINT) AS sum_v,
+             |  CAST(CASE WHEN okk THEN bv * (1 - 2 * bsg) * 2 ELSE 0 END AS BIGINT) AS dot_v
              |FROM g ORDER BY 1, 2, 3""".stripMargin)),
 
     // ARBITRARY STATEFUL STREAMING (x154) — the last streaming API tier

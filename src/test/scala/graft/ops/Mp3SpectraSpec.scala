@@ -26,10 +26,15 @@ class Mp3SpectraSpec extends AnyFunSuite {
 
   /** One frame: header + mono side info + main data holding, per granule,
     * (nQuads−1) zero quads, one quad with a single ±1 at position p, then
-    * zero-pad. bigValues/blockSel allow constructing out-of-class granules. */
+    * zero-pad. bigValues/tsel/tsel2 allow constructing big-values and
+    * out-of-class granules (tsel2 defaults to tsel; differing selects are
+    * out of the supported class). */
   private def frame(
       quads: Seq[(Int, Int, Boolean, Int)], // per granule: (nQuads, p, neg, gain)
-      bigValues: Int = 0): Array[Byte] = {
+      bigValues: Int = 0,
+      tsel: Int = 0,
+      tsel2: Int = -1): Array[Byte] = {
+    val t2 = if (tsel2 < 0) tsel else tsel2
     val w = new BitWriter(FrameBytes)
     w.write(0xfffb50c0L, 32) // sync + MPEG1 L3 noCRC + 64kbps/44100 + mono
     w.write(0, 9) // main_data_begin
@@ -41,7 +46,8 @@ class Mp3SpectraSpec extends AnyFunSuite {
       w.write(gain, 8)
       w.write(0, 4) // scalefac_compress
       w.write(0, 1) // window_switching
-      w.write(0, 22) // table_select / region counts
+      w.write(tsel, 5); w.write(t2, 5); w.write(tsel, 5) // table_select ×3
+      w.write(0, 7) // region_address1/2
       w.write(0, 2) // preflag, scalefac_scale
       w.write(1, 1) // count1table_select = 1 (Table B)
     }
@@ -83,15 +89,63 @@ class Mp3SpectraSpec extends AnyFunSuite {
     }
   }
 
-  test("a big-values granule fake-routes and the stream stays aligned") {
-    val rows = Mp3Spectra.decode(2L,
-      frame(Seq((2, 0, false, 222), (3, 2, false, 214)), bigValues = 5))
+  test("an untranscribed or mixed-select big-values granule fake-routes; the stream stays aligned") {
+    // table 7 is not transcribed -> route
+    val un = frame(Seq((2, 0, false, 222), (3, 2, false, 214)), bigValues = 5, tsel = 7)
+    val rows = Mp3Spectra.decode(2L, un)
     assert(rows.length == 2)
     assert(rows.forall(r => !r.ok && r.nonzero_line == -1 && r.mag_q20 == 0))
     // sample stream still continuous: 2 granules + flush
-    assert(Mp3Spectra.emittedSamples(2L,
-      frame(Seq((2, 0, false, 222), (3, 2, false, 214)), bigValues = 5))
-      .length == 3 * 576)
+    assert(Mp3Spectra.emittedSamples(2L, un).length == 3 * 576)
+    // differing selects (region boundaries would matter) -> route
+    val mixed = frame(Seq((2, 0, false, 222), (3, 2, false, 214)),
+      bigValues = 1, tsel = 2, tsel2 = 3)
+    assert(Mp3Spectra.decode(2L, mixed).forall(r => !r.ok))
+  }
+
+  test("table-0 big region consumes zero bits and shifts count1 lines") {
+    // big=5 with codebook 0: five (0,0) pairs, 0 bits -> count1 starts at
+    // line 10, quads still aligned on the same 4n+1 budget
+    val rows = Mp3Spectra.decode(3L,
+      frame(Seq((3, 1, false, 210), (1, 0, false, 210)), bigValues = 5, tsel = 0))
+    val g0 = rows.head
+    assert(g0.ok && g0.bits_ok, g0.toString)
+    assert(g0.n_pairs == 5 && g0.sum_v == 0 && g0.dot_v == 0)
+    assert(g0.nonzero_line == 10 + 4 * 2 + 1) // 2*big + 4*(n-1) + p
+  }
+
+  test("big-values region: table-2 pairs, signs, then count1 — integer-exact observables") {
+    val w = new BitWriter(FrameBytes)
+    w.write(0xfffb50c0L, 32)
+    w.write(0, 9); w.write(0, 5); w.write(0, 4)
+    // granule 0: big=2 — pairs (2,0) negative and (0,0) — then 7 count1 quads
+    val p23g0 = 6 + 1 + 4 * 7 + 1
+    w.write(p23g0, 12); w.write(2, 9); w.write(210, 8); w.write(0, 4); w.write(0, 1)
+    w.write(2, 5); w.write(2, 5); w.write(2, 5); w.write(0, 7)
+    w.write(0, 2); w.write(1, 1)
+    // granule 1: count1-only, 1 quad at p=0
+    w.write(4 * 1 + 1, 12); w.write(0, 9); w.write(214, 8); w.write(0, 4); w.write(0, 1)
+    w.write(0, 22); w.write(0, 2); w.write(1, 1)
+    // g0 main data: '00011' = (2,0), sign 1 (negative); '1' = (0,0)
+    w.write(Integer.parseInt("00011", 2), 5); w.write(1, 1)
+    w.write(1, 1)
+    // count1: 6 zero quads, one nonzero at p=1, sign 0 -> line 4+24+1 = 29
+    (1 to 6).foreach(_ => w.write(0xf, 4))
+    w.write((~(8 >> 1)) & 0xf, 4); w.write(0, 1)
+    // g1 main data: nonzero quad p=0, sign 0
+    w.write((~(8 >> 0)) & 0xf, 4); w.write(0, 1)
+    val rows = Mp3Spectra.decode(11L, w.buf)
+    assert(rows.length == 2)
+    val g0 = rows.head
+    assert(g0.ok && g0.bits_ok, g0.toString)
+    assert(g0.n_pairs == 2 && g0.sum_v == -2 && g0.dot_v == -2, g0.toString)
+    assert(g0.n_quads == 7 && g0.nonzero_line == 29 && g0.sign_val == 1)
+    assert(g0.mag_q20 == (1L << 20))
+    // lines 0 (big, -2^(4/3)) and 29 (count1): one per subband, outside the
+    // alias butterflies -> the energy identities still hold exactly
+    assert(g0.energy_pre_ok && g0.energy_win_ok, g0.toString)
+    val g1 = rows(1)
+    assert(g1.ok && g1.n_pairs == 0 && g1.nonzero_line == 0 && g1.sign_val == 1)
   }
 
   test("overlap-add handoff: a silent granule emits the loud granule's tail") {
