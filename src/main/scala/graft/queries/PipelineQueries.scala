@@ -10338,7 +10338,45 @@ object PipelineQueries {
              |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_matches,
              |  CAST(sum(v) AS BIGINT) AS sum_bytes,
              |  CAST(sum(v * pos) AS BIGINT) AS wsum_bytes
-             |FROM allb GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM allb GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // LSH BANDING COST AUDIT (x173) — the pair-stage instrument behind
+    // SCALE.md's per-decade table, oracle-gated: one row of the banding
+    // join's REAL work over the x18 clone corpus — bucket count, max
+    // bucket occupancy, physically joined rows (Σ c·(c−1)/2, the
+    // self-join's actual cost), distinct candidate pairs, and verified
+    // (n_match ≥ 6) pairs. This is the observability a 100 TB dedup
+    // deployment runs BEFORE the pair stage: superlinear joined_rows
+    // growth across fixtures means band saturation (the x06 sign-bucket
+    // failure mode; and how round 9 caught the scale generator's
+    // stride-5 artifact — 97.7% of 100× candidates were cross-replica).
+    // Plan: the same checkpointed band frame feeds one bucket rollup and
+    // the bucket-keyed pair join; nothing quadratic outside the measured
+    // quantity itself.
+    QueryDef(
+      "x173_lsh_pair_stats",
+      (s, d) =>
+        graft.ops.TextDedup.lshPairStats(docCorpus(s, d))
+          .select(col("n_docs"), col("n_buckets"), col("max_bucket"),
+            col("joined_rows"), col("n_candidates"), col("n_verified")),
+      Some(s"""WITH $corpusSql,
+             |${minhashSigSql("corpus")},
+             |band AS (SELECT doc_id, CAST(floor(seed / 2) AS BIGINT) AS band,
+             |  min(mh) || '|' || max(mh) AS bsig FROM sig GROUP BY 1, 2),
+             |occ AS (SELECT band, bsig, count(*) AS c FROM band GROUP BY 1, 2),
+             |bk AS (SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+             |  CAST(max(c) AS BIGINT) AS max_bucket,
+             |  CAST(sum(c * (c - 1) // 2) AS BIGINT) AS joined_rows FROM occ),
+             |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM band a
+             |  JOIN band b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+             |pm AS (SELECT c.a_id, c.b_id, count(CASE WHEN sa.mh = sb.mh THEN 1 END) AS n_match
+             |  FROM cand c JOIN sig sa ON sa.doc_id = c.a_id
+             |  JOIN sig sb ON sb.doc_id = c.b_id AND sb.seed = sa.seed GROUP BY 1, 2),
+             |pc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+             |  CAST(sum(CASE WHEN n_match >= 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_verified FROM pm),
+             |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM sig)
+             |SELECT nd.n_docs, bk.n_buckets, bk.max_bucket, bk.joined_rows,
+             |  pc.n_candidates, pc.n_verified FROM nd, bk, pc""".stripMargin))
   )
 
   /** TIFF fixture prefixes for x168 (header + IFD as constant hex,
