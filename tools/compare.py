@@ -40,6 +40,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 con = duckdb.connect()
+# Bound DuckDB's memory so a recursive-CTE oracle twin that exhausts RAM at
+# big fixtures (q48/q55 at sf0.1+) surfaces as a per-query ERROR line instead
+# of the whole compare process being OOM-killed mid-run.
+con.sql("SET memory_limit='48GB'")
 for t in TABLES:
     p = f"{sfdir}/{t}.parquet"
     if os.path.exists(p):
