@@ -10376,7 +10376,165 @@ object PipelineQueries {
              |  CAST(sum(CASE WHEN n_match >= 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_verified FROM pm),
              |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM sig)
              |SELECT nd.n_docs, bk.n_buckets, bk.max_bucket, bk.joined_rows,
-             |  pc.n_candidates, pc.n_verified FROM nd, bk, pc""".stripMargin))
+             |  pc.n_candidates, pc.n_verified FROM nd, bk, pc""".stripMargin)),
+
+    // REAL DEFLATE DECODE (x174) — the third hand-decoded block codec
+    // next to snappy (x171) and LZ4 (x172), and the one underneath half
+    // the container formats already gated (gzip members, ZIP entries,
+    // PNG IDAT, XLSX parts): ops/DeflateBlock.scala decodes RFC 1951
+    // stored, fixed-Huffman, and dynamic-Huffman blocks with canonical-
+    // code reconstruction and LZ77 back-references. Paired construction,
+    // three variants: a final stored block (LEN/NLEN check), a final
+    // FIXED-HUFFMAN block whose literal codes the SQL bit-packs itself
+    // (literals ≤ 143 are exactly the 8-bit codes 0x30+v; codes fill
+    // MSB-first inside the LSB-first stream, so each output byte mixes
+    // two adjacent reversed codes — the byte-reversal is the
+    // multiply-mask-mod trick, and a decoder with the bit order wrong
+    // cannot reproduce a single byte), and a two-block stored→fixed
+    // chain pinning BFINAL handling. The oracle predicts every decoded
+    // byte arithmetically. Every 23rd doc leads with BTYPE=3 and must
+    // degrade to no row. Matches and dynamic blocks are spec-covered by
+    // JDK Deflater cross-validation (DeflateBlockSpec), same pattern as
+    // lz4-java for x172. Scale: narrow per-row decode, zero shuffle
+    // beyond the 10-group exchange.
+    QueryDef(
+      "x174_deflate_block",
+      (s, d) => {
+        val doc = s"parquet.`$d/documents.parquet`"
+        // rev8(c) — classic reverse-byte multiply/mask/mod (public trick)
+        def rv(c: String) = s"((($c) * ${0x0202020202L}) & ${0x010884422010L}) % 1023"
+        // fixed-Huffman code for literal byte value v ≤ 143, reversed
+        def rc(k: String) = rv(s"48 + (doc_id * 3 + ($k) * 7) % 144")
+        // the n-literal fixed block as hex (n+2 bytes, formulas in the
+        // comment above; EOB is seven 0 bits)
+        def fixedHex(n: String) =
+          s"""aggregate(sequence(0, ($n) + 1), '', (acc, k) -> concat(acc,
+             |      lpad(hex(CASE
+             |        WHEN k = 0 THEN 3 + ((${rc("0")}) * 8) % 256
+             |        WHEN k < ($n) THEN (${rc("k - 1")}) div 32 + ((${rc("k")}) * 8) % 256
+             |        WHEN k = ($n) THEN (${rc(s"($n) - 1")}) div 32
+             |        ELSE 0 END), 2, '0')))""".stripMargin
+        val media = s.sql(
+          s"""WITH n AS (SELECT doc_id, CAST(doc_id % 3 AS INT) AS v,
+             |    24 + doc_id % 16 AS sl, 20 + doc_id % 12 AS fl,
+             |    10 + doc_id % 6 AS cl
+             |  FROM $doc WHERE doc_id < 400),
+             |hx AS (SELECT doc_id, CASE v
+             |    WHEN 0 THEN concat('01',
+             |      lpad(hex(sl % 256), 2, '0'), lpad(hex(sl div 256), 2, '0'),
+             |      lpad(hex((65535 - sl) % 256), 2, '0'),
+             |      lpad(hex((65535 - sl) div 256), 2, '0'),
+             |      aggregate(sequence(0, sl - 1), '', (acc, i) ->
+             |        concat(acc, lpad(hex((doc_id * 5 + i * 11) % 256), 2, '0'))))
+             |    WHEN 1 THEN ${fixedHex("fl")}
+             |    ELSE concat('00', '0800', 'F7FF',
+             |      aggregate(sequence(0, 7), '', (acc, i) ->
+             |        concat(acc, lpad(hex((doc_id + 9 * i) % 256), 2, '0'))),
+             |      ${fixedHex("cl")})
+             |    END AS h FROM n)
+             |SELECT doc_id AS media_id,
+             |  unhex(IF(doc_id % 23 = 9, concat('07', h), h)) AS media
+             |FROM hx""".stripMargin)
+        graft.ops.DeflateBlock.blocks(media).toDF()
+          .groupBy((col("media_id") % 10).cast(LongType).as("grp"))
+          .agg(count(lit(1)).as("n_streams"),
+            sum(col("out_len").cast(LongType)).as("out_len"),
+            sum(col("n_blocks").cast(LongType)).as("n_blocks"),
+            sum(col("n_stored").cast(LongType)).as("n_stored"),
+            sum(col("n_fixed").cast(LongType)).as("n_fixed"),
+            sum(col("n_dynamic").cast(LongType) +
+              col("n_matches").cast(LongType)).as("n_dyn_or_match"),
+            sum(col("sum_bytes")).as("sum_bytes"),
+            sum(col("wsum_bytes")).as("wsum_bytes"))
+          .orderBy("grp")
+      },
+      Some("""WITH d AS (SELECT doc_id, doc_id % 3 AS v,
+             |    24 + doc_id % 16 AS sl, 20 + doc_id % 12 AS fl,
+             |    10 + doc_id % 6 AS cl
+             |  FROM documents WHERE doc_id < 400 AND doc_id % 23 <> 9),
+             |s0 AS (SELECT doc_id, r.i + 1 AS pos,
+             |    (doc_id * 5 + r.i * 11) % 256 AS b
+             |  FROM d, range(0, 40) r(i) WHERE v = 0 AND r.i < sl),
+             |s1 AS (SELECT doc_id, r.i + 1 AS pos,
+             |    (doc_id * 3 + r.i * 7) % 144 AS b
+             |  FROM d, range(0, 32) r(i) WHERE v = 1 AND r.i < fl),
+             |s2a AS (SELECT doc_id, r.i + 1 AS pos, (doc_id + 9 * r.i) % 256 AS b
+             |  FROM d, range(0, 8) r(i) WHERE v = 2),
+             |s2b AS (SELECT doc_id, 8 + r.i + 1 AS pos,
+             |    (doc_id * 3 + r.i * 7) % 144 AS b
+             |  FROM d, range(0, 16) r(i) WHERE v = 2 AND r.i < cl),
+             |allb AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1
+             |  UNION ALL SELECT * FROM s2a UNION ALL SELECT * FROM s2b)
+             |SELECT CAST(doc_id % 10 AS BIGINT) AS grp,
+             |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_streams,
+             |  CAST(count(*) AS BIGINT) AS out_len,
+             |  CAST(count(DISTINCT doc_id) + count(DISTINCT CASE
+             |    WHEN doc_id % 3 = 2 THEN doc_id END) AS BIGINT) AS n_blocks,
+             |  CAST(count(DISTINCT CASE WHEN doc_id % 3 <> 1 THEN doc_id END)
+             |    AS BIGINT) AS n_stored,
+             |  CAST(count(DISTINCT CASE WHEN doc_id % 3 <> 0 THEN doc_id END)
+             |    AS BIGINT) AS n_fixed,
+             |  CAST(0 AS BIGINT) AS n_dyn_or_match,
+             |  CAST(sum(b) AS BIGINT) AS sum_bytes,
+             |  CAST(sum(b * pos) AS BIGINT) AS wsum_bytes
+             |FROM allb GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ORC ROUND-TRIP (x175) — the one columnar format Spark ships besides
+    // parquet, previously ungated: write a fixed lineitem slice as ORC
+    // PARTITIONED BY l_returnflag, read it back with a partition filter
+    // AND a row-group predicate, and aggregate. What the gate pins: (a)
+    // schema fidelity through the ORC writer/reader for BIGINT, DOUBLE,
+    // STRING, and DATE columns (a date that shifts a day across the
+    // round-trip changes min_ship); (b) partition pruning — the
+    // l_returnflag = 'R' filter resolves against directory names, the
+    // other two partitions are never opened; (c) predicate pushdown —
+    // l_quantity < 25 lands in the ORC reader as a search argument
+    // (visible as PushedFilters in the scan plan), so non-matching row
+    // groups are skipped by their min/max statistics, not read and
+    // discarded. The oracle computes the same aggregate from the parquet
+    // source directly — any loss or mutation in the ORC round-trip
+    // hash-mismatches. Scale: bounded to the fixed l_orderkey < 60000
+    // slice (the x162/x165 posture), one write + one pruned read; at
+    // 100 TB this is the format-migration pattern (parquet → ORC lake)
+    // with pruning doing the work.
+    QueryDef(
+      "x175_orc_roundtrip",
+      (s, d) => {
+        val slice = lineitem(s, d)
+          .filter(col("l_orderkey") < 60000)
+          .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+            col("l_extendedprice"), col("l_returnflag"), col("l_linestatus"),
+            col("l_shipdate"))
+        val store = s"${System.getProperty("java.io.tmpdir")}/graft_x175_" +
+          s"${ProcessHandle.current().pid()}_${System.nanoTime()}"
+        slice.write.mode("overwrite").partitionBy("l_returnflag").orc(store)
+        try {
+          s.read.orc(store)
+            .filter(col("l_returnflag") === "R" && col("l_quantity") < 25)
+            .groupBy("l_linestatus")
+            .agg(count(lit(1)).as("n"),
+              countDistinct(col("l_partkey")).as("n_parts"),
+              dsum(col("l_quantity")).as("sum_qty"),
+              dsum(col("l_extendedprice")).as("sum_price"),
+              min(col("l_shipdate")).cast("string").as("min_ship"),
+              max(col("l_shipdate")).cast("string").as("max_ship"))
+            .orderBy("l_linestatus")
+            .localCheckpoint(true)
+        } finally {
+          val p = new org.apache.hadoop.fs.Path(store)
+          try p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+          catch { case _: Exception => () }
+        }
+      },
+      Some("""SELECT l_linestatus, count(*) AS n,
+             |  count(DISTINCT l_partkey) AS n_parts,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+             |  CAST(min(l_shipdate) AS VARCHAR) AS min_ship,
+             |  CAST(max(l_shipdate) AS VARCHAR) AS max_ship
+             |FROM lineitem
+             |WHERE l_orderkey < 60000 AND l_returnflag = 'R' AND l_quantity < 25
+             |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin))
   )
 
   /** TIFF fixture prefixes for x168 (header + IFD as constant hex,
