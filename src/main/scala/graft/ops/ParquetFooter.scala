@@ -1,0 +1,251 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Hand-rolled parquet FOOTER parser — the metadata layer every scan
+  * planner reads before touching data (row-group pruning, schema
+  * negotiation, stats-based skipping all start here). Parses the thrift
+  * COMPACT-protocol `FileMetaData` struct from the public parquet-format
+  * definition (parquet.thrift): trailing `PAR1` magic, little-endian
+  * footer length, then version (field 1, i32), schema element list
+  * (field 2 — leaves are the elements that declare no children),
+  * num_rows (field 3, i64), and the row-group list (field 4) with each
+  * group's column-chunk count and per-group num_rows. Unknown fields —
+  * stats, encodings, column orders, whatever the writer added — are
+  * skipped structurally via the protocol's own type system (varint +
+  * zigzag ints, length-prefixed binaries, size|type list headers,
+  * recursive structs), so the parser reads footers from ANY conformant
+  * writer, not just the one that wrote the fixtures.
+  *
+  * Scale posture: footers are read by SEEK — open, read the last 8
+  * bytes, seek back over the footer, parse; the data pages are never
+  * touched. That is the 100 TB discipline (a catalog sweep over a lake
+  * reads kilobytes per file, not the file), and why this is a real
+  * operator rather than a toy: the same walk priced against
+  * `spark.read.parquet(...).count()` touches ~0.1% of the bytes.
+  *
+  * Structural violations (bad magic, truncated footer, over-long varint,
+  * unknown compact type) degrade to a per-file None — one corrupt file
+  * costs its own row, never the task.
+  */
+object ParquetFooter {
+
+  final case class FooterStats(
+      table: String, n_files: Int, num_rows: Long, n_groups: Long,
+      n_leaf_columns: Int, n_chunks: Long, groups_rows_ok: Boolean,
+      chunks_ok: Boolean, ver_ok: Boolean)
+
+  private final case class OneFooter(
+      numRows: Long, nGroups: Int, nLeaves: Int, nChunks: Long,
+      groupRowsSum: Long, version: Int)
+
+  /** Thrift compact-protocol reader over a byte array (public protocol
+    * spec). Reads latch `bad` on any structural violation. */
+  private final class Compact(bytes: Array[Byte]) {
+    var pos = 0
+    var bad = false
+    def u8(): Int = {
+      if (pos >= bytes.length) { bad = true; return 0 }
+      val v = bytes(pos) & 0xff; pos += 1; v
+    }
+    def varint(): Long = {
+      var v = 0L
+      var shift = 0
+      var b = 0
+      do {
+        if (shift > 63) { bad = true; return 0 }
+        b = u8()
+        v |= (b & 0x7fL) << shift
+        shift += 7
+      } while ((b & 0x80) != 0 && !bad)
+      v
+    }
+    def zigzag(): Long = { val n = varint(); (n >>> 1) ^ -(n & 1) }
+    def skipBytes(n: Long): Unit = {
+      if (n < 0 || pos + n > bytes.length) bad = true else pos += n.toInt
+    }
+    /** Skip one value of the given compact type id. */
+    def skip(tpe: Int): Unit = tpe match {
+      case 1 | 2 => () // bool true/false: value lives in the field header
+      case 3 => u8()
+      case 4 | 5 | 6 => zigzag()
+      case 7 => skipBytes(8)
+      case 8 => skipBytes(varint())
+      case 9 | 10 =>
+        val h = u8()
+        var n = (h >> 4) & 0xf
+        if (n == 15) n = varint().toInt
+        val et = h & 0xf
+        var i = 0
+        while (i < n && !bad) { skip(et); i += 1 }
+      case 11 =>
+        val n = varint()
+        if (n > 0) {
+          val kv = u8()
+          var i = 0L
+          while (i < n && !bad) { skip((kv >> 4) & 0xf); skip(kv & 0xf); i += 1 }
+        }
+      case 12 => skipStruct()
+      case _ => bad = true
+    }
+    def skipStruct(): Unit = {
+      var last = 0
+      var cont = true
+      while (cont && !bad) {
+        val h = u8()
+        if (h == 0) cont = false
+        else {
+          val delta = (h >> 4) & 0xf
+          val t = h & 0xf
+          last = if (delta == 0) zigzag().toInt else last + delta
+          skip(t)
+        }
+      }
+    }
+    /** Walk one struct's fields, dispatching (fieldId, type) to f (which
+      * must fully consume the value); unhandled fields are skipped. */
+    def struct(f: (Int, Int) => Boolean): Unit = {
+      var last = 0
+      var cont = true
+      while (cont && !bad) {
+        val h = u8()
+        if (h == 0) cont = false
+        else {
+          val delta = (h >> 4) & 0xf
+          val t = h & 0xf
+          last = if (delta == 0) zigzag().toInt else last + delta
+          if (!f(last, t)) skip(t)
+        }
+      }
+    }
+    /** List header: (size, elemType). */
+    def listHeader(): (Int, Int) = {
+      val h = u8()
+      var n = (h >> 4) & 0xf
+      if (n == 15) n = varint().toInt
+      (n, h & 0xf)
+    }
+  }
+
+  /** Parse one footer byte array (FileMetaData). */
+  private def parseFooter(bytes: Array[Byte]): Option[OneFooter] = {
+    val c = new Compact(bytes)
+    var version = 0
+    var numRows = -1L
+    var nGroups = 0
+    var nLeaves = 0
+    var nChunks = 0L
+    var groupRowsSum = 0L
+    c.struct { (id, t) =>
+      (id, t) match {
+        case (1, 5) => version = c.zigzag().toInt; true
+        case (2, 9) => // schema: list<SchemaElement>; leaf = no children
+          val (n, et) = c.listHeader()
+          if (et != 12) { c.bad = true; true }
+          else {
+            var i = 0
+            while (i < n && !c.bad) {
+              var children = 0L
+              c.struct { (sid, st) =>
+                if (sid == 5 && st == 5) { children = c.zigzag(); true }
+                else false
+              }
+              if (i > 0 && children == 0) nLeaves += 1 // element 0 is the root
+              i += 1
+            }
+            true
+          }
+        case (3, 6) => numRows = c.zigzag(); true
+        case (4, 9) => // row_groups: list<RowGroup>
+          val (n, et) = c.listHeader()
+          if (et != 12) { c.bad = true; true }
+          else {
+            nGroups = n
+            var i = 0
+            while (i < n && !c.bad) {
+              c.struct { (gid, gt) =>
+                (gid, gt) match {
+                  case (1, 9) => // columns: list<ColumnChunk>
+                    val (cn, cet) = c.listHeader()
+                    if (cet != 12) { c.bad = true }
+                    else {
+                      nChunks += cn
+                      var j = 0
+                      while (j < cn && !c.bad) { c.skipStruct(); j += 1 }
+                    }
+                    true
+                  case (3, 6) => groupRowsSum += c.zigzag(); true
+                  case _ => false
+                }
+              }
+              i += 1
+            }
+            true
+          }
+        case _ => false
+      }
+    }
+    if (c.bad || numRows < 0) None
+    else Some(OneFooter(numRows, nGroups, nLeaves, nChunks, groupRowsSum, version))
+  }
+
+  /** Read ONLY the footer of one parquet file via seek (never the data
+    * pages); None on any structural violation. */
+  private def readFooter(fs: org.apache.hadoop.fs.FileSystem,
+      status: org.apache.hadoop.fs.FileStatus): Option[OneFooter] = {
+    val len = status.getLen
+    if (len < 12) return None
+    val in = fs.open(status.getPath)
+    try {
+      val tail = new Array[Byte](8)
+      in.readFully(len - 8, tail)
+      if (!(tail(4) == 'P' && tail(5) == 'A' && tail(6) == 'R' && tail(7) == '1'))
+        return None
+      val fLen = (tail(0) & 0xff) | ((tail(1) & 0xff) << 8) |
+        ((tail(2) & 0xff) << 16) | ((tail(3) & 0xff) << 24)
+      if (fLen <= 0 || fLen > len - 12) return None
+      val footer = new Array[Byte](fLen)
+      in.readFully(len - 8 - fLen, footer)
+      parseFooter(footer)
+    } catch {
+      case _: java.io.IOException => None
+    } finally in.close()
+  }
+
+  /** One aggregated row per (table, path): footer facts summed across the
+    * path's part files (a single .parquet file counts as one part), with
+    * the x37-class boolean contracts pre-evaluated so the row is
+    * deterministic across writer vintages (row-group COUNT varies with
+    * writer settings; coverage invariants don't). */
+  def describe(spark: SparkSession, tables: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    val rows = spark.sparkContext.parallelize(tables, math.max(1, tables.size))
+      .map { case (table, path) =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(conf)
+        val files: Seq[org.apache.hadoop.fs.FileStatus] = {
+          val st = fs.getFileStatus(p)
+          if (st.isDirectory)
+            fs.listStatus(p).toSeq
+              .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+              .sortBy(_.getPath.getName)
+          else Seq(st)
+        }
+        val footers = files.flatMap(s => readFooter(fs, s))
+        val numRows = footers.map(_.numRows).sum
+        val nGroups = footers.map(_.nGroups.toLong).sum
+        val nChunks = footers.map(_.nChunks).sum
+        val leaves = footers.map(_.nLeaves).distinct
+        FooterStats(
+          table, footers.size, numRows, nGroups,
+          if (leaves.size == 1) leaves.head else -1, nChunks,
+          groups_rows_ok = footers.nonEmpty &&
+            footers.forall(f => f.groupRowsSum == f.numRows),
+          chunks_ok = footers.nonEmpty &&
+            footers.forall(f => f.nChunks == f.nGroups.toLong * f.nLeaves),
+          ver_ok = footers.nonEmpty && footers.forall(_.version >= 1))
+      }
+    rows.toDF()
+  }
+}

@@ -10534,7 +10534,117 @@ object PipelineQueries {
              |  CAST(max(l_shipdate) AS VARCHAR) AS max_ship
              |FROM lineitem
              |WHERE l_orderkey < 60000 AND l_returnflag = 'R' AND l_quantity < 25
-             |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin))
+             |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
+
+    // PARQUET FOOTER WALK (x176) — the metadata layer row-group pruning
+    // lives on, parsed BY HAND: ops/ParquetFooter.scala reads each part
+    // file's trailing PAR1 magic + footer length by SEEK (data pages
+    // never touched — the catalog-sweep discipline: kilobytes per file,
+    // not the file) and decodes the thrift COMPACT-protocol FileMetaData
+    // from the public parquet-format definition — varint/zigzag ints,
+    // size|type list headers, recursive struct skip for every field the
+    // writer added that we don't need. The gate is DIFFERENTIAL, not
+    // paired construction: the footer's num_rows for documents/orders
+    // must equal the oracle's count(*) over the same tables, the leaf
+    // count must equal the published schema width, and the coverage
+    // invariants (per-group rows sum to the total; chunks = groups ×
+    // leaves; version ≥ 1) hold as booleans — so the values survive any
+    // conformant writer vintage while still pinning the parse exactly.
+    // A mis-decoded varint or a skipped-wrong field shifts every number.
+    QueryDef(
+      "x176_parquet_footer",
+      (s, d) =>
+        graft.ops.ParquetFooter.describe(s, Seq(
+          ("documents", s"$d/documents.parquet"),
+          ("orders", s"$d/orders.parquet")))
+          .select(col("table").as("tbl"),
+            (col("n_files") >= 1).as("files_ok"),
+            col("num_rows"),
+            (col("n_groups") >= col("n_files").cast(LongType)).as("groups_ok"),
+            col("n_leaf_columns").cast(LongType).as("n_cols"),
+            col("groups_rows_ok"), col("chunks_ok"), col("ver_ok"))
+          .orderBy("tbl"),
+      Some("""SELECT 'documents' AS tbl, TRUE AS files_ok,
+             |  count(*) AS num_rows, TRUE AS groups_ok,
+             |  CAST(5 AS BIGINT) AS n_cols, TRUE AS groups_rows_ok,
+             |  TRUE AS chunks_ok, TRUE AS ver_ok FROM documents
+             |UNION ALL
+             |SELECT 'orders', TRUE, count(*), TRUE, CAST(6 AS BIGINT),
+             |  TRUE, TRUE, TRUE FROM orders
+             |ORDER BY tbl""".stripMargin)),
+
+    // REAL BZIP2 DECODE (x177) — the fourth hand-decoded codec (snappy
+    // x171, LZ4 x172, DEFLATE x174) and the one public corpus dumps ship
+    // in (Wikipedia dumps are .bz2): ops/Bzip2Stream.scala decodes the
+    // full container — Huffman groups with delta-coded lengths and
+    // MTF'd selectors, RLE2 bijective-base-2 zero runs, inverse MTF,
+    // inverse BWT by counting sort from origPtr, RLE1, and BOTH CRCs
+    // (bzip2's MSB-first CRC-32 per block, rotate-xor folded per
+    // stream). BWT cannot be constructed arithmetically in SQL, so this
+    // gate is a ROUND-TRIP differential: each doc's payload (predicted
+    // byte-for-byte by the oracle: a high-entropy segment, a ≥6-byte run
+    // forcing the RLE1 count-byte path, and a periodic BWT-friendly
+    // tail) is compressed IN the pipeline by commons-compress — the
+    // reference compressor on the Spark classpath — at a per-row level
+    // 1..9, then decoded by OUR decoder; match_input pins byte equality
+    // and the CRCs gate internally. The oracle predicts out_len, level
+    // sums, and the payload checksums arithmetically. Corrupt-stream
+    // degrade routes (every prefix truncation, every interior bit flip)
+    // are spec-covered. Scale: bounded 400-doc corpus, narrow per-row
+    // compress+decode, zero shuffle beyond the 10-group exchange.
+    QueryDef(
+      "x177_bzip2_decode",
+      (s, d) => {
+        val doc = s"parquet.`$d/documents.parquet`"
+        val payloads = s.sql(
+          s"""WITH n AS (SELECT doc_id,
+             |    CAST(64 + doc_id % 64 AS INT) AS n1,
+             |    CAST(6 + doc_id % 5 AS INT) AS rl
+             |  FROM $doc WHERE doc_id < 400),
+             |hx AS (SELECT doc_id, n1, rl, concat(
+             |    aggregate(sequence(0, n1 - 1), '', (acc, i) ->
+             |      concat(acc, lpad(hex((doc_id * 7 + i * 13) % 256), 2, '0'))),
+             |    repeat(lpad(hex(doc_id % 251), 2, '0'), rl),
+             |    aggregate(sequence(0, 29), '', (acc, i) ->
+             |      concat(acc, lpad(hex(97 + i % 3), 2, '0')))
+             |  ) AS h FROM n)
+             |SELECT doc_id AS media_id, unhex(h) AS media,
+             |  CAST(1 + doc_id % 9 AS INT) AS level
+             |FROM hx""".stripMargin)
+        graft.ops.Bzip2Stream.roundTrip(payloads).toDF()
+          .groupBy((col("media_id") % 10).cast(LongType).as("grp"))
+          .agg(count(lit(1)).as("n_streams"),
+            sum(col("out_len").cast(LongType)).as("out_len"),
+            sum(col("n_blocks").cast(LongType)).as("n_blocks"),
+            sum(col("level").cast(LongType)).as("sum_level"),
+            sum(when(col("match_input"), 1L).otherwise(0L)).as("n_match"),
+            sum(col("sum_bytes")).as("sum_bytes"),
+            sum(col("wsum_bytes")).as("wsum_bytes"))
+          .orderBy("grp")
+      },
+      Some("""WITH d AS (SELECT doc_id, 64 + doc_id % 64 AS n1,
+             |    6 + doc_id % 5 AS rl
+             |  FROM documents WHERE doc_id < 400),
+             |a AS (SELECT doc_id, r.i + 1 AS pos,
+             |    (doc_id * 7 + r.i * 13) % 256 AS v
+             |  FROM d, range(0, 128) r(i) WHERE r.i < n1),
+             |b AS (SELECT doc_id, n1 + r.k + 1 AS pos, doc_id % 251 AS v
+             |  FROM d, range(0, 11) r(k) WHERE r.k < rl),
+             |c AS (SELECT doc_id, n1 + rl + r.i + 1 AS pos, 97 + r.i % 3 AS v
+             |  FROM d, range(0, 30) r(i)),
+             |allb AS (SELECT * FROM a UNION ALL SELECT * FROM b
+             |  UNION ALL SELECT * FROM c),
+             |per AS (SELECT doc_id, count(*) AS ol, sum(v) AS sb,
+             |    sum(v * pos) AS wb FROM allb GROUP BY 1)
+             |SELECT CAST(doc_id % 10 AS BIGINT) AS grp,
+             |  CAST(count(*) AS BIGINT) AS n_streams,
+             |  CAST(sum(ol) AS BIGINT) AS out_len,
+             |  CAST(count(*) AS BIGINT) AS n_blocks,
+             |  CAST(sum(1 + doc_id % 9) AS BIGINT) AS sum_level,
+             |  CAST(count(*) AS BIGINT) AS n_match,
+             |  CAST(sum(sb) AS BIGINT) AS sum_bytes,
+             |  CAST(sum(wb) AS BIGINT) AS wsum_bytes
+             |FROM per GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** TIFF fixture prefixes for x168 (header + IFD as constant hex,
