@@ -903,6 +903,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q10's rank-1 filter plans WindowGroupLimit (top-k pushed below the sort)") {
+    // Spark 4's InferWindowGroupLimit rewrites row_number() = 1 into a
+    // per-partition group limit evaluated BEFORE the full window sort
+    // materializes — at 100 TB that is the difference between sorting
+    // every customer's orders and keeping one row per customer per
+    // partition in a bounded buffer. A refactor that breaks the rewrite
+    // (e.g. filtering on rn <> 1's complement, or a non-rank function)
+    // silently reverts to the full sort; this pins it.
+    val p = plans("q10_first_per_group")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("x175's ORC read-back prunes partitions AND pushes the row predicate") {
     // x175's returned frame is a checkpoint (the store is deleted in its
     // finally), so the ORC scan is pinned here on the same write/read shape
