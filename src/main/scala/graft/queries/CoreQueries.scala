@@ -2372,6 +2372,131 @@ object CoreQueries {
              |WHERE o_totalprice > 1000.0
              |  AND o_orderstatus IN ('O', 'P')
              |  AND o_orderdate >= TIMESTAMP '1995-06-01 00:00:00'
-             |GROUP BY o_orderpriority ORDER BY priority""".stripMargin))
+             |GROUP BY o_orderpriority ORDER BY priority""".stripMargin)),
+
+    // Q71 — LATERAL correlated subquery join (SQL:2016 / Spark 3.2+
+    // DecorrelateInnerQuery): per-customer top-2 orders by price,
+    // expressed as the per-row subquery a user would write, NOT a
+    // hand-rolled rank window. The gate pins that Spark DECORRELATES the
+    // LIMIT-bearing correlated subquery into one shuffle-based window
+    // plan rather than re-executing the inner query per outer row (the
+    // nested-loop shape that dies at 100 TB) — plan shape is pinned in
+    // PlanShapeSpec (no CartesianProduct / no per-row subquery node).
+    // Tie-break inside LIMIT is total (price DESC, then key) so the
+    // selected multiset is deterministic on both engines.
+    QueryDef(
+      "q71_lateral_join",
+      (s, d) => {
+        val cust = s"parquet.`$d/customer.parquet`"
+        val ord = s"parquet.`$d/orders.parquet`"
+        s.sql(
+          s"""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+             |FROM $cust c JOIN LATERAL (
+             |  SELECT o_orderkey, o_totalprice FROM $ord
+             |  WHERE o_custkey = c.c_custkey
+             |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+             |ORDER BY c_custkey, o_orderkey""".stripMargin)
+      },
+      Some("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+             |FROM customer c, LATERAL (
+             |  SELECT o_orderkey, o_totalprice FROM orders
+             |  WHERE o_custkey = c.c_custkey
+             |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+             |ORDER BY c_custkey, o_orderkey""".stripMargin)),
+
+    // Q72 — UNPIVOT (Spark 3.4+ FROM-clause unpivot ≡ DuckDB UNPIVOT):
+    // wide-to-long reshaping without the UNION ALL re-scan a user would
+    // otherwise write (one scan + generator vs k scans). The wide frame
+    // is built by conditional aggregation first so the unpivot is over a
+    // bounded 3-row frame — the reshape is the thing under test, not the
+    // aggregate. Value column nullability and the generated name column
+    // ('qty_o'/'qty_f' from the source column names) are part of the
+    // pinned contract.
+    QueryDef(
+      "q72_unpivot",
+      (s, d) => {
+        val li = s"parquet.`$d/lineitem.parquet`"
+        s.sql(
+          s"""WITH w AS (SELECT l_returnflag,
+             |    sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END)
+             |      AS qty_o,
+             |    sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END)
+             |      AS qty_f
+             |  FROM $li GROUP BY 1)
+             |SELECT l_returnflag, status, CAST(qty AS DOUBLE) AS qty
+             |FROM w UNPIVOT (qty FOR status IN (qty_o, qty_f))
+             |ORDER BY l_returnflag, status""".stripMargin)
+      },
+      Some("""WITH w AS (SELECT l_returnflag,
+             |    sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END)
+             |      AS qty_o,
+             |    sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END)
+             |      AS qty_f
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l_returnflag, status, CAST(qty AS DOUBLE) AS qty
+             |FROM w UNPIVOT (qty FOR status IN (qty_o, qty_f))
+             |ORDER BY l_returnflag, status""".stripMargin)),
+
+    // Q73 — IGNORE NULLS window navigation (lag/lead/last_value): carry
+    // the previous HIGH-value reading per user past gaps — the standard
+    // "last observation carried forward" shape for sparse sensor/event
+    // data. Spark puts IGNORE NULLS after the call; DuckDB takes it
+    // inside the parens — same semantics, both engines' native syntax.
+    // The frame is per-user ordered by (ts, event_id) — total within a
+    // partition, so the carried value is deterministic.
+    QueryDef(
+      "q73_ignore_nulls_window",
+      (s, d) => {
+        val ev = s"parquet.`$d/events.parquet`"
+        s.sql(
+          s"""SELECT user_id, event_id,
+             |  lag(CASE WHEN value > 50 THEN round(value, 6) END)
+             |    IGNORE NULLS
+             |    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |    AS prev_big,
+             |  last_value(CASE WHEN value > 90 THEN round(value, 6) END)
+             |    IGNORE NULLS
+             |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS last_spike
+             |FROM $ev
+             |ORDER BY user_id, event_id""".stripMargin)
+      },
+      Some("""SELECT user_id, event_id,
+             |  lag(CASE WHEN value > 50 THEN round(value, 6) END IGNORE NULLS)
+             |    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |    AS prev_big,
+             |  last_value(CASE WHEN value > 90 THEN round(value, 6) END
+             |      IGNORE NULLS)
+             |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS last_spike
+             |FROM events
+             |ORDER BY user_id, event_id""".stripMargin)),
+
+    // Q74 — ordered string aggregation (Spark 4.0 `listagg ... WITHIN
+    // GROUP` ≡ DuckDB `string_agg(... ORDER BY)`): the canonical
+    // "assemble the per-key sequence as text" op (session paths, audit
+    // trails). Order key o_orderkey is unique per group so the assembled
+    // string is total-order deterministic — an ORDER BY on a non-unique
+    // key here would be the classic nondeterministic-gate bug. Group
+    // count is bounded by customers; per-group string length by orders
+    // per customer (~10) — no driver-side or unbounded-row blowup.
+    QueryDef(
+      "q74_listagg",
+      (s, d) => {
+        val ord = s"parquet.`$d/orders.parquet`"
+        s.sql(
+          s"""SELECT o_custkey,
+             |  listagg(substr(o_orderpriority, 1, 1), '|')
+             |    WITHIN GROUP (ORDER BY o_orderkey) AS pri_seq,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM $ord GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
+      },
+      Some("""SELECT o_custkey,
+             |  string_agg(substr(o_orderpriority, 1, 1), '|'
+             |    ORDER BY o_orderkey) AS pri_seq,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin))
   )
 }

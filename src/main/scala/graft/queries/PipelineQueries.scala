@@ -10654,7 +10654,279 @@ object PipelineQueries {
              |  CAST(count(*) AS BIGINT) AS n_match,
              |  CAST(sum(sb) AS BIGINT) AS sum_bytes,
              |  CAST(sum(wb) AS BIGINT) AS wsum_bytes
-             |FROM per GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM per GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // AVRO OBJECT CONTAINER DECODE (x178) — the row-major ingest format
+    // streaming landings use before columnar compaction, hand-parsed by
+    // ops/AvroContainer.scala from the public Avro 1.x spec: magic,
+    // metadata map (schema JSON + codec), 16-byte sync, counted data
+    // blocks re-synced per block; record fields decoded per the binary
+    // encoding (zigzag varints, length-prefixed UTF-8, LE doubles,
+    // counted array blocks). Codecs route through the repo's OWN
+    // decoders — deflate via DeflateBlock (x174), snappy via SnappyBlock
+    // (x171) plus Avro's trailing CRC-32 of the uncompressed payload —
+    // so the container walk composes three hand decoders. The gate is a
+    // ROUND-TRIP cross-validation: avro-java's DataFileWriter (the
+    // reference implementation, on the Spark classpath) writes each
+    // row's records with a per-row codec and an explicit sync every 5
+    // records (block count deterministic = ceil(n/5)); OUR parser
+    // decodes; match_input pins record-level equality and the oracle
+    // predicts every content sum arithmetically (scores are multiples
+    // of 1/64 so the x64 sum is an exact BIGINT). Corrupt-container
+    // degrade routes (truncations, sync mismatch, bad codec, CRC) are
+    // spec-covered. Scale: bounded 300-doc corpus, narrow per-row
+    // write+decode, zero shuffle beyond the 10-group exchange.
+    QueryDef(
+      "x178_avro_container",
+      (s, d) => {
+        val doc = s"parquet.`$d/documents.parquet`"
+        val payloads = s.sql(
+          s"""SELECT doc_id AS media_id,
+             |  CAST(5 + doc_id % 16 AS INT) AS n,
+             |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'null'
+             |    WHEN 1 THEN 'deflate' ELSE 'snappy' END AS codec
+             |FROM $doc WHERE doc_id < 300""".stripMargin)
+        graft.ops.AvroContainer.roundTrip(payloads).toDF()
+          .groupBy((col("media_id") % 10).cast(LongType).as("grp"))
+          .agg(count(lit(1)).as("n_streams"),
+            sum(col("n_records").cast(LongType)).as("n_records"),
+            sum(col("n_blocks").cast(LongType)).as("n_blocks"),
+            sum(when(col("codec") === "deflate", 1L).otherwise(0L))
+              .as("n_deflate"),
+            sum(when(col("codec") === "snappy", 1L).otherwise(0L))
+              .as("n_snappy"),
+            sum(when(col("match_input"), 1L).otherwise(0L)).as("n_match"),
+            sum(when(col("fields_ok"), 1L).otherwise(0L)).as("n_fields_ok"),
+            sum(col("sum_ids")).as("sum_ids"),
+            sum(col("sum_name_bytes")).as("sum_name_bytes"),
+            sum(col("sum_tags")).as("sum_tags"),
+            sum(col("sum_score_x64")).as("sum_score_x64"))
+          .orderBy("grp")
+      },
+      Some("""WITH d AS (SELECT doc_id AS m, 5 + doc_id % 16 AS n,
+             |    doc_id % 3 AS cs FROM documents WHERE doc_id < 300),
+             |per AS (SELECT m, n, cs,
+             |    sum(100 * m + r.i) AS ids,
+             |    sum((97 + (m + r.i) % 26) * (1 + r.i % 5)) AS nb,
+             |    sum((r.i % 4) * m
+             |      + r.i * (r.i % 4) * ((r.i % 4) - 1) / 2) AS tg,
+             |    sum((m * 7 + r.i * 13) % 1024 - 512) AS sc
+             |  FROM d, range(0, 21) r(i) WHERE r.i < n GROUP BY 1, 2, 3)
+             |SELECT CAST(m % 10 AS BIGINT) AS grp,
+             |  CAST(count(*) AS BIGINT) AS n_streams,
+             |  CAST(sum(n) AS BIGINT) AS n_records,
+             |  CAST(sum((n + 4) // 5) AS BIGINT) AS n_blocks,
+             |  CAST(sum(CASE WHEN cs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_deflate,
+             |  CAST(sum(CASE WHEN cs = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_snappy,
+             |  CAST(count(*) AS BIGINT) AS n_match,
+             |  CAST(count(*) AS BIGINT) AS n_fields_ok,
+             |  CAST(sum(ids) AS BIGINT) AS sum_ids,
+             |  CAST(sum(nb) AS BIGINT) AS sum_name_bytes,
+             |  CAST(sum(tg) AS BIGINT) AS sum_tags,
+             |  CAST(sum(sc) AS BIGINT) AS sum_score_x64
+             |FROM per GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // CORPUS BLEU (x179) — the eval-side twin of the decontamination
+    // gates: corpus-level BLEU-4 (clipped modified n-gram precision,
+    // n = 1..4, plus brevity penalty) of a deterministic position-
+    // perturbed candidate (every 7th token substituted, every 11th
+    // dropped — same arithmetic on both engines) against the original
+    // documents as references, reported per source with EVERY integer
+    // ingredient exposed (clipped/total per n, candidate/reference
+    // lengths) so the one float column is a fixed expression over
+    // hash-pinned integers. Spark-first shape: tokenize + perturb +
+    // n-gram in codegen'd higher-order functions, clip via a
+    // (doc, n, gram)-keyed LEFT join of candidate counts against
+    // reference counts — the multiset-intersection the textbook
+    // definition means, never a per-doc UDF. Scale: the explode is one
+    // linear pass (docs × 4 n-orders × tokens), every shuffle is keyed
+    // by (doc_id, n, gram) — fully distributed, skew-free by key width;
+    // at 100 TB this is the same plan, wider.
+    QueryDef(
+      "x179_corpus_bleu",
+      (s, d) => {
+        val doc = s"parquet.`$d/documents.parquet`"
+        s.sql(
+          s"""WITH t AS (SELECT doc_id, source,
+             |    filter(split(text, ' '), x -> x != '') AS toks
+             |  FROM $doc),
+             |b AS (SELECT doc_id, source, toks,
+             |    filter(transform(toks, (x, p) ->
+             |      CASE WHEN p % 11 = 5 THEN NULL
+             |           WHEN p % 7 = 3 THEN 'XX' ELSE x END),
+             |      x -> x IS NOT NULL) AS cand
+             |  FROM t),
+             |ng AS (SELECT doc_id, source, n,
+             |    CASE WHEN size(toks) >= n THEN
+             |      transform(sequence(1, size(toks) - n + 1), i ->
+             |        concat_ws(chr(31), slice(toks, i, n)))
+             |      ELSE cast(array() AS array<string>) END AS ref_ng,
+             |    CASE WHEN size(cand) >= n THEN
+             |      transform(sequence(1, size(cand) - n + 1), i ->
+             |        concat_ws(chr(31), slice(cand, i, n)))
+             |      ELSE cast(array() AS array<string>) END AS cand_ng
+             |  FROM b LATERAL VIEW explode(array(1, 2, 3, 4)) nt AS n),
+             |cc AS (SELECT doc_id, source, n, g, count(*) AS c
+             |  FROM ng LATERAL VIEW explode(cand_ng) u AS g
+             |  GROUP BY 1, 2, 3, 4),
+             |rc AS (SELECT doc_id, n, g, count(*) AS r
+             |  FROM ng LATERAL VIEW explode(ref_ng) u AS g
+             |  GROUP BY 1, 2, 3),
+             |cl AS (SELECT cc.source, cc.n,
+             |    sum(least(cc.c, coalesce(rc.r, 0))) AS clip,
+             |    sum(cc.c) AS tot
+             |  FROM cc LEFT JOIN rc
+             |    ON cc.doc_id = rc.doc_id AND cc.n = rc.n AND cc.g = rc.g
+             |  GROUP BY 1, 2),
+             |lens AS (SELECT source, sum(size(cand)) AS c_len,
+             |    sum(size(toks)) AS r_len
+             |  FROM b GROUP BY 1),
+             |piv AS (SELECT source,
+             |    max(CASE WHEN n = 1 THEN clip END) AS clip1,
+             |    max(CASE WHEN n = 1 THEN tot END) AS tot1,
+             |    max(CASE WHEN n = 2 THEN clip END) AS clip2,
+             |    max(CASE WHEN n = 2 THEN tot END) AS tot2,
+             |    max(CASE WHEN n = 3 THEN clip END) AS clip3,
+             |    max(CASE WHEN n = 3 THEN tot END) AS tot3,
+             |    max(CASE WHEN n = 4 THEN clip END) AS clip4,
+             |    max(CASE WHEN n = 4 THEN tot END) AS tot4
+             |  FROM cl GROUP BY 1)
+             |SELECT p.source,
+             |  CAST(c_len AS BIGINT) AS cand_len,
+             |  CAST(r_len AS BIGINT) AS ref_len,
+             |  CAST(clip1 AS BIGINT) AS clip1, CAST(tot1 AS BIGINT) AS tot1,
+             |  CAST(clip2 AS BIGINT) AS clip2, CAST(tot2 AS BIGINT) AS tot2,
+             |  CAST(clip3 AS BIGINT) AS clip3, CAST(tot3 AS BIGINT) AS tot3,
+             |  CAST(clip4 AS BIGINT) AS clip4, CAST(tot4 AS BIGINT) AS tot4,
+             |  round(least(1.0, exp(1.0 - CAST(r_len AS DOUBLE) / c_len)) *
+             |    exp((ln(CAST(clip1 AS DOUBLE) / tot1) +
+             |         ln(CAST(clip2 AS DOUBLE) / tot2) +
+             |         ln(CAST(clip3 AS DOUBLE) / tot3) +
+             |         ln(CAST(clip4 AS DOUBLE) / tot4)) / 4), 6) AS bleu
+             |FROM piv p JOIN lens USING (source) ORDER BY source""".stripMargin)
+      },
+      Some("""WITH t AS (SELECT doc_id, source,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |b AS (SELECT doc_id, source, toks,
+             |    list_filter(list_transform(generate_series(1, len(toks)),
+             |      p -> CASE WHEN (p - 1) % 11 = 5 THEN NULL
+             |           WHEN (p - 1) % 7 = 3 THEN 'XX'
+             |           ELSE toks[p] END), x -> x IS NOT NULL) AS cand
+             |  FROM t),
+             |ng AS (SELECT doc_id, source, n.n,
+             |    list_transform(generate_series(1, len(toks) - n.n + 1), i ->
+             |      array_to_string(toks[i:i+n.n-1], chr(31))) AS ref_ng,
+             |    list_transform(generate_series(1, len(cand) - n.n + 1), i ->
+             |      array_to_string(cand[i:i+n.n-1], chr(31))) AS cand_ng
+             |  FROM b, (VALUES (1), (2), (3), (4)) n(n)),
+             |cc AS (SELECT doc_id, source, n, g, count(*) AS c
+             |  FROM ng, unnest(cand_ng) u(g) GROUP BY 1, 2, 3, 4),
+             |rc AS (SELECT doc_id, n, g, count(*) AS r
+             |  FROM ng, unnest(ref_ng) u(g) GROUP BY 1, 2, 3),
+             |cl AS (SELECT cc.source, cc.n,
+             |    sum(least(cc.c, coalesce(rc.r, 0))) AS clip,
+             |    sum(cc.c) AS tot
+             |  FROM cc LEFT JOIN rc
+             |    ON cc.doc_id = rc.doc_id AND cc.n = rc.n AND cc.g = rc.g
+             |  GROUP BY 1, 2),
+             |lens AS (SELECT source, sum(len(cand)) AS c_len,
+             |    sum(len(toks)) AS r_len
+             |  FROM b GROUP BY 1),
+             |piv AS (SELECT source,
+             |    max(CASE WHEN n = 1 THEN clip END) AS clip1,
+             |    max(CASE WHEN n = 1 THEN tot END) AS tot1,
+             |    max(CASE WHEN n = 2 THEN clip END) AS clip2,
+             |    max(CASE WHEN n = 2 THEN tot END) AS tot2,
+             |    max(CASE WHEN n = 3 THEN clip END) AS clip3,
+             |    max(CASE WHEN n = 3 THEN tot END) AS tot3,
+             |    max(CASE WHEN n = 4 THEN clip END) AS clip4,
+             |    max(CASE WHEN n = 4 THEN tot END) AS tot4
+             |  FROM cl GROUP BY 1)
+             |SELECT p.source,
+             |  CAST(c_len AS BIGINT) AS cand_len,
+             |  CAST(r_len AS BIGINT) AS ref_len,
+             |  CAST(clip1 AS BIGINT) AS clip1, CAST(tot1 AS BIGINT) AS tot1,
+             |  CAST(clip2 AS BIGINT) AS clip2, CAST(tot2 AS BIGINT) AS tot2,
+             |  CAST(clip3 AS BIGINT) AS clip3, CAST(tot3 AS BIGINT) AS tot3,
+             |  CAST(clip4 AS BIGINT) AS clip4, CAST(tot4 AS BIGINT) AS tot4,
+             |  round(least(1.0, exp(1.0 - CAST(r_len AS DOUBLE) / c_len)) *
+             |    exp((ln(CAST(clip1 AS DOUBLE) / tot1) +
+             |         ln(CAST(clip2 AS DOUBLE) / tot2) +
+             |         ln(CAST(clip3 AS DOUBLE) / tot3) +
+             |         ln(CAST(clip4 AS DOUBLE) / tot4)) / 4), 6) AS bleu
+             |FROM piv p JOIN lens USING (source) ORDER BY source""".stripMargin)),
+
+    // INTEGER-EXACT POWER ITERATION (x180) — the dominant eigenvector of
+    // the quantized embedding Gram matrix, the spectral-diagnostics step
+    // above x58's covariance audit (is the corpus' top principal
+    // direction drifting between snapshots?). Exactness design: floats
+    // are quantized by floor(x·8) clamped to [-8, 7] (power-of-two scale
+    // ⇒ the multiply and floor are exact IEEE ops, the x33 lesson), the
+    // Gram matrix is an exact BIGINT sum of tiny products, and the
+    // iteration runs in FIXED-POINT integers — after each mat-vec the
+    // vector is renormalized to max|v| = 1000 by truncating division
+    // (Spark `div` ≡ DuckDB `//`, both toward zero), so all eight
+    // iterations are pure integer arithmetic and the gate pins exact
+    // BIGINT equality, not a float tolerance. Overflow budget: |q| ≤ 8 ⇒
+    // C_ij ≤ 64n, |w| ≤ 64·C·1000, w·1000 ≤ 4.1e15 at n = 10⁶ — Long-safe
+    // two decades past 100×. Scale posture: the ONE corpus-sized pass is
+    // the d² generator feeding a 4096-group partial agg (map-side
+    // combine; the shuffle carries d²·partitions rows, not n·d²); the
+    // eight iterations run on the 64-row vector — broadcast-sized by
+    // construction. The oracle builds the same Gram by self-join (fine
+    // at oracle SF; the generator form is the scale path).
+    QueryDef(
+      "x180_power_iteration",
+      (s, d) => {
+        val emb = s"parquet.`$d/embeddings.parquet`"
+        val iterations = (1 to 8).map { k =>
+          s"""w$k AS (SELECT c.i, sum(c.cij * v${k - 1}.v) AS w
+             |  FROM c JOIN v${k - 1} ON c.j = v${k - 1}.j GROUP BY 1),
+             |m$k AS (SELECT max(abs(w)) AS m FROM w$k),
+             |v$k AS (SELECT i AS j, CAST((w * 1000) div m AS BIGINT) AS v
+             |  FROM w$k, m$k)""".stripMargin
+        }.mkString(",\n")
+        s.sql(
+          s"""WITH c AS (SELECT ipos + 1 AS i, jpos + 1 AS j,
+             |    CAST(sum(
+             |      greatest(least(floor(CAST(ix AS DOUBLE) * 8), 7D), -8D) *
+             |      greatest(least(floor(CAST(jx AS DOUBLE) * 8), 7D), -8D))
+             |      AS BIGINT) AS cij
+             |  FROM $emb
+             |  LATERAL VIEW posexplode(embedding) pi AS ipos, ix
+             |  LATERAL VIEW posexplode(embedding) pj AS jpos, jx
+             |  GROUP BY 1, 2),
+             |v0 AS (SELECT i AS j, CAST(1000 AS BIGINT) AS v
+             |  FROM (SELECT DISTINCT i FROM c)),
+             |$iterations
+             |SELECT v8.j, v4.v AS v_mid, v8.v AS v_fin
+             |FROM v8 JOIN v4 ON v8.j = v4.j ORDER BY v8.j""".stripMargin)
+      },
+      Some {
+        val iterations = (1 to 8).map { k =>
+          s"""w$k AS (SELECT c.i, sum(c.cij * v${k - 1}.v) AS w
+             |  FROM c JOIN v${k - 1} ON c.j = v${k - 1}.j GROUP BY 1),
+             |m$k AS (SELECT max(abs(w)) AS m FROM w$k),
+             |v$k AS (SELECT i AS j, CAST((w * 1000) // m AS BIGINT) AS v
+             |  FROM w$k, m$k)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH qe AS (SELECT vec_id, u.j, u.q FROM (
+           |  SELECT vec_id, unnest(list_transform(
+           |    generate_series(1, len(embedding)), j -> {'j': j,
+           |      'q': CAST(greatest(least(floor(
+           |        CAST(embedding[j] AS DOUBLE) * 8), 7), -8) AS BIGINT)}))
+           |    AS u FROM embeddings)),
+           |c AS (SELECT a.j AS i, b.j AS j, sum(a.q * b.q) AS cij
+           |  FROM qe a JOIN qe b USING (vec_id) GROUP BY 1, 2),
+           |v0 AS (SELECT i AS j, CAST(1000 AS BIGINT) AS v
+           |  FROM (SELECT DISTINCT i FROM c)),
+           |$iterations
+           |SELECT v8.j, v4.v AS v_mid, v8.v AS v_fin
+           |FROM v8 JOIN v4 ON v8.j = v4.j ORDER BY v8.j""".stripMargin
+      })
   )
 
   /** TIFF fixture prefixes for x168 (header + IFD as constant hex,

@@ -50,6 +50,12 @@ class PlanShapeSpec extends SparkSpec {
     assert("Window \\[row_number".r.findAllIn(p).length <= 1, p)
   }
 
+  test("q71's correlated LIMIT decorrelates to a WindowGroupLimit top-k, not a per-row rescan") {
+    val p = plans("q71_lateral_join")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("x13 aggregates with the bounded-buffer UDAF (no ranking window at all)") {
     val p = plans("x13_topk_agg")
     assert(p.contains("TopKAggregator") && !p.contains("Window"), p)
