@@ -10926,7 +10926,87 @@ object PipelineQueries {
            |$iterations
            |SELECT v8.j, v4.v AS v_mid, v8.v AS v_fin
            |FROM v8 JOIN v4 ON v8.j = v4.j ORDER BY v8.j""".stripMargin
-      })
+      }),
+
+    // REAL ZSTD DECODE (x181) — the fifth hand-decoded codec (snappy
+    // x171, LZ4 x172, DEFLATE x174, bzip2 x177) and the one a modern
+    // lake standardizes on (parquet ZSTD pages, Kafka topics, .zst
+    // dumps): ops/ZstdFrame.scala implements RFC 8878 end to end —
+    // frame/block headers, raw/RLE/Huffman/treeless literals with 1- and
+    // 4-stream backward bitstreams, Huffman trees from direct nibbles or
+    // FSE-compressed weights with two interleaved states, FSE normalized
+    // counts (threshold + 1-bit rewind + zero-repeat flags), predefined/
+    // RLE/compressed/repeat sequence tables, the LL→OF→ML interleaved
+    // state machine, the three-slot repeat-offset history, overlapping
+    // match copies, and the XXH64 content checksum (implemented here,
+    // verified against published vectors). The entropy coding cannot be
+    // constructed arithmetically in SQL, so the gate is a ROUND-TRIP
+    // differential (x177 pattern): oracle-predicted payloads are
+    // compressed IN the pipeline by zstd-jni (the reference
+    // implementation on the Spark classpath) at per-row levels 1..22 —
+    // every third row through a CHECKSUMMED compression context — and
+    // decoded by OUR decoder; match_input pins byte equality, the
+    // oracle predicts out_len/level sums/content checksums
+    // arithmetically. Corrupt-stream degrade routes (truncations, bit
+    // flips through the checksum, dictionary frames) are spec-covered.
+    // Scale: bounded 400-doc corpus, narrow per-row compress+decode,
+    // zero shuffle beyond the 10-group exchange.
+    QueryDef(
+      "x181_zstd_decode",
+      (s, d) => {
+        val doc = s"parquet.`$d/documents.parquet`"
+        val payloads = s.sql(
+          s"""WITH n AS (SELECT doc_id,
+             |    CAST(80 + doc_id % 96 AS INT) AS n1,
+             |    CAST(8 + doc_id % 7 AS INT) AS rl
+             |  FROM $doc WHERE doc_id < 400),
+             |hx AS (SELECT doc_id, n1, rl, concat(
+             |    aggregate(sequence(0, n1 - 1), '', (acc, i) ->
+             |      concat(acc, lpad(hex((doc_id * 11 + i * 17) % 256), 2, '0'))),
+             |    repeat(lpad(hex(32 + doc_id % 97), 2, '0'), rl),
+             |    aggregate(sequence(0, 39), '', (acc, i) ->
+             |      concat(acc, lpad(hex(100 + i % 5), 2, '0')))
+             |  ) AS h FROM n)
+             |SELECT doc_id AS media_id, unhex(h) AS media,
+             |  CAST(1 + doc_id % 22 AS INT) AS level
+             |FROM hx""".stripMargin)
+        graft.ops.ZstdFrame.roundTrip(payloads).toDF()
+          .groupBy((col("media_id") % 10).cast(LongType).as("grp"))
+          .agg(count(lit(1)).as("n_streams"),
+            sum(col("out_len").cast(LongType)).as("out_len"),
+            sum(col("n_frames").cast(LongType)).as("n_frames"),
+            (sum(col("n_blocks").cast(LongType)) >=
+              sum(col("n_frames").cast(LongType))).as("blocks_ok"),
+            sum(col("level").cast(LongType)).as("sum_level"),
+            sum(when(col("match_input"), 1L).otherwise(0L)).as("n_match"),
+            sum(col("sum_bytes")).as("sum_bytes"),
+            sum(col("wsum_bytes")).as("wsum_bytes"))
+          .orderBy("grp")
+      },
+      Some("""WITH d AS (SELECT doc_id, 80 + doc_id % 96 AS n1,
+             |    8 + doc_id % 7 AS rl
+             |  FROM documents WHERE doc_id < 400),
+             |a AS (SELECT doc_id, r.i + 1 AS pos,
+             |    (doc_id * 11 + r.i * 17) % 256 AS v
+             |  FROM d, range(0, 176) r(i) WHERE r.i < n1),
+             |b AS (SELECT doc_id, n1 + r.k + 1 AS pos, 32 + doc_id % 97 AS v
+             |  FROM d, range(0, 15) r(k) WHERE r.k < rl),
+             |c AS (SELECT doc_id, n1 + rl + r.i + 1 AS pos, 100 + r.i % 5 AS v
+             |  FROM d, range(0, 40) r(i)),
+             |allb AS (SELECT * FROM a UNION ALL SELECT * FROM b
+             |  UNION ALL SELECT * FROM c),
+             |per AS (SELECT doc_id, count(*) AS ol, sum(v) AS sb,
+             |    sum(v * pos) AS wb FROM allb GROUP BY 1)
+             |SELECT CAST(doc_id % 10 AS BIGINT) AS grp,
+             |  CAST(count(*) AS BIGINT) AS n_streams,
+             |  CAST(sum(ol) AS BIGINT) AS out_len,
+             |  CAST(count(*) AS BIGINT) AS n_frames,
+             |  TRUE AS blocks_ok,
+             |  CAST(sum(1 + doc_id % 22) AS BIGINT) AS sum_level,
+             |  CAST(count(*) AS BIGINT) AS n_match,
+             |  CAST(sum(sb) AS BIGINT) AS sum_bytes,
+             |  CAST(sum(wb) AS BIGINT) AS wsum_bytes
+             |FROM per GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** TIFF fixture prefixes for x168 (header + IFD as constant hex,
