@@ -11006,7 +11006,81 @@ object PipelineQueries {
              |  CAST(count(*) AS BIGINT) AS n_match,
              |  CAST(sum(sb) AS BIGINT) AS sum_bytes,
              |  CAST(sum(wb) AS BIGINT) AS wsum_bytes
-             |FROM per GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM per GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // CHAINED STATEFUL STREAMING AGGREGATION (x182) — TWO event-time
+    // windowed aggregations in ONE streaming query (Spark 3.5+'s
+    // multiple-stateful-operators support, previously a forced
+    // two-query split with an intermediate sink): 4-hour per-type slot
+    // counts re-windowed into daily rollups, stage 2 grouping directly
+    // on stage 1's window struct. Semantics gated: a row is admitted at
+    // stage 1 iff its 4 h window end clears the lagged watermark (x150's
+    // calibrated two-batch-lag arithmetic, reused verbatim); a 4 h slot
+    // reaches stage 2 only when the frontier passes its end; a DAY row
+    // is emitted only when the frontier passes the day end — so the
+    // oracle composes three frontier filters, all in exact integer µs.
+    // Scale: both operators' state is bounded by windows-in-delay, and
+    // the chain eliminates the intermediate materialization a 100 TB
+    // pipeline would otherwise pay between the two aggregations.
+    QueryDef(
+      "x182_stream_chained_agg",
+      (s, d) => {
+        val staged = events(s, d)
+          .select(col("ts"), col("event_type"), col("value"),
+            expr("""CAST(least(greatest(
+                   |  CAST(datediff(to_date(ts), DATE '2024-01-01') div 8 AS INT),
+                   |  0), 3) AS INT)""".stripMargin).as("q"),
+            col("event_id"))
+          .select(col("ts"), col("event_type"), col("value"),
+            expr("CAST(CASE WHEN event_id % 6 = 1 THEN least(q + 2, 3) " +
+              "ELSE q END AS INT)").as("b"))
+        val out = graft.streaming.StreamGate.replayStaged(
+          s, staged, "x182_events", "b", 4, "append") { stream =>
+          stream
+            .withColumn("cents", floor(col("value") * 100).cast(LongType))
+            .withWatermark("ts", "36 hours")
+            .groupBy(window(col("ts"), "4 hours"), col("event_type"))
+            .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+            .groupBy(window(col("window"), "1 day"))
+            .agg(count(lit(1)).as("n_slots"),
+              sum(col("n")).as("n_events"),
+              sum(col("sum_cents")).as("sum_cents"))
+            .select(unix_micros(col("window.start")).as("day_us"),
+              col("n_slots"), col("n_events"), col("sum_cents"))
+        }
+        out.orderBy("day_us")
+      },
+      Some("""WITH e AS (SELECT epoch_us(ts) AS us, event_type,
+             |    CAST(floor("value" * 100) AS BIGINT) AS cents,
+             |    CASE WHEN event_id % 6 = 1
+             |      THEN LEAST(LEAST(GREATEST(date_diff('day', DATE '2024-01-01',
+             |        CAST(ts AS DATE)) // 8, 0), 3) + 2, 3)
+             |      ELSE LEAST(GREATEST(date_diff('day', DATE '2024-01-01',
+             |        CAST(ts AS DATE)) // 8, 0), 3) END AS b
+             |  FROM events),
+             |mb AS (SELECT b, max(us) AS mx FROM e GROUP BY b),
+             |wm AS (SELECT b,
+             |  (max(mx) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+             |    AND 2 PRECEDING) // 1000) * 1000 - 129600000000 AS wm_late
+             |  FROM mb),
+             |fin AS (SELECT (max(us) // 1000) * 1000 - 129600000000 AS wm_fin
+             |  FROM e),
+             |adm AS (SELECT e.us - e.us % 14400000000 + 14400000000 AS w_end,
+             |    e.event_type, e.cents
+             |  FROM e JOIN wm ON e.b = wm.b
+             |  WHERE wm.wm_late IS NULL
+             |    OR e.us - e.us % 14400000000 + 14400000000 > wm.wm_late),
+             |slots AS (SELECT w_end, event_type, count(*) AS n,
+             |    CAST(sum(cents) AS BIGINT) AS sum_cents
+             |  FROM adm, fin WHERE w_end <= wm_fin GROUP BY 1, 2),
+             |days AS (SELECT (w_end - 14400000000)
+             |      - (w_end - 14400000000) % 86400000000 AS day_us,
+             |    count(*) AS n_slots, CAST(sum(n) AS BIGINT) AS n_events,
+             |    CAST(sum(sum_cents) AS BIGINT) AS sum_cents
+             |  FROM slots GROUP BY 1)
+             |SELECT day_us, n_slots, n_events, sum_cents
+             |FROM days, fin WHERE day_us + 86400000000 <= wm_fin
+             |ORDER BY day_us""".stripMargin))
   )
 
   /** TIFF fixture prefixes for x168 (header + IFD as constant hex,
