@@ -11080,7 +11080,91 @@ object PipelineQueries {
              |  FROM slots GROUP BY 1)
              |SELECT day_us, n_slots, n_events, sum_cents
              |FROM days, fin WHERE day_us + 86400000000 <= wm_fin
-             |ORDER BY day_us""".stripMargin))
+             |ORDER BY day_us""".stripMargin)),
+
+    // ROUGE-L (x183) — x179's BLEU sibling on the recall side: longest
+    // common subsequence between each document (reference, first 24
+    // tokens) and its deterministically perturbed candidate (the x179
+    // perturbation on the SAME slice), rolled up per source with the
+    // micro-averaged F1. The LCS DP runs entirely in codegen'd
+    // higher-order functions (the x159 Viterbi discipline, one
+    // dimension up): the row update is reformulated WITHOUT the
+    // intra-row sequential dependency — new[j] = max(prev[j],
+    // max_{k ≤ j, ref[k]=t}(prev[k-1]+1)) — so each row is a pure
+    // transform over the previous row (a prefix-max inside a lambda),
+    // and the outer aggregate folds candidate tokens. The oracle runs
+    // the IDENTICAL recurrence as a recursive CTE carrying the DP row
+    // as a list. Exactness: LCS lengths and token counts are exact
+    // BIGINTs; the one float (f1) is a fixed expression over them.
+    // Scale: O(24³) integer lambda work per doc, zero joins, one
+    // per-source partial agg — the same plan at any corpus size.
+    QueryDef(
+      "x183_rouge_lcs",
+      (s, d) => {
+        val doc = s"parquet.`$d/documents.parquet`"
+        s.sql(
+          s"""WITH t AS (SELECT doc_id, source,
+             |    slice(filter(split(text, ' '), x -> x != ''), 1, 24) AS ref
+             |  FROM $doc),
+             |b AS (SELECT doc_id, source, ref,
+             |    filter(transform(ref, (x, p) ->
+             |      CASE WHEN p % 11 = 5 THEN NULL
+             |           WHEN p % 7 = 3 THEN 'XX' ELSE x END),
+             |      x -> x IS NOT NULL) AS cand
+             |  FROM t),
+             |lcs AS (SELECT doc_id, source,
+             |    size(ref) AS rlen, size(cand) AS clen,
+             |    aggregate(cand,
+             |      transform(sequence(0, size(ref)), x -> CAST(0 AS BIGINT)),
+             |      (prev, t) -> concat(array(CAST(0 AS BIGINT)),
+             |        transform(sequence(1, size(ref)), j ->
+             |          greatest(element_at(prev, j + 1),
+             |            array_max(transform(sequence(1, j), k ->
+             |              CASE WHEN element_at(ref, k) = t
+             |                THEN element_at(prev, k) + 1
+             |                ELSE CAST(0 AS BIGINT) END))))),
+             |      acc -> element_at(acc, size(ref) + 1)) AS lcs
+             |  FROM b)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(lcs) AS BIGINT) AS sum_lcs,
+             |  CAST(sum(clen) AS BIGINT) AS cand_len,
+             |  CAST(sum(rlen) AS BIGINT) AS ref_len,
+             |  round(CAST(2 * sum(lcs) AS DOUBLE) / (sum(clen) + sum(rlen)), 6)
+             |    AS rouge_l
+             |FROM lcs GROUP BY source ORDER BY source""".stripMargin)
+      },
+      Some("""WITH RECURSIVE t AS (SELECT doc_id, source,
+             |    list_filter(string_split(text, ' '), x -> x <> '')[1:24] AS ref
+             |  FROM documents),
+             |b AS (SELECT doc_id, source, ref,
+             |    list_filter(list_transform(generate_series(1, len(ref)), p ->
+             |      CASE WHEN (p - 1) % 11 = 5 THEN NULL
+             |           WHEN (p - 1) % 7 = 3 THEN 'XX'
+             |           ELSE ref[p] END), x -> x IS NOT NULL) AS cand
+             |  FROM t),
+             |dp AS (
+             |  SELECT doc_id, source, ref, cand, 0 AS i,
+             |    list_transform(generate_series(0, len(ref)),
+             |      x -> CAST(0 AS BIGINT)) AS prev
+             |  FROM b
+             |  UNION ALL
+             |  SELECT doc_id, source, ref, cand, i + 1,
+             |    list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(generate_series(1, len(ref)), j ->
+             |        greatest(prev[j + 1],
+             |          list_max(list_transform(generate_series(1, j), k ->
+             |            CASE WHEN ref[k] = cand[i + 1] THEN prev[k] + 1
+             |              ELSE CAST(0 AS BIGINT) END)))))
+             |  FROM dp WHERE i < len(cand)),
+             |lcs AS (SELECT doc_id, source, len(ref) AS rlen,
+             |    len(cand) AS clen, prev[len(ref) + 1] AS lcs
+             |  FROM dp WHERE i = len(cand))
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(lcs) AS BIGINT) AS sum_lcs,
+             |  CAST(sum(clen) AS BIGINT) AS cand_len,
+             |  CAST(sum(rlen) AS BIGINT) AS ref_len,
+             |  round(2.0 * sum(lcs) / (sum(clen) + sum(rlen)), 6) AS rouge_l
+             |FROM lcs GROUP BY source ORDER BY source""".stripMargin))
   )
 
   /** TIFF fixture prefixes for x168 (header + IFD as constant hex,
