@@ -11164,7 +11164,81 @@ object PipelineQueries {
              |  CAST(sum(clen) AS BIGINT) AS cand_len,
              |  CAST(sum(rlen) AS BIGINT) AS ref_len,
              |  round(2.0 * sum(lcs) / (sum(clen) + sum(rlen)), 6) AS rouge_l
-             |FROM lcs GROUP BY source ORDER BY source""".stripMargin))
+             |FROM lcs GROUP BY source ORDER BY source""".stripMargin)),
+
+    // TRANSACTION-LOG SNAPSHOT REPLAY (x184) — the lakehouse metadata
+    // op underneath Delta-style tables: a JSON action log (one add or
+    // remove action per line, versioned) is replayed into the current
+    // snapshot — per path, the LAST action wins by version and the
+    // snapshot is the surviving adds. The Spark side must actually
+    // PARSE the log (from_json over the action lines with the nested
+    // add/remove struct schema — the ingestion the gate is about), then
+    // resolve last-writer-wins with one ranking window and aggregate
+    // the live set. The log is paired construction (lines assembled in
+    // SQL from arithmetic), so the oracle predicts the snapshot without
+    // any JSON machinery: adds at v0 (f<100), v1 (100..199), v2
+    // (200..299); removes at v1 (even f<50) and v2 (f in [100,200)
+    // divisible by 3); a RE-ADD at v3 resurrects every f<20 divisible
+    // by 4 — exercising remove-then-re-add ordering, not just
+    // tombstoning. Scale: the window partitions by path (bounded
+    // history per file), one exchange — the same plan whether the log
+    // describes 300 files or 30M.
+    QueryDef(
+      "x184_txlog_replay",
+      (s, d) => {
+        val doc = s"parquet.`$d/documents.parquet`"
+        s.sql(
+          s"""WITH f AS (SELECT doc_id AS fid,
+             |    CAST(1000 + doc_id % 777 AS BIGINT) AS fsize
+             |  FROM $doc WHERE doc_id < 300),
+             |lines AS (
+             |  SELECT concat('{"add":{"path":"part-', fid, '.parquet","size":',
+             |      fsize, '}}') AS line,
+             |    CAST(CASE WHEN fid < 100 THEN 0 WHEN fid < 200 THEN 1
+             |      ELSE 2 END AS INT) AS version
+             |  FROM f
+             |  UNION ALL
+             |  SELECT concat('{"remove":{"path":"part-', fid, '.parquet"}}'),
+             |    1 FROM f WHERE fid < 50 AND fid % 2 = 0
+             |  UNION ALL
+             |  SELECT concat('{"remove":{"path":"part-', fid, '.parquet"}}'),
+             |    2 FROM f WHERE fid >= 100 AND fid < 200 AND fid % 3 = 0
+             |  UNION ALL
+             |  SELECT concat('{"add":{"path":"part-', fid, '.parquet","size":',
+             |      fsize, '}}'), 3 FROM f WHERE fid < 20 AND fid % 4 = 0),
+             |parsed AS (SELECT version,
+             |    from_json(line, 'add STRUCT<path: STRING, size: BIGINT>,
+             |      remove STRUCT<path: STRING>') AS a
+             |  FROM lines),
+             |acts AS (SELECT version,
+             |    coalesce(a.add.path, a.remove.path) AS path,
+             |    a.add.size AS fsize,
+             |    CASE WHEN a.add IS NOT NULL THEN 'add' ELSE 'remove' END AS op
+             |  FROM parsed),
+             |ranked AS (SELECT *, row_number() OVER (PARTITION BY path
+             |    ORDER BY version DESC) AS rn
+             |  FROM acts),
+             |live AS (SELECT path, fsize FROM ranked WHERE rn = 1 AND op = 'add')
+             |SELECT
+             |  CAST(CAST(regexp_extract(path, '([0-9]+)', 1) AS BIGINT) % 10
+             |    AS BIGINT) AS grp,
+             |  CAST(count(*) AS BIGINT) AS n_live,
+             |  CAST(sum(fsize) AS BIGINT) AS total_size,
+             |  CAST(sum(length(path)) AS BIGINT) AS path_bytes
+             |FROM live GROUP BY 1 ORDER BY 1""".stripMargin)
+      },
+      Some("""WITH f AS (SELECT doc_id AS fid, 1000 + doc_id % 777 AS fsize
+             |  FROM documents WHERE doc_id < 300),
+             |live AS (SELECT fid, fsize,
+             |    concat('part-', fid, '.parquet') AS path
+             |  FROM f WHERE NOT (
+             |    (fid < 50 AND fid % 2 = 0 AND NOT (fid < 20 AND fid % 4 = 0))
+             |    OR (fid >= 100 AND fid < 200 AND fid % 3 = 0)))
+             |SELECT CAST(fid % 10 AS BIGINT) AS grp,
+             |  CAST(count(*) AS BIGINT) AS n_live,
+             |  CAST(sum(fsize) AS BIGINT) AS total_size,
+             |  CAST(sum(length(path)) AS BIGINT) AS path_bytes
+             |FROM live GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** TIFF fixture prefixes for x168 (header + IFD as constant hex,
