@@ -10737,13 +10737,17 @@ object PipelineQueries {
     // ingredient exposed (clipped/total per n, candidate/reference
     // lengths) so the one float column is a fixed expression over
     // hash-pinned integers. Spark-first shape: tokenize + perturb +
-    // n-gram in codegen'd higher-order functions, clip via a
-    // (doc, n, gram)-keyed LEFT join of candidate counts against
-    // reference counts — the multiset-intersection the textbook
-    // definition means, never a per-doc UDF. Scale: the explode is one
-    // linear pass (docs × 4 n-orders × tokens), every shuffle is keyed
-    // by (doc_id, n, gram) — fully distributed, skew-free by key width;
-    // at 100 TB this is the same plan, wider.
+    // n-gram in codegen'd higher-order functions; both sides' grams are
+    // TAGGED (cand +1 / ref +1) and counted in one (doc, n, gram) hash
+    // agg so the clip is least(cc, rc) — no self-join. Gram construction
+    // is a token posexplode + per-(doc, side) LEAD window: every
+    // expression is a small codegen'd scalar (the first version's
+    // array-slicing generator fell out of whole-stage codegen and cost
+    // 68.7 s at 10×; the lead-window plan is 3× cheaper). cand/ref
+    // lengths fall out of the same aggregate as the n = 1 totals.
+    // Scale: one window exchange keyed (doc, side) with bounded
+    // partitions, one count shuffle keyed (doc_id, n, gram) — skew-free
+    // by key width; the same plan at 100 TB, wider.
     QueryDef(
       "x179_corpus_bleu",
       (s, d) => {
@@ -10758,32 +10762,34 @@ object PipelineQueries {
              |           WHEN p % 7 = 3 THEN 'XX' ELSE x END),
              |      x -> x IS NOT NULL) AS cand
              |  FROM t),
-             |ng AS (SELECT doc_id, source, n,
-             |    CASE WHEN size(toks) >= n THEN
-             |      transform(sequence(1, size(toks) - n + 1), i ->
-             |        concat_ws(chr(31), slice(toks, i, n)))
-             |      ELSE cast(array() AS array<string>) END AS ref_ng,
-             |    CASE WHEN size(cand) >= n THEN
-             |      transform(sequence(1, size(cand) - n + 1), i ->
-             |        concat_ws(chr(31), slice(cand, i, n)))
-             |      ELSE cast(array() AS array<string>) END AS cand_ng
-             |  FROM b LATERAL VIEW explode(array(1, 2, 3, 4)) nt AS n),
-             |cc AS (SELECT doc_id, source, n, g, count(*) AS c
-             |  FROM ng LATERAL VIEW explode(cand_ng) u AS g
-             |  GROUP BY 1, 2, 3, 4),
-             |rc AS (SELECT doc_id, n, g, count(*) AS r
-             |  FROM ng LATERAL VIEW explode(ref_ng) u AS g
-             |  GROUP BY 1, 2, 3),
-             |cl AS (SELECT cc.source, cc.n,
-             |    sum(least(cc.c, coalesce(rc.r, 0))) AS clip,
-             |    sum(cc.c) AS tot
-             |  FROM cc LEFT JOIN rc
-             |    ON cc.doc_id = rc.doc_id AND cc.n = rc.n AND cc.g = rc.g
-             |  GROUP BY 1, 2),
-             |lens AS (SELECT source, sum(size(cand)) AS c_len,
-             |    sum(size(toks)) AS r_len
-             |  FROM b GROUP BY 1),
+             |tk AS (SELECT doc_id, source, 1L AS c, 0L AS r, pos, tok
+             |    FROM b LATERAL VIEW posexplode(cand) u AS pos, tok
+             |  UNION ALL
+             |  SELECT doc_id, source, 0L AS c, 1L AS r, pos, tok
+             |    FROM b LATERAL VIEW posexplode(toks) u AS pos, tok),
+             |w AS (SELECT doc_id, source, c, r, tok,
+             |    lead(tok, 1) OVER (PARTITION BY doc_id, c ORDER BY pos) AS t1,
+             |    lead(tok, 2) OVER (PARTITION BY doc_id, c ORDER BY pos) AS t2,
+             |    lead(tok, 3) OVER (PARTITION BY doc_id, c ORDER BY pos) AS t3
+             |  FROM tk),
+             |gr AS (SELECT doc_id, source, e.n AS n, e.g AS g, c, r
+             |  FROM w LATERAL VIEW explode(array(
+             |    struct(1 AS n, tok AS g),
+             |    struct(2 AS n, concat(tok, chr(31), t1) AS g),
+             |    struct(3 AS n, concat(tok, chr(31), t1, chr(31), t2) AS g),
+             |    struct(4 AS n,
+             |      concat(tok, chr(31), t1, chr(31), t2, chr(31), t3) AS g)
+             |  )) u AS e
+             |  WHERE e.g IS NOT NULL),
+             |cnt AS (SELECT doc_id, source, n, g,
+             |    sum(c) AS cc, sum(r) AS rc
+             |  FROM gr GROUP BY 1, 2, 3, 4),
+             |cl AS (SELECT source, n, sum(least(cc, rc)) AS clip,
+             |    sum(cc) AS tot, sum(rc) AS rtot
+             |  FROM cnt GROUP BY 1, 2),
              |piv AS (SELECT source,
+             |    max(CASE WHEN n = 1 THEN tot END) AS c_len,
+             |    max(CASE WHEN n = 1 THEN rtot END) AS r_len,
              |    max(CASE WHEN n = 1 THEN clip END) AS clip1,
              |    max(CASE WHEN n = 1 THEN tot END) AS tot1,
              |    max(CASE WHEN n = 2 THEN clip END) AS clip2,
@@ -10793,7 +10799,7 @@ object PipelineQueries {
              |    max(CASE WHEN n = 4 THEN clip END) AS clip4,
              |    max(CASE WHEN n = 4 THEN tot END) AS tot4
              |  FROM cl GROUP BY 1)
-             |SELECT p.source,
+             |SELECT source,
              |  CAST(c_len AS BIGINT) AS cand_len,
              |  CAST(r_len AS BIGINT) AS ref_len,
              |  CAST(clip1 AS BIGINT) AS clip1, CAST(tot1 AS BIGINT) AS tot1,
@@ -10805,7 +10811,7 @@ object PipelineQueries {
              |         ln(CAST(clip2 AS DOUBLE) / tot2) +
              |         ln(CAST(clip3 AS DOUBLE) / tot3) +
              |         ln(CAST(clip4 AS DOUBLE) / tot4)) / 4), 6) AS bleu
-             |FROM piv p JOIN lens USING (source) ORDER BY source""".stripMargin)
+             |FROM piv ORDER BY source""".stripMargin)
       },
       Some("""WITH t AS (SELECT doc_id, source,
              |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
@@ -10816,26 +10822,44 @@ object PipelineQueries {
              |           WHEN (p - 1) % 7 = 3 THEN 'XX'
              |           ELSE toks[p] END), x -> x IS NOT NULL) AS cand
              |  FROM t),
-             |ng AS (SELECT doc_id, source, n.n,
-             |    list_transform(generate_series(1, len(toks) - n.n + 1), i ->
-             |      array_to_string(toks[i:i+n.n-1], chr(31))) AS ref_ng,
-             |    list_transform(generate_series(1, len(cand) - n.n + 1), i ->
-             |      array_to_string(cand[i:i+n.n-1], chr(31))) AS cand_ng
-             |  FROM b, (VALUES (1), (2), (3), (4)) n(n)),
-             |cc AS (SELECT doc_id, source, n, g, count(*) AS c
-             |  FROM ng, unnest(cand_ng) u(g) GROUP BY 1, 2, 3, 4),
-             |rc AS (SELECT doc_id, n, g, count(*) AS r
-             |  FROM ng, unnest(ref_ng) u(g) GROUP BY 1, 2, 3),
-             |cl AS (SELECT cc.source, cc.n,
-             |    sum(least(cc.c, coalesce(rc.r, 0))) AS clip,
-             |    sum(cc.c) AS tot
-             |  FROM cc LEFT JOIN rc
-             |    ON cc.doc_id = rc.doc_id AND cc.n = rc.n AND cc.g = rc.g
-             |  GROUP BY 1, 2),
-             |lens AS (SELECT source, sum(len(cand)) AS c_len,
-             |    sum(len(toks)) AS r_len
-             |  FROM b GROUP BY 1),
+             |tk AS (SELECT doc_id, source, 1 AS c, 0 AS r,
+             |    u.pos AS pos, u.tok AS tok FROM (
+             |    SELECT doc_id, source,
+             |      unnest(list_transform(generate_series(1, len(cand)),
+             |        i -> struct_pack(pos := i, tok := cand[i]))) AS u FROM b)
+             |  UNION ALL
+             |  SELECT doc_id, source, 0 AS c, 1 AS r,
+             |    u.pos AS pos, u.tok AS tok FROM (
+             |    SELECT doc_id, source,
+             |      unnest(list_transform(generate_series(1, len(toks)),
+             |        i -> struct_pack(pos := i, tok := toks[i]))) AS u FROM b)),
+             |w AS (SELECT doc_id, source, c, r, tok,
+             |    lead(tok, 1) OVER (PARTITION BY doc_id, c ORDER BY pos) AS t1,
+             |    lead(tok, 2) OVER (PARTITION BY doc_id, c ORDER BY pos) AS t2,
+             |    lead(tok, 3) OVER (PARTITION BY doc_id, c ORDER BY pos) AS t3
+             |  FROM tk),
+             |gr AS (
+             |  SELECT doc_id, source, 1 AS n, tok AS g, c, r FROM w
+             |  UNION ALL
+             |  SELECT doc_id, source, 2, tok || chr(31) || t1, c, r
+             |    FROM w WHERE t1 IS NOT NULL
+             |  UNION ALL
+             |  SELECT doc_id, source, 3,
+             |    tok || chr(31) || t1 || chr(31) || t2, c, r
+             |    FROM w WHERE t2 IS NOT NULL
+             |  UNION ALL
+             |  SELECT doc_id, source, 4,
+             |    tok || chr(31) || t1 || chr(31) || t2 || chr(31) || t3, c, r
+             |    FROM w WHERE t3 IS NOT NULL),
+             |cnt AS (SELECT doc_id, source, n, g,
+             |    sum(c) AS cc, sum(r) AS rc
+             |  FROM gr GROUP BY 1, 2, 3, 4),
+             |cl AS (SELECT source, n, sum(least(cc, rc)) AS clip,
+             |    sum(cc) AS tot, sum(rc) AS rtot
+             |  FROM cnt GROUP BY 1, 2),
              |piv AS (SELECT source,
+             |    max(CASE WHEN n = 1 THEN tot END) AS c_len,
+             |    max(CASE WHEN n = 1 THEN rtot END) AS r_len,
              |    max(CASE WHEN n = 1 THEN clip END) AS clip1,
              |    max(CASE WHEN n = 1 THEN tot END) AS tot1,
              |    max(CASE WHEN n = 2 THEN clip END) AS clip2,
@@ -10845,7 +10869,7 @@ object PipelineQueries {
              |    max(CASE WHEN n = 4 THEN clip END) AS clip4,
              |    max(CASE WHEN n = 4 THEN tot END) AS tot4
              |  FROM cl GROUP BY 1)
-             |SELECT p.source,
+             |SELECT source,
              |  CAST(c_len AS BIGINT) AS cand_len,
              |  CAST(r_len AS BIGINT) AS ref_len,
              |  CAST(clip1 AS BIGINT) AS clip1, CAST(tot1 AS BIGINT) AS tot1,
@@ -10857,7 +10881,7 @@ object PipelineQueries {
              |         ln(CAST(clip2 AS DOUBLE) / tot2) +
              |         ln(CAST(clip3 AS DOUBLE) / tot3) +
              |         ln(CAST(clip4 AS DOUBLE) / tot4)) / 4), 6) AS bleu
-             |FROM piv p JOIN lens USING (source) ORDER BY source""".stripMargin)),
+             |FROM piv ORDER BY source""".stripMargin)),
 
     // INTEGER-EXACT POWER ITERATION (x180) — the dominant eigenvector of
     // the quantized embedding Gram matrix, the spectral-diagnostics step
@@ -10874,36 +10898,59 @@ object PipelineQueries {
     // C_ij ≤ 64n, |w| ≤ 64·C·1000, w·1000 ≤ 4.1e15 at n = 10⁶ — Long-safe
     // two decades past 100×. Scale posture: the ONE corpus-sized pass is
     // the d² generator feeding a 4096-group partial agg (map-side
-    // combine; the shuffle carries d²·partitions rows, not n·d²); the
-    // eight iterations run on the 64-row vector — broadcast-sized by
-    // construction. The oracle builds the same Gram by self-join (fine
-    // at oracle SF; the generator form is the scale path).
+    // combine; the shuffle carries d²·partitions rows, not n·d²) —
+    // quantization runs ONCE per element in a transform, not per d²
+    // generated row (the per-row form fell out of codegen: 35 s at 10×),
+    // and only the UPPER TRIANGLE is generated, mirrored afterward in
+    // the tiny d² frame; the eight iterations run on the 64-row vector —
+    // broadcast-sized by construction. The oracle builds the same Gram
+    // by self-join (fine at oracle SF; the generator form is the scale
+    // path).
     QueryDef(
       "x180_power_iteration",
       (s, d) => {
-        val emb = s"parquet.`$d/embeddings.parquet`"
-        val iterations = (1 to 8).map { k =>
-          s"""w$k AS (SELECT c.i, sum(c.cij * v${k - 1}.v) AS w
-             |  FROM c JOIN v${k - 1} ON c.j = v${k - 1}.j GROUP BY 1),
-             |m$k AS (SELECT max(abs(w)) AS m FROM w$k),
-             |v$k AS (SELECT i AS j, CAST((w * 1000) div m AS BIGINT) AS v
-             |  FROM w$k, m$k)""".stripMargin
-        }.mkString(",\n")
-        s.sql(
-          s"""WITH c AS (SELECT ipos + 1 AS i, jpos + 1 AS j,
-             |    CAST(sum(
-             |      greatest(least(floor(CAST(ix AS DOUBLE) * 8), 7D), -8D) *
-             |      greatest(least(floor(CAST(jx AS DOUBLE) * 8), 7D), -8D))
-             |      AS BIGINT) AS cij
-             |  FROM $emb
-             |  LATERAL VIEW posexplode(embedding) pi AS ipos, ix
-             |  LATERAL VIEW posexplode(embedding) pj AS jpos, jx
-             |  GROUP BY 1, 2),
-             |v0 AS (SELECT i AS j, CAST(1000 AS BIGINT) AS v
-             |  FROM (SELECT DISTINCT i FROM c)),
-             |$iterations
-             |SELECT v8.j, v4.v AS v_mid, v8.v AS v_fin
-             |FROM v8 JOIN v4 ON v8.j = v4.j ORDER BY v8.j""".stripMargin)
+        val gram = udaf(new graft.functions.GramAggregator)
+        embeddings(s, d)
+          .select(expr(
+            """transform(embedding, x ->
+              |  CAST(greatest(least(floor(CAST(x AS DOUBLE) * 8), 7D), -8D)
+              |    AS BIGINT))""".stripMargin).as("q"))
+          .agg(gram(col("q")).as("flat"))
+          .select(
+            expr("CAST(round(sqrt(CAST(size(flat) AS DOUBLE))) AS INT)").as("dd"),
+            posexplode(col("flat")).as(Seq("pos", "cij")))
+          .select(expr("pos div dd + 1").cast("int").as("i"),
+            expr("pos % dd + 1").cast("int").as("j"), col("cij"))
+          .createOrReplaceTempView("x180_gram_c")
+        // The iterations run on the DRIVER over the collected d² matrix —
+        // bounded model state (4 096 longs; the x07/x23 centroid
+        // discipline). The distributed chain (8 unrolled join+agg CTE
+        // stages on a 64-row frame) paid ~10 s of pure stage latency at
+        // every SF for work that is microseconds of integer arithmetic.
+        val cells = s.sql(
+          "SELECT i, j, cij FROM x180_gram_c").collect()
+        val dim = cells.iterator.map(_.getInt(0)).max
+        val mat = Array.ofDim[Long](dim + 1, dim + 1)
+        cells.foreach(r => mat(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+        var v = Array.fill(dim + 1)(1000L)
+        var vMid: Array[Long] = null
+        for (k <- 1 to 8) {
+          val w = new Array[Long](dim + 1)
+          var i = 1
+          while (i <= dim) {
+            var acc = 0L
+            var j = 1
+            while (j <= dim) { acc += mat(i)(j) * v(j); j += 1 }
+            w(i) = acc
+            i += 1
+          }
+          val m = w.iterator.map(math.abs).max
+          v = w.map(x => (x * 1000) / m) // Long division truncates to zero
+          if (k == 4) vMid = v
+        }
+        import s.implicits._
+        (1 to dim).map(j => (j, vMid(j), v(j)))
+          .toDF("j", "v_mid", "v_fin").orderBy("j")
       },
       Some {
         val iterations = (1 to 8).map { k =>
