@@ -248,4 +248,160 @@ object ParquetFooter {
       }
     rows.toDF()
   }
+
+  // ——— column statistics (the layer min/max row-group pruning reads) ———
+
+  /** One row group's statistics for one INT64 column, straight from the
+    * footer's `ColumnMetaData.statistics` (parquet.thrift `Statistics`:
+    * min_value field 6 / max_value field 5, plain-encoded little-endian
+    * INT64 per the column's physical type). `has_stats` is false when the
+    * writer omitted the struct or either bound — the pruning consumer
+    * must then treat the group as unpruneable, never as empty. */
+  final case class Int64GroupStats(
+      file: String, grp: Int, g_rows: Long,
+      min_v: Long, max_v: Long, has_stats: Boolean)
+
+  private def leInt64(b: Array[Byte]): Option[Long] =
+    if (b.length != 8) None
+    else Some((0 until 8).map(i => (b(i) & 0xffL) << (8 * i)).reduce(_ | _))
+
+  /** Parse per-group stats of `column` from one footer byte array. */
+  private def parseInt64Stats(
+      bytes: Array[Byte], column: String): Seq[(Int, Long, Option[(Long, Long)])] = {
+    val c = new Compact(bytes)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Option[(Long, Long)])]
+    def readBinary(): Array[Byte] = {
+      val n = c.varint()
+      if (n < 0 || c.pos + n > bytes.length) { c.bad = true; Array.emptyByteArray }
+      else { val a = java.util.Arrays.copyOfRange(bytes, c.pos, c.pos + n.toInt); c.pos += n.toInt; a }
+    }
+    c.struct { (id, t) =>
+      (id, t) match {
+        case (4, 9) => // row_groups: list<RowGroup>
+          val (n, et) = c.listHeader()
+          if (et != 12) { c.bad = true; true }
+          else {
+            var gi = 0
+            while (gi < n && !c.bad) {
+              var gRows = -1L
+              var stats: Option[(Long, Long)] = None
+              c.struct { (gid, gt) =>
+                (gid, gt) match {
+                  case (3, 6) => gRows = c.zigzag(); true
+                  case (1, 9) => // columns: list<ColumnChunk>
+                    val (cn, cet) = c.listHeader()
+                    if (cet != 12) { c.bad = true }
+                    else {
+                      var j = 0
+                      while (j < cn && !c.bad) {
+                        // ColumnChunk; meta_data is field 3
+                        var isTarget = false
+                        var minV: Option[Long] = None
+                        var maxV: Option[Long] = None
+                        var physType = -1L
+                        c.struct { (cid, ct) =>
+                          (cid, ct) match {
+                            case (3, 12) => // ColumnMetaData
+                              c.struct { (mid, mt) =>
+                                (mid, mt) match {
+                                  case (1, 5) => physType = c.zigzag(); true
+                                  case (3, 9) => // path_in_schema: list<string>
+                                    val (pn, pet) = c.listHeader()
+                                    if (pet != 8) { c.bad = true; true }
+                                    else {
+                                      val parts = (0 until pn).map(_ => new String(readBinary(), "UTF-8"))
+                                      isTarget = parts.lastOption.contains(column) && parts.size == 1
+                                      true
+                                    }
+                                  case (12, 12) => // Statistics
+                                    c.struct { (sid, st) =>
+                                      (sid, st) match {
+                                        case (5, 8) => maxV = leInt64(readBinary()); true
+                                        case (6, 8) => minV = leInt64(readBinary()); true
+                                        case _ => false
+                                      }
+                                    }
+                                    true
+                                  case _ => false
+                                }
+                              }
+                              true
+                            case _ => false
+                          }
+                        }
+                        // physical type 2 = INT64 (parquet.thrift Type)
+                        if (isTarget && physType == 2L)
+                          stats = for (mn <- minV; mx <- maxV) yield (mn, mx)
+                        j += 1
+                      }
+                    }
+                    true
+                  case _ => false
+                }
+              }
+              if (!c.bad) out += ((gi, gRows, stats))
+              gi += 1
+            }
+            true
+          }
+        case _ => false
+      }
+    }
+    if (c.bad) Seq.empty else out.toSeq
+  }
+
+  /** Per-(part file, row group) min/max statistics of one INT64 column
+    * under `path`, read footer-only by seek (same discipline as
+    * [[describe]]): the frame a stats-based pruning decision runs on.
+    * One task per part file; a structurally bad footer contributes no
+    * rows (the consumer sees the file as stats-less via the outer join
+    * it performs, never as empty). */
+  def int64Stats(spark: SparkSession, path: String, column: String): DataFrame = {
+    import spark.implicits._
+    val conf0 = new org.apache.hadoop.conf.Configuration()
+    val p0 = new org.apache.hadoop.fs.Path(path)
+    val fs0 = p0.getFileSystem(conf0)
+    val files: Seq[String] = {
+      val st = fs0.getFileStatus(p0)
+      if (st.isDirectory)
+        fs0.listStatus(p0).toSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.toString).sorted
+      else Seq(p0.toString)
+    }
+    val rows = spark.sparkContext.parallelize(files, math.max(1, files.size))
+      .flatMap { f =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val p = new org.apache.hadoop.fs.Path(f)
+        val fs = p.getFileSystem(conf)
+        val raw = readFooterBytes(fs, fs.getFileStatus(p))
+        raw.toSeq.flatMap(parseInt64Stats(_, column)).map {
+          case (gi, gRows, Some((mn, mx))) => Int64GroupStats(f, gi, gRows, mn, mx, has_stats = true)
+          case (gi, gRows, None)           => Int64GroupStats(f, gi, gRows, 0L, 0L, has_stats = false)
+        }
+      }
+    rows.toDF()
+  }
+
+  /** The raw footer byte array of one parquet file (seek-only read). */
+  private def readFooterBytes(fs: org.apache.hadoop.fs.FileSystem,
+      status: org.apache.hadoop.fs.FileStatus): Option[Array[Byte]] = {
+    val len = status.getLen
+    if (len < 12) return None
+    val in = fs.open(status.getPath)
+    try {
+      val tail = new Array[Byte](8)
+      in.readFully(len - 8, tail)
+      if (!(tail(4) == 'P' && tail(5) == 'A' && tail(6) == 'R' && tail(7) == '1'))
+        return None
+      val fLen = (tail(0) & 0xff) | ((tail(1) & 0xff) << 8) |
+        ((tail(2) & 0xff) << 16) | ((tail(3) & 0xff) << 24)
+      if (fLen <= 0 || fLen > len - 12) return None
+      val footer = new Array[Byte](fLen)
+      in.readFully(len - 8 - fLen, footer)
+      Some(footer)
+    } catch {
+      case _: java.io.IOException => None
+    } finally in.close()
+  }
 }

@@ -2497,6 +2497,70 @@ object CoreQueries {
              |  string_agg(substr(o_orderpriority, 1, 1), '|'
              |    ORDER BY o_orderkey) AS pri_seq,
              |  CAST(count(*) AS BIGINT) AS n
-             |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin))
+             |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
+    // Q75 — SQL session variables + EXECUTE IMMEDIATE + IDENTIFIER
+    // (Spark 4 SQL scripting surface): a data-derived threshold lands in
+    // a typed session variable (SET VAR ... = (scalar subquery)), the
+    // TABLE NAME itself travels through a variable consumed by the
+    // IDENTIFIER() clause, and the final statement is dynamic SQL run via
+    // EXECUTE IMMEDIATE with a named USING parameter — the injection-safe
+    // composition of all three dynamic-SQL primitives (q70's named-marker
+    // argument, one level up). The threshold is max/2, not avg: max and
+    // min are EXACT over doubles, so the variable's value — and therefore
+    // the row set — is bit-identical on both engines, while an avg would
+    // differ in summation order at the filter boundary. Scale: variables
+    // reach Catalyst as foldable literals (the q70 claim), so the pushed
+    // filter prunes exactly like a constant.
+    QueryDef(
+      "q75_sql_variables",
+      (s, d) => {
+        val ord = s"parquet.`$d/orders.parquet`"
+        s.sql("DECLARE OR REPLACE VARIABLE q75_minp DOUBLE DEFAULT 0.0")
+        s.sql("DECLARE OR REPLACE VARIABLE q75_tbl STRING")
+        s.sql("DECLARE OR REPLACE VARIABLE q75_sql STRING")
+        s.sql(s"SET VAR q75_minp = (SELECT max(o_totalprice) / 2 FROM $ord)")
+        s.sql(s"SET VAR q75_tbl = '$ord'")
+        s.sql("SET VAR q75_sql = 'SELECT o_orderpriority AS priority, " +
+          "CAST(count(*) AS BIGINT) AS n, " +
+          "CAST(min(o_orderkey) AS BIGINT) AS min_ok, " +
+          "CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue " +
+          "FROM IDENTIFIER(q75_tbl) WHERE o_totalprice > :minp " +
+          "GROUP BY o_orderpriority ORDER BY priority'")
+        s.sql("EXECUTE IMMEDIATE q75_sql USING q75_minp AS minp")
+      },
+      Some("""SELECT o_orderpriority AS priority,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(min(o_orderkey) AS BIGINT) AS min_ok,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             |    AS revenue
+             |FROM orders
+             |WHERE o_totalprice > (SELECT max(o_totalprice) / 2 FROM orders)
+             |GROUP BY o_orderpriority ORDER BY priority""".stripMargin)),
+
+    // Q76 — GROUP BY ALL / ORDER BY ALL (the analyst-ergonomics surface
+    // both engines converged on): every non-aggregate select item becomes
+    // a grouping key, and the output is totally ordered by the whole
+    // select list — so the gate pins that Spark's ALL-resolution picks
+    // exactly the same key set and order the oracle's does, including the
+    // computed (non-column) select item.
+    QueryDef(
+      "q76_group_by_all",
+      (s, d) => {
+        val li = s"parquet.`$d/lineitem.parquet`"
+        s.sql(
+          s"""SELECT l_returnflag, l_linestatus,
+             |  CAST(l_quantity AS BIGINT) % 5 AS qmod,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             |    AS revenue
+             |FROM $li GROUP BY ALL ORDER BY ALL""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(l_quantity AS BIGINT) % 5 AS qmod,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             |    AS revenue
+             |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin))
   )
 }

@@ -11285,7 +11285,323 @@ object PipelineQueries {
              |  CAST(count(*) AS BIGINT) AS n_live,
              |  CAST(sum(fsize) AS BIGINT) AS total_size,
              |  CAST(sum(length(path)) AS BIGINT) AS path_bytes
-             |FROM live GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM live GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // SCD TYPE-2 DIMENSION BUILD (x185) — the warehouse-side sibling of
+    // x184's file-level log replay: a change STREAM (events.event_type as
+    // the per-user attribute) folded into a slowly-changing-dimension
+    // type-2 table — one row per (user, attribute run) with effective_from
+    // / effective_to validity bounds, a per-user version number, and an
+    // is_current flag on the open row. Mechanics: per-user lag() marks the
+    // rows where the attribute actually CHANGES (consecutive repeats
+    // collapse into their run's first row), row_number() over the change
+    // rows numbers versions, lead() closes each version with the next
+    // change's timestamp. Every window is PARTITIONED BY user_id — per-key
+    // ordering only, never a global sort, so the build is one shuffle wide
+    // and scales with users × changes (the 100 TB shape: billions of rows,
+    // tens of millions of keys, no hot partition beyond the busiest key).
+    // The gate aggregates the dimension table per attribute value with
+    // every ingredient exact: version-run counts, open-row counts, the
+    // version-number checksum, and closed-version validity duration in
+    // integer MICROSECONDS (unix_micros/epoch_us — the established µs
+    // parity pair), so a wrong change detection, a mis-numbered version,
+    // or a shifted boundary moves a BIGINT.
+    QueryDef(
+      "x185_scd2_build",
+      (s, d) => {
+        val ordered = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        val changes = events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(ordered))
+          .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+        val scd2 = changes
+          .withColumn("version", row_number().over(ordered))
+          .withColumn("effective_to", lead(col("ts"), 1).over(ordered))
+        scd2.groupBy(col("event_type").as("attr"))
+          .agg(count(lit(1)).as("n_versions"),
+            sum(when(col("effective_to").isNull, 1L).otherwise(0L)).as("n_current"),
+            sum(col("version").cast(LongType)).as("sum_version"),
+            sum(when(col("effective_to").isNotNull,
+              unix_micros(col("effective_to")) - unix_micros(col("ts")))
+              .otherwise(0L)).as("dur_us"))
+          .orderBy("attr")
+      },
+      Some("""WITH ev AS (SELECT user_id, ts, event_id, event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS prev_type
+             |  FROM events),
+             |chg AS (SELECT user_id, ts, event_id, event_type FROM ev
+             |  WHERE prev_type IS NULL OR prev_type <> event_type),
+             |scd2 AS (SELECT event_type,
+             |    row_number() OVER w AS version, ts,
+             |    lead(ts) OVER w AS effective_to
+             |  FROM chg WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+             |SELECT event_type AS attr,
+             |  CAST(count(*) AS BIGINT) AS n_versions,
+             |  CAST(sum(CASE WHEN effective_to IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_current,
+             |  CAST(sum(version) AS BIGINT) AS sum_version,
+             |  CAST(sum(CASE WHEN effective_to IS NOT NULL
+             |    THEN epoch_us(effective_to) - epoch_us(ts) ELSE 0 END)
+             |    AS BIGINT) AS dur_us
+             |FROM scd2 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // INTERVAL-SWEEP PEAK CONCURRENCY (x186) — "how many sessions are open
+    // at once, and when does that peak?", the capacity question every
+    // serving/ingest planner asks of an interval table. The textbook
+    // answer is a +1/−1 sweep with a GLOBAL running sum — a single-
+    // partition window over every endpoint, the one plan shape this repo
+    // bans at scale. The scalable formulation is AGGREGATE-THEN-PREFIX:
+    // endpoints are first collapsed to net deltas per hour bucket (a
+    // keyed, map-side-combined aggregation — the shuffle carries HOURS,
+    // not intervals), and only the tiny hour frame (≤ a few 10⁵ rows even
+    // at 100 TB, since the time axis grows with history, not row count)
+    // rides through the ordered prefix window. Intervals: each event opens
+    // a session at its hour and holds it for (event_id % 7 + 1) hours —
+    // deterministic construction, half-open [h0, h0+dur). The output is
+    // the per-day PEAK concurrency sampled at delta hours (between deltas
+    // concurrency is constant, so the sampled max is the true max on every
+    // day that has a delta; both engines compute the identical quantity).
+    // A wrong bucket floor, a lost endpoint, or a broken prefix moves a
+    // BIGINT on some day.
+    QueryDef(
+      "x186_interval_sweep",
+      (s, d) => {
+        val ev = events(s, d).select(
+          date_trunc("hour", col("ts")).as("h0"),
+          ((col("event_id") % 7) + 1).cast("int").as("durh"))
+        val deltas = ev.select(col("h0").as("h"), lit(1L).as("delta"))
+          .unionByName(ev.select(
+            expr("timestampadd(HOUR, durh, h0)").as("h"), lit(-1L).as("delta")))
+        val perHour = deltas.groupBy("h").agg(sum("delta").as("net"))
+        // the prefix window is global BY DESIGN: it runs over the hour
+        // frame the aggregation just shrank, not over the interval table
+        val run = perHour.withColumn("conc",
+          sum("net").over(Window.orderBy("h")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        run.groupBy(date_trunc("day", col("h")).as("day"))
+          .agg(max(col("conc")).cast(LongType).as("peak_conc"),
+            count(lit(1)).as("n_hours"))
+          .orderBy("day")
+      },
+      Some("""WITH ev AS (SELECT date_trunc('hour', ts) AS h0,
+             |    CAST(event_id % 7 + 1 AS INT) AS durh FROM events),
+             |deltas AS (SELECT h0 AS h, 1 AS delta FROM ev
+             |  UNION ALL
+             |  SELECT h0 + durh * INTERVAL 1 HOUR, -1 FROM ev),
+             |per AS (SELECT h, sum(delta) AS net FROM deltas GROUP BY 1),
+             |run AS (SELECT h, sum(net) OVER (ORDER BY h) AS conc FROM per)
+             |SELECT date_trunc('day', h) AS day,
+             |  CAST(max(conc) AS BIGINT) AS peak_conc,
+             |  CAST(count(*) AS BIGINT) AS n_hours
+             |FROM run GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // INTERPOLATED KNESER-NEY BIGRAM SCORING (x188) — the smoothing the
+    // CCNet/KenLM quality-filter stack actually ships (x44 gates the
+    // add-one textbook form; production LMs use absolute discounting with
+    // continuation backoff): P(w2|w1) = (c(w1w2) − D)/c(w1·) +
+    // D·N1+(w1·)/c(w1·) · N1+(·w2)/|bigram types|, D = 0.75. Trained ON
+    // the corpus and scored against it, so every scored bigram has
+    // c ≥ 1 and the discounted term never clips — the max(·,0) is
+    // vacuous by construction and omitted. Determinism discipline is
+    // x44's: every ingredient (bigram count, prefix total, prefix
+    // continuation fan-out, suffix continuation fan-in, type total) is an
+    // exact integer; the one probability is a single fixed left-to-right
+    // IEEE expression over them rounded to 9 dp into DECIMAL (exact,
+    // associative summation), and the per-doc mean is one deterministic
+    // division — no ln(), so the libm-last-ulp trap never enters. Plan:
+    // the bigram stream and the count table are materialized once each
+    // (x44's shape); the model joins are shuffle-hash on w1/w2 (model ≪
+    // stream); the type total is a broadcast scalar; per-doc rollup is
+    // map-side combined. Scale: model size ∝ distinct bigrams, stream
+    // cost linear — the same plan at 100 TB with the model bucketed.
+    QueryDef(
+      "x188_kneser_ney",
+      (s, d) => {
+        val ex = documents(s, d).filter(col("text").isNotNull)
+          .select(col("doc_id"), tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 2)
+          .select(col("doc_id"),
+            explode(graft.ops.TextDedup.shingles(col("tk"), 2)).as("bg"))
+          .localCheckpoint(eager = true)
+        val c2 = ex.groupBy("bg").agg(count(lit(1)).as("c12"))
+          .localCheckpoint(eager = true)
+        val w1t = c2.select(substring_index(col("bg"), " ", 1).as("w1"), col("c12"))
+          .groupBy("w1").agg(sum("c12").as("c1"), count(lit(1)).as("n1p"))
+        val w2t = c2.select(substring_index(col("bg"), " ", -1).as("w2"))
+          .groupBy("w2").agg(count(lit(1)).as("nc"))
+        val tt = c2.agg(count(lit(1)).as("tt"))
+        val ctab = c2
+          .withColumn("w1", substring_index(col("bg"), " ", 1))
+          .withColumn("w2", substring_index(col("bg"), " ", -1))
+          .join(w1t.hint("shuffle_hash"), "w1")
+          .join(w2t.hint("shuffle_hash"), "w2")
+          .crossJoin(broadcast(tt))
+          .withColumn("p", round(
+            (col("c12").cast(DoubleType) - 0.75) / col("c1").cast(DoubleType) +
+              lit(0.75) * col("n1p").cast(DoubleType) / col("c1").cast(DoubleType) *
+                col("nc").cast(DoubleType) / col("tt").cast(DoubleType), 9)
+            .cast(DecimalType(18, 9)))
+          .select("bg", "p")
+        ex.join(ctab.hint("shuffle_hash"), "bg")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast(LongType).as("n_bigrams"),
+            round(sum(col("p")).cast(DoubleType) / count(lit(1)), 6).as("kn_score"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $tokensSql AS tk FROM documents
+              |  WHERE text IS NOT NULL),
+              |bg AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS bg
+              |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+              |        FROM t WHERE len(tk) >= 2) u),
+              |c2 AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY 1),
+              |w1 AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1,
+              |    count(*) AS n1p FROM c2 GROUP BY 1),
+              |w2 AS (SELECT split_part(bg, ' ', 2) AS w2, count(*) AS nc
+              |  FROM c2 GROUP BY 1),
+              |tt AS (SELECT count(*) AS tt FROM c2),
+              |ct AS (SELECT c2.bg, CAST(round(
+              |    (CAST(c12 AS DOUBLE) - 0.75) / CAST(c1 AS DOUBLE)
+              |    + 0.75 * CAST(n1p AS DOUBLE) / CAST(c1 AS DOUBLE)
+              |      * CAST(nc AS DOUBLE) / CAST(tt AS DOUBLE), 9)
+              |    AS DECIMAL(18,9)) AS p
+              |  FROM c2 JOIN w1 ON split_part(c2.bg, ' ', 1) = w1.w1
+              |    JOIN w2 ON split_part(c2.bg, ' ', 2) = w2.w2 CROSS JOIN tt)
+              |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+              |  round(CAST(sum(ct.p) AS DOUBLE) / count(*), 6) AS kn_score
+              |FROM bg b JOIN ct USING (bg) GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
+    // HILBERT-CURVE LAYOUT ACCOUNTING (x187) — x60's Z-order sibling on
+    // the SAME (qb, pb) key grid, answering the layout question Z-order
+    // leaves open: Z takes long diagonal jumps at quadrant boundaries, so
+    // a Z-contiguous file can span a wide key rectangle; the Hilbert curve
+    // is locality-preserving at every scale, so Hilbert-contiguous files
+    // bound tighter. ops/HilbertCurve.scala compiles the textbook
+    // rotate/flip recursion into a 4-state automaton packed into two
+    // 32-bit constants — per bit level three shift-and-mask expressions
+    // that BOTH engines run verbatim (the x60 shared-string discipline) and
+    // that stay inside whole-stage codegen on the Spark side (no fold, no
+    // lambda — the x167 CollapseProject lesson applied via a named,
+    // twice-referenced idx column per level). The gate bins lineitem into
+    // 16 curve-contiguous "files" under BOTH curves and reports each
+    // file's row count and bounding-box area; a wrong automaton entry,
+    // digit order, or state transition reshuffles every bucket. Scale: two
+    // keyed aggregations over the scan, no row explosion, shuffle carries
+    // 16 groups × partial aggregates.
+    QueryDef(
+      "x187_hilbert_layout",
+      (s, d) => {
+        val zExpr = (0 until 8).map(k =>
+          s"((((qb >> $k) & 1) << ${2 * k + 1}) | (((pb >> $k) & 1) << ${2 * k}))")
+          .mkString(" | ")
+        val li = lineitem(s, d)
+          .select(expr("((CAST(floor(l_quantity) AS BIGINT) - 1) * 256) div 50").as("qb"),
+            least(lit(255L), expr("CAST(floor(l_extendedprice) AS BIGINT) div 410")).as("pb"))
+          .withColumn("z", expr(zExpr))
+        val hl = graft.ops.HilbertCurve.withIndex(li, "qb", "pb", 8)
+        val hb = hl.groupBy(expr("hilbert div 4096").as("file_id"))
+          .agg(count(lit(1)).as("n_h"),
+            ((max("qb") - min("qb") + 1) * (max("pb") - min("pb") + 1)).as("area_h"))
+        val zb = hl.groupBy(expr("z div 4096").as("file_id"))
+          .agg(count(lit(1)).as("n_z"),
+            ((max("qb") - min("qb") + 1) * (max("pb") - min("pb") + 1)).as("area_z"))
+        hb.join(zb, Seq("file_id"))
+          .select(col("file_id").cast(LongType).as("file_id"),
+            col("n_h"), col("area_h"), col("n_z"), col("area_z"))
+          .orderBy("file_id")
+      },
+      Some {
+        val zExpr = (0 until 8).map(k =>
+          s"((((qb >> $k) & 1) << ${2 * k + 1}) | (((pb >> $k) & 1) << ${2 * k}))")
+          .mkString(" | ")
+        s"""WITH li AS (SELECT
+           |  ((CAST(floor(l_quantity) AS BIGINT) - 1) * 256) // 50 AS qb,
+           |  least(255, CAST(floor(l_extendedprice) AS BIGINT) // 410) AS pb
+           |  FROM lineitem),
+           |lz AS (SELECT *, $zExpr AS z FROM li),
+           |${graft.ops.HilbertCurve.duckCtes("lz", "qb", "pb", 8)},
+           |hb AS (SELECT hilbert // 4096 AS file_id,
+           |  CAST(count(*) AS BIGINT) AS n_h,
+           |  CAST((max(qb) - min(qb) + 1) * (max(pb) - min(pb) + 1) AS BIGINT)
+           |    AS area_h FROM hx GROUP BY 1),
+           |zb AS (SELECT z // 4096 AS file_id,
+           |  CAST(count(*) AS BIGINT) AS n_z,
+           |  CAST((max(qb) - min(qb) + 1) * (max(pb) - min(pb) + 1) AS BIGINT)
+           |    AS area_z FROM hx GROUP BY 1)
+           |SELECT CAST(hb.file_id AS BIGINT) AS file_id, n_h, area_h, n_z, area_z
+           |FROM hb JOIN zb ON hb.file_id = zb.file_id
+           |ORDER BY file_id""".stripMargin
+      }),
+
+    // STATS-BASED ROW-GROUP PRUNING (x189) — the decision layer on top of
+    // x176's footer walk, and the mechanism that makes a 100 TB lake scan
+    // read 0.1% of its files: per-row-group min/max column statistics
+    // (ColumnMetaData.statistics min_value/max_value, hand-parsed as
+    // plain-encoded LE INT64 by ops/ParquetFooter.int64Stats — footer-only
+    // seek reads, data pages untouched) drive a keep/prune decision for a
+    // range predicate, and the gate PROVES the decision sound both ways:
+    // scanning ONLY the kept files under the predicate must reproduce the
+    // oracle's full-table predicate count (nothing lost), and scanning the
+    // pruned files under the predicate must find ZERO rows (nothing
+    // wrongly skipped — the invariant that makes pruning safe, not just
+    // fast). The dataset is written IN the gate: orders range-partitioned
+    // 8 ways on o_orderkey, so file min/max ranges are disjoint and a
+    // bottom-of-range predicate (min+150) must prune most files
+    // (`pruned_some`). Stats-less groups are unpruneable by contract,
+    // never empty. Driver-side state is the 8-entry file list — the
+    // bounded model-state class. A mis-decoded stats field, a wrong
+    // endianness, or an off-by-one in the keep test flips a BIGINT or a
+    // boolean.
+    QueryDef(
+      "x189_stats_pruning",
+      (s, d) => {
+        val store = s"${System.getProperty("java.io.tmpdir")}/graft_x189_" +
+          s"${ProcessHandle.current().pid()}_${System.nanoTime()}"
+        orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+          .repartitionByRange(8, col("o_orderkey"))
+          .write.mode("overwrite").parquet(store)
+        try {
+          val st = graft.ops.ParquetFooter.int64Stats(s, store, "o_orderkey")
+            .localCheckpoint(eager = true)
+          val bound = orders(s, d).agg(min("o_orderkey").cast(LongType))
+            .first().getLong(0) + 150L
+          val perFile = st.groupBy("file")
+            .agg(sum("g_rows").as("f_rows"),
+              min(when(col("has_stats"), col("min_v"))).as("f_min"),
+              sum(when(!col("has_stats"), 1L).otherwise(0L)).as("n_nostats"))
+            .collect()
+          val kept = perFile.filter(r =>
+            r.getLong(3) > 0 || r.getLong(2) <= bound).map(_.getString(0))
+          val pruned = perFile.map(_.getString(0)).diff(kept)
+          val nMatch =
+            if (kept.isEmpty) 0L
+            else s.read.parquet(kept.toIndexedSeq: _*)
+              .filter(col("o_orderkey") <= bound).count()
+          val prunedMatches =
+            if (pruned.isEmpty) 0L
+            else s.read.parquet(pruned.toIndexedSeq: _*)
+              .filter(col("o_orderkey") <= bound).count()
+          val nRows = perFile.map(_.getLong(1)).sum
+          val statsOk = perFile.forall(_.getLong(3) == 0L)
+          import s.implicits._
+          Seq((perFile.length.toLong, statsOk, nRows, nMatch,
+            prunedMatches == 0L, pruned.nonEmpty))
+            .toDF("n_files", "stats_ok", "n_rows", "n_match",
+              "pruned_clean", "pruned_some")
+        } finally {
+          val p = new org.apache.hadoop.fs.Path(store)
+          try p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+          catch { case _: Exception => () }
+        }
+      },
+      Some("""SELECT CAST(8 AS BIGINT) AS n_files, TRUE AS stats_ok,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(CASE WHEN o_orderkey <=
+             |    (SELECT min(o_orderkey) + 150 FROM orders)
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+             |  TRUE AS pruned_clean, TRUE AS pruned_some
+             |FROM orders""".stripMargin))
   )
 
   /** TIFF fixture prefixes for x168 (header + IFD as constant hex,
