@@ -11601,7 +11601,73 @@ object PipelineQueries {
              |    (SELECT min(o_orderkey) + 150 FROM orders)
              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
              |  TRUE AS pruned_clean, TRUE AS pruned_some
-             |FROM orders""".stripMargin))
+             |FROM orders""".stripMargin)),
+
+    // UNICODE NFC NORMALIZATION (x190) — the first text-cleaning pass of a
+    // multilingual corpus pipeline: the same logical token arrives
+    // precomposed (U+00E9) from one crawl source and decomposed
+    // (e + U+0301) from another, and un-normalized text silently splits
+    // dedup keys, vocab entries, and group-bys that should collide. Spark
+    // ships no normalization function, so functions/NfcNormalize.scala is
+    // a native codegen Expression (SURVEY §4.2 preference order b —
+    // UnaryExpression + doGenCode, allocation-free fast path when
+    // Normalizer.isNormalized already holds, which is virtually all real
+    // text); DuckDB's nfc_normalize (utf8proc) implements the same UAX #15
+    // canonical composition, so the gate is a CROSS-IMPLEMENTATION
+    // differential: JDK vs utf8proc over paired-constructed Latin
+    // combining marks and Hangul jamo. Outputs pin change counts, before/
+    // after code-point lengths, and an md5-derived checksum of every
+    // normalized string — a single mis-composed sequence shifts a BIGINT.
+    // Scale: one narrow per-row pass into a 10-group partial agg.
+    QueryDef(
+      "x190_nfc_normalize",
+      (s, d) => {
+        val ePre = "\u00e9"
+        val eDec = "e\u0301"
+        val jamo = "\u1100\u1161\u11a8"
+        val base = concat(lit("w"), col("doc_id").cast("string"), lit(" "))
+        val sCol = when(col("doc_id") % 4 === 0, concat(base, lit("caf" + ePre)))
+          .when(col("doc_id") % 4 === 1, concat(base, lit("caf" + eDec)))
+          .when(col("doc_id") % 4 === 2, concat(base, lit(jamo)))
+          .otherwise(concat(base, lit("ascii")))
+        documents(s, d).filter(col("doc_id") < 3000)
+          .select(col("doc_id"), sCol.as("str"))
+          .withColumn("norm", graft.functions.NfcNormalize.nfc(col("str")))
+          .groupBy((col("doc_id") % 10).cast(LongType).as("grp"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("norm") =!= col("str"), 1L).otherwise(0L)).as("n_changed"),
+            sum(length(col("str")).cast(LongType)).as("chars_before"),
+            sum(length(col("norm")).cast(LongType)).as("chars_after"),
+            sum(expr("CAST(conv(substring(md5(norm), 1, 8), 16, 10) AS BIGINT)"))
+              .as("cksum"))
+          .orderBy("grp")
+      },
+      Some("""WITH src AS (SELECT doc_id,
+             |    'w' || doc_id || ' ' || CASE CAST(doc_id % 4 AS INT)
+             |      WHEN 0 THEN 'caf' || chr(233)
+             |      WHEN 1 THEN 'cafe' || chr(769)
+             |      WHEN 2 THEN chr(4352) || chr(4449) || chr(4520)
+             |      ELSE 'ascii' END AS str
+             |  FROM documents WHERE doc_id < 3000),
+             |nrm AS (SELECT doc_id, str, nfc_normalize(str) AS norm FROM src),
+             |hx8 AS (SELECT doc_id, str, norm,
+             |    substr(md5(norm), 1, 8) AS hx FROM nrm)
+             |SELECT CAST(doc_id % 10 AS BIGINT) AS grp,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CASE WHEN norm <> str THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_changed,
+             |  CAST(sum(length(str)) AS BIGINT) AS chars_before,
+             |  CAST(sum(length(norm)) AS BIGINT) AS chars_after,
+             |  CAST(sum((instr('0123456789abcdef', substr(hx, 1, 1)) - 1) * 268435456
+             |    + (instr('0123456789abcdef', substr(hx, 2, 1)) - 1) * 16777216
+             |    + (instr('0123456789abcdef', substr(hx, 3, 1)) - 1) * 1048576
+             |    + (instr('0123456789abcdef', substr(hx, 4, 1)) - 1) * 65536
+             |    + (instr('0123456789abcdef', substr(hx, 5, 1)) - 1) * 4096
+             |    + (instr('0123456789abcdef', substr(hx, 6, 1)) - 1) * 256
+             |    + (instr('0123456789abcdef', substr(hx, 7, 1)) - 1) * 16
+             |    + (instr('0123456789abcdef', substr(hx, 8, 1)) - 1)) AS BIGINT)
+             |    AS cksum
+             |FROM hx8 GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** TIFF fixture prefixes for x168 (header + IFD as constant hex,
