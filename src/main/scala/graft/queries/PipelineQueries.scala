@@ -11495,15 +11495,24 @@ object PipelineQueries {
         val zExpr = (0 until 8).map(k =>
           s"((((qb >> $k) & 1) << ${2 * k + 1}) | (((pb >> $k) & 1) << ${2 * k}))")
           .mkString(" | ")
+        // explicit not-null filters make qb/pb — and the whole Hilbert
+        // chain — provably non-nullable, so the join-key isnotnull
+        // constraint is elided instead of being pushed down as one
+        // exponentially-inlined copy of the level chain (each level reads
+        // idx twice, so textual inlining doubles per level)
         val li = lineitem(s, d)
+          .filter(col("l_quantity").isNotNull && col("l_extendedprice").isNotNull)
           .select(expr("((CAST(floor(l_quantity) AS BIGINT) - 1) * 256) div 50").as("qb"),
             least(lit(255L), expr("CAST(floor(l_extendedprice) AS BIGINT) div 410")).as("pb"))
           .withColumn("z", expr(zExpr))
         val hl = graft.ops.HilbertCurve.withIndex(li, "qb", "pb", 8)
-        val hb = hl.groupBy(expr("hilbert div 4096").as("file_id"))
+        // group keys wrapped in coalesce(non-null literal): `div` is
+        // always-nullable in Catalyst, so a bare key would re-introduce
+        // the join-key isnotnull pushdown this query just engineered away
+        val hb = hl.groupBy(coalesce(expr("hilbert div 4096"), lit(-1L)).as("file_id"))
           .agg(count(lit(1)).as("n_h"),
             ((max("qb") - min("qb") + 1) * (max("pb") - min("pb") + 1)).as("area_h"))
-        val zb = hl.groupBy(expr("z div 4096").as("file_id"))
+        val zb = hl.groupBy(coalesce(expr("z div 4096"), lit(-1L)).as("file_id"))
           .agg(count(lit(1)).as("n_z"),
             ((max("qb") - min("qb") + 1) * (max("pb") - min("pb") + 1)).as("area_z"))
         hb.join(zb, Seq("file_id"))
