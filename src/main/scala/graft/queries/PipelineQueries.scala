@@ -3140,42 +3140,51 @@ object PipelineQueries {
     // correlated dimensions; x21/x33's family). One corpus pass: exact
     // second moments Σxᵢxⱼ per (i,j) plus first moments Σxᵢ, covariance
     // derived in the d²-sized frame as E[xy] − μₓμᵧ with one shared IEEE
-    // expression tree (products in double, sums in DECIMAL(18,8) — dsum
-    // discipline, engine summation order never shows).
+    // expression tree (products in double, per-product 8-dp decimal
+    // rounding + exact summation — dsum discipline, engine summation
+    // order never shows).
     //
-    // Scale shape: the pair stream is generated NARROWLY (posexplode ×
-    // slice chain — no self-join of the exploded stream, no lambda) and
-    // hash-aggregates with map-side partial combine, so the only exchange
-    // carries ≤ d(d+1)/2 = 2080 rows per partition REGARDLESS of corpus
-    // size; moments join in the tiny final frame by broadcast. At 100 TB
-    // this is a linear scan with a constant-width shuffle — the textbook
-    // distributed Gram matrix.
+    // Scale shape (round 9, the x180 lesson applied): the original
+    // posexplode × slice generator materialized n·d(d+1)/2 rows through
+    // GenerateExec just to feed a d²-group aggregate — 41.6M rows / 11.7 s
+    // at sf0.1, 4.2B rows at 100×: the cost was row MACHINERY, not
+    // arithmetic. functions/CovMomentsAggregator now does the same
+    // multiply-adds in ONE long buffer per partition (unscaled decimal
+    // longs — long addition IS exact decimal addition), so the corpus is
+    // read once, nothing is generated, and the only exchange carries one
+    // 2 145-long buffer per partition regardless of corpus size. The
+    // (pos → i,j) triangle mapping and the moment joins happen in the
+    // 2 145-row frame, broadcast. At 100 TB this is a linear scan with a
+    // constant-width shuffle — the textbook distributed Gram matrix.
     QueryDef(
       "x58_embedding_covariance",
       (s, d) => {
         val dim = 64
-        val x = embeddings(s, d)
-          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "xi")))
-        val moments = x.groupBy("i").agg(
-          sum(col("xi").cast(DoubleType).cast(DecimalType(18, 8))).as("sx"),
-          count(lit(1)).as("n"))
-        val pairs = embeddings(s, d)
-          .select(col("embedding"), posexplode(col("embedding")).as(Seq("i", "xi")))
-          .select(col("i"), col("xi"),
-            posexplode(slice(col("embedding"), col("i") + 1, lit(dim) - col("i"))).as(Seq("p", "xj")))
-          .select(col("i"), (col("i") + col("p")).as("j"),
-            (col("xi").cast(DoubleType) * col("xj").cast(DoubleType)).as("xy"))
-          .groupBy("i", "j")
-          .agg(sum(col("xy").cast(DecimalType(18, 8))).as("sxy"))
-        pairs
-          .join(broadcast(moments.select(col("i"), col("sx").as("sx_i"), col("n"))), Seq("i"))
-          .join(broadcast(moments.select(col("i").as("j"), col("sx").as("sx_j"))), Seq("j"))
-          .select(col("i").cast(LongType).as("i"), col("j").cast(LongType).as("j"),
-            col("n"),
+        val tri = dim * (dim + 1) / 2
+        val mom = udaf(new graft.functions.CovMomentsAggregator)
+        // one pass, one buffer; materialized because three consumers
+        // (pairs, moments, count) read the 2 145-row result
+        val flat = embeddings(s, d).agg(mom(col("embedding")).as("m"))
+          .select(posexplode(col("m")).as(Seq("pos", "v")))
+          .localCheckpoint(eager = true)
+        import s.implicits._
+        val pmap = (for { i <- 0 until dim; j <- i until dim }
+          yield (i * dim - i * (i - 1) / 2 + (j - i), i.toLong, j.toLong))
+          .toDF("pos", "i", "j")
+        val nRow = flat.filter(col("pos") === tri + dim)
+          .select(col("v").cast(LongType).as("n"))
+        val mo = flat.filter(col("pos") >= tri && col("pos") < tri + dim)
+          .select((col("pos") - tri).cast(LongType).as("i"), col("v").as("sx"))
+        flat.filter(col("pos") < tri)
+          .join(broadcast(pmap), "pos")
+          .join(broadcast(mo.select(col("i"), col("sx").as("sx_i"))), Seq("i"))
+          .join(broadcast(mo.select(col("i").as("j"), col("sx").as("sx_j"))), Seq("j"))
+          .crossJoin(broadcast(nRow))
+          .select(col("i"), col("j"), col("n"),
             (round(
-              col("sxy").cast(DoubleType) / col("n")
-                - (col("sx_i").cast(DoubleType) / col("n"))
-                * (col("sx_j").cast(DoubleType) / col("n")), 6) + lit(0.0)).as("cov"))
+              col("v") / col("n")
+                - (col("sx_i") / col("n"))
+                * (col("sx_j") / col("n")), 6) + lit(0.0)).as("cov"))
           .orderBy("i", "j")
       },
       Some("""WITH x AS (SELECT vec_id,
