@@ -41,7 +41,7 @@ object ParquetFooter {
 
   /** Thrift compact-protocol reader over a byte array (public protocol
     * spec). Reads latch `bad` on any structural violation. */
-  private final class Compact(bytes: Array[Byte]) {
+  private[ops] final class Compact(val bytes: Array[Byte]) {
     var pos = 0
     var bad = false
     def u8(): Int = {
@@ -384,7 +384,7 @@ object ParquetFooter {
   }
 
   /** The raw footer byte array of one parquet file (seek-only read). */
-  private def readFooterBytes(fs: org.apache.hadoop.fs.FileSystem,
+  private[ops] def readFooterBytes(fs: org.apache.hadoop.fs.FileSystem,
       status: org.apache.hadoop.fs.FileStatus): Option[Array[Byte]] = {
     val len = status.getLen
     if (len < 12) return None

@@ -11685,7 +11685,277 @@ object PipelineQueries {
              |    + (instr('0123456789abcdef', substr(hx, 7, 1)) - 1) * 16
              |    + (instr('0123456789abcdef', substr(hx, 8, 1)) - 1)) AS BIGINT)
              |    AS cksum
-             |FROM hx8 GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM hx8 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // GRID-BUCKETED PLANAR DISTANCE JOIN (x191) — the spatial pair join
+    // (all point pairs within distance r) the catalog's 1-D interval
+    // bucketing (ops/BucketedRangeJoin, q22/x92/x152/x155) cannot express:
+    // proximity blocking over TWO coordinates. ops/GridJoin overlays an
+    // r-sized cell grid and equi-joins a 3×3-expanded probe side against
+    // the build side's own cell (pair-uniqueness argument at the op), so
+    // candidate volume is bounded by local DENSITY, never n² — the plan
+    // that survives 100 TB. Points are synthesized from customer keys by
+    // integer congruential arithmetic (identical in both engines), the
+    // distance test is exact BIGINT d² ≤ r², and the output is the d²-band
+    // histogram with pair counts, distinct-endpoint counts, and exact d²
+    // sums — one mis-paired candidate shifts a BIGINT. The ORACLE runs the
+    // plan this operator exists to avoid: a brute-force O(n²) inequality
+    // join — the cross-engine gate doubles as the asymptotic comparison.
+    QueryDef(
+      "x191_grid_distance_join",
+      (s, d) => {
+        val pts = customer(s, d).select(
+          col("c_custkey").cast(LongType).as("id"),
+          ((col("c_custkey").cast(LongType) * 48271L) % 8000L).as("x"),
+          ((col("c_custkey").cast(LongType) * 16807L) % 8000L).as("y"))
+        graft.ops.GridJoin.withinDistance(pts, "id", "x", "y", 500L)
+          .groupBy(expr("CAST(d2 DIV 31250 AS BIGINT)").as("band"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("d2")).as("sum_d2"),
+            countDistinct(col("id_a")).as("n_a"),
+            countDistinct(col("id_b")).as("n_b"),
+            min(col("d2")).as("min_d2"),
+            max(col("d2")).as("max_d2"))
+          .orderBy("band")
+      },
+      Some("""WITH p AS (SELECT CAST(c_custkey AS BIGINT) AS id,
+             |    (CAST(c_custkey AS BIGINT) * 48271) % 8000 AS x,
+             |    (CAST(c_custkey AS BIGINT) * 16807) % 8000 AS y
+             |  FROM customer),
+             |pr AS (SELECT a.id AS id_a, b.id AS id_b,
+             |    (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+             |  FROM p a JOIN p b ON a.id < b.id
+             |  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+             |    <= 250000)
+             |SELECT CAST(d2 // 31250 AS BIGINT) AS band,
+             |  CAST(count(*) AS BIGINT) AS n_pairs,
+             |  CAST(sum(d2) AS BIGINT) AS sum_d2,
+             |  CAST(count(DISTINCT id_a) AS BIGINT) AS n_a,
+             |  CAST(count(DISTINCT id_b) AS BIGINT) AS n_b,
+             |  CAST(min(d2) AS BIGINT) AS min_d2,
+             |  CAST(max(d2) AS BIGINT) AS max_d2
+             |FROM pr GROUP BY 1 ORDER BY band""".stripMargin)),
+
+    // AHO–CORASICK DICTIONARY MATCHING (x192) — multi-pattern substring
+    // counting in ONE corpus pass (functions/AhoCorasick.scala: byte-level
+    // goto/fail/output automaton as a native codegen expression, the
+    // dictionary riding along as a reference object): PII phrase lists,
+    // blocklists, contamination probes. The dictionary deliberately nests
+    // ("table" inside "table table", "fast" prefixing "fast key") and
+    // self-borders ("a a", "table table"), so fail-chain output
+    // inheritance and OVERLAPPING occurrences are all on the gate. The
+    // oracle counts every pattern INDEPENDENTLY at every start position
+    // (substr equality over a position range) — exact overlap-inclusive
+    // semantics, at |dict| × positions cost: the quadratic plan this
+    // operator replaces with a single automaton scan. Scale: one narrow
+    // codegen pass, counts fold in a 15-group partial agg; no join, no
+    // per-pattern rescan.
+    QueryDef(
+      "x192_aho_corasick",
+      (s, d) => {
+        val phrases = Seq("a a", "batch batch", "data", "fast", "fast key",
+          "key agg", "scan", "scan slow", "slow fast table", "stream",
+          "table", "table table", "the line sort", "value table part",
+          "window window")
+        val phraseArr = array(phrases.map(lit): _*)
+        documents(s, d)
+          .select(col("doc_id"),
+            graft.functions.AhoCorasick.matchCounts(col("text"), phrases)
+              .as("cnts"))
+          .select(col("doc_id"), posexplode(col("cnts")).as(Seq("pid", "c")))
+          .groupBy(element_at(phraseArr, col("pid") + 1).as("phrase"))
+          .agg(sum(col("c")).as("n_occ"),
+            sum(when(col("c") > 0, 1L).otherwise(0L)).as("n_docs"),
+            max(col("c")).as("max_in_doc"))
+          .orderBy("phrase")
+      },
+      {
+        val phrases = Seq("a a", "batch batch", "data", "fast", "fast key",
+          "key agg", "scan", "scan slow", "slow fast table", "stream",
+          "table", "table table", "the line sort", "value table part",
+          "window window")
+        val values = phrases.map(p => s"('$p')").mkString(", ")
+        Some(s"""WITH ph AS (SELECT * FROM (VALUES $values) t(phrase)),
+                |occ AS (SELECT phrase, doc_id,
+                |    CAST(len(list_filter(
+                |      range(1, length(text) - length(phrase) + 2),
+                |      i -> substr(text, CAST(i AS INT), length(phrase)) = phrase))
+                |      AS BIGINT) AS c
+                |  FROM documents CROSS JOIN ph)
+                |SELECT phrase, CAST(sum(c) AS BIGINT) AS n_occ,
+                |  CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+                |  CAST(max(c) AS BIGINT) AS max_in_doc
+                |FROM occ GROUP BY 1 ORDER BY phrase""".stripMargin)
+      }),
+
+    // PROTOBUF WIRE-FORMAT DECODE (x193) — the schema-less wire walk for
+    // protobuf-framed event/log payloads (ops/ProtoWire.scala: base-128
+    // varints, ZigZag, fixed32/64, length-delimited with nested-message
+    // recursion and packed-repeated expansion, hand-parsed from the
+    // public encoding spec — the same layer-down posture as x176's thrift
+    // compact reader). Paired construction: the SQL assembles each
+    // message byte-for-byte from arithmetic (tags, two-byte varints,
+    // ZigZag'd negative sint, LE fixed32, a 5-byte packed plane, a nested
+    // message), Spark decodes through the REAL decoder, and the oracle
+    // predicts every decoded value — field numbers, varint values, LEN
+    // byte sums, packed elements, the nested field — without parsing.
+    // Every 17th doc is truncated mid-varint (the leading value is forced
+    // ≥ 128 so a 2-byte cut always lands inside a continuation) and must
+    // route to no rows. ProtoWireSpec cross-validates against the real
+    // protobuf CodedOutputStream. Scale: narrow per-row decode, zero
+    // shuffle beyond the 10-path exchange.
+    QueryDef(
+      "x193_protobuf_wire",
+      (s, d) => {
+        val doc = s"parquet.`$d/documents.parquet`"
+        val media = s.sql(
+          s"""WITH n AS (SELECT doc_id,
+             |    128 + doc_id % 10000 AS a,
+             |    doc_id % 100 - 50 AS v,
+             |    (doc_id * 97) % 65536 AS c
+             |  FROM $doc WHERE doc_id < 3000),
+             |z AS (SELECT doc_id, a, c,
+             |    IF(v >= 0, 2 * v, -2 * v - 1) AS zz FROM n),
+             |hx AS (SELECT doc_id, IF(doc_id % 17 = 0,
+             |  concat('08', ${hbS("a % 128 + 128")}),
+             |  concat(
+             |    '08', ${hbS("a % 128 + 128")}, ${hbS("a div 128")},
+             |    '10', ${hbS("zz")},
+             |    '1A04646F63', ${hbS("48 + doc_id % 10")},
+             |    '25', ${le32S("c")},
+             |    '2A05', ${hbS("doc_id % 128")},
+             |    ${hbS("doc_id % 100 + 128")}, '01',
+             |    ${hbS("172 + doc_id % 50")}, '02',
+             |    '320208', ${hbS("doc_id % 90")})) AS h FROM z)
+             |SELECT doc_id AS media_id, unhex(h) AS media FROM hx""".stripMargin)
+        graft.ops.ProtoWire.fields(media,
+            recurseInto = Set(6), packedVarintsAt = Set(5)).toDF()
+          .groupBy(col("path"))
+          .agg(min(col("wire_type")).cast(LongType).as("wt"),
+            count(lit(1)).as("n"),
+            sum(col("num")).as("sum_num"),
+            sum(col("len")).as("sum_len"),
+            sum(col("bsum")).as("sum_bsum"))
+          .orderBy("path")
+      },
+      Some("""WITH d AS (SELECT doc_id, 128 + doc_id % 10000 AS a,
+             |    doc_id % 100 - 50 AS v, (doc_id * 97) % 65536 AS c
+             |  FROM documents WHERE doc_id < 3000 AND doc_id % 17 <> 0),
+             |z AS (SELECT doc_id, a, c,
+             |    CASE WHEN v >= 0 THEN 2 * v ELSE -2 * v - 1 END AS zz
+             |  FROM d),
+             |rows_ AS (
+             |  SELECT '1' AS path, 0 AS wt, a AS num, 0 AS len, 0 AS bsum
+             |    FROM z
+             |  UNION ALL SELECT '2', 0, zz, 0, 0 FROM z
+             |  UNION ALL SELECT '3', 2, 0, 4, 310 + 48 + doc_id % 10 FROM z
+             |  UNION ALL SELECT '4', 5, c, 0, 0 FROM z
+             |  UNION ALL SELECT '5', 2, 0, 5,
+             |    doc_id % 128 + (doc_id % 100 + 128) + 1
+             |      + (172 + doc_id % 50) + 2 FROM z
+             |  UNION ALL SELECT '5#0', 0, doc_id % 128, 0, 0 FROM z
+             |  UNION ALL SELECT '5#1', 0, 128 + doc_id % 100, 0, 0 FROM z
+             |  UNION ALL SELECT '5#2', 0, 300 + doc_id % 50, 0, 0 FROM z
+             |  UNION ALL SELECT '6', 2, 0, 2, 8 + doc_id % 90 FROM z
+             |  UNION ALL SELECT '6.1', 0, doc_id % 90, 0, 0 FROM z)
+             |SELECT path, CAST(min(wt) AS BIGINT) AS wt,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(num) AS BIGINT) AS sum_num,
+             |  CAST(sum(len) AS BIGINT) AS sum_len,
+             |  CAST(sum(bsum) AS BIGINT) AS sum_bsum
+             |FROM rows_ GROUP BY 1 ORDER BY path""".stripMargin)),
+
+    // PARQUET DATA-PAGE HAND DECODE (x194) — the layer below x176's
+    // footer walk and x189's stats pruning: ops/ParquetPages.scala walks
+    // the thrift-compact PageHeaders of one column chunk, decompresses
+    // pages through the repo's OWN snappy decoder (x171's SnappyBlock),
+    // decodes RLE/bit-packed-hybrid definition levels, and materializes
+    // PLAIN and dictionary-encoded INT64 values — Spark's vectorized
+    // reader reproduced from the public parquet-format spec. The gate is
+    // DIFFERENTIAL against the engine itself: Spark WRITES a bounded
+    // orders slice in two shapes (dictionary+snappy; PLAIN+uncompressed,
+    // small blocks/pages for multi-group multi-page coverage), the hand
+    // decoder re-reads every page, and the oracle predicts the exact
+    // value facts (counts, null counts, sums, min/max) arithmetically
+    // from the same source rows — one mis-decoded page shifts a BIGINT.
+    // Writer-dependent layout facts (page counts) are boolean contracts,
+    // the x176 discipline. Scale: the slice is absolutely bounded (first
+    // 8000 orderkeys); chunk ranges are read by seek, one task per part.
+    QueryDef(
+      "x194_parquet_pages",
+      (s, d) => {
+        val store = s"${System.getProperty("java.io.tmpdir")}/graft_x194_" +
+          s"${ProcessHandle.current().pid()}_${System.nanoTime()}"
+        val bound = orders(s, d).agg(min("o_orderkey").cast(LongType))
+          .first().getLong(0) + 8000L
+        val src = orders(s, d).filter(col("o_orderkey") <= bound).select(
+          col("o_orderkey").cast(LongType).as("k"),
+          when(col("o_orderkey") % 7 === 0, lit(null).cast(LongType))
+            .otherwise((col("o_orderkey").cast(LongType) * 31L) % 97L)
+            .as("a"),
+          ((col("o_orderkey").cast(LongType) * 13L) % 353L).as("b"))
+        try {
+          src.coalesce(1).write.mode("overwrite")
+            .option("compression", "snappy")
+            .option("parquet.block.size", "65536")
+            .option("parquet.page.size", "4096")
+            .parquet(s"$store/dict")
+          src.coalesce(1).write.mode("overwrite")
+            .option("compression", "none")
+            .option("parquet.enable.dictionary", "false")
+            .option("parquet.block.size", "65536")
+            .option("parquet.page.size", "4096")
+            .parquet(s"$store/plain")
+          def one(variant: String, cname: String) =
+            graft.ops.ParquetPages.int64Column(s, s"$store/$variant", cname)
+              .agg(sum("num_values").as("num_values"),
+                sum("n_nulls").as("n_nulls"), sum("sum_v").as("sum_v"),
+                min("min_v").as("min_v"), max("max_v").as("max_v"),
+                min(when(col("ok"), 1L).otherwise(0L)).as("okm"),
+                sum("n_dict_pages").as("nd"), sum("n_pages").as("np"))
+              .select(lit(variant).as("variant"), lit(cname).as("col_name"),
+                col("num_values"), col("n_nulls"), col("sum_v"),
+                col("min_v"), col("max_v"), (col("okm") === 1L).as("ok_all"),
+                (col("nd") > 0L).as("has_dict"),
+                (col("np") > 0L).as("pages_pos"))
+          one("dict", "a").unionByName(one("dict", "b"))
+            .unionByName(one("plain", "a")).unionByName(one("plain", "b"))
+            .orderBy("variant", "col_name")
+            // the union of four 1-row aggregates over a temp store must
+            // materialize before the finally deletes the store
+            .localCheckpoint(eager = true)
+        } finally {
+          val p = new org.apache.hadoop.fs.Path(store)
+          try p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+          catch { case _: Exception => () }
+        }
+      },
+      Some("""WITH bd AS (SELECT min(o_orderkey) + 8000 AS bound FROM orders),
+             |s AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders, bd
+             |  WHERE o_orderkey <= bound),
+             |va AS (SELECT CASE WHEN k % 7 = 0 THEN NULL
+             |    ELSE (k * 31) % 97 END AS v FROM s),
+             |vb AS (SELECT (k * 13) % 353 AS v FROM s),
+             |fa AS (SELECT CAST(count(*) AS BIGINT) AS num_values,
+             |    CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_nulls,
+             |    CAST(sum(v) AS BIGINT) AS sum_v,
+             |    CAST(min(v) AS BIGINT) AS min_v,
+             |    CAST(max(v) AS BIGINT) AS max_v FROM va),
+             |fb AS (SELECT CAST(count(*) AS BIGINT) AS num_values,
+             |    CAST(0 AS BIGINT) AS n_nulls,
+             |    CAST(sum(v) AS BIGINT) AS sum_v,
+             |    CAST(min(v) AS BIGINT) AS min_v,
+             |    CAST(max(v) AS BIGINT) AS max_v FROM vb)
+             |SELECT variant, col_name, num_values, n_nulls, sum_v, min_v,
+             |  max_v, TRUE AS ok_all, has_dict, TRUE AS pages_pos
+             |FROM (
+             |  SELECT 'dict' AS variant, 'a' AS col_name, fa.*,
+             |    TRUE AS has_dict FROM fa
+             |  UNION ALL SELECT 'dict', 'b', fb.*, TRUE FROM fb
+             |  UNION ALL SELECT 'plain', 'a', fa.*, FALSE FROM fa
+             |  UNION ALL SELECT 'plain', 'b', fb.*, FALSE FROM fb)
+             |ORDER BY variant, col_name""".stripMargin))
   )
 
   /** TIFF fixture prefixes for x168 (header + IFD as constant hex,

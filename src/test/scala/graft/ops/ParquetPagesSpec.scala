@@ -1,0 +1,144 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** ParquetPages vs Spark's own reader, over files Spark itself wrote in
+  * every in-scope shape: PLAIN and dictionary encodings, uncompressed and
+  * snappy codecs, optional (with real nulls) and required columns,
+  * multi-row-group files; out-of-scope shapes must route, never throw. */
+class ParquetPagesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_pqpages_" +
+      s"${ProcessHandle.current().pid()}_${System.nanoTime()}"
+
+  private def cleanup(dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    try p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    catch { case _: Exception => () }
+  }
+
+  private def facts(dir: String, col0: String): (Long, Long, Long, Long, Long) = {
+    val df = spark.read.parquet(dir)
+    val r = df.agg(count(lit(1)), sum(col(col0)),
+      sum(when(col(col0).isNull, 1L).otherwise(0L)),
+      min(col(col0)), max(col(col0))).first()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+  }
+
+  private def decoded(dir: String, col0: String) = {
+    val rows = ParquetPages.int64Column(spark, dir, col0)
+      .collect().map(r => (r.getAs[Long]("n_pages"),
+        r.getAs[Long]("n_dict_pages"), r.getAs[Long]("num_values"),
+        r.getAs[Long]("n_nulls"), r.getAs[Long]("sum_v"),
+        r.getAs[Long]("min_v"), r.getAs[Long]("max_v"),
+        r.getAs[Boolean]("ok")))
+    assert(rows.nonEmpty)
+    rows
+  }
+
+  private def check(dir: String, col0: String, wantDict: Boolean): Unit = {
+    val (n, s, nulls, mn, mx) = facts(dir, col0)
+    val rows = decoded(dir, col0)
+    assert(rows.forall(_._8), s"a chunk failed to decode: ${rows.mkString(",")}")
+    assert(rows.map(_._3).sum == n)
+    assert(rows.map(_._4).sum == nulls)
+    assert(rows.map(_._5).sum == s)
+    assert(rows.map(_._6).min == mn)
+    assert(rows.map(_._7).max == mx)
+    if (wantDict) assert(rows.exists(_._2 > 0L), "expected a dictionary page")
+    else assert(rows.forall(_._2 == 0L), "expected no dictionary page")
+  }
+
+  private def sample = (1 to 5000).map { i =>
+    (i.toLong, if (i % 7 == 0) None else Some((i * 31L) % 97L))
+  }.toDF("k", "v")
+
+  test("dictionary-encoded snappy pages match Spark's reader") {
+    val dir = tmp()
+    try {
+      sample.coalesce(1).write.option("compression", "snappy").parquet(dir)
+      check(dir, "v", wantDict = true)
+    } finally cleanup(dir)
+  }
+
+  test("PLAIN uncompressed pages (dictionary disabled), multi-group") {
+    val dir = tmp()
+    try {
+      sample.coalesce(1).write
+        .option("compression", "none")
+        .option("parquet.enable.dictionary", "false")
+        .option("parquet.block.size", "65536")
+        .option("parquet.page.size", "4096")
+        .parquet(dir)
+      check(dir, "v", wantDict = false)
+      // the small block size must actually have produced several pages
+      assert(decoded(dir, "v").map(_._1).sum > 2L)
+    } finally cleanup(dir)
+  }
+
+  test("REQUIRED column (no definition levels on the wire)") {
+    val dir = tmp()
+    try {
+      val schema = StructType(Seq(StructField("k", LongType, nullable = false)))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize((1 to 2000).map(i => Row(i * 3L)), 1),
+        schema)
+      df.write.option("compression", "none").parquet(dir)
+      // all-unique values: parquet-mr's first-flush heuristic abandons the
+      // dictionary (it would be as large as the data), so PLAIN is expected
+      check(dir, "k", wantDict = false)
+      assert(decoded(dir, "k").map(_._4).sum == 0L)
+    } finally cleanup(dir)
+  }
+
+  test("all-null page decodes with zero min/max and full null count") {
+    val dir = tmp()
+    try {
+      (1 to 100).map(i => (i.toLong, Option.empty[Long])).toDF("k", "v")
+        .coalesce(1).write.option("compression", "none").parquet(dir)
+      val rows = decoded(dir, "v")
+      assert(rows.forall(_._8))
+      assert(rows.map(_._4).sum == 100L)
+      assert(rows.map(_._5).sum == 0L)
+    } finally cleanup(dir)
+  }
+
+  test("out-of-scope codec routes to ok = false, never throws") {
+    val dir = tmp()
+    try {
+      sample.coalesce(1).write.option("compression", "gzip").parquet(dir)
+      val rows = decoded(dir, "v")
+      assert(rows.forall(!_._8))
+    } finally cleanup(dir)
+  }
+
+  test("missing column yields no rows") {
+    val dir = tmp()
+    try {
+      sample.coalesce(1).write.parquet(dir)
+      assert(ParquetPages.int64Column(spark, dir, "nope").count() == 0L)
+    } finally cleanup(dir)
+  }
+
+  test("rleHybrid decodes runs, bit-packed groups, and mixed streams") {
+    // RLE run: header = count<<1, then ceil(w/8) value bytes.
+    val run = Array[Byte]((5 << 1).toByte, 1)
+    assert(ParquetPages.rleHybrid(run, 0, run.length, 1, 5).get.toSeq ==
+      Seq(1, 1, 1, 1, 1))
+    // Bit-packed, w=1: header = groups<<1|1; one byte = 8 values LSB-first.
+    val bp = Array[Byte](((1 << 1) | 1).toByte, 0x35.toByte) // 10101100 rev
+    assert(ParquetPages.rleHybrid(bp, 0, bp.length, 1, 8).get.toSeq ==
+      Seq(1, 0, 1, 0, 1, 1, 0, 0))
+    // w=0: nothing on the wire, all zeros.
+    assert(ParquetPages.rleHybrid(Array.emptyByteArray, 0, 0, 0, 4).get.toSeq
+      == Seq(0, 0, 0, 0))
+    // truncation: run claims more value bytes than remain
+    assert(ParquetPages.rleHybrid(Array[Byte]((5 << 1).toByte), 0, 1, 8, 5)
+      .isEmpty)
+  }
+}

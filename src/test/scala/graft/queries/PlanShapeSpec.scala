@@ -50,6 +50,12 @@ class PlanShapeSpec extends SparkSpec {
     assert("Window \\[row_number".r.findAllIn(p).length <= 1, p)
   }
 
+  test("x191's distance join is a cell equi-join, never a nested-loop pair scan") {
+    val p = plans("x191_grid_distance_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("q71's correlated LIMIT decorrelates to a WindowGroupLimit top-k, not a per-row rescan") {
     val p = plans("q71_lateral_join")
     assert(p.contains("WindowGroupLimit"), p)
