@@ -11955,7 +11955,69 @@ object PipelineQueries {
              |  UNION ALL SELECT 'dict', 'b', fb.*, TRUE FROM fb
              |  UNION ALL SELECT 'plain', 'a', fa.*, FALSE FROM fa
              |  UNION ALL SELECT 'plain', 'b', fb.*, FALSE FROM fb)
-             |ORDER BY variant, col_name""".stripMargin))
+             |ORDER BY variant, col_name""".stripMargin)),
+
+    // ROCKSDB STATE STORE + SLIDING WINDOWS (x195) — two streaming
+    // surfaces the gate family lacks: SLIDING (overlapping) event-time
+    // windows (every event belongs to duration/slide = 2 windows — the
+    // state store carries ~2× the groups a tumbling agg holds) executed
+    // on the ROCKSDB state store provider instead of the default in-memory
+    // HashMap — the backend that makes 100 TB streaming state possible at
+    // all (state spills to local SST files instead of executor heap; at
+    // scale, the heap provider is capped by memory × executors, RocksDB
+    // by DISK). Semantics must be IDENTICAL to the heap provider's, so
+    // the gate is the usual batch twin: 4 staged micro-batches, complete
+    // mode, exact integer cents. `rocksdb_used` is asserted from the
+    // query's own state-operator custom metrics (a silent fallback to the
+    // heap provider would flip the column and fail the hash), and the
+    // provider conf is restored afterwards — no other gate sees it.
+    QueryDef(
+      "x195_stream_rocksdb_sliding",
+      (s, d) => {
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+        val sawRocks = new java.util.concurrent.atomic.AtomicBoolean(false)
+        try {
+          val out = graft.streaming.StreamGate.replayStaged(
+            s,
+            events(s, d).select(col("ts"), col("event_type"), col("value"),
+              pmod(col("event_id"), lit(4)).cast("int").as("b")),
+            name = "x195_events", batchCol = "b", nBatches = 4,
+            mode = "complete",
+            progress = p => p.stateOperators.foreach { so =>
+              val it = so.customMetrics.keySet().iterator()
+              while (it.hasNext)
+                if (it.next().toLowerCase.contains("rocksdb")) sawRocks.set(true)
+            }) { stream =>
+            stream
+              .withColumn("cents", floor(col("value") * 100).cast(LongType))
+              .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+              .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+              .select(unix_micros(col("window.start")).as("w_us"),
+                col("event_type"), col("n"), col("sum_cents"))
+          }
+          out.withColumn("rocksdb_used", lit(sawRocks.get()))
+            .orderBy("w_us", "event_type")
+        } finally {
+          prev match {
+            case Some(v) => s.conf.set(key, v)
+            case None => s.conf.unset(key)
+          }
+        }
+      },
+      Some("""WITH e AS (SELECT epoch_us(ts) AS us, event_type,
+             |  CAST(floor("value" * 100) AS BIGINT) AS cents FROM events),
+             |w AS (SELECT us - us % 3600000000 AS w_us, event_type, cents
+             |    FROM e
+             |  UNION ALL
+             |  SELECT us - us % 3600000000 - 3600000000, event_type, cents
+             |    FROM e)
+             |SELECT w_us, event_type, count(*) AS n,
+             |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |  TRUE AS rocksdb_used
+             |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   /** TIFF fixture prefixes for x168 (header + IFD as constant hex,
