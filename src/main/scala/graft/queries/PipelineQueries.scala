@@ -12017,8 +12017,111 @@ object PipelineQueries {
              |SELECT w_us, event_type, count(*) AS n,
              |  CAST(sum(cents) AS BIGINT) AS sum_cents,
              |  TRUE AS rocksdb_used
-             |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // WORDPIECE TOKENIZATION (x196) — greedy longest-match-first subword
+    // encoding (the public BERT tokenizer; Wu et al. 2016), completing
+    // the tokenizer family next to BPE train/encode (x104/x57) and
+    // unigram-Viterbi (x159). functions/WordPiece.scala compiles the
+    // vocabulary into two byte tries (start vs ## continuation) riding
+    // along as a reference object — one forward trie walk per piece,
+    // inside whole-stage codegen. The gate exercises the algorithm's
+    // edges deliberately: multi-char pieces that outrank their char
+    // decompositions, pieces that exist only as continuations, a suffix
+    // ('x') that must ride as ##x, and a digit suffix that triggers the
+    // all-or-nothing whole-word [UNK] rule. The ORACLE re-derives the
+    // same greedy recursion as a recursive CTE with a LATERAL
+    // longest-piece probe (the x159/x167 twin discipline) — position-
+    // weighted id checksums make a single mis-segmented word visible.
+    QueryDef(
+      "x196_wordpiece",
+      (s, d) => {
+        val ids = WordPieceFixture.vocab.zipWithIndex.toMap
+        require(ids.size == WordPieceFixture.vocab.size)
+        val words = documents(s, d).filter(col("doc_id") < 4000)
+          .select(col("doc_id"),
+            posexplode(slice(tokens(col("text")), 1, 20)).as(Seq("p", "w0")))
+          .filter(length(col("w0")) > 0)
+          .withColumn("wpos", col("p") + 1)
+          .withColumn("w", concat(col("w0"),
+            when(col("doc_id") % 5 === 0 && col("wpos") === 3, lit("x"))
+              .when(col("doc_id") % 7 === 0 && col("wpos") === 5, lit("9"))
+              .otherwise(lit(""))))
+        val enc = words.withColumn("ids",
+            graft.functions.WordPiece.encode(col("w"), WordPieceFixture.vocab))
+          .withColumn("unk",
+            (size(col("ids")) === 1 && col("ids").getItem(0) === 0L)
+              .cast("long"))
+          .withColumn("cksum", aggregate(
+            zip_with(col("ids"),
+              sequence(lit(1L), size(col("ids")).cast(LongType)),
+              (id, p) => id * p),
+            lit(0L), (acc, x) => acc + x))
+        enc.groupBy((col("doc_id") % 10).cast(LongType).as("grp"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(size(col("ids")).cast(LongType)).as("n_pieces"),
+            sum(col("unk")).as("n_unk"),
+            sum(col("cksum")).as("cksum"))
+          .orderBy("grp")
+      },
+      Some(s"""WITH RECURSIVE
+              |v(id, piece, cont, plen) AS (VALUES ${WordPieceFixture.valuesSql}),
+              |tk AS (SELECT doc_id, $tokensSql AS t FROM documents
+              |  WHERE doc_id < 4000),
+              |w0 AS (SELECT doc_id, r.i + 1 AS wpos, t[CAST(r.i + 1 AS INT)] AS w
+              |  FROM tk, range(0, 20) r(i)
+              |  WHERE r.i < len(t) AND len(t[CAST(r.i + 1 AS INT)]) > 0),
+              |w1 AS (SELECT doc_id, wpos, w ||
+              |    CASE WHEN doc_id % 5 = 0 AND wpos = 3 THEN 'x'
+              |      WHEN doc_id % 7 = 0 AND wpos = 5 THEN '9'
+              |      ELSE '' END AS w FROM w0),
+              |st(doc_id, wpos, w, pos, np, cksum, unk) AS (
+              |  SELECT doc_id, wpos, w, 1, 0, CAST(0 AS BIGINT), FALSE FROM w1
+              |  UNION ALL
+              |  SELECT s.doc_id, s.wpos, s.w, s.pos + COALESCE(b.plen, 1),
+              |    s.np + 1, s.cksum + COALESCE(b.id, 0) * (s.np + 1),
+              |    b.id IS NULL
+              |  FROM st s LEFT JOIN LATERAL (
+              |    SELECT vv.id, vv.plen FROM v vv
+              |    WHERE vv.cont = (s.pos > 1)
+              |      AND substr(s.w, s.pos, vv.plen) = vv.piece
+              |    ORDER BY vv.plen DESC LIMIT 1) b ON TRUE
+              |  WHERE s.pos <= len(s.w) AND NOT s.unk),
+              |fin AS (SELECT doc_id, wpos,
+              |    CASE WHEN max(CASE WHEN unk THEN 1 ELSE 0 END) = 1
+              |      THEN 1 ELSE max(np) END AS np,
+              |    CASE WHEN max(CASE WHEN unk THEN 1 ELSE 0 END) = 1
+              |      THEN 0 ELSE max(cksum) END AS cksum,
+              |    max(CASE WHEN unk THEN 1 ELSE 0 END) AS unk
+              |  FROM st GROUP BY 1, 2)
+              |SELECT CAST(doc_id % 10 AS BIGINT) AS grp,
+              |  CAST(count(*) AS BIGINT) AS n_words,
+              |  CAST(sum(np) AS BIGINT) AS n_pieces,
+              |  CAST(sum(unk) AS BIGINT) AS n_unk,
+              |  CAST(sum(cksum) AS BIGINT) AS cksum
+              |FROM fin GROUP BY 1 ORDER BY grp""".stripMargin))
   )
+
+  /** x196's WordPiece vocabulary, shared by the Spark expression and the
+    * oracle's VALUES table: [UNK] at id 0, the ASCII letters as start and
+    * ## continuation pieces, then corpus-shaped multi-char merges that
+    * outrank their character decompositions under greedy longest match. */
+  private object WordPieceFixture {
+    val vocab: Seq[String] = {
+      val letters = ('a' to 'z').map(_.toString)
+      Seq("[UNK]") ++ letters ++ letters.map("##" + _) ++ Seq(
+        "ta", "##ble", "wi", "##ndow", "str", "##eam", "qu", "##ery",
+        "cust", "##omer", "fil", "##ter", "gr", "##oup", "ba", "##tch",
+        "sp", "##ark", "co", "##lumn", "sc", "##an", "jo", "##in",
+        "or", "##der", "da", "##ta")
+    }
+    /** (id, stripped piece, cont, len) rows — [UNK] stays out of the table. */
+    val valuesSql: String = vocab.zipWithIndex.drop(1).map { case (p, id) =>
+      val cont = p.startsWith("##")
+      val stripped = if (cont) p.substring(2) else p
+      s"($id, '$stripped', ${if (cont) "TRUE" else "FALSE"}, ${stripped.length})"
+    }.mkString(", ")
+  }
 
   /** TIFF fixture prefixes for x168 (header + IFD as constant hex,
     * computed here so byte-order and offset arithmetic live in ONE
