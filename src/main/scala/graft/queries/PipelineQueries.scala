@@ -11762,7 +11762,14 @@ object PipelineQueries {
           .select(col("doc_id"),
             graft.functions.AhoCorasick.matchCounts(col("text"), phrases)
               .as("cnts"))
-          .select(col("doc_id"), posexplode(col("cnts")).as(Seq("pid", "c")))
+          // posexplode_OUTER: the counts array is always |dict| long, so
+          // outer vs inner explode is semantically identical here — but
+          // inner explode lets InferFiltersFromGenerate add size(cnts) > 0,
+          // which predicate pushdown rewrites through the alias into a
+          // scan-side SECOND evaluation of the automaton (the x187
+          // pushed-constraint lesson, Generate edition); outer explode is
+          // outside that rule's pattern and the scan runs the automaton once
+          .select(col("doc_id"), posexplode_outer(col("cnts")).as(Seq("pid", "c")))
           .groupBy(element_at(phraseArr, col("pid") + 1).as("phrase"))
           .agg(sum(col("c")).as("n_occ"),
             sum(when(col("c") > 0, 1L).otherwise(0L)).as("n_docs"),

@@ -50,6 +50,14 @@ class PlanShapeSpec extends SparkSpec {
     assert("Window \\[row_number".r.findAllIn(p).length <= 1, p)
   }
 
+  test("x192 evaluates the automaton once — never as a pushed-down scan filter") {
+    // inner explode lets InferFiltersFromGenerate add size(cnts) > 0, which
+    // pushdown rewrites through the alias into a scan-side SECOND automaton
+    // evaluation; the query uses posexplode_outer to stay out of that rule
+    val p = plans("x192_aho_corasick")
+    assert("ahocorasickcounts".r.findAllIn(p.toLowerCase).length == 1, p)
+  }
+
   test("x191's distance join is a cell equi-join, never a nested-loop pair scan") {
     val p = plans("x191_grid_distance_join")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
