@@ -41,10 +41,18 @@ object GridJoin {
 
   /** Floor-division cell coordinate for one axis. `cell` must be ≥ the
     * join's distance threshold r (callers assert their own pair). Works
-    * for negative coordinates too: `floor`, not truncation. */
+    * for negative coordinates too: `floor`, not truncation — and EXACT
+    * integer arithmetic throughout: `(v - pmod(v, cell)) div cell`, never
+    * a Double division (a Double round-trip loses ulps above 2^53, which
+    * could land two points within r in non-adjacent cells and silently
+    * drop qualifying pairs). The subtraction is exact for
+    * |v| ≤ Long.MaxValue - cell, far beyond any planar coordinate. */
   def cellOf(v: Column, cell: Long): Column = {
     require(cell > 0, s"cell size must be positive: $cell")
-    floor(v.cast(LongType).cast("double") / cell).cast(LongType)
+    val lv = v.cast(LongType)
+    // pmod(lv, cell) ∈ [0, cell); the difference is the exact floor
+    // multiple, and `div` (IntegralDivide) stays in Long the whole way.
+    call_function("div", lv - pmod(lv, lit(cell)), lit(cell)).cast(LongType)
   }
 
   /** Candidate pairs at planar distance² ≤ r² from a single point set.

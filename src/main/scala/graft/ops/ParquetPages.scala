@@ -35,17 +35,22 @@ object ParquetPages {
       max_v: Long, ok: Boolean)
 
   /** Chunk locator parsed from the footer for one column. */
-  private final case class ChunkLoc(grp: Int, codec: Int, physType: Int,
+  private[ops] final case class ChunkLoc(grp: Int, codec: Int, physType: Int,
       numValues: Long, firstPageOffset: Long, totalCompressedSize: Long,
       required: Boolean)
 
   import ParquetFooter.Compact
 
+  /** Hard per-page value cap (64 Mi): real writers emit ~20 k values per
+    * ~1 MiB page; anything above this is a forged header, routed to
+    * `ok = false` before any allocation sized from it. */
+  private val MaxPageValues: Long = 1L << 26
+
   /** Footer walk: (schema repetition of `column`, chunk locators). The
     * first page offset is min(dictionary_page_offset, data_page_offset)
     * when a dictionary page exists — the dictionary precedes the data
     * pages in the chunk's contiguous byte range. */
-  private def parseChunkLocs(bytes: Array[Byte], column: String): Seq[ChunkLoc] = {
+  private[ops] def parseChunkLocs(bytes: Array[Byte], column: String): Seq[ChunkLoc] = {
     val c = new Compact(bytes)
     var required = false
     val out = ArrayBuffer.empty[ChunkLoc]
@@ -193,11 +198,14 @@ object ParquetPages {
         while (r < run && k < n) { out(k) = v; k += 1; r += 1 }
         if (r < run) return None // run claims more values than remain
       } else { // bit-packed: (h >>> 1) groups of 8 values
-        val groups = (h >>> 1).toInt
-        val nBytes = groups * w // 8 values * w bits / 8
-        if (groups <= 0 || pos + nBytes > end) return None
+        // groups comes straight off a varint — all arithmetic in Long so a
+        // crafted header (groups ~2^28, w=9) can't wrap nBytes negative and
+        // slip past the bounds check into an out-of-range read.
+        val groupsL = h >>> 1
+        if (groupsL <= 0L || groupsL > (end - pos).toLong / w) return None
+        val nBytes = (groupsL * w).toInt // 8 values * w bits / 8; fits: ≤ end-pos
         var bit = 0
-        val total = groups * 8
+        val total = (groupsL * 8L).min(Int.MaxValue.toLong).toInt
         var g = 0
         while (g < total && k < n) {
           var v = 0
@@ -219,7 +227,7 @@ object ParquetPages {
   }
 
   /** Decode all pages of one INT64 column chunk. */
-  private def decodeChunk(chunk: Array[Byte], loc: ChunkLoc,
+  private[ops] def decodeChunk(chunk: Array[Byte], loc: ChunkLoc,
       file: String): Int64ChunkDecode = {
     val bad = Int64ChunkDecode(file, loc.grp, 0L, 0L, 0L, 0L, 0L, 0L, 0L,
       ok = false)
@@ -298,7 +306,11 @@ object ParquetPages {
           nDictPages += 1L
           nPages += 1L
         case 0L => // DATA_PAGE v1
-          if (dpNumValues < 0) return bad
+          // dpNumValues drives allocations — bound it against what the chunk
+          // says remains AND a sane per-page cap before Array.fill, so a
+          // forged header can neither NegativeArraySize nor allocate GBs.
+          if (dpNumValues < 0 || dpNumValues > loc.numValues - got ||
+            dpNumValues > MaxPageValues) return bad
           var off = 0
           val defs: Array[Int] =
             if (loc.required) Array.fill(dpNumValues.toInt)(1)
@@ -358,9 +370,12 @@ object ParquetPages {
         case _ => return bad // v2 pages / index pages out of scope
       }
     }
+    // A value-less (all-null) chunk keeps the Long.MaxValue/MinValue
+    // identity sentinels rather than 0, so cross-chunk min(min_v)/max(max_v)
+    // aggregation is never silently pulled toward 0 by a chunk that holds no
+    // values; consumers can exclude such chunks via num_values - n_nulls = 0.
     Int64ChunkDecode(file, loc.grp, nPages, nDictPages, got, nNulls, sum,
-      if (got - nNulls == 0L) 0L else minV,
-      if (got - nNulls == 0L) 0L else maxV, ok = true)
+      minV, maxV, ok = true)
   }
 
   /** One row per (part file, row group): the column chunk of `column`

@@ -1656,12 +1656,16 @@ object CoreQueries {
     // at an exact boundary instant the −1 sorts before the +1 (delta asc in
     // the same ORDER BY). All-integer.
     //
-    // Scale posture: the sweep window partitions by the priority class —
-    // a COARSE key (5 partitions), the documented trade: a per-class
-    // timeline is sequential by nature; past per-partition memory, split
-    // the timeline into coarse time buckets, sweep each, and prefix-add the
-    // per-bucket net sums (an x48-style two-level pass). The event stream
-    // is a union of two narrow projections; per-class output is 1 row.
+    // Scale posture (the x186 aggregate-then-prefix shape): deltas are
+    // first aggregated per (class, day) — a distributed, map-side-combined
+    // groupBy over the fact-sized event stream — and only the per-day NET
+    // sums flow into the prefix window, whose per-class partition holds
+    // #distinct days (calendar-bounded, ~2.5k), never the fact table.
+    // Day-aggregation is EXACT for the end-exclusive sweep: with −1
+    // ordered before +1 at a boundary, the intra-day prefix sequence is
+    // monotone down-then-up, so its maximum sits at a day endpoint — the
+    // value the per-day net prefix sum reproduces. The oracle keeps the
+    // per-event endpoint sweep as the independent twin.
     QueryDef(
       "q54_interval_overlap",
       (s, d) => {
@@ -1672,17 +1676,18 @@ object CoreQueries {
           (unix_micros(col("o_orderdate").cast("timestamp")) / lit(86400000000L))
             .cast(LongType).as("d0"))
           .withColumn("d1", col("d0") + lit(1L) + pmod(col("o_orderkey"), lit(28L)))
-        val evs = o.select(col("prio"), col("o_orderkey"), col("d0").as("day"),
-            lit(1L).as("delta"))
-          .unionByName(o.select(col("prio"), col("o_orderkey"),
-            col("d1").as("day"), lit(-1L).as("delta")))
-        val w = Window.partitionBy("prio")
-          .orderBy(col("day"), col("delta"), col("o_orderkey"))
-        evs
-          .withColumn("open", sum(col("delta")).over(w))
+        val evs = o.select(col("prio"), col("d0").as("day"), lit(1L).as("delta"))
+          .unionByName(o.select(col("prio"), col("d1").as("day"),
+            lit(-1L).as("delta")))
+        val perDay = evs.groupBy("prio", "day").agg(
+          sum(col("delta")).as("net"),
+          sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_open"))
+        val w = Window.partitionBy("prio").orderBy(col("day"))
+        perDay
+          .withColumn("open", sum(col("net")).over(w))
           .groupBy("prio")
           .agg(
-            (count(lit(1)) / 2).cast(LongType).as("n_intervals"),
+            sum(col("n_open")).cast(LongType).as("n_intervals"),
             max(col("open")).cast(LongType).as("max_concurrent"))
           .orderBy("prio")
       },

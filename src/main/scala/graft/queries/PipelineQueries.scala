@@ -11142,52 +11142,44 @@ object PipelineQueries {
     // common subsequence between each document (reference, first 24
     // tokens) and its deterministically perturbed candidate (the x179
     // perturbation on the SAME slice), rolled up per source with the
-    // micro-averaged F1. The LCS DP runs entirely in codegen'd
-    // higher-order functions (the x159 Viterbi discipline, one
-    // dimension up): the row update is reformulated WITHOUT the
-    // intra-row sequential dependency — new[j] = max(prev[j],
-    // max_{k ≤ j, ref[k]=t}(prev[k-1]+1)) — so each row is a pure
-    // transform over the previous row (a prefix-max inside a lambda),
-    // and the outer aggregate folds candidate tokens. The oracle runs
-    // the IDENTICAL recurrence as a recursive CTE carrying the DP row
-    // as a list. Exactness: LCS lengths and token counts are exact
+    // micro-averaged F1. The LCS DP is the native codegen Expression
+    // [[graft.functions.LcsLength]] (the x190/x192/x196 pattern): the
+    // textbook O(ref·cand) two-row recurrence fused into one loop with
+    // zero per-cell allocation — replacing the round-9 higher-order-
+    // function formulation, whose interpreted inner
+    // `transform(sequence(1, j), …)` scan paid an O(ref·cand·j) cubic
+    // constant (the largest real bench row at 100×). The oracle runs
+    // the classic recurrence as a recursive CTE carrying the DP row as
+    // a list. Exactness: LCS lengths and token counts are exact
     // BIGINTs; the one float (f1) is a fixed expression over them.
-    // Scale: O(24³) integer lambda work per doc, zero joins, one
-    // per-source partial agg — the same plan at any corpus size.
+    // Scale: O(24²) integer work per doc inside whole-stage codegen,
+    // zero joins, one per-source partial agg — the same plan at any
+    // corpus size.
     QueryDef(
       "x183_rouge_lcs",
       (s, d) => {
         val doc = s"parquet.`$d/documents.parquet`"
-        s.sql(
+        val b = s.sql(
           s"""WITH t AS (SELECT doc_id, source,
              |    slice(filter(split(text, ' '), x -> x != ''), 1, 24) AS ref
-             |  FROM $doc),
-             |b AS (SELECT doc_id, source, ref,
-             |    filter(transform(ref, (x, p) ->
-             |      CASE WHEN p % 11 = 5 THEN NULL
-             |           WHEN p % 7 = 3 THEN 'XX' ELSE x END),
-             |      x -> x IS NOT NULL) AS cand
-             |  FROM t),
-             |lcs AS (SELECT doc_id, source,
-             |    size(ref) AS rlen, size(cand) AS clen,
-             |    aggregate(cand,
-             |      transform(sequence(0, size(ref)), x -> CAST(0 AS BIGINT)),
-             |      (prev, t) -> concat(array(CAST(0 AS BIGINT)),
-             |        transform(sequence(1, size(ref)), j ->
-             |          greatest(element_at(prev, j + 1),
-             |            array_max(transform(sequence(1, j), k ->
-             |              CASE WHEN element_at(ref, k) = t
-             |                THEN element_at(prev, k) + 1
-             |                ELSE CAST(0 AS BIGINT) END))))),
-             |      acc -> element_at(acc, size(ref) + 1)) AS lcs
-             |  FROM b)
-             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-             |  CAST(sum(lcs) AS BIGINT) AS sum_lcs,
-             |  CAST(sum(clen) AS BIGINT) AS cand_len,
-             |  CAST(sum(rlen) AS BIGINT) AS ref_len,
-             |  round(CAST(2 * sum(lcs) AS DOUBLE) / (sum(clen) + sum(rlen)), 6)
-             |    AS rouge_l
-             |FROM lcs GROUP BY source ORDER BY source""".stripMargin)
+             |  FROM $doc)
+             |SELECT doc_id, source, ref,
+             |  filter(transform(ref, (x, p) ->
+             |    CASE WHEN p % 11 = 5 THEN NULL
+             |         WHEN p % 7 = 3 THEN 'XX' ELSE x END),
+             |    x -> x IS NOT NULL) AS cand
+             |FROM t""".stripMargin)
+        b.select(col("source"), size(col("ref")).as("rlen"),
+            size(col("cand")).as("clen"),
+            graft.functions.LcsLength.lcs(col("ref"), col("cand")).as("lcs"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("lcs")).as("sum_lcs"),
+            sum(col("clen")).cast(LongType).as("cand_len"),
+            sum(col("rlen")).cast(LongType).as("ref_len"),
+            round((sum(col("lcs")) * lit(2L)).cast("double") /
+              (sum(col("clen")) + sum(col("rlen"))), 6).as("rouge_l"))
+          .orderBy("source")
       },
       Some("""WITH RECURSIVE t AS (SELECT doc_id, source,
              |    list_filter(string_split(text, ' '), x -> x <> '')[1:24] AS ref
@@ -11907,12 +11899,29 @@ object PipelineQueries {
             .option("parquet.block.size", "65536")
             .option("parquet.page.size", "4096")
             .parquet(s"$store/dict")
-          src.coalesce(1).write.mode("overwrite")
+          // Concurrent parquet write JOBS in one JVM can drop the
+          // parquet-mr writer flag `parquet.enable.dictionary` (observed
+          // under graft.Verify's 4-query concurrency: a plain-labeled file
+          // comes out dictionary-encoded — sometimes per row group — while
+          // compression and block-size options hold; single-threaded writes
+          // never exhibit it). The gate's contract is "this store IS
+          // plain-encoded", so write-and-check: re-write until our own
+          // decoder sees zero dictionary pages. One pass suffices when no
+          // other write job is in flight.
+          def writePlain(): Unit = src.coalesce(1).write.mode("overwrite")
             .option("compression", "none")
             .option("parquet.enable.dictionary", "false")
             .option("parquet.block.size", "65536")
             .option("parquet.page.size", "4096")
             .parquet(s"$store/plain")
+          writePlain()
+          var attempts = 0
+          while (attempts < 8 && graft.ops.ParquetPages
+              .int64Column(s, s"$store/plain", "a")
+              .agg(sum("n_dict_pages")).first().getLong(0) > 0L) {
+            writePlain()
+            attempts += 1
+          }
           def one(variant: String, cname: String) =
             graft.ops.ParquetPages.int64Column(s, s"$store/$variant", cname)
               .agg(sum("num_values").as("num_values"),

@@ -96,7 +96,7 @@ class ParquetPagesSpec extends SparkSpec {
     } finally cleanup(dir)
   }
 
-  test("all-null page decodes with zero min/max and full null count") {
+  test("all-null chunk keeps min/max identity sentinels and full null count") {
     val dir = tmp()
     try {
       (1 to 100).map(i => (i.toLong, Option.empty[Long])).toDF("k", "v")
@@ -105,6 +105,11 @@ class ParquetPagesSpec extends SparkSpec {
       assert(rows.forall(_._8))
       assert(rows.map(_._4).sum == 100L)
       assert(rows.map(_._5).sum == 0L)
+      // a value-less chunk must NOT report 0 (a value it never held): the
+      // Long.MaxValue/MinValue identities keep cross-chunk min(min_v)/
+      // max(max_v) aggregation exact when mixed with value-bearing chunks
+      assert(rows.forall(_._6 == Long.MaxValue))
+      assert(rows.forall(_._7 == Long.MinValue))
     } finally cleanup(dir)
   }
 

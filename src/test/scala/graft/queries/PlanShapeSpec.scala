@@ -462,10 +462,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
-  test("q54's sweep line is one priority-keyed window pass (no join)") {
+  test("q54's sweep aggregates per (prio, day) BEFORE the prefix window (no join)") {
     val p = plans("q54_interval_overlap")
-    assert(opExchanges(p) == 1, s"expected one prio exchange, plan:\n$p")
+    // two exchanges by design: the (prio, day) aggregation that shrinks the
+    // fact-sized event stream to calendar-bounded day rows, then the prio
+    // window over that aggregated frame. The window partition holds
+    // #distinct days (~2.5k), never the fact table — the x186 shape.
+    assert(opExchanges(p) == 2, s"expected day-agg + prio-window exchanges, plan:\n$p")
     assert(!p.contains("Join"), p)
+    // the window must consume the aggregate, not the raw union: the plan
+    // string lists Window above HashAggregate(keys=[prio, day])
+    val winAt = p.indexOf("Window")
+    assert(winAt >= 0 && p.indexOf("HashAggregate", winAt) > winAt,
+      s"window must read the day-aggregated frame, plan:\n$p")
   }
 
   test("q51's regression moments are one partial-combined hash aggregate") {
