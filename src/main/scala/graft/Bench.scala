@@ -49,7 +49,110 @@ import org.apache.spark.sql.SparkSession
   * annotations survive truncation.
   */
 object Bench {
+
+  /** Fresh-JVM (forked) mode — set `SPARK_GRAFT_FORK=<chunk size>`: the
+    * catalog is split into fixed-size chunks and each chunk runs in its
+    * OWN child JVM (same classpath, module opens, and heap as this one),
+    * sequentially. This is the automated form of the SCALE.md standalone
+    * cross-check: a long-lived bench JVM accumulates JIT deopt, GC
+    * pressure, and code-cache churn that can inflate individual rows at
+    * 100× (q07 measured 114 s in-window vs 3.0 s fresh-JVM in round 9);
+    * forked mode bounds that window to one chunk, so per-query numbers
+    * read ~their fresh-JVM cost without manual re-runs. Child JSONs are
+    * merged into the same one-line schema with `"mode":"forked"`; the
+    * headline `value` is the sum of child totals (each child excludes its
+    * own warmup/startup from timed regions, as always). */
+  private def forkedMain(chunkSize: Int): Unit = {
+    val names = SparkEntry.catalog.map(_.name)
+    val chunks = names.grouped(chunkSize).toSeq
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val xmx = s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bench_fork")
+    // brace-matched top-level object extraction: child output is
+    // code-controlled (query names + numbers; no braces inside strings)
+    def extractObj(line: String, key: String): Option[String] = {
+      val at = line.indexOf("\"" + key + "\":{")
+      if (at < 0) None
+      else {
+        val start = line.indexOf('{', at)
+        var depth = 0
+        var i = start
+        while (i < line.length) {
+          if (line(i) == '{') depth += 1
+          else if (line(i) == '}') { depth -= 1; if (depth == 0) return Some(line.substring(start + 1, i)) }
+          i += 1
+        }
+        None
+      }
+    }
+    def extractNum(line: String, key: String): Double =
+      ("\"" + key + "\":([-0-9.eE+]+)").r.findFirstMatchIn(line)
+        .map(_.group(1).toDouble).getOrElse(0.0)
+    var bodies = Map("runs" -> Vector.empty[String], "cold_runs" -> Vector.empty[String],
+      "queries" -> Vector.empty[String], "cold_rerun" -> Vector.empty[String],
+      "store_build" -> Vector.empty[String])
+    var total = 0.0
+    var failed = 0
+    var leaked = 0
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val childJson = s"$tmp/chunk_$i.json"
+      val cmd = (Seq(javaBin) ++ addOpens ++ Seq(xmx,
+        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        "-cp", cp, "graft.Bench") ++ chunk)
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().remove("SPARK_GRAFT_FORK") // child runs inline mode
+      pb.environment().put("SPARK_GRAFT_BENCH_JSON", childJson)
+      pb.environment().put("SPARK_GRAFT_BENCH_LOG", s"$tmp/chunk_$i.log")
+      pb.redirectErrorStream(false)
+      pb.inheritIO()
+      val exit = pb.start().waitFor()
+      val line =
+        try new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(childJson)), "UTF-8").trim
+        catch { case _: Exception => "" }
+      if (line.isEmpty) {
+        System.err.println(s"[bench] fork chunk $i (exit $exit): no JSON; " +
+          s"queries ${chunk.mkString(",")} recorded as failed")
+        failed += chunk.size
+      } else {
+        bodies = bodies.map { case (k, acc) =>
+          k -> (acc ++ extractObj(line, k).filter(_.nonEmpty))
+        }
+        total += extractNum(line, "value")
+        failed += extractNum(line, "failed").toInt
+        leaked += extractNum(line, "leaked_rdds").toInt
+      }
+    }
+    def join(k: String): String = bodies(k).mkString("{", ",", "}")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val jsonPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "/tmp/graft_bench.json")
+    val line = s"""{"runs":${join("runs")},"cold_runs":${join("cold_runs")},""" +
+      s""""queries":${join("queries")},"cold_rerun":${join("cold_rerun")},""" +
+      s""""store_build":${join("store_build")},"metric":"total",""" +
+      f""""value":$total%.2f,"unit":"sec","failed":$failed,"leaked_rdds":$leaked,""" +
+      s""""mode":"forked","chunks":${chunks.size},"chunk_size":$chunkSize,""" +
+      s""""json":"$jsonPath","sf":"$sfDir"}"""
+    try {
+      val w = new java.io.PrintStream(new java.io.FileOutputStream(jsonPath), false, "UTF-8")
+      try w.println(line) finally w.close()
+    } catch { case e: Throwable => System.err.println(s"[bench] json write: ${e.getMessage}") }
+    println(line)
+    if (failed > 0) sys.exit(1)
+  }
+
   def main(args: Array[String]): Unit = {
+    val fork = sys.env.get("SPARK_GRAFT_FORK").flatMap(_.toIntOption).filter(_ > 0)
+    if (fork.isDefined && args.isEmpty) { forkedMain(fork.get); return }
     val logPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOG", "/tmp/graft_bench_stderr.log")
     val jsonPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "/tmp/graft_bench.json")
     // buffered: the tee forwards every write() to BOTH sinks, and the

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Maximal-repeat exact substring dedup — the suffix-array-style modality
+  * of the published LLM-corpus pipeline (Lee et al., "Deduplicating
+  * Training Data Makes Language Models Better": remove every substring of
+  * ≥ k tokens that occurs more than once in the corpus), reported as
+  * MAXIMAL spans with (doc, start, len) extents rather than fixed-window
+  * hits — a 90-token boilerplate block is one finding, not 66 overlapping
+  * 25-gram fragments.
+  *
+  * Equivalence that makes the distributed plan exact: a position is
+  * covered by some duplicated substring of length ≥ k IFF the k-gram
+  * anchored at it is duplicated (any duplicated substring of length
+  * L ≥ k is covered by its own duplicated k-windows; each duplicated
+  * k-gram is itself such a substring). So maximal duplicated spans are
+  * exactly the per-doc consecutive runs of duplicated-anchor positions,
+  * each run [p₁, p₂] yielding the span [p₁, p₂ + k).
+  *
+  * Distributed shape (never a global suffix array on one node):
+  *   1. ANCHORS — one row per token position carrying only a 64-bit
+  *      xxhash of its k-gram: the corpus-sized shuffle moves 8-byte
+  *      keys, not k-token strings.
+  *   2. CANDIDATES — hash buckets with ≥ 2 occupants, joined back to
+  *      positions. All true occurrences of a duplicated gram share its
+  *      hash, so no true positive can be lost here; collisions only ADD
+  *      candidates.
+  *   3. VERIFY — the k-gram TEXT is re-derived for candidate positions
+  *      only (per-doc candidate lists joined to the token arrays) and
+  *      grouped by content: a hash-collision candidate whose gram occurs
+  *      once is dropped, making the result collision-proof without ever
+  *      shuffling non-candidate text.
+  *   4. SPANS — per-doc gaps-and-islands over verified positions (the
+  *      q53 discipline): window partitioned by doc, bounded by document
+  *      length, never corpus-sized.
+  *
+  * Scale posture: anchor volume is the corpus token count (linear); the
+  * phase-1 aggregation is map-side combined on 8-byte keys; candidate
+  * volume is the duplicated fraction (small on real corpora, and the
+  * verify join touches only those docs); a boilerplate gram hot enough
+  * to skew its bucket is an AQE skew-join case. Survivor policy stays
+  * composable: the span frame joins back to the curation ops (x35/x38)
+  * by doc_id.
+  *
+  * Positions are 0-based token indices; a span (doc_id, start, len)
+  * covers tokens [start, start + len).
+  */
+object MaximalRepeats {
+
+  /** Maximal duplicated spans of ≥ `k` tokens over `docs(doc_id, source,
+    * text)`; whitespace tokenization, empty tokens dropped. Occurrences
+    * are counted corpus-wide (a phrase repeated twice INSIDE one document
+    * is duplicated — the suffix-array semantics). */
+  def spans(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"span threshold must be >= 2 tokens: $k")
+    val toks = docs.select(col("doc_id"), col("source"),
+      expr("filter(split(text, ' '), x -> x != '')").as("tk"))
+    val anchors = toks
+      .select(col("doc_id"), col("source"),
+        posexplode(TextDedup.shingles(col("tk"), k)).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("source"), col("pos"),
+        xxhash64(col("gram")).as("h"))
+    val dupH = anchors.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2L).select("h")
+    val cand = anchors.join(dupH, Seq("h"))
+      .select("doc_id", "source", "pos")
+    val candPerDoc = cand.groupBy("doc_id")
+      .agg(collect_list(col("pos")).as("cps"))
+    val verifyGrams = toks.join(candPerDoc, Seq("doc_id"))
+      .select(col("doc_id"), col("source"),
+        explode(col("cps")).as("pos"), col("tk"))
+      .select(col("doc_id"), col("source"), col("pos"),
+        concat_ws(" ", slice(col("tk"), col("pos") + 1, lit(k))).as("gram"))
+    val dupGram = verifyGrams.groupBy("gram").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2L).select("gram")
+    val verified = verifyGrams.join(dupGram, Seq("gram"))
+      .select("doc_id", "source", "pos")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    verified
+      .withColumn("run", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "source", "run")
+      .agg(min(col("pos")).as("start"),
+        (max(col("pos")) - min(col("pos")) + lit(k)).cast("long").as("len"))
+      .select(col("doc_id"), col("source"),
+        col("start").cast("long").as("start"), col("len"))
+  }
+}

@@ -12115,7 +12115,430 @@ object PipelineQueries {
               |  CAST(sum(np) AS BIGINT) AS n_pieces,
               |  CAST(sum(unk) AS BIGINT) AS n_unk,
               |  CAST(sum(cksum) AS BIGINT) AS cksum
-              |FROM fin GROUP BY 1 ORDER BY grp""".stripMargin))
+              |FROM fin GROUP BY 1 ORDER BY grp""".stripMargin)),
+
+    // MAXIMAL-REPEAT EXACT SUBSTRING DEDUP (x197) — the suffix-array
+    // modality of the published LLM-corpus pipeline (Lee et al.:
+    // remove substrings of ≥ k tokens occurring more than once),
+    // closing the one dedup-family gap x52's fixed 8-gram windows
+    // approximated: spans are MAXIMAL, with (doc, start, len) extents
+    // — a 90-token boilerplate block is one finding, not 66
+    // overlapping fragments. ops/MaximalRepeats.scala runs the
+    // distributed three-phase shape (8-byte anchor-hash shuffle →
+    // candidate buckets ≥ 2 → content verify over candidates only →
+    // per-doc gaps-and-islands), exact by the k-window covering
+    // equivalence and collision-proof via the verify pass. The oracle
+    // re-derives spans directly from gram TEXT (no hashing anywhere) —
+    // an independent construction of the same maximal-span semantics.
+    // sum_start pins exact extents (1-based), not just counts.
+    // Scale: anchor volume linear in corpus tokens, candidates are the
+    // duplicated fraction, islands window per-doc bounded — never a
+    // global suffix array on one node.
+    QueryDef(
+      "x197_maximal_repeats",
+      (s, d) => {
+        graft.ops.MaximalRepeats
+          .spans(documents(s, d).select("doc_id", "source", "text"), 25)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(col("len")).as("dup_tokens"),
+            max(col("len")).as("max_len"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            sum(col("start") + 1L).as("sum_start"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (SELECT doc_id, source,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS tk
+             |  FROM documents),
+             |g AS (SELECT doc_id, source, u.p AS pos,
+             |    list_aggregate(tk[u.p:u.p+24], 'string_agg', ' ') AS gram
+             |  FROM t, LATERAL unnest(range(1, len(tk) - 23)) AS u(p)),
+             |d AS (SELECT gram FROM g GROUP BY 1 HAVING count(*) >= 2),
+             |dp AS (SELECT g.doc_id, g.source, g.pos
+             |  FROM g JOIN d USING (gram)),
+             |isl AS (SELECT doc_id, source, pos,
+             |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+             |      AS a
+             |  FROM dp),
+             |sp AS (SELECT doc_id, source, min(pos) AS start,
+             |    max(pos) - min(pos) + 25 AS len
+             |  FROM isl GROUP BY doc_id, source, a)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_spans,
+             |  CAST(sum(len) AS BIGINT) AS dup_tokens,
+             |  CAST(max(len) AS BIGINT) AS max_len,
+             |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             |  CAST(sum(start) AS BIGINT) AS sum_start
+             |FROM sp GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    // BYTE-LEVEL BPE PRETOKENIZATION (x198) — the GPT-2 tokenizer's
+    // front half (Radford et al. 2019; the published gpt2 regex +
+    // bytes↔unicode table), completing the tokenizer family next to BPE
+    // train/encode (x104/x57), unigram (x159), and WordPiece (x196):
+    // the corpus is split by the GPT-2 pattern ('s|'t|'re|'ve|'m|'ll|'d
+    // | ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+), each
+    // pretoken's bytes ride the byte→unicode table (space→Ġ, tab→ĉ,
+    // newline→Ċ for the ASCII probe), and a fixed merge list then
+    // applies through x57's angle-bracket replace machinery — the full
+    // byte-level encode, segmentation pinned cross-engine. The probe is
+    // paired construction (x184/x194 discipline): both engines assemble
+    // the same corpus-derived strings exercising every alternation —
+    // contractions ('s inside and at word end, 't mid-word, 're),
+    // space-attachment, double spaces, punctuation runs ending in a
+    // quote, digits, alnum splits (7b), newline/tab, trailing spaces.
+    // The ENGINE runs the real regex (Java regex: the lookahead is
+    // native); the ORACLE cannot (DuckDB's RE2 lacks lookahead), so it
+    // re-derives the split as a character-class RUN WALKER in a
+    // recursive CTE — an independent construction of the same
+    // semantics, fuzz-validated against the reference regex over 20k
+    // random probes during development. Position-weighted piece
+    // checksums make a single mis-split visible. Scale: pure per-row
+    // string work inside codegen + one partial agg — linear, no joins.
+    QueryDef(
+      "x198_bytelevel_pretokenize",
+      (s, d) => {
+        val pat = "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+" +
+          "| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+"
+        val cleaned = (1 to 8).map(i =>
+          regexp_replace(element_at(col("tk"), i), "[^a-z]", "").as(s"c$i"))
+        val probe = documents(s, d).filter(col("doc_id") < 3000)
+          .select(col("doc_id"), tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 8)
+          .select(col("doc_id") +: cleaned: _*)
+          .select(col("doc_id"), concat(
+            col("c1"), lit("'s went "), col("c2"), lit("  "), col("c3"),
+            lit(", over 1234\n"), col("c4"), lit(" don't stop\t"),
+            col("c5"), lit(" they're "), col("c6"), lit("!!' "),
+            col("c7"), lit(" 7b "), col("c8"), lit("   ")).as("probe"))
+        val merges = Seq(("Ġ", "t"), ("e", "r"), ("i", "n"), ("Ġ", "a"),
+          ("t", "h"))
+        val pre = probe
+          .select(col("doc_id"),
+            posexplode(regexp_extract_all(col("probe"), lit(pat), lit(0)))
+              .as(Seq("ti", "tok")))
+          .withColumn("m", expr(
+            "replace(replace(replace(tok, ' ', 'Ġ'), chr(9), 'ĉ'), " +
+              "chr(10), 'Ċ')"))
+          .withColumn("e", regexp_replace(col("m"), "(.)", "<$1>"))
+        val enc = merges.foldLeft(pre) { case (df, (a, b)) =>
+          df.withColumn("e", expr(s"replace(e, '<$a><$b>', '<$a$b>')"))
+        }
+        enc
+          .withColumn("n_after",
+            (length(col("e")) - length(expr("replace(e, '<', '')")))
+              .cast(LongType))
+          .groupBy((col("doc_id") % 10).cast(LongType).as("grp"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_pretok"),
+            sum(col("n_after")).as("n_pieces"),
+            sum(length(col("m")).cast(LongType)).as("sum_len"),
+            sum((col("ti") + 1L) * col("n_after")).as("cksum"),
+            sum((col("m") === "Ġ").cast(LongType)).as("n_space_only"),
+            sum(col("m").contains("Ċ").cast(LongType)).as("n_nl"))
+          .orderBy("grp")
+      },
+      Some(s"""WITH RECURSIVE
+              |tkt AS (SELECT doc_id, $tokensSql AS tk FROM documents
+              |  WHERE doc_id < 3000),
+              |base AS (SELECT doc_id,
+              |    regexp_replace(tk[1], '[^a-z]', '', 'g') || '''s went ' ||
+              |    regexp_replace(tk[2], '[^a-z]', '', 'g') || '  ' ||
+              |    regexp_replace(tk[3], '[^a-z]', '', 'g') ||
+              |    ', over 1234' || chr(10) ||
+              |    regexp_replace(tk[4], '[^a-z]', '', 'g') ||
+              |    ' don''t stop' || chr(9) ||
+              |    regexp_replace(tk[5], '[^a-z]', '', 'g') ||
+              |    ' they''re ' ||
+              |    regexp_replace(tk[6], '[^a-z]', '', 'g') || '!!'' ' ||
+              |    regexp_replace(tk[7], '[^a-z]', '', 'g') || ' 7b ' ||
+              |    regexp_replace(tk[8], '[^a-z]', '', 'g') || '   ' AS probe
+              |  FROM tkt WHERE len(tk) >= 8),
+              |chars AS (SELECT doc_id, u.i AS i, substr(probe, u.i, 1) AS ch
+              |  FROM base, LATERAL unnest(range(1, len(probe) + 1)) u(i)),
+              |cl AS (SELECT doc_id, i, ch,
+              |    CASE WHEN ch BETWEEN 'a' AND 'z' OR ch BETWEEN 'A' AND 'Z'
+              |        THEN 'L'
+              |      WHEN ch BETWEEN '0' AND '9' THEN 'N'
+              |      WHEN ch IN (' ', chr(9), chr(10), chr(13)) THEN 'W'
+              |      ELSE 'P' END AS c
+              |  FROM chars),
+              |brk AS (SELECT doc_id, i, ch, c,
+              |    CASE WHEN lag(c) OVER (PARTITION BY doc_id ORDER BY i)
+              |        IS DISTINCT FROM c THEN 1 ELSE 0 END AS nb
+              |  FROM cl),
+              |rl AS (SELECT doc_id, i, ch, c,
+              |    sum(nb) OVER (PARTITION BY doc_id ORDER BY i) AS rid
+              |  FROM brk),
+              |runs AS (SELECT doc_id, rid, count(*) AS len, any_value(c) AS c,
+              |    string_agg(ch, '' ORDER BY i) AS content
+              |  FROM rl GROUP BY doc_id, rid),
+              |st(doc_id, rid, off, ti, tok) AS (
+              |  SELECT doc_id, 1, 0, 0, '' FROM base
+              |  UNION ALL
+              |  SELECT st.doc_id,
+              |    CASE WHEN r.c IN ('L', 'N') THEN st.rid + 1
+              |      WHEN r.c = 'P' THEN CASE
+              |        WHEN r.content = '''' AND nx.c = 'L'
+              |            AND (substr(nx.content, 1, 1) IN ('s','t','m','d')
+              |              OR substr(nx.content, 1, 2) IN ('re','ve','ll'))
+              |          THEN CASE WHEN (CASE WHEN substr(nx.content, 1, 1)
+              |                IN ('s','t','m','d') THEN 1 ELSE 2 END) < nx.len
+              |            THEN st.rid + 1 ELSE st.rid + 2 END
+              |        ELSE st.rid + 1 END
+              |      ELSE CASE
+              |        WHEN nx.rid IS NULL THEN st.rid + 1
+              |        WHEN r.len - st.off >= 2 THEN st.rid
+              |        WHEN substr(r.content, r.len, 1) = ' '
+              |            AND nx.c IN ('L', 'N', 'P') THEN st.rid + 2
+              |        ELSE st.rid + 1 END END,
+              |    CASE WHEN r.c = 'P' AND r.content = '''' AND nx.c = 'L'
+              |          AND (substr(nx.content, 1, 1) IN ('s','t','m','d')
+              |            OR substr(nx.content, 1, 2) IN ('re','ve','ll'))
+              |          AND (CASE WHEN substr(nx.content, 1, 1)
+              |              IN ('s','t','m','d') THEN 1 ELSE 2 END) < nx.len
+              |        THEN CASE WHEN substr(nx.content, 1, 1)
+              |          IN ('s','t','m','d') THEN 1 ELSE 2 END
+              |      WHEN r.c = 'W' AND nx.rid IS NOT NULL
+              |          AND r.len - st.off >= 2 THEN r.len - 1
+              |      ELSE 0 END,
+              |    st.ti + 1,
+              |    CASE WHEN r.c IN ('L', 'N') THEN substr(r.content, st.off + 1)
+              |      WHEN r.c = 'P' THEN CASE
+              |        WHEN r.content = '''' AND nx.c = 'L'
+              |            AND (substr(nx.content, 1, 1) IN ('s','t','m','d')
+              |              OR substr(nx.content, 1, 2) IN ('re','ve','ll'))
+              |          THEN '''' || substr(nx.content, 1,
+              |            CASE WHEN substr(nx.content, 1, 1)
+              |              IN ('s','t','m','d') THEN 1 ELSE 2 END)
+              |        ELSE r.content END
+              |      ELSE CASE
+              |        WHEN nx.rid IS NULL THEN substr(r.content, st.off + 1)
+              |        WHEN r.len - st.off >= 2
+              |          THEN substr(r.content, st.off + 1, r.len - st.off - 1)
+              |        WHEN substr(r.content, r.len, 1) = ' '
+              |            AND nx.c IN ('L', 'N', 'P')
+              |          THEN ' ' || nx.content
+              |        ELSE substr(r.content, r.len, 1) END END
+              |  FROM st
+              |  JOIN runs r ON r.doc_id = st.doc_id AND r.rid = st.rid
+              |  LEFT JOIN runs nx ON nx.doc_id = st.doc_id
+              |    AND nx.rid = st.rid + 1),
+              |toks AS (SELECT doc_id, ti,
+              |    replace(replace(replace(tok, ' ', 'Ġ'), chr(9), 'ĉ'),
+              |      chr(10), 'Ċ') AS m
+              |  FROM st WHERE ti >= 1),
+              |enc AS (SELECT doc_id, ti, m,
+              |    replace(replace(replace(replace(replace(
+              |      regexp_replace(m, '(.)', '<\\1>', 'g'),
+              |      '<Ġ><t>', '<Ġt>'), '<e><r>', '<er>'), '<i><n>', '<in>'),
+              |      '<Ġ><a>', '<Ġa>'), '<t><h>', '<th>') AS e
+              |  FROM toks),
+              |fin AS (SELECT doc_id, ti, m,
+              |    CAST(length(e) - length(replace(e, '<', '')) AS BIGINT)
+              |      AS n_after
+              |  FROM enc)
+              |SELECT CAST(doc_id % 10 AS BIGINT) AS grp,
+              |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+              |  CAST(count(*) AS BIGINT) AS n_pretok,
+              |  CAST(sum(n_after) AS BIGINT) AS n_pieces,
+              |  CAST(sum(length(m)) AS BIGINT) AS sum_len,
+              |  CAST(sum(ti * n_after) AS BIGINT) AS cksum,
+              |  CAST(sum(CASE WHEN m = 'Ġ' THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_space_only,
+              |  CAST(sum(CASE WHEN contains(m, 'Ċ') THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_nl
+              |FROM fin GROUP BY 1 ORDER BY grp""".stripMargin)),
+
+    // STREAMING STATE TTL (x199) — the bounded-state answer for the
+    // stateful-enrichment pattern at 100 TB: dormant keys must EXPIRE
+    // or the store grows with key cardinality forever. Runs
+    // [[graft.streaming.TtlStates]] through the staged day-quartile
+    // replay: per key, a long-TTL value state (hours — must accumulate
+    // across all four batches exactly like the no-TTL x154 twin)
+    // NEXT TO a 1 ms-TTL state (processing-time TTL: always expired
+    // across a micro-batch boundary, always fresh inside one call — so
+    // it is deterministically the per-batch aggregate, and its reset
+    // IS the admit→evict→re-admit frontier, pinned in the output).
+    // A silent TTL failure in either direction flips exact-integer
+    // columns and fails the hash. The oracle computes both faces from
+    // the per-(user, batch) rollup: running windowed sums for the
+    // long cell, the group row itself for the expiring cell. Scale:
+    // one fixed-width state row per ACTIVE key with store-enforced
+    // expiry — the shape that keeps 100 TB enrichment state bounded.
+    QueryDef(
+      "x199_stream_state_ttl",
+      (s, d) => {
+        val staged = events(s, d)
+          .select(col("user_id"), col("event_id"),
+            floor(col("value") * 100).cast(LongType).as("cents"),
+            expr("""CAST(least(greatest(
+                   |  CAST(datediff(to_date(ts), DATE '2024-01-01') div 8 AS INT),
+                   |  0), 3) AS INT)""".stripMargin).as("b"))
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val out =
+          try graft.streaming.StreamGate.replayStaged(
+            s, staged, "x199_events", "b", 4, "append",
+            availableNow = false) { stream =>
+            graft.streaming.TtlStates.ttlStats(
+              stream.as[graft.streaming.TtlStates.EventIn](
+                org.apache.spark.sql.Encoders.product)).toDF()
+          } finally prev match {
+            case Some(v) => s.conf.set(key, v)
+            case None    => s.conf.unset(key)
+          }
+        out.orderBy("user_id", "n_total")
+      },
+      Some("""WITH e AS (SELECT user_id,
+             |    CAST(floor("value" * 100) AS BIGINT) AS cents,
+             |    LEAST(GREATEST(date_diff('day', DATE '2024-01-01',
+             |      CAST(ts AS DATE)) // 8, 0), 3) AS b
+             |  FROM events),
+             |g AS (SELECT user_id, b, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(cents) AS BIGINT) AS sc
+             |  FROM e GROUP BY 1, 2)
+             |SELECT user_id,
+             |  CAST(sum(n) OVER w AS BIGINT) AS n_total,
+             |  CAST(sum(sc) OVER w AS BIGINT) AS sum_total,
+             |  n AS n_batch, sc AS sum_batch
+             |FROM g
+             |WINDOW w AS (PARTITION BY user_id ORDER BY b
+             |  ROWS UNBOUNDED PRECEDING)
+             |ORDER BY user_id, n_total""".stripMargin)),
+
+    // PARQUET V2 + BYTE_ARRAY DATA PAGES (x200) — extends x194's hand
+    // decode to the bytes real lakes actually store: string columns
+    // (v1 PLAIN + dictionary) and v2 data pages (DataPageHeaderV2 with
+    // uncompressed level bytes, DELTA_BINARY_PACKED longs,
+    // DELTA_BYTE_ARRAY strings — parquet Encodings.md, cross-validated
+    // against parquet-mr's own DeltaBinaryPackingValuesWriter in spec).
+    // Differential-gate find (the reason this layer exists): Spark
+    // 4.1.2's VECTORIZED reader mis-decodes DELTA_BYTE_ARRAY pages its
+    // own v2 writer produced (corrupted strings, wrong lengths), while
+    // the row-based parquet-mr path, DuckDB, and this hand decoder
+    // agree byte-for-byte — so the oracle here PREDICTS the facts
+    // arithmetically from the same construction and never trusts a
+    // reader. Writer options can be dropped by concurrent write jobs
+    // (the x194 find), so each store is write-and-checked through the
+    // decoder before gating. Scale: chunk ranges read by seek, one
+    // task per part file — x194's shape.
+    QueryDef(
+      "x200_parquet_v2_pages",
+      (s, d) => {
+        val store = s"${System.getProperty("java.io.tmpdir")}/graft_x200_" +
+          s"${ProcessHandle.current().pid()}_${System.nanoTime()}"
+        val bound = orders(s, d).agg(min("o_orderkey").cast(LongType))
+          .first().getLong(0) + 8000L
+        val src = orders(s, d).filter(col("o_orderkey") <= bound).select(
+          col("o_orderkey").cast(LongType).as("k"),
+          when(col("o_orderkey") % 7 === 0, lit(null).cast(LongType))
+            .otherwise((col("o_orderkey").cast(LongType) * 31L) % 97L)
+            .as("a"),
+          when(col("o_orderkey") % 9 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("prefix-"), col("o_orderkey") % 37,
+              lit("-value-"), (col("o_orderkey") * 13) % 101)).as("s"),
+          concat(lit("tag-"), col("o_orderkey") % 13).as("t"))
+        try {
+          def writeChecked(path: String, opts: Map[String, String])(
+              okCheck: => Boolean): Unit = {
+            def w(): Unit = {
+              val base = src.coalesce(1).write.mode("overwrite")
+                .option("parquet.block.size", "65536")
+                .option("parquet.page.size", "4096")
+              opts.foldLeft(base) { case (acc, (k, v)) => acc.option(k, v) }
+                .parquet(path)
+            }
+            w()
+            var attempts = 0
+            while (attempts < 8 && !okCheck) { w(); attempts += 1 }
+          }
+          writeChecked(s"$store/v2", Map(
+            "parquet.writer.version" -> "v2",
+            "parquet.enable.dictionary" -> "false",
+            "compression" -> "snappy")) {
+            val r = graft.ops.ParquetPages.int64Column(s, s"$store/v2", "a")
+              .agg(sum("n_v2_pages"), sum("n_dict_pages")).first()
+            r.getLong(0) > 0L && r.getLong(1) == 0L
+          }
+          writeChecked(s"$store/v1nd", Map(
+            "parquet.enable.dictionary" -> "false",
+            "compression" -> "none")) {
+            graft.ops.ParquetPages.byteArrayColumn(s, s"$store/v1nd", "s")
+              .agg(sum("n_dict_pages")).first().getLong(0) == 0L
+          }
+          writeChecked(s"$store/v1", Map("compression" -> "snappy"))(true)
+          def longFacts(variant: String, path: String, cname: String) =
+            graft.ops.ParquetPages.int64Column(s, path, cname)
+              .agg(sum("num_values").as("nv"), sum("n_nulls").as("nn"),
+                sum("sum_v").as("sv"), min("min_v").as("mn"),
+                max("max_v").as("mx"),
+                min(when(col("ok"), 1L).otherwise(0L)).as("okm"),
+                sum("n_dict_pages").as("nd"), sum("n_v2_pages").as("n2"))
+              .select(lit(variant).as("variant"), lit(cname).as("col_name"),
+                col("nv").as("num_values"), col("nn").as("n_nulls"),
+                col("sv").as("sum_v"), col("mn").cast("string").as("min_s"),
+                col("mx").cast("string").as("max_s"),
+                (col("okm") === 1L).as("ok_all"),
+                (col("nd") > 0L).as("has_dict"), (col("n2") > 0L).as("has_v2"))
+          def strFacts(variant: String, path: String, cname: String) =
+            graft.ops.ParquetPages.byteArrayColumn(s, path, cname)
+              .agg(sum("num_values").as("nv"), sum("n_nulls").as("nn"),
+                sum("sum_len").as("sv"), min("min_v").as("mn"),
+                max("max_v").as("mx"),
+                min(when(col("ok"), 1L).otherwise(0L)).as("okm"),
+                sum("n_dict_pages").as("nd"), sum("n_v2_pages").as("n2"))
+              .select(lit(variant).as("variant"), lit(cname).as("col_name"),
+                col("nv").as("num_values"), col("nn").as("n_nulls"),
+                col("sv").as("sum_v"), col("mn").as("min_s"),
+                col("mx").as("max_s"), (col("okm") === 1L).as("ok_all"),
+                (col("nd") > 0L).as("has_dict"), (col("n2") > 0L).as("has_v2"))
+          longFacts("v2", s"$store/v2", "a")
+            .unionByName(strFacts("v2", s"$store/v2", "s"))
+            .unionByName(strFacts("v1nd", s"$store/v1nd", "s"))
+            .unionByName(strFacts("v1", s"$store/v1", "t"))
+            .orderBy("variant", "col_name")
+            // materialize before the finally deletes the store
+            .localCheckpoint(eager = true)
+        } finally {
+          val p = new org.apache.hadoop.fs.Path(store)
+          try p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+          catch { case _: Exception => () }
+        }
+      },
+      Some("""WITH bd AS (SELECT min(o_orderkey) + 8000 AS bound FROM orders),
+             |src AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders, bd
+             |  WHERE o_orderkey <= bound),
+             |fa AS (SELECT CASE WHEN k % 7 = 0 THEN NULL
+             |    ELSE (k * 31) % 97 END AS a FROM src),
+             |fs AS (SELECT CASE WHEN k % 9 = 0 THEN NULL
+             |    ELSE 'prefix-' || CAST(k % 37 AS VARCHAR) || '-value-' ||
+             |      CAST((k * 13) % 101 AS VARCHAR) END AS v FROM src),
+             |ft AS (SELECT 'tag-' || CAST(k % 13 AS VARCHAR) AS v FROM src),
+             |ra AS (SELECT CAST(count(*) AS BIGINT) AS num_values,
+             |    CAST(sum(CASE WHEN a IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_nulls,
+             |    CAST(sum(a) AS BIGINT) AS sum_v,
+             |    CAST(min(a) AS VARCHAR) AS min_s,
+             |    CAST(max(a) AS VARCHAR) AS max_s FROM fa),
+             |rs AS (SELECT CAST(count(*) AS BIGINT) AS num_values,
+             |    CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_nulls,
+             |    CAST(sum(length(v)) AS BIGINT) AS sum_v,
+             |    min(v) AS min_s, max(v) AS max_s FROM fs),
+             |rt AS (SELECT CAST(count(*) AS BIGINT) AS num_values,
+             |    CAST(0 AS BIGINT) AS n_nulls,
+             |    CAST(sum(length(v)) AS BIGINT) AS sum_v,
+             |    min(v) AS min_s, max(v) AS max_s FROM ft)
+             |SELECT variant, col_name, num_values, n_nulls, sum_v, min_s,
+             |  max_s, TRUE AS ok_all, has_dict, has_v2
+             |FROM (
+             |  SELECT 'v2' AS variant, 'a' AS col_name, ra.*,
+             |    FALSE AS has_dict, TRUE AS has_v2 FROM ra
+             |  UNION ALL SELECT 'v2', 's', rs.*, FALSE, TRUE FROM rs
+             |  UNION ALL SELECT 'v1nd', 's', rs.*, FALSE, FALSE FROM rs
+             |  UNION ALL SELECT 'v1', 't', rt.*, TRUE, FALSE FROM rt)
+             |ORDER BY variant, col_name""".stripMargin))
   )
 
   /** x196's WordPiece vocabulary, shared by the Spark expression and the

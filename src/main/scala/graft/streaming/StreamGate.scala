@@ -75,17 +75,42 @@ object StreamGate {
       outDir: String,
       mode: String,
       checkpoint: Option[String],
-      progress: org.apache.spark.sql.streaming.StreamingQueryProgress => Unit): Unit = {
+      progress: org.apache.spark.sql.streaming.StreamingQueryProgress => Unit,
+      expectedInput: Option[Long] = None): Unit = {
     val writer = transformed.writeStream
       .foreachBatch { (df: Dataset[Row], _: Long) =>
         df.write.mode(if (mode == "complete") "overwrite" else "append").parquet(outDir)
       }
       .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
+    // TimeMode.ProcessingTime plans (state TTL, processing-time timers)
+    // never terminate under AvailableNow — the engine schedules no-data
+    // batches for potential time-driven work forever (observed: a 4-file
+    // replay running hundreds of batches). Those gates (expectedInput
+    // defined) run a paced trigger instead and are stopped EXPLICITLY
+    // once the progress stream shows every staged source row consumed
+    // plus at least one trailing no-data batch. No-data batches invoke
+    // no handleInputRows, so emissions are identical either way.
+    if (expectedInput.isEmpty) writer.trigger(Trigger.AvailableNow())
+    else writer.trigger(Trigger.ProcessingTime("500 milliseconds"))
     checkpoint.foreach(writer.option("checkpointLocation", _))
     val q = writer.start()
     try {
-      q.awaitTermination()
+      expectedInput match {
+        case None => q.awaitTermination()
+        case Some(expected) =>
+          val deadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
+          var done = false
+          while (!done && q.isActive && System.nanoTime() < deadline) {
+            Thread.sleep(250)
+            val ps = q.recentProgress
+            val seen = ps.map(p => (p.batchId, p.numInputRows)).distinct
+              .map(_._2).sum
+            done = seen >= expected && ps.lastOption.exists(_.numInputRows == 0L)
+          }
+          if (!done && q.isActive)
+            sys.error(s"stream gate did not consume $expected staged rows " +
+              "within the 300 s bound")
+      }
       q.recentProgress.foreach(progress)
     } finally if (q.isActive) q.stop()
   }
@@ -125,7 +150,8 @@ object StreamGate {
       batchCol: String,
       nBatches: Int,
       mode: String = "append",
-      progress: org.apache.spark.sql.streaming.StreamingQueryProgress => Unit = _ => ())(
+      progress: org.apache.spark.sql.streaming.StreamingQueryProgress => Unit = _ => (),
+      availableNow: Boolean = true)(
       transform: DataFrame => DataFrame): DataFrame = {
     require(name.matches("[A-Za-z0-9_]+"), s"unsafe stream-gate name: $name")
     val seq = runSeq.incrementAndGet()
@@ -155,7 +181,11 @@ object StreamGate {
           .option("latestFirst", "false")
           .parquet(s"$dir/batch-*.parquet")
         val transformed = transform(stream)
-        runDistributed(transformed, s"$dir/out", mode, None, progress)
+        val expected =
+          if (availableNow) None
+          else Some(input.filter(org.apache.spark.sql.functions
+            .col(batchCol) < nBatches).count())
+        runDistributed(transformed, s"$dir/out", mode, None, progress, expected)
         readBack(spark, s"$dir/out", transformed.schema)
       }
     } finally {

@@ -190,6 +190,68 @@ class DecoderFuzzSpec extends SparkSpec {
     }
   }
 
+  private def pqFuzzOne(writeOpts: Map[String, String], column: String,
+      decodeBytes: Boolean): Unit = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_fuzz_pq_" +
+      s"${ProcessHandle.current().pid()}_${System.nanoTime()}"
+    try {
+      val w = (1 to 800).map(i =>
+        (i.toLong, if (i % 5 == 0) None else Some((i * 17L) % 301L),
+          if (i % 4 == 0) None else Some(s"val-${i % 23}-${(i * 7) % 53}")))
+        .toDF("k", "v", "s")
+        .coalesce(1).write
+      writeOpts.foldLeft(w) { case (acc, (k, v)) => acc.option(k, v) }
+        .parquet(dir)
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(conf)
+      val file = fs.listStatus(p).map(_.getPath)
+        .find(_.getName.endsWith(".parquet")).get
+      val st = fs.getFileStatus(file)
+      val bytes = new Array[Byte](st.getLen.toInt)
+      val in = fs.open(file)
+      try in.readFully(0, bytes) finally in.close()
+      val flen = java.nio.ByteBuffer.wrap(bytes, bytes.length - 8, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      val footer = java.util.Arrays.copyOfRange(
+        bytes, bytes.length - 8 - flen, bytes.length - 8)
+      val locs = ParquetPages.parseChunkLocs(footer, column)
+      assert(locs.nonEmpty)
+      val loc = locs.head
+      val chunk = java.util.Arrays.copyOfRange(bytes,
+        loc.firstPageOffset.toInt,
+        (loc.firstPageOffset + loc.totalCompressedSize).toInt)
+      def decode(b: Array[Byte]): Boolean =
+        if (decodeBytes) ParquetPages.decodeChunkBytes(b, loc, "f").ok
+        else ParquetPages.decodeChunk(b, loc, "f").ok
+      assert(decode(chunk))
+      for (cut <- 0 until chunk.length) {
+        val pre = java.util.Arrays.copyOfRange(chunk, 0, cut)
+        neverThrows(s"pq $column cut=$cut")(decode(pre))
+      }
+      for (i <- chunk.indices) {
+        val mut = chunk.clone()
+        mut(i) = (mut(i) ^ 0xff).toByte
+        neverThrows(s"pq $column flip=$i")(decode(mut))
+      }
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+      catch { case _: Exception => () }
+    }
+  }
+
+  test("parquet pages: v2 chunk truncation and byte-flip sweep (long + string)") {
+    val v2 = Map("parquet.writer.version" -> "v2",
+      "parquet.enable.dictionary" -> "false",
+      "compression" -> "snappy", "parquet.page.size" -> "1024")
+    pqFuzzOne(v2, "v", decodeBytes = false) // DELTA_BINARY_PACKED
+    pqFuzzOne(v2, "s", decodeBytes = true) // DELTA_BYTE_ARRAY
+    pqFuzzOne(Map("compression" -> "none", "parquet.page.size" -> "1024"),
+      "s", decodeBytes = true) // v1 dictionary strings
+  }
+
   test("parquet pages: chunk truncation at every offset and byte-flip sweep") {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_fuzz_pq_" +
       s"${ProcessHandle.current().pid()}_${System.nanoTime()}"

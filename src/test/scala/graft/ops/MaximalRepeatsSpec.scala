@@ -1,0 +1,90 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** MaximalRepeats vs hand-computed spans on constructed corpora: maximal
+  * extents (one span per repeated block, not per window), intra-doc
+  * repeats, sub-threshold misses, and the collision-verify contract. */
+class MaximalRepeatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def toksDoc(id: Long, src: String, words: Seq[String]) =
+    (id, src, words.mkString(" "))
+
+  private def run(docs: Seq[(Long, String, String)], k: Int): Set[(Long, Long, Long)] =
+    MaximalRepeats.spans(docs.toDF("doc_id", "source", "text"), k)
+      .select("doc_id", "start", "len")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  private def uniq(tag: String, n: Int): Seq[String] =
+    (0 until n).map(i => s"$tag$i")
+
+  test("a shared block reports ONE maximal span per occurrence, full extent") {
+    // a 10-token block shared by two docs, embedded in unique noise
+    val block = uniq("shared", 10)
+    val d1 = uniq("a", 5) ++ block ++ uniq("b", 5)
+    val d2 = uniq("c", 3) ++ block ++ uniq("e", 7)
+    val spans = run(Seq(toksDoc(1, "s", d1), toksDoc(2, "s", d2)), 4)
+    // doc 1: block at 0-based 5, len 10; doc 2: at 3, len 10
+    assert(spans == Set((1L, 5L, 10L), (2L, 3L, 10L)))
+  }
+
+  test("repeats shorter than k are not reported") {
+    val block = uniq("blk", 3)
+    val d1 = uniq("a", 4) ++ block ++ uniq("b", 4)
+    val d2 = uniq("c", 4) ++ block ++ uniq("e", 4)
+    assert(run(Seq(toksDoc(1, "s", d1), toksDoc(2, "s", d2)), 4).isEmpty)
+  }
+
+  test("intra-document repetition counts (suffix-array semantics)") {
+    val block = uniq("rep", 6)
+    val doc = block ++ uniq("mid", 4) ++ block
+    val spans = run(Seq(toksDoc(7, "s", doc)), 5)
+    assert(spans == Set((7L, 0L, 6L), (7L, 10L, 6L)))
+  }
+
+  test("adjacent duplicated anchors merge across overlapping sources") {
+    // two different docs each share a DIFFERENT k-gram with doc 0, and the
+    // two shared regions overlap inside doc 0 — the union must merge
+    val left = uniq("l", 6) // tokens 0..5 of doc 0
+    val right = uniq("r", 6) // tokens 4..9 of doc 0 overlap via join below
+    val d0 = left ++ right // 12 tokens
+    val d1 = uniq("x", 3) ++ left ++ uniq("y", 3)
+    val d2 = uniq("p", 3) ++ right ++ uniq("q", 3)
+    val spans = run(Seq(toksDoc(1, "s", d0), toksDoc(2, "s", d1),
+      toksDoc(3, "s", d2)), 4)
+    // doc 0 holds both 6-token repeats back to back: anchors 0..2 (left)
+    // and 6..8 (right) do NOT touch (gap at 3..5), so two spans — while
+    // docs 1/2 report their single embedded block
+    assert(spans == Set((1L, 0L, 6L), (1L, 6L, 6L), (2L, 3L, 6L), (3L, 3L, 6L)))
+  }
+
+  test("matches the brute-force definition on a random corpus") {
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 12).map(i => s"w$i")
+    val docs = (0 until 24).map { id =>
+      (id.toLong, s"s${id % 3}",
+        Seq.fill(10 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+    }
+    val k = 3
+    // brute force: every k-gram occurrence, grams with >= 2 occurrences,
+    // islands per doc
+    val grams = docs.flatMap { case (id, _, text) =>
+      val tk = text.split(" ").filter(_.nonEmpty)
+      (0 to tk.length - k).map(p => (tk.slice(p, p + k).mkString(" "), id, p))
+    }
+    val dup = grams.groupBy(_._1).filter(_._2.size >= 2).values.flatten
+      .map(g => (g._2, g._3)).toSet
+    val expect = dup.groupBy(_._1).flatMap { case (id, ps) =>
+      val sorted = ps.map(_._2).toSeq.sorted
+      val runs = sorted.foldLeft(List.empty[List[Int]]) {
+        case (acc @ (h :: t), p) if h.head == p - 1 => (p :: h) :: t
+        case (acc, p) => List(p) :: acc
+      }
+      runs.map(r => (id, r.min.toLong, (r.max - r.min + k).toLong))
+    }.toSet
+    assert(run(docs, k) == expect)
+  }
+}

@@ -130,6 +130,129 @@ class ParquetPagesSpec extends SparkSpec {
     } finally cleanup(dir)
   }
 
+  private def decodedBytes(dir: String, col0: String) = {
+    val rows = ParquetPages.byteArrayColumn(spark, dir, col0)
+      .collect().map(r => (r.getAs[Long]("n_pages"),
+        r.getAs[Long]("n_dict_pages"), r.getAs[Long]("n_v2_pages"),
+        r.getAs[Long]("num_values"), r.getAs[Long]("n_nulls"),
+        r.getAs[Long]("sum_len"), r.getAs[String]("min_v"),
+        r.getAs[String]("max_v"), r.getAs[Boolean]("ok")))
+    assert(rows.nonEmpty)
+    rows
+  }
+
+  private def checkBytes(dir: String, col0: String): Unit = {
+    // Differential-gate find (this spec's reason to exist): Spark 4.1.2's
+    // VECTORIZED reader mis-decodes DELTA_BYTE_ARRAY v2 pages written by
+    // its own v2 writer (corrupted strings, wrong lengths), while the
+    // row-based parquet-mr path, DuckDB, AND this hand decoder agree
+    // byte-for-byte. Gate string facts against the row-based reader.
+    val key = "spark.sql.parquet.enableVectorizedReader"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    val r = try {
+      val df = spark.read.parquet(dir)
+      df.agg(count(col(col0)), sum(length(col(col0))),
+        sum(when(col(col0).isNull, 1L).otherwise(0L)),
+        min(col(col0)), max(col(col0))).first()
+    } finally spark.conf.set(key, prev)
+    val rows = decodedBytes(dir, col0)
+    assert(rows.forall(_._9), s"a chunk failed: ${rows.mkString(",")}")
+    assert(rows.map(_._4).sum - rows.map(_._5).sum == r.getLong(0))
+    assert(rows.map(_._5).sum == r.getLong(2))
+    assert(rows.map(_._6).sum == r.getLong(1))
+    assert(rows.flatMap(o => Option(o._7)).min == r.getString(3))
+    assert(rows.flatMap(o => Option(o._8)).max == r.getString(4))
+  }
+
+  private def strSample = (1 to 5000).map { i =>
+    // shared prefixes exercise DELTA_BYTE_ARRAY's prefix compression
+    (i.toLong, if (i % 9 == 0) None
+    else Some(s"prefix-${i % 37}-value-${(i * 13) % 101}"))
+  }.toDF("k", "s")
+
+  test("BYTE_ARRAY v1: dictionary and PLAIN chunks match Spark's reader") {
+    val dir = tmp()
+    try {
+      strSample.coalesce(1).write.option("compression", "snappy").parquet(dir)
+      checkBytes(dir, "s")
+      assert(decodedBytes(dir, "s").exists(_._2 > 0L), "expected dict page")
+    } finally cleanup(dir)
+    val dir2 = tmp()
+    try {
+      strSample.coalesce(1).write
+        .option("compression", "none")
+        .option("parquet.enable.dictionary", "false")
+        .option("parquet.page.size", "4096").parquet(dir2)
+      checkBytes(dir2, "s")
+    } finally cleanup(dir2)
+  }
+
+  test("v2 pages: DELTA_BINARY_PACKED longs and DELTA_BYTE_ARRAY strings") {
+    val dir = tmp()
+    try {
+      sample.join(strSample, "k").coalesce(1).write
+        .option("parquet.writer.version", "v2")
+        .option("parquet.enable.dictionary", "false")
+        .option("compression", "snappy")
+        .option("parquet.page.size", "4096").parquet(dir)
+      check(dir, "v", wantDict = false)
+      checkBytes(dir, "s")
+      assert(decoded(dir, "v").forall(r => r._1 > 0L), "no pages?")
+      // the v2 writer must actually have produced v2 pages
+      val v2long = ParquetPages.int64Column(spark, dir, "v")
+        .agg(sum("n_v2_pages")).first().getLong(0)
+      val v2str = ParquetPages.byteArrayColumn(spark, dir, "s")
+        .agg(sum("n_v2_pages")).first().getLong(0)
+      assert(v2long > 0L && v2str > 0L,
+        s"expected v2 pages, got long=$v2long str=$v2str")
+    } finally cleanup(dir)
+  }
+
+  test("v2 pages with dictionary: RLE_DICTIONARY under DataPageHeaderV2") {
+    val dir = tmp()
+    try {
+      sample.join(strSample, "k").coalesce(1).write
+        .option("parquet.writer.version", "v2")
+        .option("compression", "none")
+        .option("parquet.page.size", "4096").parquet(dir)
+      check(dir, "v", wantDict = true)
+      checkBytes(dir, "s")
+    } finally cleanup(dir)
+  }
+
+  test("deltaBinaryPacked cross-validates against parquet-mr's writer") {
+    import org.apache.parquet.bytes.HeapByteBufferAllocator
+    import org.apache.parquet.column.values.delta.DeltaBinaryPackingValuesWriterForLong
+    val rnd = new scala.util.Random(3)
+    val vectors: Seq[Array[Long]] = Seq(
+      Array(42L),
+      Array(1L, 2L, 3L),
+      Array.tabulate(130)(i => i.toLong * 7 - 300), // crosses one block
+      Array.tabulate(1000)(_ => rnd.nextLong() % 1000000),
+      Array.tabulate(517)(i => if (i % 2 == 0) Long.MaxValue / 2 else Long.MinValue / 2),
+      Array.fill(256)(99L) // constant -> zero-width miniblocks
+    )
+    for (vec <- vectors) {
+      val w = new DeltaBinaryPackingValuesWriterForLong(
+        1 << 16, 1 << 20, HeapByteBufferAllocator.getInstance())
+      vec.foreach(w.writeLong)
+      val bytes = w.getBytes.toByteArray
+      val got = ParquetPages.deltaBinaryPacked(bytes, 0, bytes.length, vec.length)
+      assert(got.isDefined, s"decode failed for n=${vec.length}")
+      assert(got.get._1.toSeq == vec.toSeq, s"values differ for n=${vec.length}")
+    }
+    // truncation at every offset must return None, never throw
+    val w = new DeltaBinaryPackingValuesWriterForLong(
+      1 << 16, 1 << 20, HeapByteBufferAllocator.getInstance())
+    (1 to 300).foreach(i => w.writeLong(i.toLong * 31 % 97))
+    val full = w.getBytes.toByteArray
+    for (cut <- 0 until full.length) {
+      val r = ParquetPages.deltaBinaryPacked(full, 0, cut, 300)
+      assert(r.isEmpty, s"cut=$cut should fail")
+    }
+  }
+
   test("rleHybrid decodes runs, bit-packed groups, and mixed streams") {
     // RLE run: header = count<<1, then ceil(w/8) value bytes.
     val run = Array[Byte]((5 << 1).toByte, 1)
