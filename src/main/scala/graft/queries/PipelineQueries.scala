@@ -12196,28 +12196,9 @@ object PipelineQueries {
     QueryDef(
       "x198_bytelevel_pretokenize",
       (s, d) => {
-        val pat = "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+" +
-          "| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+"
-        val cleaned = (1 to 8).map(i =>
-          regexp_replace(element_at(col("tk"), i), "[^a-z]", "").as(s"c$i"))
-        val probe = documents(s, d).filter(col("doc_id") < 3000)
-          .select(col("doc_id"), tokens(col("text")).as("tk"))
-          .filter(size(col("tk")) >= 8)
-          .select(col("doc_id") +: cleaned: _*)
-          .select(col("doc_id"), concat(
-            col("c1"), lit("'s went "), col("c2"), lit("  "), col("c3"),
-            lit(", over 1234\n"), col("c4"), lit(" don't stop\t"),
-            col("c5"), lit(" they're "), col("c6"), lit("!!' "),
-            col("c7"), lit(" 7b "), col("c8"), lit("   ")).as("probe"))
         val merges = Seq(("Ġ", "t"), ("e", "r"), ("i", "n"), ("Ġ", "a"),
           ("t", "h"))
-        val pre = probe
-          .select(col("doc_id"),
-            posexplode(regexp_extract_all(col("probe"), lit(pat), lit(0)))
-              .as(Seq("ti", "tok")))
-          .withColumn("m", expr(
-            "replace(replace(replace(tok, ' ', 'Ġ'), chr(9), 'ĉ'), " +
-              "chr(10), 'Ċ')"))
+        val pre = bytePretokens(s, d)
           .withColumn("e", regexp_replace(col("m"), "(.)", "<$1>"))
         val enc = merges.foldLeft(pre) { case (df, (a, b)) =>
           df.withColumn("e", expr(s"replace(e, '<$a><$b>', '<$a$b>')"))
@@ -12236,96 +12217,7 @@ object PipelineQueries {
             sum(col("m").contains("Ċ").cast(LongType)).as("n_nl"))
           .orderBy("grp")
       },
-      Some(s"""WITH RECURSIVE
-              |tkt AS (SELECT doc_id, $tokensSql AS tk FROM documents
-              |  WHERE doc_id < 3000),
-              |base AS (SELECT doc_id,
-              |    regexp_replace(tk[1], '[^a-z]', '', 'g') || '''s went ' ||
-              |    regexp_replace(tk[2], '[^a-z]', '', 'g') || '  ' ||
-              |    regexp_replace(tk[3], '[^a-z]', '', 'g') ||
-              |    ', over 1234' || chr(10) ||
-              |    regexp_replace(tk[4], '[^a-z]', '', 'g') ||
-              |    ' don''t stop' || chr(9) ||
-              |    regexp_replace(tk[5], '[^a-z]', '', 'g') ||
-              |    ' they''re ' ||
-              |    regexp_replace(tk[6], '[^a-z]', '', 'g') || '!!'' ' ||
-              |    regexp_replace(tk[7], '[^a-z]', '', 'g') || ' 7b ' ||
-              |    regexp_replace(tk[8], '[^a-z]', '', 'g') || '   ' AS probe
-              |  FROM tkt WHERE len(tk) >= 8),
-              |chars AS (SELECT doc_id, u.i AS i, substr(probe, u.i, 1) AS ch
-              |  FROM base, LATERAL unnest(range(1, len(probe) + 1)) u(i)),
-              |cl AS (SELECT doc_id, i, ch,
-              |    CASE WHEN ch BETWEEN 'a' AND 'z' OR ch BETWEEN 'A' AND 'Z'
-              |        THEN 'L'
-              |      WHEN ch BETWEEN '0' AND '9' THEN 'N'
-              |      WHEN ch IN (' ', chr(9), chr(10), chr(13)) THEN 'W'
-              |      ELSE 'P' END AS c
-              |  FROM chars),
-              |brk AS (SELECT doc_id, i, ch, c,
-              |    CASE WHEN lag(c) OVER (PARTITION BY doc_id ORDER BY i)
-              |        IS DISTINCT FROM c THEN 1 ELSE 0 END AS nb
-              |  FROM cl),
-              |rl AS (SELECT doc_id, i, ch, c,
-              |    sum(nb) OVER (PARTITION BY doc_id ORDER BY i) AS rid
-              |  FROM brk),
-              |runs AS (SELECT doc_id, rid, count(*) AS len, any_value(c) AS c,
-              |    string_agg(ch, '' ORDER BY i) AS content
-              |  FROM rl GROUP BY doc_id, rid),
-              |st(doc_id, rid, off, ti, tok) AS (
-              |  SELECT doc_id, 1, 0, 0, '' FROM base
-              |  UNION ALL
-              |  SELECT st.doc_id,
-              |    CASE WHEN r.c IN ('L', 'N') THEN st.rid + 1
-              |      WHEN r.c = 'P' THEN CASE
-              |        WHEN r.content = '''' AND nx.c = 'L'
-              |            AND (substr(nx.content, 1, 1) IN ('s','t','m','d')
-              |              OR substr(nx.content, 1, 2) IN ('re','ve','ll'))
-              |          THEN CASE WHEN (CASE WHEN substr(nx.content, 1, 1)
-              |                IN ('s','t','m','d') THEN 1 ELSE 2 END) < nx.len
-              |            THEN st.rid + 1 ELSE st.rid + 2 END
-              |        ELSE st.rid + 1 END
-              |      ELSE CASE
-              |        WHEN nx.rid IS NULL THEN st.rid + 1
-              |        WHEN r.len - st.off >= 2 THEN st.rid
-              |        WHEN substr(r.content, r.len, 1) = ' '
-              |            AND nx.c IN ('L', 'N', 'P') THEN st.rid + 2
-              |        ELSE st.rid + 1 END END,
-              |    CASE WHEN r.c = 'P' AND r.content = '''' AND nx.c = 'L'
-              |          AND (substr(nx.content, 1, 1) IN ('s','t','m','d')
-              |            OR substr(nx.content, 1, 2) IN ('re','ve','ll'))
-              |          AND (CASE WHEN substr(nx.content, 1, 1)
-              |              IN ('s','t','m','d') THEN 1 ELSE 2 END) < nx.len
-              |        THEN CASE WHEN substr(nx.content, 1, 1)
-              |          IN ('s','t','m','d') THEN 1 ELSE 2 END
-              |      WHEN r.c = 'W' AND nx.rid IS NOT NULL
-              |          AND r.len - st.off >= 2 THEN r.len - 1
-              |      ELSE 0 END,
-              |    st.ti + 1,
-              |    CASE WHEN r.c IN ('L', 'N') THEN substr(r.content, st.off + 1)
-              |      WHEN r.c = 'P' THEN CASE
-              |        WHEN r.content = '''' AND nx.c = 'L'
-              |            AND (substr(nx.content, 1, 1) IN ('s','t','m','d')
-              |              OR substr(nx.content, 1, 2) IN ('re','ve','ll'))
-              |          THEN '''' || substr(nx.content, 1,
-              |            CASE WHEN substr(nx.content, 1, 1)
-              |              IN ('s','t','m','d') THEN 1 ELSE 2 END)
-              |        ELSE r.content END
-              |      ELSE CASE
-              |        WHEN nx.rid IS NULL THEN substr(r.content, st.off + 1)
-              |        WHEN r.len - st.off >= 2
-              |          THEN substr(r.content, st.off + 1, r.len - st.off - 1)
-              |        WHEN substr(r.content, r.len, 1) = ' '
-              |            AND nx.c IN ('L', 'N', 'P')
-              |          THEN ' ' || nx.content
-              |        ELSE substr(r.content, r.len, 1) END END
-              |  FROM st
-              |  JOIN runs r ON r.doc_id = st.doc_id AND r.rid = st.rid
-              |  LEFT JOIN runs nx ON nx.doc_id = st.doc_id
-              |    AND nx.rid = st.rid + 1),
-              |toks AS (SELECT doc_id, ti,
-              |    replace(replace(replace(tok, ' ', 'Ġ'), chr(9), 'ĉ'),
-              |      chr(10), 'Ċ') AS m
-              |  FROM st WHERE ti >= 1),
+      Some(s"""$gpt2WalkerSql,
               |enc AS (SELECT doc_id, ti, m,
               |    replace(replace(replace(replace(replace(
               |      regexp_replace(m, '(.)', '<\\1>', 'g'),
@@ -12538,8 +12430,250 @@ object PipelineQueries {
              |  UNION ALL SELECT 'v2', 's', rs.*, FALSE, TRUE FROM rs
              |  UNION ALL SELECT 'v1nd', 's', rs.*, FALSE, FALSE FROM rs
              |  UNION ALL SELECT 'v1', 't', rt.*, TRUE, FALSE FROM rt)
-             |ORDER BY variant, col_name""".stripMargin))
+             |ORDER BY variant, col_name""".stripMargin)),
+
+    // MAXIMAL-REPEAT SPAN SCRUB (x201) — the dedup ACTION on x197's
+    // findings: remove every maximal duplicated span (the published
+    // exact-substring policy — duplicated regions are cut everywhere,
+    // the conservative training-data stance) and account the cleaned
+    // corpus per source. Composition is the point: the span frame from
+    // ops/MaximalRepeats joins back to the corpus by doc_id — the
+    // "survivor policy composable" contract stated at the operator —
+    // and because spans are per-doc DISJOINT by construction (islands
+    // merge adjacent anchors), removed-token accounting is a plain sum,
+    // no overlap resolution pass. The position checksum Σ (start+1)·len
+    // pins exact extents through the join, not just totals. Scale: the
+    // span frame is the duplicated fraction; the join back to the
+    // doc-stats frame is key-partitioned on doc_id; everything after is
+    // a per-source partial agg.
+    QueryDef(
+      "x201_span_scrub",
+      (s, d) => {
+        val base = documents(s, d).select("doc_id", "source", "text")
+        val docs = base.select(col("doc_id"), col("source"),
+          size(expr("filter(split(text, ' '), x -> x != '')"))
+            .cast(LongType).as("n_tok"))
+        val perDoc = graft.ops.MaximalRepeats.spans(base, 25)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(col("len")).as("removed"),
+            sum((col("start") + 1L) * col("len")).as("cks"))
+        docs.join(perDoc, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("n_spans").isNotNull, 1L).otherwise(0L))
+              .as("n_docs_changed"),
+            sum(col("n_tok")).as("tokens_before"),
+            coalesce(sum(col("removed")), lit(0L)).as("tokens_removed"),
+            (sum(col("n_tok")) - coalesce(sum(col("removed")), lit(0L)))
+              .as("tokens_after"),
+            coalesce(sum(col("cks")), lit(0L)).as("cksum"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (SELECT doc_id, source,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS tk
+             |  FROM documents),
+             |g AS (SELECT doc_id, source, u.p AS pos,
+             |    list_aggregate(tk[u.p:u.p+24], 'string_agg', ' ') AS gram
+             |  FROM t, LATERAL unnest(range(1, len(tk) - 23)) AS u(p)),
+             |d AS (SELECT gram FROM g GROUP BY 1 HAVING count(*) >= 2),
+             |dp AS (SELECT g.doc_id, g.source, g.pos
+             |  FROM g JOIN d USING (gram)),
+             |isl AS (SELECT doc_id, source, pos,
+             |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+             |      AS a
+             |  FROM dp),
+             |sp AS (SELECT doc_id, min(pos) AS start,
+             |    max(pos) - min(pos) + 25 AS len
+             |  FROM isl GROUP BY doc_id, a),
+             |pd AS (SELECT doc_id, count(*) AS n_spans,
+             |    CAST(sum(len) AS BIGINT) AS removed,
+             |    CAST(sum(start * len) AS BIGINT) AS cks
+             |  FROM sp GROUP BY 1),
+             |ds AS (SELECT doc_id, source, CAST(len(tk) AS BIGINT) AS n_tok
+             |  FROM t)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(CASE WHEN pd.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_docs_changed,
+             |  CAST(sum(n_tok) AS BIGINT) AS tokens_before,
+             |  CAST(coalesce(sum(removed), 0) AS BIGINT) AS tokens_removed,
+             |  CAST(sum(n_tok) - coalesce(sum(removed), 0) AS BIGINT)
+             |    AS tokens_after,
+             |  CAST(coalesce(sum(cks), 0) AS BIGINT) AS cksum
+             |FROM ds LEFT JOIN pd USING (doc_id)
+             |GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    // BYTE-LEVEL BPE TRAIN STEP (x202) — the GPT-2 training half on
+    // x198's pretokens: roll the byte-level pretokens into a frequency
+    // vocabulary (the BPE training corpus is a word-frequency table,
+    // x54's shape one representation down), then count ADJACENT SYMBOL
+    // PAIRS weighted by frequency — the statistic whose argmax becomes
+    // the next merge. Pairs are 2-character substrings over the mapped
+    // alphabet (Ġ/ĉ/Ċ included), so the top pairs show the byte-level
+    // signature word-level counting cannot produce: Ġ-prefixed pairs
+    // (space-attached word starts) compete with in-word bigrams.
+    // Composition: x198 (pretokenize) → x202 (count pairs) → x57 (apply
+    // merges) is the full public BPE pipeline, each stage oracle-gated.
+    // Scale: everything past the pretoken rollup is vocabulary-sized;
+    // top-20 is TakeOrdered; one exchange per aggregation.
+    QueryDef(
+      "x202_bytelevel_bpe_train",
+      (s, d) => {
+        val vocab = bytePretokens(s, d)
+          .groupBy("m").agg(count(lit(1)).as("freq"))
+        vocab.filter(length(col("m")) >= 2)
+          .select(col("freq"), explode(expr(
+            "transform(sequence(1, char_length(m) - 1), " +
+              "i -> substring(m, i, 2))")).as("pair"))
+          .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair")).limit(20)
+          .withColumn("rn", row_number()
+            .over(Window.orderBy(col("cnt").desc, col("pair"))).cast(LongType))
+          .select(col("rn"), col("pair"), col("cnt"))
+          .orderBy("rn")
+      },
+      Some(s"""$gpt2WalkerSql,
+              |v AS (SELECT m, CAST(count(*) AS BIGINT) AS freq FROM toks
+              |  GROUP BY 1),
+              |p AS (SELECT substr(m, CAST(u.i AS INT), 2) AS pair, freq
+              |  FROM v, LATERAL unnest(range(1, length(m))) u(i)
+              |  WHERE length(m) >= 2),
+              |c AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p
+              |  GROUP BY 1),
+              |r AS (SELECT pair, cnt,
+              |    CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT)
+              |      AS rn
+              |  FROM c)
+              |SELECT rn, pair, cnt FROM r WHERE rn <= 20
+              |ORDER BY rn""".stripMargin))
   )
+
+  /** Shared by x198/x202: byte-level pretokens (doc_id, ti, m) over the
+    * paired probe corpus — the ENGINE side runs the real GPT-2 regex
+    * (Java regex: the lookahead is native) and maps bytes→unicode
+    * (space→Ġ, tab→ĉ, newline→Ċ for the ASCII probe). */
+  private def bytePretokens(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val pat = "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+" +
+      "| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+"
+    val cleaned = (1 to 8).map(i =>
+      regexp_replace(element_at(col("tk"), i), "[^a-z]", "").as(s"c$i"))
+    val probe = documents(s, d).filter(col("doc_id") < 3000)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 8)
+      .select(col("doc_id") +: cleaned: _*)
+      .select(col("doc_id"), concat(
+        col("c1"), lit("'s went "), col("c2"), lit("  "), col("c3"),
+        lit(", over 1234\n"), col("c4"), lit(" don't stop\t"),
+        col("c5"), lit(" they're "), col("c6"), lit("!!' "),
+        col("c7"), lit(" 7b "), col("c8"), lit("   ")).as("probe"))
+    probe
+      .select(col("doc_id"),
+        posexplode(regexp_extract_all(col("probe"), lit(pat), lit(0)))
+          .as(Seq("ti", "tok")))
+      .withColumn("m", expr(
+        "replace(replace(replace(tok, ' ', 'Ġ'), chr(9), 'ĉ'), " +
+          "chr(10), 'Ċ')"))
+      .drop("tok")
+  }
+
+  /** Shared by x198/x202: the GPT-2 byte-level pretokenizer ORACLE —
+    * paired probe construction + the fuzz-validated character-class run
+    * walker (recursive CTE) ending in `toks(doc_id, ti, m)` with the
+    * bytes→unicode mapping applied. DuckDB's RE2 lacks the pattern's
+    * lookahead, hence the independent walker construction. */
+  private lazy val gpt2WalkerSql: String =
+    s"""WITH RECURSIVE
+              |tkt AS (SELECT doc_id, $tokensSql AS tk FROM documents
+              |  WHERE doc_id < 3000),
+              |base AS (SELECT doc_id,
+              |    regexp_replace(tk[1], '[^a-z]', '', 'g') || '''s went ' ||
+              |    regexp_replace(tk[2], '[^a-z]', '', 'g') || '  ' ||
+              |    regexp_replace(tk[3], '[^a-z]', '', 'g') ||
+              |    ', over 1234' || chr(10) ||
+              |    regexp_replace(tk[4], '[^a-z]', '', 'g') ||
+              |    ' don''t stop' || chr(9) ||
+              |    regexp_replace(tk[5], '[^a-z]', '', 'g') ||
+              |    ' they''re ' ||
+              |    regexp_replace(tk[6], '[^a-z]', '', 'g') || '!!'' ' ||
+              |    regexp_replace(tk[7], '[^a-z]', '', 'g') || ' 7b ' ||
+              |    regexp_replace(tk[8], '[^a-z]', '', 'g') || '   ' AS probe
+              |  FROM tkt WHERE len(tk) >= 8),
+              |chars AS (SELECT doc_id, u.i AS i, substr(probe, u.i, 1) AS ch
+              |  FROM base, LATERAL unnest(range(1, len(probe) + 1)) u(i)),
+              |cl AS (SELECT doc_id, i, ch,
+              |    CASE WHEN ch BETWEEN 'a' AND 'z' OR ch BETWEEN 'A' AND 'Z'
+              |        THEN 'L'
+              |      WHEN ch BETWEEN '0' AND '9' THEN 'N'
+              |      WHEN ch IN (' ', chr(9), chr(10), chr(13)) THEN 'W'
+              |      ELSE 'P' END AS c
+              |  FROM chars),
+              |brk AS (SELECT doc_id, i, ch, c,
+              |    CASE WHEN lag(c) OVER (PARTITION BY doc_id ORDER BY i)
+              |        IS DISTINCT FROM c THEN 1 ELSE 0 END AS nb
+              |  FROM cl),
+              |rl AS (SELECT doc_id, i, ch, c,
+              |    sum(nb) OVER (PARTITION BY doc_id ORDER BY i) AS rid
+              |  FROM brk),
+              |runs AS (SELECT doc_id, rid, count(*) AS len, any_value(c) AS c,
+              |    string_agg(ch, '' ORDER BY i) AS content
+              |  FROM rl GROUP BY doc_id, rid),
+              |st(doc_id, rid, off, ti, tok) AS (
+              |  SELECT doc_id, 1, 0, 0, '' FROM base
+              |  UNION ALL
+              |  SELECT st.doc_id,
+              |    CASE WHEN r.c IN ('L', 'N') THEN st.rid + 1
+              |      WHEN r.c = 'P' THEN CASE
+              |        WHEN r.content = '''' AND nx.c = 'L'
+              |            AND (substr(nx.content, 1, 1) IN ('s','t','m','d')
+              |              OR substr(nx.content, 1, 2) IN ('re','ve','ll'))
+              |          THEN CASE WHEN (CASE WHEN substr(nx.content, 1, 1)
+              |                IN ('s','t','m','d') THEN 1 ELSE 2 END) < nx.len
+              |            THEN st.rid + 1 ELSE st.rid + 2 END
+              |        ELSE st.rid + 1 END
+              |      ELSE CASE
+              |        WHEN nx.rid IS NULL THEN st.rid + 1
+              |        WHEN r.len - st.off >= 2 THEN st.rid
+              |        WHEN substr(r.content, r.len, 1) = ' '
+              |            AND nx.c IN ('L', 'N', 'P') THEN st.rid + 2
+              |        ELSE st.rid + 1 END END,
+              |    CASE WHEN r.c = 'P' AND r.content = '''' AND nx.c = 'L'
+              |          AND (substr(nx.content, 1, 1) IN ('s','t','m','d')
+              |            OR substr(nx.content, 1, 2) IN ('re','ve','ll'))
+              |          AND (CASE WHEN substr(nx.content, 1, 1)
+              |              IN ('s','t','m','d') THEN 1 ELSE 2 END) < nx.len
+              |        THEN CASE WHEN substr(nx.content, 1, 1)
+              |          IN ('s','t','m','d') THEN 1 ELSE 2 END
+              |      WHEN r.c = 'W' AND nx.rid IS NOT NULL
+              |          AND r.len - st.off >= 2 THEN r.len - 1
+              |      ELSE 0 END,
+              |    st.ti + 1,
+              |    CASE WHEN r.c IN ('L', 'N') THEN substr(r.content, st.off + 1)
+              |      WHEN r.c = 'P' THEN CASE
+              |        WHEN r.content = '''' AND nx.c = 'L'
+              |            AND (substr(nx.content, 1, 1) IN ('s','t','m','d')
+              |              OR substr(nx.content, 1, 2) IN ('re','ve','ll'))
+              |          THEN '''' || substr(nx.content, 1,
+              |            CASE WHEN substr(nx.content, 1, 1)
+              |              IN ('s','t','m','d') THEN 1 ELSE 2 END)
+              |        ELSE r.content END
+              |      ELSE CASE
+              |        WHEN nx.rid IS NULL THEN substr(r.content, st.off + 1)
+              |        WHEN r.len - st.off >= 2
+              |          THEN substr(r.content, st.off + 1, r.len - st.off - 1)
+              |        WHEN substr(r.content, r.len, 1) = ' '
+              |            AND nx.c IN ('L', 'N', 'P')
+              |          THEN ' ' || nx.content
+              |        ELSE substr(r.content, r.len, 1) END END
+              |  FROM st
+              |  JOIN runs r ON r.doc_id = st.doc_id AND r.rid = st.rid
+              |  LEFT JOIN runs nx ON nx.doc_id = st.doc_id
+              |    AND nx.rid = st.rid + 1),
+              |toks AS (SELECT doc_id, ti,
+              |    replace(replace(replace(tok, ' ', 'Ġ'), chr(9), 'ĉ'),
+              |      chr(10), 'Ċ') AS m
+              |  FROM st WHERE ti >= 1)"""
+      .stripMargin
 
   /** x196's WordPiece vocabulary, shared by the Spark expression and the
     * oracle's VALUES table: [UNK] at id 0, the ASCII letters as start and

@@ -64,6 +64,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
 
+  test("x197's corpus-sized anchor exchange carries 8-byte hashes, never gram text") {
+    val p = plans("x197_maximal_repeats")
+    // phase-1 aggregation exchanges hash-partition on h (a bigint); the
+    // k-token gram STRINGS may only cross an exchange in the verify phase,
+    // which is candidate-sized. The corpus-sized exchanges must not move a
+    // `gram` column, and the pair generation must stay equi-join shaped.
+    val exch = "Exchange hashpartitioning\\([^\n]*".r.findAllIn(p).toSeq
+    val hashExch = exch.filter(_.contains("h#"))
+    assert(hashExch.nonEmpty, s"expected the anchor-hash exchange, plan:\n$p")
+    assert(hashExch.forall(e => !e.contains("gram#")),
+      s"anchor exchange carries gram text:\n${hashExch.mkString("\n")}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q71's correlated LIMIT decorrelates to a WindowGroupLimit top-k, not a per-row rescan") {
     val p = plans("q71_lateral_join")
     assert(p.contains("WindowGroupLimit"), p)
