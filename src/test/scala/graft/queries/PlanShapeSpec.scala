@@ -78,6 +78,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("x201's scrub joins spans back by doc_id — equi-join, no pair blowup") {
+    val p = plans("x201_span_scrub")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the span frame meets the doc-stats frame on the doc_id key
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("q71's correlated LIMIT decorrelates to a WindowGroupLimit top-k, not a per-row rescan") {
     val p = plans("q71_lateral_join")
     assert(p.contains("WindowGroupLimit"), p)
