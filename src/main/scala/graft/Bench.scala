@@ -50,10 +50,11 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Fresh-JVM (forked) mode — set `SPARK_GRAFT_FORK=<chunk size>`: the
-    * catalog is split into fixed-size chunks and each chunk runs in its
-    * OWN child JVM (same classpath, module opens, and heap as this one),
-    * sequentially. This is the automated form of the SCALE.md standalone
+  /** Fresh-JVM (forked) mode — the DEFAULT for a no-args full-catalog run
+    * (`SPARK_GRAFT_FORK=<chunk size>` overrides the chunk size; `=0` forces
+    * inline): the catalog is split into fixed-size chunks and each chunk
+    * runs in its OWN child JVM (same classpath, module opens, and heap as
+    * this one), sequentially. This is the automated form of the SCALE.md standalone
     * cross-check: a long-lived bench JVM accumulates JIT deopt, GC
     * pressure, and code-cache churn that can inflate individual rows at
     * 100× (q07 measured 114 s in-window vs 3.0 s fresh-JVM in round 9);
@@ -151,7 +152,19 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
-    val fork = sys.env.get("SPARK_GRAFT_FORK").flatMap(_.toIntOption).filter(_ > 0)
+    // The no-args FULL-CATALOG run (the driver's headline path) defaults to
+    // forked mode: round 10 measured the single-JVM 278-query window
+    // inflating late-catalog rows 8–70× (x162 75.9 s vs 1.07 s fresh-JVM,
+    // TorrentBroadcast store failures in the bench's own stderr) — the
+    // catalog is too large for one JVM window to measure honestly.
+    // SPARK_GRAFT_FORK=<n> overrides the chunk size; SPARK_GRAFT_FORK=0
+    // forces the inline single-JVM path. Runs restricted by args (local
+    // iteration) stay inline — they ARE the child path.
+    val fork = sys.env.get("SPARK_GRAFT_FORK").flatMap(_.toIntOption) match {
+      case Some(n) if n > 0 => Some(n)
+      case Some(_) => None // explicit 0: inline
+      case None => Some(24) // the SCALE.md 100×-pass chunk size
+    }
     if (fork.isDefined && args.isEmpty) { forkedMain(fork.get); return }
     val logPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOG", "/tmp/graft_bench_stderr.log")
     val jsonPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "/tmp/graft_bench.json")

@@ -16,9 +16,17 @@ import org.apache.spark.sql.functions._
   * covered by some duplicated substring of length ≥ k IFF the k-gram
   * anchored at it is duplicated (any duplicated substring of length
   * L ≥ k is covered by its own duplicated k-windows; each duplicated
-  * k-gram is itself such a substring). So maximal duplicated spans are
-  * exactly the per-doc consecutive runs of duplicated-anchor positions,
-  * each run [p₁, p₂] yielding the span [p₁, p₂ + k).
+  * k-gram is itself such a substring). Each duplicated anchor p covers
+  * the token interval [p, p + k); spans are the per-doc UNION of those
+  * intervals: an island breaks only where the anchor gap is ≥ k (two
+  * anchors p₁ < p₂ with p₂ − p₁ < k have overlapping windows and MUST
+  * merge — gap-1 runs alone would emit overlapping, double-counted
+  * spans for anchors duplicated at, say, p and p+2 only), and each
+  * island [p₁, p₂] yields the span [p₁, p₂ + k). A gap of exactly k
+  * stays a break: windows [p₁, p₁+k) and [p₁+k, p₁+2k) merely touch,
+  * and every position between the runs anchors a UNIQUE k-gram, so the
+  * two runs are distinct repeats reported as distinct (touching,
+  * still disjoint) spans.
   *
   * Distributed shape (never a global suffix array on one node):
   *   1. ANCHORS — one row per token position carrying only a 64-bit
@@ -79,8 +87,15 @@ object MaximalRepeats {
     val verified = verifyGrams.join(dupGram, Seq("gram"))
       .select("doc_id", "source", "pos")
     val w = Window.partitionBy("doc_id").orderBy("pos")
+    // interval-union islands: break only when the anchor gap reaches k
+    // (window [prev, prev+k) no longer overlaps [pos, pos+k)); the first
+    // row's null lag falls through to the ELSE and opens island 1. The
+    // running sum's default frame (unbounded preceding → current row) is
+    // exactly the island id.
     verified
-      .withColumn("run", col("pos") - row_number().over(w))
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) < k, lit(0)).otherwise(lit(1)))
+      .withColumn("run", sum(col("brk")).over(w))
       .groupBy("doc_id", "source", "run")
       .agg(min(col("pos")).as("start"),
         (max(col("pos")) - min(col("pos")) + lit(k)).cast("long").as("len"))

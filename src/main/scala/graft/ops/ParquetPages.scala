@@ -43,10 +43,14 @@ object ParquetPages {
       n_v2_pages: Long, num_values: Long, n_nulls: Long, sum_len: Long,
       min_v: String, max_v: String, ok: Boolean)
 
-  /** Chunk locator parsed from the footer for one column. */
+  /** Chunk locator parsed from the footer for one column. `maxDef`/
+    * `maxRep` are the column path's level bounds from the schema walk
+    * (maxDef = -1 means "derive from `required`" — the flat-column
+    * constructor shape the fuzz probes use); `typeLen` is the
+    * FIXED_LEN_BYTE_ARRAY width (0 otherwise). */
   private[ops] final case class ChunkLoc(grp: Int, codec: Int, physType: Int,
       numValues: Long, firstPageOffset: Long, totalCompressedSize: Long,
-      required: Boolean)
+      required: Boolean, maxDef: Int = -1, maxRep: Int = 0, typeLen: Int = 0)
 
   import ParquetFooter.Compact
 
@@ -266,7 +270,13 @@ object ParquetPages {
     val miniblocks = varint()
     val totalCount = varint()
     val first = zig(varint())
-    if (bad || blockSize <= 0 || blockSize % 128 != 0 || miniblocks <= 0 ||
+    // blockSize is capped BEFORE the division: a forged blockSize like 2^31
+    // with miniblocks=1 passes the %128/%miniblocks checks, and
+    // (blockSize / miniblocks).toInt would wrap to Int.MinValue (whose %8 is
+    // also 0), driving nBytes negative past the bounds check below — the
+    // same overflow family as the rleHybrid groups check.
+    if (bad || blockSize <= 0 || blockSize % 128 != 0 ||
+      blockSize > MaxPageValues || miniblocks <= 0 ||
       blockSize % miniblocks != 0 || totalCount < 0 ||
       totalCount > MaxPageValues || totalCount < n) return None
     val perMini = (blockSize / miniblocks).toInt

@@ -117,6 +117,31 @@ object PipelineQueries {
         .localCheckpoint(eager = true)
     }
 
+  /** The session-shared maximal-repeat span frame (doc_id, source, start,
+    * len; k = 25 whitespace tokens; 0-based starts), following the LSH-pair
+    * discipline end to end: x197 reports it, x201 scrubs with it, and the
+    * incremental index gate derives from the same corpus — at 100 TB the
+    * anchor-hash pass over the corpus is the dominant cost of the family
+    * and must run ONCE per session, not once per consumer. Durable through
+    * [[graft.ops.DerivedStore]] (bucketed by doc_id — every consumer joins
+    * or re-groups on it), fingerprinted on documents.parquet; v2 = the
+    * interval-union island rule (anchors merge while the gap < k), bump on
+    * any semantic change to ops/MaximalRepeats. */
+  private val maxRepK = 25
+  private def maxRepSpansShared(s: SparkSession, d: String): DataFrame =
+    SharedCache.getOrCompute(SharedCache.key(s, d, s"maxrep_spans:k=$maxRepK")) {
+      graft.ops.DerivedStore.getOrBuild(s,
+        name = s"maxrep_spans_v2_k${maxRepK}_" + dirSlug(d),
+        inputFiles = Seq(s"$d/documents.parquet"),
+        bucketCols = Seq("doc_id")) {
+        graft.ops.MaximalRepeats.spans(
+          documents(s, d).select("doc_id", "source", "text"), maxRepK)
+      }
+        // small frame (the duplicated fraction): pin it so x197's rollup
+        // and x201's per-doc join both read one materialization
+        .localCheckpoint(eager = true)
+    }
+
   /** Session-shared frames of the customer–supplier co-trade graph
     * (x114 item-item CF and x115 clustering coefficients): the capped
     * bipartite edge list and the strong co-trade pair list. Keys embed the
@@ -12126,8 +12151,13 @@ object PipelineQueries {
     // overlapping fragments. ops/MaximalRepeats.scala runs the
     // distributed three-phase shape (8-byte anchor-hash shuffle →
     // candidate buckets ≥ 2 → content verify over candidates only →
-    // per-doc gaps-and-islands), exact by the k-window covering
-    // equivalence and collision-proof via the verify pass. The oracle
+    // per-doc interval-union islands: anchors merge while the gap < k,
+    // since their k-windows overlap — gap-1 runs alone emitted
+    // OVERLAPPING spans for anchors duplicated at p and p+2 only),
+    // exact by the k-window covering equivalence and collision-proof
+    // via the verify pass. The span frame itself is session-shared and
+    // store-backed (maxRepSpansShared — x201 consumes the same frame;
+    // the corpus anchor pass runs once per session). The oracle
     // re-derives spans directly from gram TEXT (no hashing anywhere) —
     // an independent construction of the same maximal-span semantics.
     // sum_start pins exact extents (1-based), not just counts.
@@ -12137,8 +12167,7 @@ object PipelineQueries {
     QueryDef(
       "x197_maximal_repeats",
       (s, d) => {
-        graft.ops.MaximalRepeats
-          .spans(documents(s, d).select("doc_id", "source", "text"), 25)
+        maxRepSpansShared(s, d)
           .groupBy("source")
           .agg(count(lit(1)).as("n_spans"),
             sum(col("len")).as("dup_tokens"),
@@ -12147,22 +12176,7 @@ object PipelineQueries {
             sum(col("start") + 1L).as("sum_start"))
           .orderBy("source")
       },
-      Some("""WITH t AS (SELECT doc_id, source,
-             |    list_filter(string_split(text, ' '), x -> x <> '') AS tk
-             |  FROM documents),
-             |g AS (SELECT doc_id, source, u.p AS pos,
-             |    list_aggregate(tk[u.p:u.p+24], 'string_agg', ' ') AS gram
-             |  FROM t, LATERAL unnest(range(1, len(tk) - 23)) AS u(p)),
-             |d AS (SELECT gram FROM g GROUP BY 1 HAVING count(*) >= 2),
-             |dp AS (SELECT g.doc_id, g.source, g.pos
-             |  FROM g JOIN d USING (gram)),
-             |isl AS (SELECT doc_id, source, pos,
-             |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
-             |      AS a
-             |  FROM dp),
-             |sp AS (SELECT doc_id, source, min(pos) AS start,
-             |    max(pos) - min(pos) + 25 AS len
-             |  FROM isl GROUP BY doc_id, source, a)
+      Some(s"""$maxRepSpanSql
              |SELECT source, CAST(count(*) AS BIGINT) AS n_spans,
              |  CAST(sum(len) AS BIGINT) AS dup_tokens,
              |  CAST(max(len) AS BIGINT) AS max_len,
@@ -12436,13 +12450,15 @@ object PipelineQueries {
     // findings: remove every maximal duplicated span (the published
     // exact-substring policy — duplicated regions are cut everywhere,
     // the conservative training-data stance) and account the cleaned
-    // corpus per source. Composition is the point: the span frame from
-    // ops/MaximalRepeats joins back to the corpus by doc_id — the
-    // "survivor policy composable" contract stated at the operator —
-    // and because spans are per-doc DISJOINT by construction (islands
-    // merge adjacent anchors), removed-token accounting is a plain sum,
-    // no overlap resolution pass. The position checksum Σ (start+1)·len
-    // pins exact extents through the join, not just totals. Scale: the
+    // corpus per source. Composition is the point: x201 consumes the
+    // SAME session-shared span frame x197 published (maxRepSpansShared
+    // — the corpus anchor pass runs once per session, the "survivor
+    // policy composable" contract stated at the operator) and joins it
+    // back to the corpus by doc_id. Spans are per-doc DISJOINT by
+    // construction (interval-union islands: anchors merge while the
+    // gap < k), so removed-token accounting is a plain sum, no overlap
+    // resolution pass. The position checksum Σ (start+1)·len pins
+    // exact extents through the join, not just totals. Scale: the
     // span frame is the duplicated fraction; the join back to the
     // doc-stats frame is key-partitioned on doc_id; everything after is
     // a per-source partial agg.
@@ -12453,7 +12469,7 @@ object PipelineQueries {
         val docs = base.select(col("doc_id"), col("source"),
           size(expr("filter(split(text, ' '), x -> x != '')"))
             .cast(LongType).as("n_tok"))
-        val perDoc = graft.ops.MaximalRepeats.spans(base, 25)
+        val perDoc = maxRepSpansShared(s, d)
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_spans"),
             sum(col("len")).as("removed"),
@@ -12470,22 +12486,7 @@ object PipelineQueries {
             coalesce(sum(col("cks")), lit(0L)).as("cksum"))
           .orderBy("source")
       },
-      Some("""WITH t AS (SELECT doc_id, source,
-             |    list_filter(string_split(text, ' '), x -> x <> '') AS tk
-             |  FROM documents),
-             |g AS (SELECT doc_id, source, u.p AS pos,
-             |    list_aggregate(tk[u.p:u.p+24], 'string_agg', ' ') AS gram
-             |  FROM t, LATERAL unnest(range(1, len(tk) - 23)) AS u(p)),
-             |d AS (SELECT gram FROM g GROUP BY 1 HAVING count(*) >= 2),
-             |dp AS (SELECT g.doc_id, g.source, g.pos
-             |  FROM g JOIN d USING (gram)),
-             |isl AS (SELECT doc_id, source, pos,
-             |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
-             |      AS a
-             |  FROM dp),
-             |sp AS (SELECT doc_id, min(pos) AS start,
-             |    max(pos) - min(pos) + 25 AS len
-             |  FROM isl GROUP BY doc_id, a),
+      Some(s"""$maxRepSpanSql,
              |pd AS (SELECT doc_id, count(*) AS n_spans,
              |    CAST(sum(len) AS BIGINT) AS removed,
              |    CAST(sum(start * len) AS BIGINT) AS cks
@@ -12576,6 +12577,34 @@ object PipelineQueries {
           "chr(10), 'Ċ')"))
       .drop("tok")
   }
+
+  /** Shared by x197/x201: the maximal-repeat span ORACLE — duplicated
+    * 25-gram anchors re-derived from gram TEXT (no hashing anywhere),
+    * interval-union islands (an island breaks only where the anchor gap
+    * reaches k=25; anchors closer than k have overlapping k-windows and
+    * merge — the same rule as ops/MaximalRepeats, independently
+    * constructed). Ends in `sp(doc_id, source, start, len)` with 1-based
+    * starts; CTE `t(doc_id, source, tk)` stays visible to suffixes. */
+  private lazy val maxRepSpanSql: String =
+    """WITH t AS (SELECT doc_id, source,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      |  FROM documents),
+      |g AS (SELECT doc_id, source, u.p AS pos,
+      |    list_aggregate(tk[u.p:u.p+24], 'string_agg', ' ') AS gram
+      |  FROM t, LATERAL unnest(range(1, len(tk) - 23)) AS u(p)),
+      |d AS (SELECT gram FROM g GROUP BY 1 HAVING count(*) >= 2),
+      |dp AS (SELECT g.doc_id, g.source, g.pos
+      |  FROM g JOIN d USING (gram)),
+      |isl AS (SELECT doc_id, source, pos,
+      |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+      |        < 25 THEN 0 ELSE 1 END AS nb
+      |  FROM dp),
+      |isl2 AS (SELECT doc_id, source, pos,
+      |    sum(nb) OVER (PARTITION BY doc_id ORDER BY pos) AS a
+      |  FROM isl),
+      |sp AS (SELECT doc_id, source, min(pos) AS start,
+      |    max(pos) - min(pos) + 25 AS len
+      |  FROM isl2 GROUP BY doc_id, source, a)""".stripMargin
 
   /** Shared by x198/x202: the GPT-2 byte-level pretokenizer ORACLE —
     * paired probe construction + the fuzz-validated character-class run

@@ -99,12 +99,23 @@ object StreamGate {
         case None => q.awaitTermination()
         case Some(expected) =>
           val deadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
+          // recentProgress is a BOUNDED ring buffer (default 100 entries):
+          // a replay whose data batches scroll out of the buffer before the
+          // target is observed must not spuriously hit the 300 s timeout —
+          // consumed rows accumulate INCREMENTALLY across polls (only
+          // batchIds beyond the highest already counted are added), never
+          // re-summed from the bounded snapshot. Re-reported batchIds
+          // (no-data triggers repeat the id) are counted once.
+          var seen = 0L
+          var maxBatch = -1L
           var done = false
           while (!done && q.isActive && System.nanoTime() < deadline) {
             Thread.sleep(250)
             val ps = q.recentProgress
-            val seen = ps.map(p => (p.batchId, p.numInputRows)).distinct
-              .map(_._2).sum
+            ps.filter(_.batchId > maxBatch).sortBy(_.batchId).foreach { p =>
+              seen += p.numInputRows
+              maxBatch = p.batchId
+            }
             done = seen >= expected && ps.lastOption.exists(_.numInputRows == 0L)
           }
           if (!done && q.isActive)

@@ -162,6 +162,33 @@ class DecoderFuzzSpec extends SparkSpec {
     assert(ParquetPages.rleHybrid(ok, 0, ok.length, 9, 8).isDefined)
   }
 
+  test("parquet pages: crafted delta blockSize=2^31 cannot wrap perMini negative") {
+    // ADVICE r10: blockSize=2^31 with miniblocks=1 passes %128/%miniblocks,
+    // (blockSize / miniblocks).toInt wraps to Int.MinValue (whose %8 is 0),
+    // nBytes = perMini.toLong * w / 8 goes negative past `pos + nBytes >
+    // end`, and `pos += nBytes.toInt` drove the next read out of range.
+    // The truncation/bit-flip sweeps cannot reach this multi-byte header.
+    for (forged <- Seq(1L << 31, 1L << 40, (1L << 31) + (1L << 38))) {
+      val w = new CompactWriter()
+      w.varint(forged) // blockSize — all forged values are % 128 == 0
+      w.varint(1L) // miniblocks per block
+      w.varint(16L) // total count
+      w.zig(0L) // first value
+      w.zig(0L) // first block min-delta
+      w.out.write(9) // miniblock bit width
+      val b = w.out.toByteArray ++ Array.fill[Byte](64)(0)
+      neverThrows(s"delta blockSize=$forged") {
+        assert(ParquetPages.deltaBinaryPacked(b, 0, b.length, 16).isEmpty)
+      }
+    }
+    // boundary sanity: a legal minimal header (128/4, single value) decodes
+    val ok = new CompactWriter()
+    ok.varint(128L); ok.varint(4L); ok.varint(1L); ok.zig(7L)
+    val okb = ok.out.toByteArray
+    assert(ParquetPages.deltaBinaryPacked(okb, 0, okb.length, 1)
+      .map(_._1.toSeq).contains(Seq(7L)))
+  }
+
   test("parquet pages: forged dpNumValues routes to ok=false before allocating") {
     // A structurally valid v1 data-page header whose num_values claims 3e9
     // (negative after .toInt) against a chunk declaring 10 values: the

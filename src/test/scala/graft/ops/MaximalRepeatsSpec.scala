@@ -60,6 +60,29 @@ class MaximalRepeatsSpec extends SparkSpec {
     assert(spans == Set((1L, 0L, 6L), (1L, 6L, 6L), (2L, 3L, 6L), (3L, 3L, 6L)))
   }
 
+  test("anchors with gap < k merge into one span (interval union, no overlap)") {
+    // doc 1 has duplicated anchors at positions 2 and 4 ONLY (position 3's
+    // gram is unique): their k-windows [2,6) and [4,8) overlap, so the
+    // result must be ONE maximal span [2,8) — the old gap-1 island rule
+    // emitted two OVERLAPPING spans (2,len 4)+(4,len 4), double-counting
+    // tokens 4..5 in any plain-sum accounting (the x201 defect)
+    val core = uniq("m", 6)
+    val d0 = uniq("a", 2) ++ core ++ uniq("b", 2)
+    val d1 = uniq("x", 3) ++ core.take(4) ++ uniq("y", 3)
+    val d2 = uniq("p", 3) ++ core.drop(2) ++ uniq("q", 3)
+    val spans = run(Seq(toksDoc(1, "s", d0), toksDoc(2, "s", d1),
+      toksDoc(3, "s", d2)), 4)
+    assert(spans == Set((1L, 2L, 6L), (2L, 3L, 4L), (3L, 3L, 4L)))
+    // the disjointness invariant x201's plain-sum accounting relies on
+    val byDoc = spans.groupBy(_._1).values
+    byDoc.foreach { ss =>
+      val sorted = ss.toSeq.sortBy(_._2)
+      sorted.zip(sorted.tail).foreach { case ((_, s1, l1), (_, s2, _)) =>
+        assert(s1 + l1 <= s2, s"overlapping spans: $sorted")
+      }
+    }
+  }
+
   test("matches the brute-force definition on a random corpus") {
     val rnd = new scala.util.Random(11)
     val vocab = (0 until 12).map(i => s"w$i")
@@ -70,7 +93,8 @@ class MaximalRepeatsSpec extends SparkSpec {
     }
     val k = 3
     // brute force: every k-gram occurrence, grams with >= 2 occurrences,
-    // islands per doc
+    // interval-union islands per doc (anchors merge while the gap < k —
+    // their k-windows overlap; a gap of exactly k only touches and breaks)
     val grams = docs.flatMap { case (id, _, text) =>
       val tk = text.split(" ").filter(_.nonEmpty)
       (0 to tk.length - k).map(p => (tk.slice(p, p + k).mkString(" "), id, p))
@@ -80,7 +104,7 @@ class MaximalRepeatsSpec extends SparkSpec {
     val expect = dup.groupBy(_._1).flatMap { case (id, ps) =>
       val sorted = ps.map(_._2).toSeq.sorted
       val runs = sorted.foldLeft(List.empty[List[Int]]) {
-        case (acc @ (h :: t), p) if h.head == p - 1 => (p :: h) :: t
+        case (acc @ (h :: t), p) if p - h.head < k => (p :: h) :: t
         case (acc, p) => List(p) :: acc
       }
       runs.map(r => (id, r.min.toLong, (r.max - r.min + k).toLong))

@@ -65,7 +65,11 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("x197's corpus-sized anchor exchange carries 8-byte hashes, never gram text") {
-    val p = plans("x197_maximal_repeats")
+    // the span frame is session-shared and store-backed (maxRepSpansShared),
+    // so the pin targets the production build path: ops/MaximalRepeats.spans
+    val p = graft.ops.MaximalRepeats.spans(
+      graft.Tables.documents(spark, sf001).select("doc_id", "source", "text"), 25)
+      .queryExecution.executedPlan.toString
     // phase-1 aggregation exchanges hash-partition on h (a bigint); the
     // k-token gram STRINGS may only cross an exchange in the verify phase,
     // which is candidate-sized. The corpus-sized exchanges must not move a
@@ -76,6 +80,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(hashExch.forall(e => !e.contains("gram#")),
       s"anchor exchange carries gram text:\n${hashExch.mkString("\n")}")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("x201 consumes x197's session-shared span frame — one anchor pass per session") {
+    val x197 = SparkEntry.catalog.find(_.name == "x197_maximal_repeats").get
+    val x201 = SparkEntry.catalog.find(_.name == "x201_span_scrub").get
+    SharedCache.clear() // force a cold producer run for this pin
+    val h0 = SharedCache.hits
+    x197.build(spark, sf001).collect()
+    val h1 = SharedCache.hits
+    assert(h1 == h0, "cold x197 must BUILD the span frame, not hit")
+    x201.build(spark, sf001).collect()
+    assert(SharedCache.hits == h1 + 1,
+      "x201 must consume the published span frame (exactly one cache hit)")
   }
 
   test("x201's scrub joins spans back by doc_id — equi-join, no pair blowup") {
