@@ -58,40 +58,45 @@ import org.apache.spark.sql.functions._
   */
 object MaximalRepeats {
 
-  /** Maximal duplicated spans of ≥ `k` tokens over `docs(doc_id, source,
-    * text)`; whitespace tokenization, empty tokens dropped. Occurrences
-    * are counted corpus-wide (a phrase repeated twice INSIDE one document
-    * is duplicated — the suffix-array semantics). */
-  def spans(docs: DataFrame, k: Int): DataFrame = {
-    require(k >= 2, s"span threshold must be >= 2 tokens: $k")
-    val toks = docs.select(col("doc_id"), col("source"),
+  private def toks(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
       expr("filter(split(text, ' '), x -> x != '')").as("tk"))
-    val anchors = toks
+
+  /** The anchor table of `docs(doc_id, source, text)`: one row per token
+    * position carrying the 64-bit xxhash of its k-gram — the pure
+    * function of a corpus an INCREMENTAL dedup stores as its index
+    * (bucketed by `h`, so tomorrow's batch semi-joins it without
+    * re-shuffling the corpus). */
+  def anchors(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"span threshold must be >= 2 tokens: $k")
+    toks(docs)
       .select(col("doc_id"), col("source"),
         posexplode(TextDedup.shingles(col("tk"), k)).as(Seq("pos", "gram")))
       .select(col("doc_id"), col("source"), col("pos"),
         xxhash64(col("gram")).as("h"))
-    val dupH = anchors.groupBy("h").agg(count(lit(1)).as("c"))
-      .filter(col("c") >= 2L).select("h")
-    val cand = anchors.join(dupH, Seq("h"))
-      .select("doc_id", "source", "pos")
+  }
+
+  /** Re-derive the k-gram TEXT for candidate positions only: `cand`
+    * (doc_id, pos) is grouped per doc and joined to the token arrays, so
+    * non-candidate text never moves. */
+  private def gramText(docs: DataFrame, cand: DataFrame, k: Int): DataFrame = {
     val candPerDoc = cand.groupBy("doc_id")
       .agg(collect_list(col("pos")).as("cps"))
-    val verifyGrams = toks.join(candPerDoc, Seq("doc_id"))
+    toks(docs).join(candPerDoc, Seq("doc_id"))
       .select(col("doc_id"), col("source"),
         explode(col("cps")).as("pos"), col("tk"))
       .select(col("doc_id"), col("source"), col("pos"),
         concat_ws(" ", slice(col("tk"), col("pos") + 1, lit(k))).as("gram"))
-    val dupGram = verifyGrams.groupBy("gram").agg(count(lit(1)).as("c"))
-      .filter(col("c") >= 2L).select("gram")
-    val verified = verifyGrams.join(dupGram, Seq("gram"))
-      .select("doc_id", "source", "pos")
+  }
+
+  /** Interval-union islands over verified positions → (doc_id, source,
+    * start, len): break only when the anchor gap reaches k (window
+    * [prev, prev+k) no longer overlaps [pos, pos+k)); the first row's
+    * null lag falls through to the ELSE and opens island 1. The running
+    * sum's default frame (unbounded preceding → current row) is exactly
+    * the island id. */
+  private def islands(verified: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    // interval-union islands: break only when the anchor gap reaches k
-    // (window [prev, prev+k) no longer overlaps [pos, pos+k)); the first
-    // row's null lag falls through to the ELSE and opens island 1. The
-    // running sum's default frame (unbounded preceding → current row) is
-    // exactly the island id.
     verified
       .withColumn("brk",
         when(col("pos") - lag(col("pos"), 1).over(w) < k, lit(0)).otherwise(lit(1)))
@@ -101,5 +106,66 @@ object MaximalRepeats {
         (max(col("pos")) - min(col("pos")) + lit(k)).cast("long").as("len"))
       .select(col("doc_id"), col("source"),
         col("start").cast("long").as("start"), col("len"))
+  }
+
+  /** Maximal duplicated spans of ≥ `k` tokens over `docs(doc_id, source,
+    * text)`; whitespace tokenization, empty tokens dropped. Occurrences
+    * are counted corpus-wide (a phrase repeated twice INSIDE one document
+    * is duplicated — the suffix-array semantics). */
+  def spans(docs: DataFrame, k: Int): DataFrame = {
+    val anch = anchors(docs, k)
+    val dupH = anch.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2L).select("h")
+    val cand = anch.join(dupH, Seq("h"))
+      .select("doc_id", "source", "pos")
+    val verifyGrams = gramText(docs, cand, k)
+    val dupGram = verifyGrams.groupBy("gram").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2L).select("gram")
+    val verified = verifyGrams.join(dupGram, Seq("gram"))
+      .select("doc_id", "source", "pos")
+    islands(verified, k)
+  }
+
+  /** INCREMENTAL maximal-repeat dedup — today's batch against
+    * yesterday's corpus: spans (in BATCH docs only) of ≥ k tokens
+    * duplicated anywhere in the UNION of `newDocs` and `indexDocs`,
+    * exactly `spans(newDocs ∪ indexDocs, k)` restricted to batch docs —
+    * without re-anchoring the corpus. `indexAnchors` is the stored
+    * anchor table (`anchors(indexDocs, k)`, a pure function of the index
+    * — DerivedStore-backed at the call site, bucketed by `h`).
+    *
+    * Shape: batch anchors are hashed once (batch-sized); a batch
+    * position is a CANDIDATE iff its hash occurs ≥ 2 times in the batch
+    * or at least once in the index anchor table (a semi-join on the
+    * 8-byte key against the h-bucketed store — never a corpus shuffle).
+    * Verification re-derives gram TEXT batch-side for all candidates
+    * and index-side ONLY for anchors whose hash matched a batch hash
+    * (candidate-sized — every true cross-occurrence shares the hash, so
+    * none is missed; collisions only add candidates and die at the text
+    * compare). A gram is duplicated iff its batch count plus its index
+    * count is ≥ 2 — the union semantics, collision-proof. Cost scales
+    * with the BATCH (+ the candidate fraction of the index), not the
+    * corpus. */
+  def incrementalSpans(newDocs: DataFrame, indexDocs: DataFrame,
+      indexAnchors: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"span threshold must be >= 2 tokens: $k")
+    val bAnch = anchors(newDocs, k)
+    val bDupH = bAnch.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2L).select("h")
+    val bH = bAnch.select("h").distinct()
+    val hitH = indexAnchors.join(bH, Seq("h")).select("h").distinct()
+    val candH = bDupH.unionByName(hitH).distinct()
+    val candB = bAnch.join(candH, Seq("h")).select("doc_id", "pos")
+    val bGram = gramText(newDocs, candB, k)
+    val idxCand = indexAnchors.join(hitH, Seq("h")).select("doc_id", "pos")
+    val iGram = gramText(indexDocs, idxCand, k).select("gram")
+    val bCnt = bGram.groupBy("gram").agg(count(lit(1)).as("bc"))
+    val iCnt = iGram.groupBy("gram").agg(count(lit(1)).as("ic"))
+    val dupGram = bCnt.join(iCnt, Seq("gram"), "left")
+      .filter(col("bc") + coalesce(col("ic"), lit(0L)) >= 2L)
+      .select("gram")
+    val verified = bGram.join(dupGram, Seq("gram"))
+      .select("doc_id", "source", "pos")
+    islands(verified, k)
   }
 }

@@ -14,14 +14,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * parquet-format specification (parquet.thrift + Encodings.md) so the
   * decode can be differentially gated against the engine itself.
   *
-  * Scope (documented, routed): v1 AND v2 data pages, physical types
-  * INT64 and BYTE_ARRAY, max repetition level 0 (flat column),
-  * definition-level bit width ≤ 1 (required or optional); encodings
+  * Scope (documented, routed): v1 AND v2 data pages; physical types
+  * INT64, INT32, DOUBLE, BYTE_ARRAY, and FIXED_LEN_BYTE_ARRAY (decimals
+  * read as big-endian unscaled integers); flat columns with definition
+  * level ≤ 1 PLUS the list leaf shape `col.list.element` (maxRep = 1,
+  * maxDef = 2 — real repetition levels decoded from both v1's
+  * length-prefixed and v2's header-sized level sections); encodings
   * PLAIN / PLAIN_DICTIONARY / RLE_DICTIONARY plus the v2 family
-  * DELTA_BINARY_PACKED (INT64) and DELTA_BYTE_ARRAY /
-  * DELTA_LENGTH_BYTE_ARRAY (strings); codecs UNCOMPRESSED and SNAPPY —
-  * everything Spark's v1 AND v2 writers emit for flat long/string
-  * columns, dictionary fallback mid-chunk included. Nested paths, other
+  * DELTA_BINARY_PACKED (ints) and DELTA_BYTE_ARRAY /
+  * DELTA_LENGTH_BYTE_ARRAY (strings, FLBA); codecs UNCOMPRESSED and
+  * SNAPPY — everything Spark's v1 AND v2 writers emit for these column
+  * shapes, dictionary fallback mid-chunk included. Deeper nesting, other
   * codecs, and any structural violation degrade to a per-chunk
   * `ok = false` row — one bad chunk costs its row, never the task (the
   * FLAC/snappy/LZ4 bounds discipline).
@@ -43,6 +46,35 @@ object ParquetPages {
       n_v2_pages: Long, num_values: Long, n_nulls: Long, sum_len: Long,
       min_v: String, max_v: String, ok: Boolean)
 
+  /** One decoded DOUBLE column chunk: exact count/null facts plus sum and
+    * min/max (Double.MaxValue/MinValue identity sentinels when the chunk
+    * holds no values — exclude via num_values - n_nulls = 0). */
+  final case class DoubleChunkDecode(
+      file: String, grp: Int, n_pages: Long, n_dict_pages: Long,
+      n_v2_pages: Long, num_values: Long, n_nulls: Long, sum_v: Double,
+      min_v: Double, max_v: Double, ok: Boolean)
+
+  /** One decoded FIXED_LEN_BYTE_ARRAY column chunk read as big-endian
+    * two's-complement UNSCALED integers (parquet's DECIMAL physical
+    * layout): facts over the unscaled values. A value that does not fit
+    * in 64 bits routes the chunk to ok = false (scope: decimals up to
+    * precision 18..38 whose values fit a Long — the write-side bound for
+    * this gate). */
+  final case class FlbaChunkDecode(
+      file: String, grp: Int, n_pages: Long, n_dict_pages: Long,
+      n_v2_pages: Long, type_len: Int, num_values: Long, n_nulls: Long,
+      sum_unscaled: Long, min_unscaled: Long, max_unscaled: Long, ok: Boolean)
+
+  /** One decoded LIST-of-INT64 leaf chunk (`col.list.element`, maxRep = 1,
+    * maxDef = 2 — the Spark non-null-element array shape): row facts from
+    * the repetition stream (rep = 0 starts a row), presence facts from the
+    * definition stream (0 = null array, 1 = empty array, 2 = element). */
+  final case class ListInt64ChunkDecode(
+      file: String, grp: Int, n_pages: Long, n_dict_pages: Long,
+      n_v2_pages: Long, n_rows: Long, n_null_rows: Long, n_empty: Long,
+      n_entries: Long, sum_v: Long, min_v: Long, max_v: Long,
+      max_row_len: Long, ok: Boolean)
+
   /** Chunk locator parsed from the footer for one column. `maxDef`/
     * `maxRep` are the column path's level bounds from the schema walk
     * (maxDef = -1 means "derive from `required`" — the flat-column
@@ -59,13 +91,21 @@ object ParquetPages {
     * `ok = false` before any allocation sized from it. */
   private val MaxPageValues: Long = 1L << 26
 
-  /** Footer walk: (schema repetition of `column`, chunk locators). The
-    * first page offset is min(dictionary_page_offset, data_page_offset)
-    * when a dictionary page exists — the dictionary precedes the data
-    * pages in the chunk's contiguous byte range. */
-  private[ops] def parseChunkLocs(bytes: Array[Byte], column: String): Seq[ChunkLoc] = {
+  /** Footer walk for a full column PATH (nested paths like
+    * `arr.list.element` included): reconstructs the schema TREE from the
+    * flat SchemaElement list via num_children, computing each leaf's max
+    * definition level (+1 per OPTIONAL or REPEATED ancestor incl. self),
+    * max repetition level (+1 per REPEATED), and FIXED_LEN_BYTE_ARRAY
+    * type_length. The first page offset is min(dictionary_page_offset,
+    * data_page_offset) when a dictionary page exists — the dictionary
+    * precedes the data pages in the chunk's contiguous byte range. */
+  private[ops] def parseChunkLocsPath(bytes: Array[Byte],
+      path: Seq[String]): Seq[ChunkLoc] = {
     val c = new Compact(bytes)
-    var required = false
+    val pathKey = path.mkString(".")
+    // flat SchemaElement list: (name, repetition, typeLength, numChildren)
+    val elems = ArrayBuffer.empty[(String, Int, Int, Int)]
+    var leaf: Option[(Int, Int, Int)] = None // (maxDef, maxRep, typeLen)
     val out = ArrayBuffer.empty[ChunkLoc]
     def readBinary(): Array[Byte] = {
       val n = c.varint()
@@ -77,8 +117,7 @@ object ParquetPages {
     }
     c.struct { (id, t) =>
       (id, t) match {
-        case (2, 9) => // schema: list<SchemaElement> — find the column's
-          // repetition_type (0 = REQUIRED: no definition levels on page)
+        case (2, 9) => // schema: list<SchemaElement>
           val (n, et) = c.listHeader()
           if (et != 12) { c.bad = true; true }
           else {
@@ -86,15 +125,44 @@ object ParquetPages {
             while (i < n && !c.bad) {
               var rep = -1L
               var name = ""
+              var typeLen = -1L
+              var nChildren = 0L
               c.struct { (sid, st) =>
                 (sid, st) match {
+                  case (2, 5) => typeLen = c.zigzag(); true
                   case (3, 5) => rep = c.zigzag(); true
                   case (4, 8) => name = new String(readBinary(), "UTF-8"); true
+                  case (5, 5) => nChildren = c.zigzag(); true
                   case _ => false
                 }
               }
-              if (i > 0 && name == column && rep == 0L) required = true
+              elems += ((name, rep.toInt, math.max(typeLen, 0L).toInt,
+                nChildren.toInt))
               i += 1
+            }
+            // tree walk: elems(0) is the root (its repetition is ignored);
+            // children follow their parent contiguously, depth-first
+            if (!c.bad && elems.nonEmpty) {
+              def walk(idx: Int, prefix: String, d: Int, r: Int): Int = {
+                if (idx >= elems.length) { c.bad = true; return idx }
+                val (name, rep, tl, nc) = elems(idx)
+                val d2 = d + (if (rep == 1 || rep == 2) 1 else 0)
+                val r2 = r + (if (rep == 2) 1 else 0)
+                val p2 = if (prefix.isEmpty) name else s"$prefix.$name"
+                if (nc <= 0) {
+                  if (p2 == pathKey) leaf = Some((d2, r2, tl))
+                  idx + 1
+                } else {
+                  var i2 = idx + 1
+                  var k = 0
+                  while (k < nc && !c.bad) { i2 = walk(i2, p2, d2, r2); k += 1 }
+                  i2
+                }
+              }
+              val rootChildren = elems(0)._4
+              var i2 = 1
+              var k = 0
+              while (k < rootChildren && !c.bad) { i2 = walk(i2, "", 0, 0); k += 1 }
             }
             true
           }
@@ -131,9 +199,7 @@ object ParquetPages {
                                     else {
                                       val parts = (0 until pn)
                                         .map(_ => new String(readBinary(), "UTF-8"))
-                                      isTarget =
-                                        parts.lastOption.contains(column) &&
-                                          parts.size == 1
+                                      isTarget = parts == path
                                       true
                                     }
                                   case (4, 5) => codec = c.zigzag(); true
@@ -150,11 +216,13 @@ object ParquetPages {
                         }
                         if (isTarget && numValues >= 0 && dataOff >= 0 &&
                             totSize >= 0)
+                          // level bounds patched in from the schema walk
+                          // at the end (thrift field order is not fixed)
                           out += ChunkLoc(gi, codec.toInt, physType.toInt,
                             numValues,
                             if (dictOff >= 0 && dictOff < dataOff) dictOff
                             else dataOff,
-                            totSize, required)
+                            totSize, required = false)
                         j += 1
                       }
                     }
@@ -169,9 +237,17 @@ object ParquetPages {
         case _ => false
       }
     }
-    if (c.bad) Seq.empty
-    else out.toSeq.map(l => l.copy(required = required))
+    leaf match {
+      case Some((maxDef, maxRep, typeLen)) if !c.bad =>
+        out.toSeq.map(l => l.copy(required = maxDef == 0,
+          maxDef = maxDef, maxRep = maxRep, typeLen = typeLen))
+      case _ => Seq.empty
+    }
   }
+
+  /** Flat-column footer walk (the original single-name API). */
+  private[ops] def parseChunkLocs(bytes: Array[Byte], column: String): Seq[ChunkLoc] =
+    parseChunkLocsPath(bytes, Seq(column))
 
   /** RLE/bit-packed hybrid decode of exactly `n` values at bit width `w`
     * from `b[start, end)`; None on truncation/overrun. Bit-packed groups
@@ -335,11 +411,18 @@ object ParquetPages {
 
   /** One parsed data page handed to a type-specific value decoder:
     * `page` holds the UNCOMPRESSED value bytes starting at `off`
-    * (definition levels already consumed), `nonNull` values encoded with
-    * `encoding`. `isV2` marks DATA_PAGE_V2 layout. */
+    * (repetition/definition levels already consumed), `nonNull` values
+    * (entries with def == maxDef) encoded with `encoding`. `defs`/`reps`
+    * are the decoded level arrays (null when the column has none on the
+    * wire) for decoders that need list semantics. `isV2` marks
+    * DATA_PAGE_V2 layout. */
   private final case class DataSlice(page: Array[Byte], off: Int,
       nonNull: Int, numValues: Int, nNulls: Int, encoding: Int,
-      isV2: Boolean)
+      isV2: Boolean, defs: Array[Int], reps: Array[Int])
+
+  /** Bits needed to encode levels 0..maxLevel. */
+  private def levelWidth(maxLevel: Int): Int =
+    32 - Integer.numberOfLeadingZeros(maxLevel)
 
   /** Shared page walk for one column chunk: parses every thrift-compact
     * PageHeader (v1 DataPageHeader, v2 DataPageHeaderV2, dictionary),
@@ -353,6 +436,12 @@ object ParquetPages {
       onDict: (Array[Byte], Int) => Boolean)(
       onData: DataSlice => Boolean): Option[(Long, Long, Long, Long, Long)] = {
     if (loc.codec != 0 && loc.codec != 1) return None // UNCOMPRESSED/SNAPPY
+    // level bounds: the path-aware footer walk supplies maxDef/maxRep; the
+    // legacy flat constructor (maxDef = -1) derives maxDef from `required`
+    val maxDef = if (loc.maxDef >= 0) loc.maxDef else if (loc.required) 0 else 1
+    val maxRep = math.max(loc.maxRep, 0)
+    val defW = levelWidth(maxDef)
+    val repW = levelWidth(maxRep)
     var nPages = 0L
     var nDictPages = 0L
     var nV2Pages = 0L
@@ -369,6 +458,7 @@ object ParquetPages {
       var dpNumValues = -1L
       var dpEncoding = -1L
       var dpDefEnc = -1L
+      var dpRepEnc = -1L
       var dictNumValues = -1L
       var v2NumValues = -1L
       var v2NumNulls = -1L
@@ -387,6 +477,7 @@ object ParquetPages {
                 case (1, 5) => dpNumValues = c.zigzag(); true
                 case (2, 5) => dpEncoding = c.zigzag(); true
                 case (3, 5) => dpDefEnc = c.zigzag(); true
+                case (4, 5) => dpRepEnc = c.zigzag(); true
                 case _ => false
               }
             }
@@ -444,53 +535,76 @@ object ParquetPages {
             dpNumValues > MaxPageValues) return None
           val page = inflate(rawStart, rawStart + compSize.toInt, uncompSize)
           if (page == null) return None
+          val n = dpNumValues.toInt
           var off = 0
-          var nonNull = 0
-          if (loc.required) nonNull = dpNumValues.toInt
-          else {
-            if (dpDefEnc != 3L) return None // RLE is the only legal v1 enc
-            if (off + 4 > page.length) return None
+          // v1 level sections: 4-byte LE length + RLE payload — repetition
+          // levels first (present only when maxRep > 0), then definition
+          def lvlSection(w: Int): Array[Int] = {
+            if (off + 4 > page.length) return null
             val len = (page(off) & 0xff) | ((page(off + 1) & 0xff) << 8) |
               ((page(off + 2) & 0xff) << 16) | ((page(off + 3) & 0xff) << 24)
             off += 4
-            if (len < 0 || off + len > page.length) return None
-            val d = rleHybrid(page, off, off + len, 1, dpNumValues.toInt)
-              .getOrElse(return None)
-            off += len
-            d.foreach(dv => if (dv == 1) nonNull += 1)
+            if (len < 0 || off + len > page.length) return null
+            val d = rleHybrid(page, off, off + len, w, n).orNull
+            if (d != null) off += len
+            d
           }
-          val nulls = dpNumValues.toInt - nonNull
+          var reps: Array[Int] = null
+          if (maxRep > 0) {
+            if (dpRepEnc >= 0L && dpRepEnc != 3L) return None
+            reps = lvlSection(repW)
+            if (reps == null) return None
+          }
+          var defs: Array[Int] = null
+          var nonNull = n
+          if (maxDef > 0) {
+            if (dpDefEnc != 3L) return None // RLE is the only legal v1 enc
+            defs = lvlSection(defW)
+            if (defs == null) return None
+            nonNull = 0
+            defs.foreach(dv => if (dv == maxDef) nonNull += 1)
+          }
+          val nulls = n - nonNull
           nNulls += nulls
-          if (!onData(DataSlice(page, off, nonNull, dpNumValues.toInt,
-            nulls, dpEncoding.toInt, isV2 = false))) return None
+          if (!onData(DataSlice(page, off, nonNull, n,
+            nulls, dpEncoding.toInt, isV2 = false, defs, reps))) return None
           got += dpNumValues
           nPages += 1L
         case 3L => // DATA_PAGE_V2: levels uncompressed, values compressed
           if (v2NumValues < 0 || v2NumValues > loc.numValues - got ||
             v2NumValues > MaxPageValues) return None
-          if (v2RepLen != 0L) return None // nested paths out of scope
-          if (v2DefLen < 0 || v2DefLen > compSize) return None
-          val lvlEnd = rawStart + v2DefLen.toInt
+          val repLen = math.max(v2RepLen, 0L)
+          if (maxRep == 0 && repLen != 0L) return None // flat: no rep bytes
+          if (v2DefLen < 0 || repLen + v2DefLen > compSize) return None
+          val n = v2NumValues.toInt
+          // v2 level sections carry NO length prefix (lengths live in the
+          // header) and are stored uncompressed: reps first, then defs
+          val repEnd = rawStart + repLen.toInt
+          val reps: Array[Int] =
+            if (maxRep == 0) null
+            else rleHybrid(chunk, rawStart, repEnd, repW, n)
+              .getOrElse(return None)
+          val lvlEnd = repEnd + v2DefLen.toInt
           val defs: Array[Int] =
-            if (loc.required) null
-            else rleHybrid(chunk, rawStart, lvlEnd, 1, v2NumValues.toInt)
+            if (maxDef == 0) null
+            else rleHybrid(chunk, repEnd, lvlEnd, defW, n)
               .getOrElse(return None)
           var nonNull = 0
-          if (defs == null) nonNull = v2NumValues.toInt
-          else defs.foreach(dv => if (dv == 1) nonNull += 1)
-          val nulls = v2NumValues.toInt - nonNull
+          if (defs == null) nonNull = n
+          else defs.foreach(dv => if (dv == maxDef) nonNull += 1)
+          val nulls = n - nonNull
           // header's own null count must agree with the decoded levels
           if (v2NumNulls >= 0 && v2NumNulls != nulls.toLong) return None
           nNulls += nulls
           val data =
             if (v2Compressed)
               inflate(lvlEnd, rawStart + compSize.toInt,
-                uncompSize - v2DefLen)
+                uncompSize - repLen - v2DefLen)
             else java.util.Arrays.copyOfRange(chunk, lvlEnd,
               rawStart + compSize.toInt)
           if (data == null) return None
-          if (!onData(DataSlice(data, 0, nonNull, v2NumValues.toInt,
-            nulls, v2Encoding.toInt, isV2 = true))) return None
+          if (!onData(DataSlice(data, 0, nonNull, n,
+            nulls, v2Encoding.toInt, isV2 = true, defs, reps))) return None
           got += v2NumValues
           nV2Pages += 1L
           nPages += 1L
@@ -500,50 +614,62 @@ object ParquetPages {
     Some((nPages, nDictPages, nV2Pages, got, nNulls))
   }
 
-  /** Decode all pages of one INT64 column chunk (v1 + v2). */
+  /** PLAIN little-endian fixed-width integers as Longs: width 8 = INT64,
+    * width 4 = INT32 (sign-extended). */
+  private def plainInts(b: Array[Byte], off: Int, n: Int, width: Int): Array[Long] = {
+    if (off + n.toLong * width > b.length) return null
+    val a = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var v = 0L
+      var k = width - 1
+      while (k >= 0) { v = (v << 8) | (b(off + i * width + k) & 0xffL); k -= 1 }
+      if (width == 4) v = v.toInt.toLong // sign-extend INT32
+      a(i) = v
+      i += 1
+    }
+    a
+  }
+
+  /** Decode the value section of one numeric (INT32/INT64) data page:
+    * PLAIN, DELTA_BINARY_PACKED, or dictionary indices over `dict`. */
+  private def numPageValues(s: DataSlice, width: Int,
+      dict: Array[Long]): Array[Long] = s.encoding match {
+    case 0 => plainInts(s.page, s.off, s.nonNull, width) // PLAIN
+    case 5 => // DELTA_BINARY_PACKED (v2; INT32 deltas decode identically)
+      deltaBinaryPacked(s.page, s.off, s.page.length, s.nonNull)
+        .map(_._1).orNull
+    case 2 | 8 => // PLAIN_DICTIONARY / RLE_DICTIONARY indices
+      if (dict == null || s.off >= s.page.length) null
+      else {
+        val w = s.page(s.off) & 0xff
+        rleHybrid(s.page, s.off + 1, s.page.length, w, s.nonNull) match {
+          case Some(idx) if idx.forall(ix => ix >= 0 && ix < dict.length) =>
+            idx.map(dict(_))
+          case _ => null
+        }
+      }
+    case _ => null
+  }
+
+  /** Decode all pages of one flat INT64 or INT32 column chunk (v1 + v2);
+    * INT32 values are sign-extended into the same Long facts. */
   private[ops] def decodeChunk(chunk: Array[Byte], loc: ChunkLoc,
       file: String): Int64ChunkDecode = {
     val bad = Int64ChunkDecode(file, loc.grp, 0L, 0L, 0L, 0L, 0L, 0L,
       Long.MaxValue, Long.MinValue, ok = false)
-    if (loc.physType != 2) return bad // INT64 only
+    if (loc.physType != 2 && loc.physType != 1) return bad // INT64/INT32
+    if (loc.maxRep > 0 || loc.maxDef > 1) return bad // flat columns only
+    val width = if (loc.physType == 1) 4 else 8
     var dict: Array[Long] = null
     var sum = 0L
     var minV = Long.MaxValue
     var maxV = Long.MinValue
-    def plainLongs(b: Array[Byte], off: Int, n: Int): Array[Long] = {
-      if (off + n.toLong * 8 > b.length) return null
-      val a = new Array[Long](n)
-      var i = 0
-      while (i < n) {
-        var v = 0L
-        var k = 7
-        while (k >= 0) { v = (v << 8) | (b(off + i * 8 + k) & 0xffL); k -= 1 }
-        a(i) = v
-        i += 1
-      }
-      a
-    }
     val walked = walkPages(chunk, loc) { (page, n) =>
-      dict = plainLongs(page, 0, n)
-      dict != null && n.toLong * 8 == page.length.toLong
+      dict = plainInts(page, 0, n, width)
+      dict != null && n.toLong * width == page.length.toLong
     } { s =>
-      val vals: Array[Long] = s.encoding match {
-        case 0 => plainLongs(s.page, s.off, s.nonNull) // PLAIN
-        case 5 => // DELTA_BINARY_PACKED (v2)
-          deltaBinaryPacked(s.page, s.off, s.page.length, s.nonNull)
-            .map(_._1).orNull
-        case 2 | 8 => // PLAIN_DICTIONARY / RLE_DICTIONARY indices
-          if (dict == null || s.off >= s.page.length) null
-          else {
-            val w = s.page(s.off) & 0xff
-            rleHybrid(s.page, s.off + 1, s.page.length, w, s.nonNull) match {
-              case Some(idx) if idx.forall(ix => ix >= 0 && ix < dict.length) =>
-                idx.map(dict(_))
-              case _ => null
-            }
-          }
-        case _ => null
-      }
+      val vals = numPageValues(s, width, dict)
       if (vals == null) false
       else {
         vals.foreach { v =>
@@ -566,6 +692,87 @@ object ParquetPages {
     }
   }
 
+  /** PLAIN byte arrays: 4-byte LE length + payload, n entries. */
+  private def plainBytes(b: Array[Byte], off0: Int, n: Int): Array[Array[Byte]] = {
+    val out = new Array[Array[Byte]](n)
+    var off = off0
+    var i = 0
+    while (i < n) {
+      if (off + 4 > b.length) return null
+      val len = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+      off += 4
+      if (len < 0 || off.toLong + len > b.length) return null
+      out(i) = java.util.Arrays.copyOfRange(b, off, off + len)
+      off += len
+      i += 1
+    }
+    out
+  }
+
+  /** DELTA_LENGTH_BYTE_ARRAY: lengths via DELTA_BINARY_PACKED, then the
+    * concatenated payload. Returns (values, bytes consumed). */
+  private def deltaLengthValues(b: Array[Byte], off0: Int,
+      n: Int): (Array[Array[Byte]], Int) = {
+    deltaBinaryPacked(b, off0, b.length, n) match {
+      case None => (null, 0)
+      case Some((lens, used)) =>
+        var off = off0 + used
+        val out = new Array[Array[Byte]](n)
+        var i = 0
+        while (i < n) {
+          val len = lens(i)
+          if (len < 0 || off.toLong + len > b.length) return (null, 0)
+          out(i) = java.util.Arrays.copyOfRange(b, off, off + len.toInt)
+          off += len.toInt
+          i += 1
+        }
+        (out, off - off0)
+    }
+  }
+
+  /** DELTA_BYTE_ARRAY: prefix lengths (delta-packed) + suffix stream —
+    * shared by BYTE_ARRAY and FIXED_LEN_BYTE_ARRAY v2 pages. */
+  private def deltaByteArrayValues(b: Array[Byte], off0: Int,
+      n: Int): Array[Array[Byte]] =
+    deltaBinaryPacked(b, off0, b.length, n) match {
+      case None => null
+      case Some((prefixes, used)) =>
+        val (suffixes, _) = deltaLengthValues(b, off0 + used, n)
+        if (suffixes == null) null
+        else {
+          val out = new Array[Array[Byte]](n)
+          var ok = true
+          var i = 0
+          while (i < n && ok) {
+            val p = prefixes(i)
+            if (p < 0 || (i == 0 && p != 0L) ||
+              (i > 0 && p > out(i - 1).length)) ok = false
+            else {
+              val suf = suffixes(i)
+              val v = new Array[Byte](p.toInt + suf.length)
+              if (i > 0) System.arraycopy(out(i - 1), 0, v, 0, p.toInt)
+              System.arraycopy(suf, 0, v, p.toInt, suf.length)
+              out(i) = v
+            }
+            i += 1
+          }
+          if (ok) out else null
+        }
+    }
+
+  /** Dictionary-index decode shared by the byte-shaped value readers. */
+  private def dictIndexValues(s: DataSlice,
+      dict: Array[Array[Byte]]): Array[Array[Byte]] = {
+    if (dict == null || s.off >= s.page.length) return null
+    val w = s.page(s.off) & 0xff
+    rleHybrid(s.page, s.off + 1, s.page.length, w, s.nonNull) match {
+      case Some(idx) if idx.forall(ix => ix >= 0 && ix < dict.length) =>
+        idx.map(dict(_))
+      case _ => null
+    }
+  }
+
   /** Decode all pages of one BYTE_ARRAY column chunk (v1 PLAIN +
     * dictionary, v2 DELTA_BYTE_ARRAY / DELTA_LENGTH_BYTE_ARRAY +
     * dictionary). */
@@ -574,6 +781,7 @@ object ParquetPages {
     val bad = ByteChunkDecode(file, loc.grp, 0L, 0L, 0L, 0L, 0L, 0L,
       null, null, ok = false)
     if (loc.physType != 6) return bad // BYTE_ARRAY only
+    if (loc.maxRep > 0 || loc.maxDef > 1) return bad // flat columns only
     var dict: Array[Array[Byte]] = null
     var sumLen = 0L
     var minV: Array[Byte] = null
@@ -583,85 +791,15 @@ object ParquetPages {
       if (minV == null || byteCompare(v, minV) < 0) minV = v
       if (maxV == null || byteCompare(v, maxV) > 0) maxV = v
     }
-    // PLAIN byte arrays: 4-byte LE length + payload, n entries
-    def plainBytes(b: Array[Byte], off0: Int, n: Int): Array[Array[Byte]] = {
-      val out = new Array[Array[Byte]](n)
-      var off = off0
-      var i = 0
-      while (i < n) {
-        if (off + 4 > b.length) return null
-        val len = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
-          ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
-        off += 4
-        if (len < 0 || off.toLong + len > b.length) return null
-        out(i) = java.util.Arrays.copyOfRange(b, off, off + len)
-        off += len
-        i += 1
-      }
-      out
-    }
-    // DELTA_LENGTH_BYTE_ARRAY: lengths via DELTA_BINARY_PACKED, then the
-    // concatenated payload. Returns (values, bytes consumed).
-    def deltaLength(b: Array[Byte], off0: Int, n: Int): (Array[Array[Byte]], Int) = {
-      deltaBinaryPacked(b, off0, b.length, n) match {
-        case None => (null, 0)
-        case Some((lens, used)) =>
-          var off = off0 + used
-          val out = new Array[Array[Byte]](n)
-          var i = 0
-          while (i < n) {
-            val len = lens(i)
-            if (len < 0 || off.toLong + len > b.length) return (null, 0)
-            out(i) = java.util.Arrays.copyOfRange(b, off, off + len.toInt)
-            off += len.toInt
-            i += 1
-          }
-          (out, off - off0)
-      }
-    }
     val walked = walkPages(chunk, loc) { (page, n) =>
       dict = plainBytes(page, 0, n)
       dict != null
     } { s =>
       val vals: Array[Array[Byte]] = s.encoding match {
         case 0 => plainBytes(s.page, s.off, s.nonNull) // PLAIN (v1)
-        case 6 => deltaLength(s.page, s.off, s.nonNull)._1 // DELTA_LENGTH
-        case 7 => // DELTA_BYTE_ARRAY: prefix lengths + suffix stream
-          deltaBinaryPacked(s.page, s.off, s.page.length, s.nonNull) match {
-            case None => null
-            case Some((prefixes, used)) =>
-              val (suffixes, _) = deltaLength(s.page, s.off + used, s.nonNull)
-              if (suffixes == null) null
-              else {
-                val out = new Array[Array[Byte]](s.nonNull)
-                var ok = true
-                var i = 0
-                while (i < s.nonNull && ok) {
-                  val p = prefixes(i)
-                  if (p < 0 || (i == 0 && p != 0L) ||
-                    (i > 0 && p > out(i - 1).length)) ok = false
-                  else {
-                    val suf = suffixes(i)
-                    val v = new Array[Byte](p.toInt + suf.length)
-                    if (i > 0) System.arraycopy(out(i - 1), 0, v, 0, p.toInt)
-                    System.arraycopy(suf, 0, v, p.toInt, suf.length)
-                    out(i) = v
-                  }
-                  i += 1
-                }
-                if (ok) out else null
-              }
-          }
-        case 2 | 8 => // dictionary indices
-          if (dict == null || s.off >= s.page.length) null
-          else {
-            val w = s.page(s.off) & 0xff
-            rleHybrid(s.page, s.off + 1, s.page.length, w, s.nonNull) match {
-              case Some(idx) if idx.forall(ix => ix >= 0 && ix < dict.length) =>
-                idx.map(dict(_))
-              case _ => null
-            }
-          }
+        case 6 => deltaLengthValues(s.page, s.off, s.nonNull)._1
+        case 7 => deltaByteArrayValues(s.page, s.off, s.nonNull)
+        case 2 | 8 => dictIndexValues(s, dict)
         case _ => null
       }
       if (vals == null) false
@@ -678,12 +816,198 @@ object ParquetPages {
     }
   }
 
+  /** Decode all pages of one flat DOUBLE column chunk (v1 + v2: PLAIN and
+    * dictionary — parquet defines no delta encoding for doubles). */
+  private[ops] def decodeChunkDouble(chunk: Array[Byte], loc: ChunkLoc,
+      file: String): DoubleChunkDecode = {
+    val bad = DoubleChunkDecode(file, loc.grp, 0L, 0L, 0L, 0L, 0L, 0.0,
+      Double.MaxValue, Double.MinValue, ok = false)
+    if (loc.physType != 5) return bad // DOUBLE only
+    if (loc.maxRep > 0 || loc.maxDef > 1) return bad // flat columns only
+    var dict: Array[Long] = null // raw IEEE bits
+    var sum = 0.0
+    var minV = Double.MaxValue
+    var maxV = Double.MinValue
+    val walked = walkPages(chunk, loc) { (page, n) =>
+      dict = plainInts(page, 0, n, 8)
+      dict != null && n.toLong * 8 == page.length.toLong
+    } { s =>
+      val bits: Array[Long] = s.encoding match {
+        case 0 => plainInts(s.page, s.off, s.nonNull, 8) // PLAIN LE bits
+        case 2 | 8 =>
+          if (dict == null || s.off >= s.page.length) null
+          else {
+            val w = s.page(s.off) & 0xff
+            rleHybrid(s.page, s.off + 1, s.page.length, w, s.nonNull) match {
+              case Some(idx) if idx.forall(ix => ix >= 0 && ix < dict.length) =>
+                idx.map(dict(_))
+              case _ => null
+            }
+          }
+        case _ => null
+      }
+      if (bits == null) false
+      else {
+        bits.foreach { raw =>
+          val v = java.lang.Double.longBitsToDouble(raw)
+          sum += v
+          if (v < minV) minV = v
+          if (v > maxV) maxV = v
+        }
+        true
+      }
+    }
+    walked match {
+      case None => bad
+      case Some((nPages, nDict, nV2, got, nNulls)) =>
+        DoubleChunkDecode(file, loc.grp, nPages, nDict, nV2, got, nNulls,
+          sum, minV, maxV, ok = true)
+    }
+  }
+
+  /** Big-endian two's-complement of `len` bytes as a Long; null (via the
+    * `fits` flag pattern) when the value needs more than 64 bits. */
+  private def beSigned(b: Array[Byte], off: Int, len: Int): Option[Long] = {
+    if (len <= 0 || off + len > b.length) return None
+    val sign = if ((b(off) & 0x80) != 0) 0xff else 0x00
+    if (len > 8) {
+      var i = 0
+      while (i < len - 8) {
+        if ((b(off + i) & 0xff) != sign) return None
+        i += 1
+      }
+      // the surviving 8 bytes must agree with the dropped sign fill
+      if (((b(off + len - 8) & 0x80) != 0) != (sign == 0xff)) return None
+    }
+    var v = if (sign == 0xff) -1L else 0L
+    var i = math.max(0, len - 8)
+    while (i < len) { v = (v << 8) | (b(off + i) & 0xffL); i += 1 }
+    Some(v)
+  }
+
+  /** Decode all pages of one flat FIXED_LEN_BYTE_ARRAY column chunk (v1
+    * PLAIN + dictionary, v2 DELTA_BYTE_ARRAY — parquet-mr's v2 FLBA
+    * encoding), reading each value as a big-endian unscaled decimal. */
+  private[ops] def decodeChunkFlba(chunk: Array[Byte], loc: ChunkLoc,
+      file: String): FlbaChunkDecode = {
+    val bad = FlbaChunkDecode(file, loc.grp, 0L, 0L, 0L, loc.typeLen, 0L,
+      0L, 0L, Long.MaxValue, Long.MinValue, ok = false)
+    if (loc.physType != 7 || loc.typeLen <= 0) return bad // FLBA only
+    if (loc.maxRep > 0 || loc.maxDef > 1) return bad // flat columns only
+    val tl = loc.typeLen
+    var dict: Array[Array[Byte]] = null
+    var sum = 0L
+    var minV = Long.MaxValue
+    var maxV = Long.MinValue
+    // PLAIN FLBA: n consecutive typeLen-byte values, no length prefixes
+    def plainFlba(b: Array[Byte], off0: Int, n: Int): Array[Array[Byte]] = {
+      if (off0 + n.toLong * tl > b.length) return null
+      Array.tabulate(n)(i =>
+        java.util.Arrays.copyOfRange(b, off0 + i * tl, off0 + (i + 1) * tl))
+    }
+    val walked = walkPages(chunk, loc) { (page, n) =>
+      dict = plainFlba(page, 0, n)
+      dict != null && n.toLong * tl == page.length.toLong
+    } { s =>
+      val vals: Array[Array[Byte]] = s.encoding match {
+        case 0 => plainFlba(s.page, s.off, s.nonNull)
+        case 7 => deltaByteArrayValues(s.page, s.off, s.nonNull)
+        case 2 | 8 => dictIndexValues(s, dict)
+        case _ => null
+      }
+      if (vals == null || vals.exists(v => v == null || v.length != tl)) false
+      else {
+        var ok = true
+        vals.foreach { v =>
+          beSigned(v, 0, tl) match {
+            case None => ok = false
+            case Some(u) =>
+              sum += u
+              if (u < minV) minV = u
+              if (u > maxV) maxV = u
+          }
+        }
+        ok
+      }
+    }
+    walked match {
+      case None => bad
+      case Some((nPages, nDict, nV2, got, nNulls)) =>
+        FlbaChunkDecode(file, loc.grp, nPages, nDict, nV2, tl, got, nNulls,
+          sum, minV, maxV, ok = true)
+    }
+  }
+
+  /** Decode all pages of one LIST-of-INT64 leaf chunk
+    * (`col.list.element`): repetition level 0 opens a row; definition
+    * level 0 = null array, 1 = empty array, maxDef (2) = one element.
+    * Scope: maxRep = 1, maxDef = 2 (Spark's non-null-element array
+    * layout); element encodings PLAIN / DELTA_BINARY_PACKED /
+    * dictionary. */
+  private[ops] def decodeChunkList(chunk: Array[Byte], loc: ChunkLoc,
+      file: String): ListInt64ChunkDecode = {
+    val bad = ListInt64ChunkDecode(file, loc.grp, 0L, 0L, 0L, 0L, 0L, 0L,
+      0L, 0L, Long.MaxValue, Long.MinValue, 0L, ok = false)
+    if (loc.physType != 2) return bad // INT64 elements only
+    if (loc.maxRep != 1 || loc.maxDef != 2) return bad
+    var dict: Array[Long] = null
+    var nRows = 0L
+    var nNullRows = 0L
+    var nEmpty = 0L
+    var sum = 0L
+    var minV = Long.MaxValue
+    var maxV = Long.MinValue
+    var maxRowLen = 0L
+    var runLen = 0L // current row's element count (pages are row-aligned)
+    val walked = walkPages(chunk, loc) { (page, n) =>
+      dict = plainInts(page, 0, n, 8)
+      dict != null && n.toLong * 8 == page.length.toLong
+    } { s =>
+      if (s.defs == null || s.reps == null ||
+        s.defs.length != s.numValues || s.reps.length != s.numValues) false
+      else {
+        val vals = numPageValues(s, 8, dict)
+        if (vals == null) false
+        else {
+          var i = 0
+          while (i < s.numValues) {
+            val r = s.reps(i)
+            val d = s.defs(i)
+            if (r == 0) {
+              if (runLen > maxRowLen) maxRowLen = runLen
+              runLen = 0L
+              nRows += 1L
+              if (d == 0) nNullRows += 1L
+              else if (d == 1) nEmpty += 1L
+            }
+            if (d == 2) runLen += 1L
+            i += 1
+          }
+          vals.foreach { v =>
+            sum += v
+            if (v < minV) minV = v
+            if (v > maxV) maxV = v
+          }
+          true
+        }
+      }
+    }
+    if (runLen > maxRowLen) maxRowLen = runLen
+    walked match {
+      case None => bad
+      case Some((nPages, nDict, nV2, got, nNulls)) =>
+        ListInt64ChunkDecode(file, loc.grp, nPages, nDict, nV2, nRows,
+          nNullRows, nEmpty, got - nNulls, sum, minV, maxV, maxRowLen,
+          ok = true)
+    }
+  }
+
   /** Per-file chunk walk shared by the two public column readers: lists
     * part files, parses footers, seeks each chunk's byte range (data
     * pages of OTHER columns never touched), and maps `decode` over the
     * chunks with `onError` covering range violations and IO failures. */
   private def chunkRows[T: scala.reflect.ClassTag](
-      spark: SparkSession, path: String, column: String)(
+      spark: SparkSession, path: String, columnPath: Seq[String])(
       decode: (Array[Byte], ChunkLoc, String) => T)(
       onError: (String, ChunkLoc) => T): org.apache.spark.rdd.RDD[T] = {
     val conf0 = new org.apache.hadoop.conf.Configuration()
@@ -704,7 +1028,7 @@ object ParquetPages {
         val fs = p.getFileSystem(conf)
         val st = fs.getFileStatus(p)
         ParquetFooter.readFooterBytes(fs, st).toSeq.flatMap { footer =>
-          val locs = parseChunkLocs(footer, column)
+          val locs = parseChunkLocsPath(footer, columnPath)
           if (locs.isEmpty) Seq.empty
           else {
             val in = fs.open(p)
@@ -729,7 +1053,18 @@ object ParquetPages {
     * `column` hand-decoded page by page (v1 + v2 pages). */
   def int64Column(spark: SparkSession, path: String, column: String): DataFrame = {
     import spark.implicits._
-    chunkRows(spark, path, column)(decodeChunk) { (f, loc) =>
+    chunkRows(spark, path, Seq(column))(decodeChunk) { (f, loc) =>
+      Int64ChunkDecode(f, loc.grp, 0L, 0L, 0L, 0L, 0L, 0L,
+        Long.MaxValue, Long.MinValue, ok = false)
+    }.toDF()
+  }
+
+  /** One row per (part file, row group): the INT32 column chunk of
+    * `column` hand-decoded page by page (sign-extended into the INT64
+    * fact schema — PLAIN / DELTA_BINARY_PACKED / dictionary). */
+  def int32Column(spark: SparkSession, path: String, column: String): DataFrame = {
+    import spark.implicits._
+    chunkRows(spark, path, Seq(column))(decodeChunk) { (f, loc) =>
       Int64ChunkDecode(f, loc.grp, 0L, 0L, 0L, 0L, 0L, 0L,
         Long.MaxValue, Long.MinValue, ok = false)
     }.toDF()
@@ -740,9 +1075,42 @@ object ParquetPages {
     * DELTA_BYTE_ARRAY / DELTA_LENGTH_BYTE_ARRAY). */
   def byteArrayColumn(spark: SparkSession, path: String, column: String): DataFrame = {
     import spark.implicits._
-    chunkRows(spark, path, column)(decodeChunkBytes) { (f, loc) =>
+    chunkRows(spark, path, Seq(column))(decodeChunkBytes) { (f, loc) =>
       ByteChunkDecode(f, loc.grp, 0L, 0L, 0L, 0L, 0L, 0L, null, null,
         ok = false)
+    }.toDF()
+  }
+
+  /** One row per (part file, row group): the DOUBLE column chunk of
+    * `column` hand-decoded page by page (PLAIN + dictionary). */
+  def doubleColumn(spark: SparkSession, path: String, column: String): DataFrame = {
+    import spark.implicits._
+    chunkRows(spark, path, Seq(column))(decodeChunkDouble) { (f, loc) =>
+      DoubleChunkDecode(f, loc.grp, 0L, 0L, 0L, 0L, 0L, 0.0,
+        Double.MaxValue, Double.MinValue, ok = false)
+    }.toDF()
+  }
+
+  /** One row per (part file, row group): the FIXED_LEN_BYTE_ARRAY column
+    * chunk of `column` read as big-endian unscaled decimals (v1 PLAIN +
+    * dictionary, v2 DELTA_BYTE_ARRAY). */
+  def flbaColumn(spark: SparkSession, path: String, column: String): DataFrame = {
+    import spark.implicits._
+    chunkRows(spark, path, Seq(column))(decodeChunkFlba) { (f, loc) =>
+      FlbaChunkDecode(f, loc.grp, 0L, 0L, 0L, loc.typeLen, 0L, 0L, 0L,
+        Long.MaxValue, Long.MinValue, ok = false)
+    }.toDF()
+  }
+
+  /** One row per (part file, row group): the INT64 LEAF of an
+    * array<bigint> column (`column`.list.element — Spark's standard list
+    * layout), decoded with real repetition levels. */
+  def listInt64Column(spark: SparkSession, path: String, column: String): DataFrame = {
+    import spark.implicits._
+    chunkRows(spark, path, Seq(column, "list", "element"))(decodeChunkList) {
+      (f, loc) =>
+        ListInt64ChunkDecode(f, loc.grp, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L,
+          Long.MaxValue, Long.MinValue, 0L, ok = false)
     }.toDF()
   }
 }

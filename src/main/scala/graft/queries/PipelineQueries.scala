@@ -142,6 +142,25 @@ object PipelineQueries {
         .localCheckpoint(eager = true)
     }
 
+  /** The session-shared ANCHOR-HASH INDEX of the document corpus
+    * (doc_id, source, pos, h; k = 25) — the pure function of the corpus
+    * an incremental span dedup stores so today's batch never re-anchors
+    * yesterday's data (x47's new-vs-index discipline, span modality).
+    * Bucketed by `h`: the batch side semi-joins 8-byte keys against
+    * pre-hashed buckets. Corpus-sized, so deliberately NOT pinned with a
+    * localCheckpoint — consumers read the bucketed store scan. */
+  private def maxRepAnchorIndex(s: SparkSession, d: String): DataFrame =
+    SharedCache.getOrCompute(
+      SharedCache.key(s, d, s"maxrep_anchor_index:k=$maxRepK")) {
+      graft.ops.DerivedStore.getOrBuild(s,
+        name = s"maxrep_anchor_idx_v1_k${maxRepK}_" + dirSlug(d),
+        inputFiles = Seq(s"$d/documents.parquet"),
+        bucketCols = Seq("h")) {
+        graft.ops.MaximalRepeats.anchors(
+          documents(s, d).select("doc_id", "source", "text"), maxRepK)
+      }
+    }
+
   /** Session-shared frames of the customer–supplier co-trade graph
     * (x114 item-item CF and x115 clustering coefficients): the capped
     * bipartite edge list and the strong co-trade pair list. Keys embed the
@@ -12546,7 +12565,425 @@ object PipelineQueries {
               |      AS rn
               |  FROM c)
               |SELECT rn, pair, cnt FROM r WHERE rn <= 20
-              |ORDER BY rn""".stripMargin))
+              |ORDER BY rn""".stripMargin)),
+
+    // INCREMENTAL MAXIMAL-REPEAT DEDUP (x203) — x47's new-batch-vs-index
+    // shape for the span modality: today's crawl is span-deduped against
+    // yesterday's corpus WITHOUT re-anchoring the corpus. The index is
+    // the anchor-hash table (maxRepAnchorIndex — a pure function of the
+    // corpus, DerivedStore-backed, bucketed by the 8-byte hash); the
+    // batch anchors once, semi-joins the index on h, and text-verifies
+    // candidates on BOTH sides (index gram text re-derived only for
+    // anchors whose hash matched — candidate-sized), giving exactly
+    // `spans(union, k)` restricted to batch docs (ops/MaximalRepeats
+    // .incrementalSpans: the covering-equivalence + collision-proof
+    // argument at the operator). The batch manufactures all three
+    // outcomes: whole-doc clones of index docs (cross-duplicated spans),
+    // REVERSED-text pairs duplicated only within the batch (token
+    // reversal keeps every gram out of the index), and reversed fresh
+    // singles (no spans unless both engines agree otherwise). The ORACLE
+    // is the full-corpus twin: the x197 span CTE over the union corpus,
+    // filtered to batch docs — the incremental path must reproduce the
+    // full recompute exactly. Scale: cost ∝ batch tokens + the candidate
+    // fraction of the index; the corpus-sized anchor pass happened once,
+    // at index-build time.
+    QueryDef(
+      "x203_incremental_spans",
+      (s, d) => {
+        val base = documents(s, d).select("doc_id", "source", "text")
+        val revText = concat_ws(" ",
+          reverse(expr("filter(split(text, ' '), x -> x != '')")))
+        val newb = base.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("source"),
+            col("text"))
+          .unionByName(base.filter(col("doc_id") % 11 === 3)
+            .select((col("doc_id") + 20000000L).as("doc_id"), col("source"),
+              revText.as("text")))
+          .unionByName(base.filter(col("doc_id") % 11 === 3)
+            .select((col("doc_id") + 30000000L).as("doc_id"), col("source"),
+              revText.as("text")))
+          .unionByName(base.filter(col("doc_id") % 13 === 5)
+            .select((col("doc_id") + 40000000L).as("doc_id"), col("source"),
+              revText.as("text")))
+        graft.ops.MaximalRepeats
+          .incrementalSpans(newb, base, maxRepAnchorIndex(s, d), maxRepK)
+          .withColumn("wave", when(col("doc_id") < 20000000L, "clone")
+            .when(col("doc_id") < 40000000L, "pair").otherwise("fresh"))
+          .groupBy("wave")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(col("len")).as("dup_tokens"),
+            max(col("len")).as("max_len"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            sum(col("start") + 1L).as("sum_start"))
+          .orderBy("wave")
+      },
+      Some("""WITH rev AS (SELECT doc_id, source,
+             |    list_aggregate(list_reverse(list_filter(
+             |      string_split(text, ' '), x -> x <> '')),
+             |      'string_agg', ' ') AS text
+             |  FROM documents),
+             |uni AS (SELECT doc_id, source, text FROM documents
+             |  UNION ALL SELECT doc_id + 10000000, source, text
+             |    FROM documents WHERE doc_id % 7 = 0
+             |  UNION ALL SELECT doc_id + 20000000, source, text FROM rev
+             |    WHERE doc_id % 11 = 3
+             |  UNION ALL SELECT doc_id + 30000000, source, text FROM rev
+             |    WHERE doc_id % 11 = 3
+             |  UNION ALL SELECT doc_id + 40000000, source, text FROM rev
+             |    WHERE doc_id % 13 = 5),
+             |t AS (SELECT doc_id, source,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS tk
+             |  FROM uni),
+             |g AS (SELECT doc_id, source, u.p AS pos,
+             |    list_aggregate(tk[u.p:u.p+24], 'string_agg', ' ') AS gram
+             |  FROM t, LATERAL unnest(range(1, len(tk) - 23)) AS u(p)),
+             |d AS (SELECT gram FROM g GROUP BY 1 HAVING count(*) >= 2),
+             |dp AS (SELECT g.doc_id, g.source, g.pos
+             |  FROM g JOIN d USING (gram)),
+             |isl AS (SELECT doc_id, source, pos,
+             |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+             |        < 25 THEN 0 ELSE 1 END AS nb
+             |  FROM dp),
+             |isl2 AS (SELECT doc_id, source, pos,
+             |    sum(nb) OVER (PARTITION BY doc_id ORDER BY pos) AS a
+             |  FROM isl),
+             |sp AS (SELECT doc_id, source, min(pos) AS start,
+             |    max(pos) - min(pos) + 25 AS len
+             |  FROM isl2 GROUP BY doc_id, source, a)
+             |SELECT CASE WHEN doc_id < 20000000 THEN 'clone'
+             |    WHEN doc_id < 40000000 THEN 'pair' ELSE 'fresh' END AS wave,
+             |  CAST(count(*) AS BIGINT) AS n_spans,
+             |  CAST(sum(len) AS BIGINT) AS dup_tokens,
+             |  CAST(max(len) AS BIGINT) AS max_len,
+             |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             |  CAST(sum(start) AS BIGINT) AS sum_start
+             |FROM sp WHERE doc_id >= 10000000
+             |GROUP BY 1 ORDER BY wave""".stripMargin)),
+
+    // PARQUET PHYSICAL-TYPE + NESTING COVERAGE (x204) — extends the
+    // x194/x200 hand decode to the bytes real lakes actually store:
+    // INT32 (PLAIN / dictionary / v2 DELTA_BINARY_PACKED), DOUBLE
+    // (PLAIN / dictionary), DECIMAL(20,2) as FIXED_LEN_BYTE_ARRAY
+    // (9-byte big-endian unscaled ints; v1 PLAIN + dictionary, v2
+    // DELTA_BYTE_ARRAY — parquet-mr's v2 FLBA encoding), and a NESTED
+    // array<bigint> column decoded with REAL repetition levels
+    // (col.list.element, maxRep 1 / maxDef 2: rep 0 opens a row, def
+    // 0/1/2 = null/empty/element — v1's length-prefixed and v2's
+    // header-sized level sections both). Three stores (v1 dict, v1
+    // plain, v2) are write-and-checked through the decoder (the
+    // dropped-option race lesson) and the ORACLE predicts every fact
+    // arithmetically from the same construction — never trusting a
+    // reader (the x200 DELTA_BYTE_ARRAY find). For the arr rows,
+    // num_values counts ELEMENTS, n_nulls counts NULL ARRAYS, and
+    // min_v/max_v range over elements. Scale: chunk ranges read by
+    // seek, one task per part file — x194's shape.
+    QueryDef(
+      "x204_parquet_typed_pages",
+      (s, d) => {
+        val store = s"${System.getProperty("java.io.tmpdir")}/graft_x204_" +
+          s"${ProcessHandle.current().pid()}_${System.nanoTime()}"
+        val bound = orders(s, d).agg(min("o_orderkey").cast(LongType))
+          .first().getLong(0) + 8000L
+        val k = col("o_orderkey").cast(LongType)
+        val src = orders(s, d).filter(col("o_orderkey") <= bound).select(
+          k.as("k"),
+          when(k % 11 === 0, lit(null).cast("int"))
+            .otherwise(((k * 17L) % 50L - 25L).cast("int")).as("i"),
+          when(k % 13 === 0, lit(null).cast("double"))
+            .otherwise((k % 40L).cast("double") / 8.0).as("f"),
+          when(k % 23 === 0, lit(null).cast("decimal(20,2)"))
+            .otherwise(((k % 30L) * 13L).cast("decimal(20,2)")).as("dec"),
+          // element containsNull must stay FALSE (maxDef = 2, the decoder's
+          // list scope) — `cast("array<bigint>")` would flip it to true
+          when(k % 19 === 0,
+            lit(null).cast(org.apache.spark.sql.types.ArrayType(LongType,
+              containsNull = false)))
+            // empty array with containsNull = FALSE: slice of a non-null
+            // literal array (lit(Array.empty) infers containsNull = true
+            // and the true→false cast is refused)
+            .when(k % 17 === 0, expr("slice(array(CAST(0 AS BIGINT)), 1, 0)"))
+            .otherwise(expr(
+              "transform(sequence(CAST(1 AS BIGINT), 1 + o_orderkey % 4), " +
+                "x -> coalesce((CAST(o_orderkey AS BIGINT) * x) % 50, " +
+                "CAST(0 AS BIGINT)))")).as("arr"))
+        try {
+          def writeChecked(path: String, opts: Map[String, String])(
+              okCheck: => Boolean): Unit = {
+            def w(): Unit = {
+              val base = src.coalesce(1).write.mode("overwrite")
+                .option("parquet.block.size", "65536")
+                .option("parquet.page.size", "4096")
+              opts.foldLeft(base) { case (acc, (kk, v)) => acc.option(kk, v) }
+                .parquet(path)
+            }
+            w()
+            var attempts = 0
+            while (attempts < 8 && !okCheck) { w(); attempts += 1 }
+          }
+          import graft.ops.ParquetPages
+          def colOk(df: org.apache.spark.sql.DataFrame, wantDict: Boolean,
+              wantV2: Boolean): Boolean = {
+            val r = df.agg(min(when(col("ok"), 1L).otherwise(0L)),
+              sum("n_dict_pages"), sum("n_v2_pages")).first()
+            !r.isNullAt(0) && r.getLong(0) == 1L &&
+              (r.getLong(1) > 0L) == wantDict && (r.getLong(2) > 0L) == wantV2
+          }
+          // parquet-mr's v1 writer has NO dictionary path for FLBA (always
+          // PLAIN; v2 = DELTA_BYTE_ARRAY), so dec never expects dict pages
+          def storeOk(path: String, wantDict: Boolean, wantV2: Boolean): Boolean =
+            colOk(ParquetPages.int32Column(s, path, "i"), wantDict, wantV2) &&
+              colOk(ParquetPages.doubleColumn(s, path, "f"), wantDict, wantV2) &&
+              colOk(ParquetPages.flbaColumn(s, path, "dec"), false, wantV2) &&
+              colOk(ParquetPages.listInt64Column(s, path, "arr"), wantDict, wantV2)
+          writeChecked(s"$store/v1", Map("compression" -> "snappy"))(
+            storeOk(s"$store/v1", wantDict = true, wantV2 = false))
+          writeChecked(s"$store/v1nd", Map(
+            "parquet.enable.dictionary" -> "false",
+            "compression" -> "none"))(
+            storeOk(s"$store/v1nd", wantDict = false, wantV2 = false))
+          writeChecked(s"$store/v2", Map(
+            "parquet.writer.version" -> "v2",
+            "parquet.enable.dictionary" -> "false",
+            "compression" -> "snappy"))(
+            storeOk(s"$store/v2", wantDict = false, wantV2 = true))
+          def numF(variant: String, cname: String,
+              df: org.apache.spark.sql.DataFrame) =
+            df.agg(sum("num_values").as("nv"), sum("n_nulls").as("nn"),
+              sum("sum_v").as("sv"), min("min_v").as("mn"),
+              max("max_v").as("mx"),
+              min(when(col("ok"), 1L).otherwise(0L)).as("okm"),
+              sum("n_dict_pages").as("nd"), sum("n_v2_pages").as("n2"))
+              .select(lit(variant).as("variant"), lit(cname).as("col_name"),
+                col("nv").as("n_rows"), col("nv").as("num_values"),
+                col("nn").as("n_nulls"), col("sv").cast("double").as("sum_v"),
+                col("mn").cast("double").as("min_v"),
+                col("mx").cast("double").as("max_v"),
+                lit(0L).as("n_empty"), lit(0L).as("max_row_len"),
+                (col("okm") === 1L).as("ok_all"),
+                (col("nd") > 0L).as("has_dict"), (col("n2") > 0L).as("has_v2"))
+          def listF(variant: String, path: String) =
+            ParquetPages.listInt64Column(s, path, "arr")
+              .agg(sum("n_rows").as("nr"), sum("n_entries").as("nv"),
+                sum("n_null_rows").as("nn"), sum("sum_v").as("sv"),
+                min("min_v").as("mn"), max("max_v").as("mx"),
+                sum("n_empty").as("ne"), max("max_row_len").as("ml"),
+                min(when(col("ok"), 1L).otherwise(0L)).as("okm"),
+                sum("n_dict_pages").as("nd"), sum("n_v2_pages").as("n2"))
+              .select(lit(variant).as("variant"), lit("arr").as("col_name"),
+                col("nr").as("n_rows"), col("nv").as("num_values"),
+                col("nn").as("n_nulls"), col("sv").cast("double").as("sum_v"),
+                col("mn").cast("double").as("min_v"),
+                col("mx").cast("double").as("max_v"),
+                col("ne").as("n_empty"), col("ml").as("max_row_len"),
+                (col("okm") === 1L).as("ok_all"),
+                (col("nd") > 0L).as("has_dict"), (col("n2") > 0L).as("has_v2"))
+          def variantF(variant: String, path: String) =
+            listF(variant, path)
+              .unionByName(numF(variant, "dec",
+                ParquetPages.flbaColumn(s, path, "dec")
+                  .withColumnRenamed("sum_unscaled", "sum_v")
+                  .withColumnRenamed("min_unscaled", "min_v")
+                  .withColumnRenamed("max_unscaled", "max_v")))
+              .unionByName(numF(variant, "f",
+                ParquetPages.doubleColumn(s, path, "f")))
+              .unionByName(numF(variant, "i",
+                ParquetPages.int32Column(s, path, "i")))
+          variantF("v1", s"$store/v1")
+            .unionByName(variantF("v1nd", s"$store/v1nd"))
+            .unionByName(variantF("v2", s"$store/v2"))
+            .orderBy("variant", "col_name")
+            // materialize before the finally deletes the store
+            .localCheckpoint(eager = true)
+        } finally {
+          val p = new org.apache.hadoop.fs.Path(store)
+          try p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+          catch { case _: Exception => () }
+        }
+      },
+      Some("""WITH bd AS (SELECT min(o_orderkey) + 8000 AS bound FROM orders),
+             |src AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders, bd
+             |  WHERE o_orderkey <= bound),
+             |fi AS (SELECT CASE WHEN k % 11 = 0 THEN NULL
+             |    ELSE (k * 17) % 50 - 25 END AS v FROM src),
+             |ff AS (SELECT CASE WHEN k % 13 = 0 THEN NULL
+             |    ELSE CAST(k % 40 AS DOUBLE) / 8.0 END AS v FROM src),
+             |fd AS (SELECT CASE WHEN k % 23 = 0 THEN NULL
+             |    ELSE (k % 30) * 1300 END AS v FROM src),
+             |fa AS (SELECT k, CASE WHEN k % 19 = 0 THEN NULL
+             |    WHEN k % 17 = 0 THEN 0 ELSE 1 + k % 4 END AS n FROM src),
+             |fe AS (SELECT k, u.x AS x FROM fa,
+             |  LATERAL unnest(range(1, n + 1)) u(x)),
+             |ri AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |    CAST(count(*) AS BIGINT) AS num_values,
+             |    CAST(count(*) - count(v) AS BIGINT) AS n_nulls,
+             |    CAST(sum(v) AS DOUBLE) AS sum_v,
+             |    CAST(min(v) AS DOUBLE) AS min_v,
+             |    CAST(max(v) AS DOUBLE) AS max_v,
+             |    CAST(0 AS BIGINT) AS n_empty,
+             |    CAST(0 AS BIGINT) AS max_row_len FROM fi),
+             |rf AS (SELECT CAST(count(*) AS BIGINT),
+             |    CAST(count(*) AS BIGINT),
+             |    CAST(count(*) - count(v) AS BIGINT),
+             |    CAST(sum(v) AS DOUBLE), CAST(min(v) AS DOUBLE),
+             |    CAST(max(v) AS DOUBLE), CAST(0 AS BIGINT),
+             |    CAST(0 AS BIGINT) FROM ff),
+             |rd AS (SELECT CAST(count(*) AS BIGINT),
+             |    CAST(count(*) AS BIGINT),
+             |    CAST(count(*) - count(v) AS BIGINT),
+             |    CAST(sum(v) AS DOUBLE), CAST(min(v) AS DOUBLE),
+             |    CAST(max(v) AS DOUBLE), CAST(0 AS BIGINT),
+             |    CAST(0 AS BIGINT) FROM fd),
+             |raa AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |    CAST(coalesce(sum(n), 0) AS BIGINT) AS num_values,
+             |    CAST(sum(CASE WHEN n IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_nulls,
+             |    CAST(sum(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_empty,
+             |    CAST(max(coalesce(n, 0)) AS BIGINT) AS max_row_len FROM fa),
+             |rae AS (SELECT CAST(sum((k * x) % 50) AS DOUBLE) AS sum_v,
+             |    CAST(min((k * x) % 50) AS DOUBLE) AS min_v,
+             |    CAST(max((k * x) % 50) AS DOUBLE) AS max_v FROM fe),
+             |ra AS (SELECT n_rows, num_values, n_nulls, sum_v, min_v,
+             |    max_v, n_empty, max_row_len FROM raa, rae)
+             |SELECT variant, col_name, n_rows, num_values, n_nulls, sum_v,
+             |  min_v, max_v, n_empty, max_row_len, TRUE AS ok_all,
+             |  has_dict, has_v2
+             |FROM (
+             |  SELECT 'v1' AS variant, 'arr' AS col_name, ra.*,
+             |    TRUE AS has_dict, FALSE AS has_v2 FROM ra
+             |  UNION ALL SELECT 'v1', 'dec', rd.*, FALSE, FALSE FROM rd
+             |  UNION ALL SELECT 'v1', 'f', rf.*, TRUE, FALSE FROM rf
+             |  UNION ALL SELECT 'v1', 'i', ri.*, TRUE, FALSE FROM ri
+             |  UNION ALL SELECT 'v1nd', 'arr', ra.*, FALSE, FALSE FROM ra
+             |  UNION ALL SELECT 'v1nd', 'dec', rd.*, FALSE, FALSE FROM rd
+             |  UNION ALL SELECT 'v1nd', 'f', rf.*, FALSE, FALSE FROM rf
+             |  UNION ALL SELECT 'v1nd', 'i', ri.*, FALSE, FALSE FROM ri
+             |  UNION ALL SELECT 'v2', 'arr', ra.*, FALSE, TRUE FROM ra
+             |  UNION ALL SELECT 'v2', 'dec', rd.*, FALSE, TRUE FROM rd
+             |  UNION ALL SELECT 'v2', 'f', rf.*, FALSE, TRUE FROM rf
+             |  UNION ALL SELECT 'v2', 'i', ri.*, FALSE, TRUE FROM ri)
+             |ORDER BY variant, col_name""".stripMargin)),
+
+    // STATE-BACKEND MATRIX: TTL × TIMERS × ROCKSDB CONFIG (x205) — the
+    // combination a production 100 TB deployment actually runs: x199
+    // gates TTL, x157 gates event-time timers, x195 gates the RocksDB
+    // provider — this gate runs ONE processor holding TTL'd value
+    // states AND registered timers on ONE state store
+    // (streaming/TtlTimerSessions: batch-run sessionization closed by
+    // PROCESSING-time timers next to a long-TTL accumulator and a
+    // 1 ms-TTL per-batch cell). Platform facts the gate documents (both
+    // probed on Spark 4.1.2): transformWithState CANNOT run on the
+    // HDFS-backed heap provider at all (multiple column families
+    // unsupported — STATE_STORE_MULTIPLE_COLUMN_FAMILIES), and state
+    // TTL is PROCESSING-time-only (INCORRECT_TIME_MODE_TO_ASSIGN_TTL
+    // under EventTime) — so the axes are: TTL + processing-time timers
+    // in one processor, × the two RocksDB persistence modes a
+    // deployment chooses between — SST-snapshot checkpointing (default)
+    // vs CHANGELOG checkpointing (the low-latency production
+    // recommendation; different files, different recovery path, same
+    // required semantics). Both runs assert RocksDB use from the
+    // query's own state-operator custom metrics (x195's discipline)
+    // and their outputs are unioned, so hash-identity ACROSS MODES is
+    // the gate itself: mode-specific TTL-expiry or timer drift cannot
+    // pass. The oracle computes both faces once — x199's running/
+    // per-batch rollup for the TTL rows, and for the timer rows the
+    // closed form the processor's timer arithmetic reduces to: runs =
+    // maximal sequences of CONSECUTIVE staged batches containing the
+    // key (gaps-and-islands over distinct (user, batch)) — and
+    // cross-joins the mode labels. Scale: fixed-width state + one
+    // timer per ACTIVE key, store-enforced expiry — bounded state in
+    // either mode.
+    QueryDef(
+      "x205_stream_ttl_timer_matrix",
+      (s, d) => {
+        val staged = events(s, d)
+          .select(col("user_id"), col("event_id"),
+            floor(col("value") * 100).cast(LongType).as("cents"),
+            expr("""CAST(least(greatest(
+                   |  CAST(datediff(to_date(ts), DATE '2024-01-01') div 8 AS INT),
+                   |  0), 3) AS INT)""".stripMargin).as("b"))
+        val provKey = "spark.sql.streaming.stateStore.providerClass"
+        val logKey = "spark.sql.streaming.stateStore.rocksdb." +
+          "changelogCheckpointing.enabled"
+        def runOn(changelog: Boolean, label: String) = {
+          val prevProv = s.conf.getOption(provKey)
+          val prevLog = s.conf.getOption(logKey)
+          s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+            "state.RocksDBStateStoreProvider")
+          s.conf.set(logKey, changelog.toString)
+          val sawRocks = new java.util.concurrent.atomic.AtomicBoolean(false)
+          val out =
+            try graft.streaming.StreamGate.replayStaged(
+              s, staged, s"x205_events_$label", "b", 4, "append",
+              progress = p => p.stateOperators.foreach { so =>
+                val it = so.customMetrics.keySet().iterator()
+                while (it.hasNext)
+                  if (it.next().toLowerCase.contains("rocksdb"))
+                    sawRocks.set(true)
+              },
+              // TimeMode.ProcessingTime never terminates under
+              // AvailableNow; the paced trigger also guarantees the
+              // trailing no-data batch that fires the final runs' timers
+              availableNow = false) { stream =>
+              graft.streaming.TtlTimerSessions.run(
+                stream.as[graft.streaming.TtlTimerSessions.EventIn](
+                  org.apache.spark.sql.Encoders.product)).toDF()
+            } finally {
+              (prevProv match {
+                case Some(v) => s.conf.set(provKey, v)
+                case None    => s.conf.unset(provKey)
+              }): Unit
+              prevLog match {
+                case Some(v) => s.conf.set(logKey, v)
+                case None    => s.conf.unset(logKey)
+              }
+            }
+          out.select(lit(label).as("mode"), col("user_id"), col("kind"),
+            col("a"), col("b"), col("c"), col("d"),
+            lit(sawRocks.get()).as("rocks_metric"))
+        }
+        runOn(changelog = false, "snapshot")
+          .unionByName(runOn(changelog = true, "changelog"))
+          .orderBy("mode", "user_id", "kind", "a", "c")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id,
+             |    CAST(floor("value" * 100) AS BIGINT) AS cents,
+             |    LEAST(GREATEST(date_diff('day', DATE '2024-01-01',
+             |      CAST(ts AS DATE)) // 8, 0), 3) AS b
+             |  FROM events),
+             |gq AS (SELECT user_id, b AS bb, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(cents) AS BIGINT) AS sc
+             |  FROM e GROUP BY 1, 2),
+             |ttl AS (SELECT user_id, 'ttl' AS kind,
+             |    CAST(sum(n) OVER w AS BIGINT) AS a,
+             |    CAST(sum(sc) OVER w AS BIGINT) AS b,
+             |    n AS c, sc AS d
+             |  FROM gq
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY bb
+             |    ROWS UNBOUNDED PRECEDING)),
+             |bi AS (SELECT user_id, bb,
+             |    bb - row_number() OVER (PARTITION BY user_id ORDER BY bb)
+             |      AS g
+             |  FROM gq),
+             |sq AS (SELECT user_id, g, min(bb) AS b0,
+             |    CAST(row_number() OVER (PARTITION BY user_id
+             |      ORDER BY min(bb)) AS BIGINT) AS seq
+             |  FROM bi GROUP BY 1, 2),
+             |rs AS (SELECT bi.user_id, bi.g,
+             |    CAST(sum(gq.n) AS BIGINT) AS n,
+             |    CAST(sum(gq.sc) AS BIGINT) AS sc
+             |  FROM gq JOIN bi ON gq.user_id = bi.user_id AND gq.bb = bi.bb
+             |  GROUP BY 1, 2),
+             |sout AS (SELECT rs.user_id, 'sess' AS kind, sq.seq AS a,
+             |    rs.n AS b, rs.sc AS c, CAST(0 AS BIGINT) AS d
+             |  FROM rs JOIN sq ON rs.user_id = sq.user_id AND rs.g = sq.g),
+             |one AS (SELECT * FROM ttl UNION ALL SELECT * FROM sout),
+             |pv(mode, rocks_metric) AS (VALUES ('changelog', TRUE),
+             |  ('snapshot', TRUE))
+             |SELECT pv.mode, o.user_id, o.kind, o.a, o.b, o.c, o.d,
+             |  pv.rocks_metric
+             |FROM one o, pv
+             |ORDER BY mode, user_id, kind, a, c""".stripMargin))
   )
 
   /** Shared by x198/x202: byte-level pretokens (doc_id, ti, m) over the

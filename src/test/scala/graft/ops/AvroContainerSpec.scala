@@ -114,4 +114,22 @@ class AvroContainerSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("fuzz: truncation at every offset and byte-flip sweep never throw") {
+    // widens the every-3rd-offset truncation above to EVERY offset, plus a
+    // full whole-byte flip sweep (the DecoderFuzzSpec discipline)
+    val good = write(mkRecs(12), "deflate", syncEvery = 5)
+    def dec(b: Array[Byte]): Any = AvroContainer.decode(b)
+    def probe(tag: String)(body: => Any): Unit =
+      try { body; () } catch {
+        case e: Throwable =>
+          fail(s"$tag threw ${e.getClass.getName}: ${e.getMessage}")
+      }
+    for (cut <- 0 until good.length)
+      probe(s"cut=$cut")(dec(java.util.Arrays.copyOf(good, cut)))
+    for (i <- good.indices) {
+      val mut = good.clone(); mut(i) = (mut(i) ^ 0xff).toByte
+      probe(s"flip=$i")(dec(mut))
+    }
+  }
 }

@@ -194,4 +194,25 @@ class GifDecoderSpec extends AnyFunSuite {
     val over = Seq((4, 3), (3, 3), (5, 3))
     assert(GifDecoder.decode(gif(1, 1, 1, pal2, pack(over))).isEmpty)
   }
+
+  test("fuzz: truncation at every offset and byte-flip sweep never throw") {
+    // the DecoderFuzzSpec discipline: corruption may reject or still
+    // decode, but must RETURN, never throw
+    val pixels = Array.tabulate(8)(i => (i * 5 + 3) % 4)
+    val codes = pixels.flatMap(p => Seq((4, 3), (p, 3))) :+ ((5, 3))
+    val good = gif(4, 2, 2, pal4, pack(codes.toIndexedSeq),
+      subBlockSplit = 4, withExtension = true)
+    def dec(b: Array[Byte]): Any = GifDecoder.decode(b)
+    def probe(tag: String)(body: => Any): Unit =
+      try { body; () } catch {
+        case e: Throwable =>
+          fail(s"$tag threw ${e.getClass.getName}: ${e.getMessage}")
+      }
+    for (cut <- 0 until good.length)
+      probe(s"cut=$cut")(dec(java.util.Arrays.copyOf(good, cut)))
+    for (i <- good.indices) {
+      val mut = good.clone(); mut(i) = (mut(i) ^ 0xff).toByte
+      probe(s"flip=$i")(dec(mut))
+    }
+  }
 }

@@ -83,6 +83,33 @@ class MaximalRepeatsSpec extends SparkSpec {
     }
   }
 
+  test("incrementalSpans equals spans(union) restricted to batch docs") {
+    // random index + batch with cross-dups (cloned docs), batch-internal
+    // dups (pairs absent from the index), and fresh singles — the
+    // incremental path must reproduce the full union recompute exactly
+    val rnd = new scala.util.Random(23)
+    val vocab = (0 until 12).map(i => s"w$i")
+    def doc(): String =
+      Seq.fill(10 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val index = (0 until 20).map(id => (id.toLong, "s", doc()))
+    val batch =
+      index.take(5).map { case (id, s0, t) => (id + 100L, s0, t) } ++ // clones
+        (0 until 4).flatMap { j => // internal pairs, fresh vocabulary
+          val t = Seq.fill(12 + rnd.nextInt(10))(s"z${rnd.nextInt(9)}").mkString(" ")
+          Seq((200L + j, "s", t), (210L + j, "s", t))
+        } ++
+        (0 until 4).map(j => (300L + j, "s", doc())) // fresh-ish
+    val k = 3
+    val idxDf = index.toDF("doc_id", "source", "text")
+    val batchDf = batch.toDF("doc_id", "source", "text")
+    val got = MaximalRepeats.incrementalSpans(
+      batchDf, idxDf, MaximalRepeats.anchors(idxDf, k), k)
+      .select("doc_id", "start", "len")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = run(index ++ batch, k).filter(_._1 >= 100L)
+    assert(got == full)
+  }
+
   test("matches the brute-force definition on a random corpus") {
     val rnd = new scala.util.Random(11)
     val vocab = (0 until 12).map(i => s"w$i")

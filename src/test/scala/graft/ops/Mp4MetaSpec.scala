@@ -66,4 +66,22 @@ class Mp4MetaSpec extends SparkSpec {
     assert(rows.map(r => (r.media_id, r.mdat_bytes, r.n_top_boxes, r.valid)) ==
       Seq((1L, 4L, 2L, true), (2L, 0L, 0L, true)))
   }
+
+  test("fuzz: truncation at every offset and byte-flip sweep never throw") {
+    val good = ftyp("isom") ++ box("free", new Array[Byte](7)) ++
+      box("moov", box("udta", Array[Byte](1, 2)) ++ mvhd0(600, 901)) ++
+      box("mdat", Array.fill[Byte](33)('d'))
+    def dec(b: Array[Byte]): Any = Mp4Meta.parse(9L, b)
+    def probe(tag: String)(body: => Any): Unit =
+      try { body; () } catch {
+        case e: Throwable =>
+          fail(s"$tag threw ${e.getClass.getName}: ${e.getMessage}")
+      }
+    for (cut <- 0 until good.length)
+      probe(s"cut=$cut")(dec(java.util.Arrays.copyOf(good, cut)))
+    for (i <- good.indices) {
+      val mut = good.clone(); mut(i) = (mut(i) ^ 0xff).toByte
+      probe(s"flip=$i")(dec(mut))
+    }
+  }
 }

@@ -131,4 +131,21 @@ class Mp4SamplesSpec extends SparkSpec {
     val rows = Mp4Samples.mjpegFrames(df).collect().toSeq
     assert(rows.map(f => (f.media_id, f.sample_idx, f.decode_ok)) == Seq((1L, 0L, true)))
   }
+
+  test("fuzz: truncation at every offset and byte-flip sweep never throw") {
+    val good = container(Seq(realJpeg(8, 8), realJpeg(16, 8)),
+      perSampleChunks = true)
+    def dec(b: Array[Byte]): Any = Mp4Samples.frames(0L, b)
+    def probe(tag: String)(body: => Any): Unit =
+      try { body; () } catch {
+        case e: Throwable =>
+          fail(s"$tag threw ${e.getClass.getName}: ${e.getMessage}")
+      }
+    for (cut <- 0 until good.length)
+      probe(s"cut=$cut")(dec(java.util.Arrays.copyOf(good, cut)))
+    for (i <- good.indices) {
+      val mut = good.clone(); mut(i) = (mut(i) ^ 0xff).toByte
+      probe(s"flip=$i")(dec(mut))
+    }
+  }
 }

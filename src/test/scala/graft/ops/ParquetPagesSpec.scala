@@ -253,6 +253,147 @@ class ParquetPagesSpec extends SparkSpec {
     }
   }
 
+  // INT32 / DOUBLE / DECIMAL-as-FLBA / array<bigint> fixture — every value
+  // derived from k so all three writer variants serialize identical data
+  private def typedSample = {
+    val df = (1 to 5000).map { i =>
+      val k = i.toLong
+      (k,
+        if (k % 11 == 0) None else Some((((k * 17) % 50) - 25).toInt),
+        if (k % 13 == 0) None else Some((k % 40).toDouble / 8.0),
+        if (k % 23 == 0) None else Some(BigDecimal((k % 30) * 13)),
+        if (k % 19 == 0) None
+        else if (k % 17 == 0) Some(Seq.empty[Long])
+        else Some((1L to (1 + k % 4)).map(x => (k * x) % 50)))
+    }.toDF("k", "i", "f", "dec", "arr")
+    df.withColumn("dec", col("dec").cast("decimal(20,2)"))
+  }
+
+  private def checkTyped(dir: String, wantDict: Boolean, wantV2: Boolean): Unit = {
+    val df = spark.read.parquet(dir)
+    def okDictV2(rows: Array[org.apache.spark.sql.Row]): Unit = {
+      assert(rows.forall(_.getAs[Boolean]("ok")), rows.mkString(","))
+      assert(rows.exists(_.getAs[Long]("n_dict_pages") > 0L) == wantDict,
+        s"dict expectation $wantDict failed")
+      assert(rows.exists(_.getAs[Long]("n_v2_pages") > 0L) == wantV2,
+        s"v2 expectation $wantV2 failed")
+    }
+    // INT32
+    val ri = ParquetPages.int32Column(spark, dir, "i").collect()
+    okDictV2(ri)
+    val fi = df.agg(count(lit(1)), sum(when(col("i").isNull, 1L).otherwise(0L)),
+      sum(col("i").cast("long")), min("i"), max("i")).first()
+    assert(ri.map(_.getAs[Long]("num_values")).sum == fi.getLong(0))
+    assert(ri.map(_.getAs[Long]("n_nulls")).sum == fi.getLong(1))
+    assert(ri.map(_.getAs[Long]("sum_v")).sum == fi.getLong(2))
+    assert(ri.map(_.getAs[Long]("min_v")).min == fi.getInt(3).toLong)
+    assert(ri.map(_.getAs[Long]("max_v")).max == fi.getInt(4).toLong)
+    // DOUBLE (all values multiples of 1/8 — sums are exact)
+    val rf = ParquetPages.doubleColumn(spark, dir, "f").collect()
+    okDictV2(rf.map(r => r)) // same columns
+    val ff = df.agg(sum(when(col("f").isNull, 1L).otherwise(0L)),
+      sum("f"), min("f"), max("f")).first()
+    assert(rf.map(_.getAs[Long]("n_nulls")).sum == ff.getLong(0))
+    assert(rf.map(_.getAs[Double]("sum_v")).sum == ff.getDouble(1))
+    assert(rf.map(_.getAs[Double]("min_v")).min == ff.getDouble(2))
+    assert(rf.map(_.getAs[Double]("max_v")).max == ff.getDouble(3))
+    // DECIMAL(20,2) as FLBA: 9-byte big-endian unscaled ints. parquet-mr's
+    // v1 writer has NO dictionary path for FIXED_LEN_BYTE_ARRAY (always
+    // PLAIN); v2 uses DELTA_BYTE_ARRAY — so dict is never expected here.
+    val rd = ParquetPages.flbaColumn(spark, dir, "dec").collect()
+    assert(rd.forall(_.getAs[Boolean]("ok")), rd.mkString(","))
+    assert(!rd.exists(_.getAs[Long]("n_dict_pages") > 0L))
+    assert(rd.exists(_.getAs[Long]("n_v2_pages") > 0L) == wantV2)
+    assert(rd.forall(_.getAs[Int]("type_len") == 9))
+    val fd = df.agg(sum(when(col("dec").isNull, 1L).otherwise(0L)),
+      sum("dec"), min("dec"), max("dec")).first()
+    assert(rd.map(_.getAs[Long]("n_nulls")).sum == fd.getLong(0))
+    assert(rd.map(_.getAs[Long]("sum_unscaled")).sum ==
+      fd.getDecimal(1).movePointRight(2).longValueExact())
+    assert(rd.map(_.getAs[Long]("min_unscaled")).min ==
+      fd.getDecimal(2).movePointRight(2).longValueExact())
+    assert(rd.map(_.getAs[Long]("max_unscaled")).max ==
+      fd.getDecimal(3).movePointRight(2).longValueExact())
+    // array<bigint> leaf: real repetition levels
+    val ra = ParquetPages.listInt64Column(spark, dir, "arr").collect()
+    okDictV2(ra)
+    val fa = df.agg(count(lit(1)),
+      sum(when(col("arr").isNull, 1L).otherwise(0L)),
+      sum(when(size(col("arr")) === 0, 1L).otherwise(0L)),
+      sum(when(col("arr").isNull, 0L).otherwise(size(col("arr")).cast("long"))),
+      max(coalesce(size(col("arr")), lit(0)))).first()
+    val fe = df.select(explode(col("arr")).as("e"))
+      .agg(sum("e"), min("e"), max("e")).first()
+    assert(ra.map(_.getAs[Long]("n_rows")).sum == fa.getLong(0))
+    assert(ra.map(_.getAs[Long]("n_null_rows")).sum == fa.getLong(1))
+    assert(ra.map(_.getAs[Long]("n_empty")).sum == fa.getLong(2))
+    assert(ra.map(_.getAs[Long]("n_entries")).sum == fa.getLong(3))
+    assert(ra.map(_.getAs[Long]("max_row_len")).max == fa.getInt(4).toLong)
+    assert(ra.map(_.getAs[Long]("sum_v")).sum == fe.getLong(0))
+    assert(ra.map(_.getAs[Long]("min_v")).min == fe.getLong(1))
+    assert(ra.map(_.getAs[Long]("max_v")).max == fe.getLong(2))
+  }
+
+  test("typed columns v1 (dictionary, snappy) match Spark's reader") {
+    val dir = tmp()
+    try {
+      typedSample.coalesce(1).write
+        .option("compression", "snappy")
+        .option("parquet.block.size", "65536")
+        .option("parquet.page.size", "4096").parquet(dir)
+      checkTyped(dir, wantDict = true, wantV2 = false)
+    } finally cleanup(dir)
+  }
+
+  test("typed columns v1 PLAIN (no dictionary) match Spark's reader") {
+    val dir = tmp()
+    try {
+      typedSample.coalesce(1).write
+        .option("compression", "none")
+        .option("parquet.enable.dictionary", "false")
+        .option("parquet.block.size", "65536")
+        .option("parquet.page.size", "4096").parquet(dir)
+      checkTyped(dir, wantDict = false, wantV2 = false)
+    } finally cleanup(dir)
+  }
+
+  test("typed columns v2 (delta int32, DELTA_BYTE_ARRAY flba, nested delta) match") {
+    val dir = tmp()
+    try {
+      typedSample.coalesce(1).write
+        .option("parquet.writer.version", "v2")
+        .option("parquet.enable.dictionary", "false")
+        .option("compression", "snappy")
+        .option("parquet.block.size", "65536")
+        .option("parquet.page.size", "4096").parquet(dir)
+      checkTyped(dir, wantDict = false, wantV2 = true)
+      // the encodings the v2 writer must actually have emitted
+      for (c <- Seq("i", "dec", "arr")) {
+        val n2 = (c match {
+          case "i" => ParquetPages.int32Column(spark, dir, c)
+          case "dec" => ParquetPages.flbaColumn(spark, dir, c)
+          case _ => ParquetPages.listInt64Column(spark, dir, c)
+        }).agg(sum("n_v2_pages")).first().getLong(0)
+        assert(n2 > 0L, s"expected v2 pages for $c")
+      }
+    } finally cleanup(dir)
+  }
+
+  test("deeper nesting yields no int64-leaf rows (or routed rows), never throws") {
+    val dir = tmp()
+    try {
+      Seq((1L, Seq(Seq(1L, 2L)), Seq(3L)))
+        .toDF("k", "deep", "arr").coalesce(1).write.parquet(dir)
+      // the shallow list still decodes; deep.list.element is a GROUP, not
+      // an INT64 leaf, so the footer walk matches nothing (no rows) — and
+      // anything that did match would route to ok = false
+      val shallow = ParquetPages.listInt64Column(spark, dir, "arr").collect()
+      assert(shallow.nonEmpty && shallow.forall(_.getAs[Boolean]("ok")))
+      val deep = ParquetPages.listInt64Column(spark, dir, "deep").collect()
+      assert(deep.forall(!_.getAs[Boolean]("ok")))
+    } finally cleanup(dir)
+  }
+
   test("rleHybrid decodes runs, bit-packed groups, and mixed streams") {
     // RLE run: header = count<<1, then ceil(w/8) value bytes.
     val run = Array[Byte]((5 << 1).toByte, 1)

@@ -163,4 +163,27 @@ class TiffDecoderSpec extends AnyFunSuite {
     }
     writer.dispose()
   }
+
+  test("fuzz: truncation at every offset and byte-flip sweep never throw") {
+    val pixels = px(4, 3)((x, y) => x + y * 16)
+    val good = tiff(le = true, grayEntries(4, 3, 1, 3, DataOff, 12), pixels)
+    def dec(b: Array[Byte]): Any = TiffDecoder.decode(0L, b)
+    def probe(tag: String)(body: => Any): Unit =
+      try { body; () } catch {
+        case e: Throwable =>
+          fail(s"$tag threw ${e.getClass.getName}: ${e.getMessage}")
+      }
+    for (cut <- 0 until good.length)
+      probe(s"cut=$cut")(dec(java.util.Arrays.copyOf(good, cut)))
+    for (i <- good.indices) {
+      val mut = good.clone(); mut(i) = (mut(i) ^ 0xff).toByte
+      probe(s"flip=$i")(dec(mut))
+    }
+    // and the big-endian twin's header region
+    val goodBe = tiff(le = false, grayEntries(4, 3, 1, 3, DataOff, 12), pixels)
+    for (i <- goodBe.indices) {
+      val mut = goodBe.clone(); mut(i) = (mut(i) ^ 0xff).toByte
+      probe(s"be flip=$i")(TiffDecoder.decode(0L, mut))
+    }
+  }
 }

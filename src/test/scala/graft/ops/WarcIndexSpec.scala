@@ -74,4 +74,22 @@ class WarcIndexSpec extends SparkSpec {
     val rows = WarcIndex.index(df).collect().toSeq
     assert(rows.map(r => (r.shard_id, r.payload)) == Seq((1L, "qq")))
   }
+
+  test("fuzz: truncation at every offset and byte-flip sweep never throw") {
+    val good = (rec(Seq("WARC-Type" -> "response",
+      "WARC-Target-URI" -> "https://a/1"), "hello world") +
+      rec(Seq("WARC-Type" -> "metadata"), "")).getBytes("ISO-8859-1")
+    def dec(b: Array[Byte]): Any = WarcIndex.parse(0L, b)
+    def probe(tag: String)(body: => Any): Unit =
+      try { body; () } catch {
+        case e: Throwable =>
+          fail(s"$tag threw ${e.getClass.getName}: ${e.getMessage}")
+      }
+    for (cut <- 0 until good.length)
+      probe(s"cut=$cut")(dec(java.util.Arrays.copyOf(good, cut)))
+    for (i <- good.indices) {
+      val mut = good.clone(); mut(i) = (mut(i) ^ 0xff).toByte
+      probe(s"flip=$i")(dec(mut))
+    }
+  }
 }
