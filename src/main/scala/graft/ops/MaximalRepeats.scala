@@ -149,11 +149,17 @@ object MaximalRepeats {
   def incrementalSpans(newDocs: DataFrame, indexDocs: DataFrame,
       indexAnchors: DataFrame, k: Int): DataFrame = {
     require(k >= 2, s"span threshold must be >= 2 tokens: $k")
-    val bAnch = anchors(newDocs, k)
+    // batch anchors feed THREE consumers (dup-hash counts, the distinct
+    // hash probe, and the candidate join) — materialize once; the frame
+    // is batch-token-sized, the thing this operator keeps small
+    val bAnch = anchors(newDocs, k).localCheckpoint(true)
     val bDupH = bAnch.groupBy("h").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2L).select("h")
     val bH = bAnch.select("h").distinct()
+    // candidate cross hashes feed both candH and the index-side gram
+    // re-derivation — candidate-sized, materialize once
     val hitH = indexAnchors.join(bH, Seq("h")).select("h").distinct()
+      .localCheckpoint(true)
     val candH = bDupH.unionByName(hitH).distinct()
     val candB = bAnch.join(candH, Seq("h")).select("doc_id", "pos")
     val bGram = gramText(newDocs, candB, k)
