@@ -12983,7 +12983,336 @@ object PipelineQueries {
              |SELECT pv.mode, o.user_id, o.kind, o.a, o.b, o.c, o.d,
              |  pv.rocks_metric
              |FROM one o, pv
-             |ORDER BY mode, user_id, kind, a, c""".stripMargin))
+             |ORDER BY mode, user_id, kind, a, c""".stripMargin)),
+
+    // PRODUCT QUANTIZATION + ADC SEARCH (x206) — the vector-search scale
+    // path the IVF family (x07/x23) compresses TOWARD: vectors are cut
+    // into m = 8 subspaces of 8 dims, each subvector is encoded as the
+    // nearest of k = 16 codewords (PQ codes: 8 bytes/vector instead of
+    // 256), and queries are answered by ASYMMETRIC DISTANCE COMPUTATION —
+    // one |q|×(m·k) lookup table of query-to-codeword distances, then
+    // each corpus vector's approximate distance is a SUM OF 8 TABLE
+    // LOOKUPS, never a 64-dim loop (Jégou et al., "Product Quantization
+    // for Nearest Neighbor Search"). Everything runs on x128's
+    // integer-quantized vectors (global max-abs scale → ±127 BIGINTs), so
+    // codes, ADC sums, and rankings are EXACT cross-engine — zero float
+    // parity care. Codebooks are pseudo-sampled corpus vectors (the
+    // x07/x23 discipline: lowest 16 ids ≡ 1 mod 31), argmin ties break to
+    // the lowest codeword, rankings tie on (dist, vec_id). The gate
+    // reports recall@10 of ADC against the EXACT integer-L2 top-10 plus
+    // the per-query ADC sum of the chosen 10 — a ranking-independent pin
+    // on the lookup-table arithmetic itself. Scale: encode is corpus ×
+    // m·k narrow work against a BROADCAST 128-row codebook; ADC is corpus
+    // × m joined to the broadcast query table — never corpus²; the exact
+    // side is x128's broadcast top-k over a bounded query sample.
+    QueryDef(
+      "x206_pq_adc",
+      (s, d) => {
+        def l2(a: String, b: String) =
+          s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        val e0 = embeddings(s, d).select("vec_id", "embedding")
+        val g = e0.agg(max(expr(
+          "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")).as("g"))
+        val e = e0.crossJoin(broadcast(g))
+          .select(col("vec_id"), expr(
+            "CASE WHEN g = 0.0 THEN array_repeat(CAST(0 AS BIGINT), " +
+              "size(embedding)) ELSE transform(embedding, x -> " +
+              "CAST(round(CAST(x AS DOUBLE) * 127 / g) AS BIGINT)) END").as("qv"))
+          .localCheckpoint(true) // codebook + encode + queries + exact side
+        val cb = e.filter(col("vec_id") % 31 === 1)
+          .withColumn("rk", row_number().over(Window.orderBy("vec_id")))
+          .filter(col("rk") <= 16)
+          .select((col("rk") - 1).cast(LongType).as("cw"),
+            posexplode(expr(
+              "transform(sequence(0, 7), t -> slice(qv, t * 8 + 1, 8))"))
+              .as(Seq("sb", "cvec")))
+          .localCheckpoint(true) // m·k = 128 rows — bounded model state
+        val codes = e.select(col("vec_id"),
+            posexplode(expr(
+              "transform(sequence(0, 7), t -> slice(qv, t * 8 + 1, 8))"))
+              .as(Seq("sb", "sub")))
+          .join(broadcast(cb), Seq("sb"))
+          .withColumn("dv", expr(l2("sub", "cvec")))
+          .groupBy("vec_id", "sb")
+          .agg(min(struct(col("dv"), col("cw"))).getField("cw").as("code"))
+        val q = e.filter(col("vec_id") % 53 === 7 && col("vec_id") < 20000)
+          .select(col("vec_id").as("q_id"), col("qv").as("q_qv"))
+          .localCheckpoint(true) // bounded query sample (x69/x124 argument)
+        val qd = q.crossJoin(broadcast(cb))
+          .withColumn("qd", expr(l2("slice(q_qv, sb * 8 + 1, 8)", "cvec")))
+          .select(col("q_id"), col("sb").as("qsb"), col("cw"), col("qd"))
+        val ap = codes
+          .join(broadcast(qd),
+            col("sb") === col("qsb") && col("code") === col("cw"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .groupBy(col("q_id"), col("vec_id").as("n_id"))
+          .agg(sum(col("qd")).as("adc"))
+        val atop = ap
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("adc"), col("n_id"))))
+          .filter(col("rn") <= 10)
+          .select("q_id", "n_id", "adc")
+          .localCheckpoint(true) // overlap + adc_sum both read it
+        val exact = e.select(col("vec_id").as("n_id"), col("qv").as("n_qv"))
+          .join(broadcast(q), col("n_id") =!= col("q_id"))
+          .withColumn("dist", expr(l2("q_qv", "n_qv")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("dist"), col("n_id"))))
+          .filter(col("rn") <= 10)
+          .select("q_id", "n_id")
+        // both sides are 10·|queries| rows — broadcast the exact side
+        val ov = atop.join(broadcast(exact), Seq("q_id", "n_id"))
+          .groupBy("q_id").agg(count(lit(1)).as("n_overlap"))
+        val asum = atop.groupBy("q_id").agg(sum(col("adc")).as("adc_sum"))
+        q.select("q_id")
+          .join(broadcast(ov), Seq("q_id"), "left")
+          .join(broadcast(asum), Seq("q_id"), "left")
+          .select(col("q_id"),
+            coalesce(col("n_overlap"), lit(0L)).cast(LongType).as("n_overlap"),
+            expr("CAST(coalesce(n_overlap, 0) * 1000000 div 10 AS BIGINT)")
+              .as("recall_ppm"),
+            coalesce(col("adc_sum"), lit(0L)).cast(LongType).as("adc_sum"))
+          .orderBy("q_id")
+      },
+      Some("""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+             |  FROM embeddings),
+             |g AS (SELECT max(list_max(list_transform(emb, x -> abs(x))))
+             |    AS g FROM e0),
+             |e AS (SELECT vec_id,
+             |    CASE WHEN g.g = 0.0
+             |      THEN list_transform(emb, x -> CAST(0 AS BIGINT))
+             |      ELSE list_transform(emb, x ->
+             |        CAST(round(x * 127 / g.g) AS BIGINT)) END AS qv
+             |  FROM e0, g),
+             |cbv AS (SELECT qv,
+             |    row_number() OVER (ORDER BY vec_id) - 1 AS cw
+             |  FROM e WHERE vec_id % 31 = 1 QUALIFY cw <= 15),
+             |cb AS (SELECT cw, t.sb AS sb,
+             |    qv[CAST(t.sb * 8 + 1 AS INT) : CAST(t.sb * 8 + 8 AS INT)]
+             |      AS cvec
+             |  FROM cbv, LATERAL unnest(range(0, 8)) t(sb)),
+             |cd AS (SELECT e.vec_id, cb.sb, cb.cw,
+             |    list_sum(list_transform(range(1, 9), i ->
+             |      (qv[CAST(cb.sb * 8 + i AS INT)] - cvec[CAST(i AS INT)]) *
+             |      (qv[CAST(cb.sb * 8 + i AS INT)] - cvec[CAST(i AS INT)])))
+             |      AS dv
+             |  FROM e, cb),
+             |codes AS (SELECT vec_id, sb, cw AS code FROM (
+             |    SELECT vec_id, sb, cw, row_number() OVER (
+             |      PARTITION BY vec_id, sb ORDER BY dv, cw) AS rn FROM cd)
+             |  WHERE rn = 1),
+             |q AS (SELECT vec_id AS q_id, qv AS q_qv FROM e
+             |  WHERE vec_id % 53 = 7 AND vec_id < 20000),
+             |qd AS (SELECT q_id, cb.sb, cb.cw,
+             |    list_sum(list_transform(range(1, 9), i ->
+             |      (q_qv[CAST(cb.sb * 8 + i AS INT)] - cvec[CAST(i AS INT)]) *
+             |      (q_qv[CAST(cb.sb * 8 + i AS INT)] - cvec[CAST(i AS INT)])))
+             |      AS qd
+             |  FROM q, cb),
+             |ap AS (SELECT qd.q_id, codes.vec_id AS n_id,
+             |    CAST(sum(qd.qd) AS BIGINT) AS adc
+             |  FROM codes JOIN qd ON codes.sb = qd.sb AND codes.code = qd.cw
+             |  WHERE codes.vec_id <> qd.q_id GROUP BY 1, 2),
+             |atop AS (SELECT q_id, n_id, adc FROM (
+             |    SELECT q_id, n_id, adc, row_number() OVER (
+             |      PARTITION BY q_id ORDER BY adc, n_id) AS rn FROM ap)
+             |  WHERE rn <= 10),
+             |ex AS (SELECT q_id, n_id FROM (
+             |    SELECT q.q_id, e.vec_id AS n_id, row_number() OVER (
+             |      PARTITION BY q.q_id ORDER BY
+             |        list_sum(list_transform(range(1, 65), i ->
+             |          (q_qv[CAST(i AS INT)] - qv[CAST(i AS INT)]) *
+             |          (q_qv[CAST(i AS INT)] - qv[CAST(i AS INT)]))),
+             |        e.vec_id) AS rn
+             |    FROM q JOIN e ON e.vec_id <> q.q_id)
+             |  WHERE rn <= 10),
+             |ov AS (SELECT atop.q_id, CAST(count(*) AS BIGINT) AS n_overlap
+             |  FROM atop JOIN ex USING (q_id, n_id) GROUP BY 1),
+             |asum AS (SELECT q_id, CAST(sum(adc) AS BIGINT) AS adc_sum
+             |  FROM atop GROUP BY 1)
+             |SELECT q.q_id, coalesce(ov.n_overlap, 0) AS n_overlap,
+             |  CAST(coalesce(ov.n_overlap, 0) * 1000000 // 10 AS BIGINT)
+             |    AS recall_ppm,
+             |  coalesce(asum.adc_sum, 0) AS adc_sum
+             |FROM q LEFT JOIN ov ON q.q_id = ov.q_id
+             |LEFT JOIN asum ON q.q_id = asum.q_id
+             |ORDER BY q.q_id""".stripMargin)),
+
+    // STREAMING FULL-OUTER JOIN (x207) — completes the stream-stream join
+    // family (x152 inner, x155 left-outer): BOTH sides' unmatched rows
+    // must null-emit, each under its OWN eviction frontier. The
+    // asymmetric conditions are the point of the gate: a signup's null
+    // row may emit only when the watermark proves no future purchase can
+    // match (s_ts + 4h < W — future purchases have p_ts > W), while a
+    // purchase's null row emits when no future SIGNUP can match
+    // (p_ts < W — matching signups need s_ts ≥ p_ts − 4h and s_ts < p_ts,
+    // and future arrivals sit above W). Purchases are staged two batches
+    // late for event_id % 6 = 1 (late-data drops on the right side flip
+    // rows from pair to BOTH-SIDES-NULL — the hardest case). The oracle
+    // reuses x155's calibrated watermark arithmetic (per-batch admitted
+    // filters, wmLate_b = W_{b-2}) and adds the right-null leg. NOTE:
+    // x155's interval-bucketing trick is deliberately ABSENT — exploding
+    // candidate buckets on either side would duplicate that side's null
+    // row; full-outer preserves BOTH sides, so the join runs on the raw
+    // range condition. Scale: state bounded by delay × arrival rate on
+    // both sides; the probe amplification the bucketing avoided is the
+    // price of two-sided preservation (priced, gate-sized here).
+    QueryDef(
+      "x207_stream_full_outer_join",
+      (s, d) => {
+        val staged = events(s, d)
+          .filter(col("event_type").isin("signup", "purchase"))
+          .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+            expr("""CAST(least(greatest(
+                   |  CAST(datediff(to_date(ts), DATE '2024-01-01') div 8 AS INT),
+                   |  0), 3) AS INT)""".stripMargin).as("q"))
+          .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+            expr("CAST(CASE WHEN event_type = 'purchase' AND event_id % 6 = 1 " +
+              "THEN least(q + 2, 3) ELSE q END AS INT)").as("b"))
+        val out = graft.streaming.StreamGate.replayStaged(
+          s, staged, "x207_events", "b", 4, "append") { stream =>
+          val left = stream.filter(col("event_type") === "signup")
+            .select(col("event_id").as("s_id"), col("user_id"),
+              col("ts").as("s_ts"))
+            .withWatermark("s_ts", "3 days")
+          val right = stream.filter(col("event_type") === "purchase")
+            .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+              col("ts").as("p_ts"))
+            .withWatermark("p_ts", "3 days")
+          left.join(right,
+              col("user_id") === col("p_user") &&
+                col("p_ts") > col("s_ts") &&
+                col("p_ts") <= col("s_ts") + expr("INTERVAL 4 HOURS"),
+              "full_outer")
+            .select(coalesce(col("user_id"), col("p_user")).as("uid"),
+              col("s_id"), unix_micros(col("s_ts")).as("s_us"),
+              col("p_id"), unix_micros(col("p_ts")).as("p_us"))
+        }
+        // NULLS LAST explicitly: Spark's default ASC is nulls-first while
+        // DuckDB's is nulls-last, and full-outer output has null keys on
+        // BOTH sides (x155 dodged this because only p_id could be null
+        // and never inside a sort group with a non-null p_id)
+        out.orderBy(col("uid"), col("s_id").asc_nulls_last,
+          col("p_id").asc_nulls_last)
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, event_type,
+             |    epoch_us(ts) AS us,
+             |    LEAST(GREATEST(date_diff('day', DATE '2024-01-01',
+             |      CAST(ts AS DATE)) // 8, 0), 3) AS q
+             |  FROM events WHERE event_type IN ('signup', 'purchase')),
+             |e AS (SELECT *, CASE WHEN event_type = 'purchase' AND event_id % 6 = 1
+             |    THEN LEAST(q + 2, 3) ELSE q END AS b FROM ev),
+             |mb AS (SELECT b,
+             |    max(CASE WHEN event_type = 'signup' THEN us END) AS ml,
+             |    max(CASE WHEN event_type = 'purchase' THEN us END) AS mr
+             |  FROM e GROUP BY b),
+             |rm AS (SELECT b,
+             |    max(ml) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cml,
+             |    max(mr) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cmr
+             |  FROM mb),
+             |w AS (SELECT b, LEAST((cml // 1000) * 1000, (cmr // 1000) * 1000)
+             |    - 259200000000 AS wv FROM rm),
+             |wl AS (SELECT b, lag(wv, 2) OVER (ORDER BY b) AS wm_late FROM w),
+             |sa AS (SELECT e.event_id AS s_id, e.user_id, e.us AS s_us
+             |  FROM e JOIN wl ON e.b = wl.b
+             |  WHERE e.event_type = 'signup'
+             |    AND (wl.wm_late IS NULL OR e.us > wl.wm_late)),
+             |pa AS (SELECT e.event_id AS p_id, e.user_id, e.us AS p_us
+             |  FROM e JOIN wl ON e.b = wl.b
+             |  WHERE e.event_type = 'purchase'
+             |    AND (wl.wm_late IS NULL OR e.us > wl.wm_late)),
+             |pairs AS (SELECT sa.user_id AS uid, sa.s_id, sa.s_us, pa.p_id,
+             |    pa.p_us
+             |  FROM sa JOIN pa ON pa.user_id = sa.user_id
+             |    AND pa.p_us > sa.s_us AND pa.p_us <= sa.s_us + 14400000000),
+             |fin AS (SELECT wv AS wfin FROM w WHERE b = 3),
+             |lnull AS (SELECT sa.user_id AS uid, sa.s_id, sa.s_us,
+             |    CAST(NULL AS BIGINT) AS p_id, CAST(NULL AS BIGINT) AS p_us
+             |  FROM sa, fin
+             |  WHERE sa.s_us + 14400000000 < fin.wfin
+             |    AND NOT EXISTS (SELECT 1 FROM pairs p WHERE p.s_id = sa.s_id)),
+             |rnull AS (SELECT pa.user_id AS uid, CAST(NULL AS BIGINT) AS s_id,
+             |    CAST(NULL AS BIGINT) AS s_us, pa.p_id, pa.p_us
+             |  FROM pa, fin
+             |  WHERE pa.p_us < fin.wfin
+             |    AND NOT EXISTS (SELECT 1 FROM pairs p WHERE p.p_id = pa.p_id))
+             |SELECT uid, s_id, s_us, p_id, p_us FROM pairs
+             |UNION ALL SELECT uid, s_id, s_us, p_id, p_us FROM lnull
+             |UNION ALL SELECT uid, s_id, s_us, p_id, p_us FROM rnull
+             |ORDER BY uid, s_id, p_id""".stripMargin)),
+
+    // HTML TEXT EXTRACTION (x208) — the step between the container walks
+    // (WARC x117, gzip x118, composed crawl ingest x121) and every text
+    // operator in the catalog: crawl pipelines feed dedup/quality/
+    // tokenization with EXTRACTED text, not markup. ops/HtmlText runs
+    // the five-stage codegen'd pipeline (comments → script/style blocks
+    // → tags → entity decode — amp LAST, so text that SPELLS a tag
+    // survives as text — → whitespace collapse). Paired construction
+    // with an ARITHMETIC ground truth (the x198/x158 discipline): both
+    // engines assemble the same HTML from corpus-derived tokens — with
+    // quoted markup INSIDE the script body (a lazy close-tag regex leak
+    // flips the hash), a '>' inside the style body, uppercase tag
+    // variants, an &amp; inside an href (must vanish with its tag), and
+    // entity-spelled markup in text position — and the ORACLE never
+    // parses HTML at all: it predicts the extracted text directly from
+    // the pieces, so any mis-extraction (leaked script text, eaten
+    // entities, bad collapse) breaks the per-doc md5. Scale: narrow
+    // per-row string work inside codegen, no shuffle before the
+    // presentation sort.
+    QueryDef(
+      "x208_html_extract",
+      (s, d) => {
+        val cleaned = (1 to 8).map(i =>
+          regexp_replace(element_at(col("tk"), i), "[^a-z]", "").as(s"c$i"))
+        val base = documents(s, d).filter(col("doc_id") < 3000)
+          .select(col("doc_id"), tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 8)
+          .select(col("doc_id") +: cleaned: _*)
+          .filter((1 to 8).map(i => length(col(s"c$i")) > 0).reduce(_ && _))
+        val html = concat(
+          lit("<html><head><title> "), col("c1"), lit(" </title>"),
+          lit("<SCRIPT type=\"text/javascript\">var x = '<p>not text</p>';" +
+            "</SCRIPT><style>\n.c > div { color: red; }\n</style>" +
+            "</head><body><h1>"), col("c2"),
+          lit("</h1><P>"), col("c3"), lit(" &amp; "), col("c4"),
+          lit("&nbsp;<a href=\"http://ex.com/?a=1&amp;b=2\">"), col("c5"),
+          lit("</a></P><div><p>"), col("c6"), lit("<br/>"), col("c7"),
+          lit("&#39;s &lt;tag&gt;</p></div><!-- hidden "), col("c8"),
+          lit(" --></body></html>"))
+        base.withColumn("txt", graft.ops.HtmlText.extract(html))
+          .withColumn("title", graft.ops.HtmlText.title(html))
+          .select(col("doc_id"), col("title"),
+            size(split(col("txt"), " ")).cast(LongType).as("n_tok"),
+            length(col("txt")).cast(LongType).as("text_len"),
+            md5(col("txt").cast("binary")).as("text_md5"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, $tokensSql AS tk FROM documents
+              |  WHERE doc_id < 3000),
+              |c AS (SELECT doc_id,
+              |    regexp_replace(tk[1], '[^a-z]', '', 'g') AS c1,
+              |    regexp_replace(tk[2], '[^a-z]', '', 'g') AS c2,
+              |    regexp_replace(tk[3], '[^a-z]', '', 'g') AS c3,
+              |    regexp_replace(tk[4], '[^a-z]', '', 'g') AS c4,
+              |    regexp_replace(tk[5], '[^a-z]', '', 'g') AS c5,
+              |    regexp_replace(tk[6], '[^a-z]', '', 'g') AS c6,
+              |    regexp_replace(tk[7], '[^a-z]', '', 'g') AS c7,
+              |    regexp_replace(tk[8], '[^a-z]', '', 'g') AS c8
+              |  FROM tk WHERE len(tk) >= 8),
+              |f AS (SELECT * FROM c
+              |  WHERE length(c1) > 0 AND length(c2) > 0 AND length(c3) > 0
+              |    AND length(c4) > 0 AND length(c5) > 0 AND length(c6) > 0
+              |    AND length(c7) > 0 AND length(c8) > 0),
+              |p AS (SELECT doc_id, c1 AS title,
+              |    c1 || ' ' || c2 || ' ' || c3 || ' & ' || c4 || ' ' || c5 ||
+              |      ' ' || c6 || ' ' || c7 || '''s <tag>' AS txt
+              |  FROM f)
+              |SELECT doc_id, title,
+              |  CAST(len(string_split(txt, ' ')) AS BIGINT) AS n_tok,
+              |  CAST(length(txt) AS BIGINT) AS text_len,
+              |  md5(txt) AS text_md5
+              |FROM p ORDER BY doc_id""".stripMargin))
   )
 
   /** Shared by x198/x202: byte-level pretokens (doc_id, ti, m) over the

@@ -102,6 +102,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
 
+  test("x206's PQ encode and ADC scoring join only broadcasts — never corpus²") {
+    val p = plans("x206_pq_adc")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus-sized shuffled join in the PQ path:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("x208's extraction is narrow codegen string work — no join, no operator shuffle") {
+    val p = plans("x208_html_extract")
+    assert(!p.contains("Join"), p)
+    assert(opExchanges(p) == 0, s"extraction must not hash-shuffle:\n$p")
+  }
+
   test("q71's correlated LIMIT decorrelates to a WindowGroupLimit top-k, not a per-row rescan") {
     val p = plans("q71_lateral_join")
     assert(p.contains("WindowGroupLimit"), p)
