@@ -13312,8 +13312,155 @@ object PipelineQueries {
               |  CAST(len(string_split(txt, ' ')) AS BIGINT) AS n_tok,
               |  CAST(length(txt) AS BIGINT) AS text_len,
               |  md5(txt) AS text_md5
-              |FROM p ORDER BY doc_id""".stripMargin))
+              |FROM p ORDER BY doc_id""".stripMargin)),
+
+    // ARROW IPC STREAM DECODE (x209) — the interchange format the modern
+    // lake moves bytes in (Spark↔pandas, Flight, dataset exchange),
+    // extending the hand-decode family (parquet x194/x200/x204, ORC
+    // x175, Avro x178) to Arrow's encapsulated-message framing AND the
+    // flatbuffers wire format itself: ops/ArrowIpc walks continuation +
+    // metadata-length frames, reads Message/Schema/Field/RecordBatch
+    // flatbuffer tables directly (vtable slots, signed soffsets, inline
+    // FieldNode/Buffer structs), and decodes validity bitmaps, INT64 /
+    // FLOAT8 data buffers, and UTF8 offset+data buffers. DIFFERENTIAL:
+    // the streams are written per partition by ARROW-JAVA (Spark's own
+    // vendored arrow — executor-side mapPartitions, never a driver
+    // materialization) and every value fact must match the ORACLE's
+    // arithmetic prediction from the generating formulas — the decoder
+    // sits between two independent constructions. Per-node null counts
+    // are cross-checked against the decoded bitmaps; dictionary batches,
+    // nested fields, and compressed batches route to ok = false
+    // (ArrowIpcSpec adds the truncation/flip fuzz and the arrow-java
+    // round-trip at spec level). Sums stay order-free exact: ints in
+    // Long, doubles as multiples of 1/8 below 2^53. Scale: one stream
+    // per partition, decode is a narrow per-blob walk — x194's shape on
+    // the wire format one layer up.
+    QueryDef(
+      "x209_arrow_ipc",
+      (s, d) => {
+        import s.implicits._
+        val bound = orders(s, d).agg(min("o_orderkey").cast(LongType))
+          .first().getLong(0) + 8000L
+        val k = col("o_orderkey").cast(LongType)
+        val src = orders(s, d).filter(col("o_orderkey") <= bound).select(
+          k.as("k"),
+          when(k % 7 === 0, lit(null).cast(LongType))
+            .otherwise((k * 31L) % 97L).as("v"),
+          when(k % 13 === 0, lit(null).cast("double"))
+            .otherwise((k % 40L).cast("double") / 8.0).as("f"),
+          when(k % 9 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("prefix-"), k % 37L, lit("-value-"),
+              (k * 13L) % 101L)).as("s"))
+        val blobs = src.repartition(4, pmod(col("k"), lit(4)))
+          .mapPartitions(it => Iterator.single(arrowStreamBytes(it, 1000)))
+        val decoded = blobs.map(graft.ops.ArrowIpc.decode).toDF()
+        val sagg = decoded.agg(count(lit(1)).as("ns"),
+          min(col("ok").cast("int")).as("oks"))
+        decoded
+          .select(col("ok").cast("int").as("sok"), explode(col("cols")).as("c"))
+          .select(col("sok"), col("c.*"))
+          .withColumn("sv",
+            when(col("typ") === "int64", col("sum_long").cast("double"))
+              .when(col("typ") === "float64", col("sum_double"))
+              .otherwise(col("sum_len").cast("double")))
+          .groupBy(col("name").as("col_name"), col("typ"))
+          .agg(count(lit(1)).as("nsc"), sum("n_values").as("n_values"),
+            sum("n_nulls").as("n_nulls"), sum("sv").as("sum_v"),
+            min(when(col("typ") === "int64", col("min_long"))).as("mn"),
+            max(when(col("typ") === "int64", col("max_long"))).as("mx"),
+            min(col("ok").cast("int")).as("okc"),
+            min(col("sok")).as("soks"))
+          .crossJoin(broadcast(sagg))
+          .select(col("col_name"), col("typ"),
+            col("ns").cast(LongType).as("n_streams"),
+            col("n_values"), col("n_nulls"), col("sum_v"),
+            coalesce(col("mn"), lit(0L)).as("min_v"),
+            coalesce(col("mx"), lit(0L)).as("max_v"),
+            (col("okc") === 1 && col("soks") === 1 && col("oks") === 1 &&
+              col("nsc") === col("ns")).as("ok_all"))
+          .orderBy("col_name")
+      },
+      Some("""WITH bd AS (SELECT min(o_orderkey) + 8000 AS bound FROM orders),
+             |src AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders, bd
+             |  WHERE o_orderkey <= bound),
+             |fv AS (SELECT k,
+             |    CASE WHEN k % 7 = 0 THEN NULL ELSE (k * 31) % 97 END AS v,
+             |    CASE WHEN k % 13 = 0 THEN NULL
+             |      ELSE CAST(k % 40 AS DOUBLE) / 8.0 END AS f,
+             |    CASE WHEN k % 9 = 0 THEN NULL
+             |      ELSE 'prefix-' || CAST(k % 37 AS VARCHAR) || '-value-' ||
+             |        CAST((k * 13) % 101 AS VARCHAR) END AS s
+             |  FROM src)
+             |SELECT col_name, typ, CAST(4 AS BIGINT) AS n_streams, n_values,
+             |  n_nulls, sum_v, min_v, max_v, TRUE AS ok_all
+             |FROM (
+             |  SELECT 'f' AS col_name, 'float64' AS typ,
+             |    CAST(count(f) AS BIGINT) AS n_values,
+             |    CAST(count(*) - count(f) AS BIGINT) AS n_nulls,
+             |    CAST(sum(f) AS DOUBLE) AS sum_v,
+             |    CAST(0 AS BIGINT) AS min_v, CAST(0 AS BIGINT) AS max_v
+             |  FROM fv
+             |  UNION ALL SELECT 'k', 'int64', CAST(count(*) AS BIGINT),
+             |    CAST(0 AS BIGINT), CAST(sum(k) AS DOUBLE),
+             |    CAST(min(k) AS BIGINT), CAST(max(k) AS BIGINT) FROM fv
+             |  UNION ALL SELECT 's', 'utf8', CAST(count(s) AS BIGINT),
+             |    CAST(count(*) - count(s) AS BIGINT),
+             |    CAST(sum(length(s)) AS DOUBLE),
+             |    CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM fv
+             |  UNION ALL SELECT 'v', 'int64', CAST(count(v) AS BIGINT),
+             |    CAST(count(*) - count(v) AS BIGINT),
+             |    CAST(sum(v) AS DOUBLE), CAST(min(v) AS BIGINT),
+             |    CAST(max(v) AS BIGINT) FROM fv)
+             |ORDER BY col_name""".stripMargin))
   )
+
+  /** Engine-side Arrow IPC stream writer for the x209 gate: one stream of
+    * (k BIGINT NOT NULL, v BIGINT, f FLOAT8, s UTF8) rows in `batchRows`-
+    * row record batches, written with ARROW-JAVA — the differential
+    * subject ops/ArrowIpc then hand-decodes. Runs per partition on
+    * executors (never a driver materialization); the allocator is
+    * task-local and closed in finally. */
+  private def arrowStreamBytes(rows: Iterator[org.apache.spark.sql.Row],
+      batchRows: Int): Array[Byte] = {
+    System.setProperty("io.netty.tryReflectionSetAccessible", "true")
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector._
+    import org.apache.arrow.vector.ipc.ArrowStreamWriter
+    import org.apache.arrow.vector.types.FloatingPointPrecision
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
+    val schema = new Schema(java.util.Arrays.asList(
+      new Field("k", FieldType.notNullable(new ArrowType.Int(64, true)), null),
+      new Field("v", FieldType.nullable(new ArrowType.Int(64, true)), null),
+      new Field("f", FieldType.nullable(
+        new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)), null),
+      new Field("s", FieldType.nullable(new ArrowType.Utf8()), null)))
+    val alloc = new RootAllocator()
+    val root = VectorSchemaRoot.create(schema, alloc)
+    val bos = new java.io.ByteArrayOutputStream()
+    val w = new ArrowStreamWriter(root, null,
+      java.nio.channels.Channels.newChannel(bos))
+    try {
+      w.start()
+      rows.grouped(math.max(batchRows, 1)).foreach { chunk =>
+        root.allocateNew()
+        val kv = root.getVector("k").asInstanceOf[BigIntVector]
+        val vv = root.getVector("v").asInstanceOf[BigIntVector]
+        val fv = root.getVector("f").asInstanceOf[Float8Vector]
+        val sv = root.getVector("s").asInstanceOf[VarCharVector]
+        chunk.zipWithIndex.foreach { case (r, i) =>
+          kv.setSafe(i, r.getLong(0))
+          if (r.isNullAt(1)) vv.setNull(i) else vv.setSafe(i, r.getLong(1))
+          if (r.isNullAt(2)) fv.setNull(i) else fv.setSafe(i, r.getDouble(2))
+          if (r.isNullAt(3)) sv.setNull(i)
+          else sv.setSafe(i, r.getString(3).getBytes("UTF-8"))
+        }
+        root.setRowCount(chunk.size)
+        w.writeBatch()
+      }
+      w.end()
+      bos.toByteArray
+    } finally { w.close(); root.close(); alloc.close() }
+  }
 
   /** Shared by x198/x202: byte-level pretokens (doc_id, ti, m) over the
     * paired probe corpus — the ENGINE side runs the real GPT-2 regex

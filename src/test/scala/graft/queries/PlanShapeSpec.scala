@@ -116,6 +116,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(opExchanges(p) == 0, s"extraction must not hash-shuffle:\n$p")
   }
 
+  test("x209's arrow decode is one explicit repartition + a bounded rollup — no shuffled join") {
+    val p = plans("x209_arrow_ipc")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct"), p)
+    // the explicit 4-way repartition + the 4-column fact rollup
+    assert(opExchanges(p) <= 2, s"unexpected exchanges:\n$p")
+  }
+
   test("q71's correlated LIMIT decorrelates to a WindowGroupLimit top-k, not a per-row rescan") {
     val p = plans("q71_lateral_join")
     assert(p.contains("WindowGroupLimit"), p)
