@@ -160,9 +160,19 @@ object Bench {
     // SPARK_GRAFT_FORK=<n> overrides the chunk size; SPARK_GRAFT_FORK=0
     // forces the inline single-JVM path. Runs restricted by args (local
     // iteration) stay inline — they ARE the child path.
-    val fork = sys.env.get("SPARK_GRAFT_FORK").flatMap(_.toIntOption) match {
-      case Some(n) if n > 0 => Some(n)
-      case Some(_) => None // explicit 0: inline
+    val fork = sys.env.get("SPARK_GRAFT_FORK") match {
+      case Some(v) => v.toIntOption match {
+        case Some(n) if n > 0 => Some(n)
+        case Some(_) => None // explicit 0 (or negative): inline
+        case None =>
+          // set-but-unparseable ("true", a typo) is an ERROR, not a silent
+          // fall-through to the forked default: the caller asked for a
+          // specific mode and didn't get it
+          System.err.println(
+            s"[bench] SPARK_GRAFT_FORK='$v' is not an integer " +
+              "(expected a chunk size, or 0 for inline)")
+          sys.exit(2)
+      }
       case None => Some(24) // the SCALE.md 100×-pass chunk size
     }
     if (fork.isDefined && args.isEmpty) { forkedMain(fork.get); return }

@@ -155,7 +155,10 @@ object ArrowIpc {
       val headerType = fb.fI8(msg, 1, 0)
       val header = fb.fOff(msg, 2)
       val bodyLen = fb.fI64(msg, 3, 0L)
-      if (bodyLen < 0 || metaHi + bodyLen > bytes.length) return bad
+      // each operand bounded BEFORE adding: a forged bodyLength near
+      // Long.MaxValue would wrap `metaHi + bodyLen` negative and pass —
+      // same overflow discipline as deltaBinaryPacked
+      if (bodyLen < 0 || bodyLen > bytes.length - metaHi) return bad
       val bodyLo = metaHi
       headerType match {
         case 1 => // Schema: endianness(0) fields(1)
@@ -238,15 +241,23 @@ object ArrowIpc {
                 else ((bytes(byteAt.toInt) >> (r & 7L).toInt) & 1) == 1
               }
             }
-            if (vLen != 0L && (vOff < 0 || vOff + ((fLen + 7) / 8) > bodyLen))
+            // vOff is an attacker-controlled i64: bound it against bodyLen
+            // before any addition (wrapped sums pass `a + b > lim` checks)
+            if (vLen != 0L && (vOff < 0 || vOff > bodyLen ||
+              (fLen + 7) / 8 > bodyLen - vOff))
               return bad
             var localNulls = 0L
             fields(fi).typ match {
               case "utf8" =>
                 val (oOff, oLen) = buffer(bi + 1)
                 val (dOff, dLen) = buffer(bi + 2)
-                if (oOff < 0 || oLen < 4L * (fLen + 1) ||
-                  oOff + oLen > bodyLen || dOff < 0 || dOff + dLen > bodyLen)
+                // offsets/lengths are raw i64s from the buffer vector:
+                // bound each independently before adding, or two huge
+                // values wrap negative and pass the combined check
+                if (oOff < 0 || oLen < 0 || oOff > bodyLen ||
+                  oLen > bodyLen - oOff || oLen < 4L * (fLen + 1) ||
+                  dOff < 0 || dLen < 0 || dOff > bodyLen ||
+                  dLen > bodyLen - dOff)
                   return bad
                 var r = 0L
                 while (r < fLen) {
@@ -261,7 +272,8 @@ object ArrowIpc {
                 }
               case t =>
                 val (dOff, dLen) = buffer(bi + 1)
-                if (dOff < 0 || dLen < 8L * fLen || dOff + dLen > bodyLen)
+                if (dOff < 0 || dLen < 0 || dOff > bodyLen ||
+                  dLen > bodyLen - dOff || dLen < 8L * fLen)
                   return bad
                 var r = 0L
                 while (r < fLen) {

@@ -1049,11 +1049,23 @@ object ParquetPages {
       }
   }
 
+  /** decodeChunk internally accepts either integer physical type (INT64
+    * and INT32 share the sign-extended Long fact schema); the PUBLIC
+    * typed entry points must not — int64Column silently decoding an
+    * INT32 column would weaken the typed-API contract, so the expected
+    * physical type is enforced here and a mismatch routes to ok=false. */
+  private def decodeChunkTyped(expectPhys: Int)(
+      chunk: Array[Byte], loc: ChunkLoc, file: String): Int64ChunkDecode =
+    if (loc.physType != expectPhys)
+      Int64ChunkDecode(file, loc.grp, 0L, 0L, 0L, 0L, 0L, 0L,
+        Long.MaxValue, Long.MinValue, ok = false)
+    else decodeChunk(chunk, loc, file)
+
   /** One row per (part file, row group): the INT64 column chunk of
     * `column` hand-decoded page by page (v1 + v2 pages). */
   def int64Column(spark: SparkSession, path: String, column: String): DataFrame = {
     import spark.implicits._
-    chunkRows(spark, path, Seq(column))(decodeChunk) { (f, loc) =>
+    chunkRows(spark, path, Seq(column))(decodeChunkTyped(2)) { (f, loc) =>
       Int64ChunkDecode(f, loc.grp, 0L, 0L, 0L, 0L, 0L, 0L,
         Long.MaxValue, Long.MinValue, ok = false)
     }.toDF()
@@ -1064,7 +1076,7 @@ object ParquetPages {
     * fact schema — PLAIN / DELTA_BINARY_PACKED / dictionary). */
   def int32Column(spark: SparkSession, path: String, column: String): DataFrame = {
     import spark.implicits._
-    chunkRows(spark, path, Seq(column))(decodeChunk) { (f, loc) =>
+    chunkRows(spark, path, Seq(column))(decodeChunkTyped(1)) { (f, loc) =>
       Int64ChunkDecode(f, loc.grp, 0L, 0L, 0L, 0L, 0L, 0L,
         Long.MaxValue, Long.MinValue, ok = false)
     }.toDF()

@@ -12602,7 +12602,11 @@ object PipelineQueries {
           .unionByName(base.filter(col("doc_id") % 11 === 3)
             .select((col("doc_id") + 30000000L).as("doc_id"), col("source"),
               revText.as("text")))
-          .unionByName(base.filter(col("doc_id") % 13 === 5)
+          // exclude the pair residue (%11==3): a doc in both waves would
+          // give the "fresh" wave a reversed twin in-batch, so its rows
+          // would NOT be span-free and the wave label would lie
+          .unionByName(base.filter(col("doc_id") % 13 === 5 &&
+              col("doc_id") % 11 =!= 3)
             .select((col("doc_id") + 40000000L).as("doc_id"), col("source"),
               revText.as("text")))
         graft.ops.MaximalRepeats
@@ -12630,7 +12634,7 @@ object PipelineQueries {
              |  UNION ALL SELECT doc_id + 30000000, source, text FROM rev
              |    WHERE doc_id % 11 = 3
              |  UNION ALL SELECT doc_id + 40000000, source, text FROM rev
-             |    WHERE doc_id % 13 = 5),
+             |    WHERE doc_id % 13 = 5 AND doc_id % 11 <> 3),
              |t AS (SELECT doc_id, source,
              |    list_filter(string_split(text, ' '), x -> x <> '') AS tk
              |  FROM uni),
