@@ -13415,7 +13415,279 @@ object PipelineQueries {
              |    CAST(count(*) - count(v) AS BIGINT),
              |    CAST(sum(v) AS DOUBLE), CAST(min(v) AS BIGINT),
              |    CAST(max(v) AS BIGINT) FROM fv)
-             |ORDER BY col_name""".stripMargin))
+             |ORDER BY col_name""".stripMargin)),
+
+    // TRAINED IVF-PQ (x210) — the FAISS IVFADC layout, composed from the
+    // two existing gates: x23's driver-held Lloyd training becomes the
+    // COARSE quantizer (k = 8, range-bucket init → assign → floor-mean
+    // update → assign, all integer-exact), and x206's PQ machinery gains
+    // TRAINED per-subspace codebooks over the COARSE RESIDUALS (m = 8
+    // subspaces × 8 dims, kpq = 16; x206's %31-sample now only SEEDS one
+    // Lloyd round: assign → floor-mean update → final codes). The search
+    // is ADC restricted to the query's probed coarse cluster (nprobe = 1
+    // — the assignment argmin IS the nearest-centroid rule), never the
+    // corpus, and the gate proves that IN-BAND: n_cands (candidates
+    // actually ADC-scored per query) is an output column both engines
+    // must agree on, bounded by cluster occupancy (the spec pins
+    // max(n_cands) < corpus). Everything is integer-exact (±127
+    // quantized elements, residuals ≤ ±254 after floor-mean centroids,
+    // per-subspace dv ≤ 8·508², adc ≤ 2²⁵ ≪ 2⁵³) so the hash gate holds
+    // bit-for-bit. Referee: recall@10 against the exact integer-L2
+    // top-10 over the FULL corpus (the only corpus×queries scan here —
+    // gate referee, not production path). Scale: training is k·dim
+    // driver-held model state + two narrow IntDotProduct assignment
+    // passes (x23's shape); encode is corpus × m rows against a
+    // broadcast ≤128-row codebook; ADC joins cluster occupants to
+    // broadcast per-query tables — query cost tracks occupancy, not
+    // corpus size.
+    QueryDef(
+      "x210_ivf_pq_trained",
+      (s, d) => {
+        def l2(a: String, b: String) =
+          s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        val e0 = embeddings(s, d).select("vec_id", "embedding")
+        val g = e0.agg(max(expr(
+          "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")).as("g"))
+        val e = e0.crossJoin(broadcast(g))
+          .select(col("vec_id"), expr(
+            "CASE WHEN g = 0.0 THEN array_repeat(CAST(0 AS BIGINT), " +
+              "size(embedding)) ELSE transform(embedding, x -> " +
+              "CAST(round(CAST(x AS DOUBLE) * 127 / g) AS BIGINT)) END").as("qv"))
+          .localCheckpoint(true) // training + encode + queries + exact side
+        // —— coarse quantizer: x23's driver-held Lloyd, L2 metric ——
+        val kIvf = 8
+        val r0 = e.agg(min(col("vec_id")), max(col("vec_id"))).head()
+        val (mn, mx) = (r0.getLong(0), r0.getLong(1))
+        val step = math.max(1L, (mx - mn + 1) / kIvf)
+        val c0 = e
+          .groupBy(least(floor((col("vec_id") - mn) / step), lit(kIvf - 1L))
+            .cast("long").as("cid"))
+          .agg(min_by(col("qv"), col("vec_id")).as("cv"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+          .sortBy(_._1)
+        // argmin_c L2(v,c) = argmin_c (|c|² − 2·v·c): one narrow codegen
+        // pass scoring all k centroids via the native IntDotProduct —
+        // integer scores, tie → smallest cid (struct min ordering)
+        def assignC(cents: Array[(Long, Array[Long])]): DataFrame = {
+          val scored = array(cents.map { case (cid, arr) =>
+            val nc2 = arr.map(x => x * x).sum
+            struct(
+              (lit(nc2) - lit(2L) *
+                graft.functions.IntDotProduct.intDot(col("qv"), typedLit(arr)))
+                .as("sc"),
+              lit(cid).as("cid"))
+          }: _*)
+          e.withColumn("cent_id", array_min(scored).getField("cid"))
+        }
+        // centroid update: floor(mean) per (cid, pos) — k×dim model rows
+        def updateC(assigned: DataFrame): Array[(Long, Array[Long])] =
+          assigned.select(col("cent_id"), posexplode(col("qv")))
+            .groupBy("cent_id", "pos")
+            .agg(floor(sum(col("col")).cast(DoubleType) / count(lit(1)))
+              .cast("long").as("cq"))
+            .collect().groupBy(_.getLong(0)).toArray
+            .map { case (cid, rs) =>
+              (cid, rs.sortBy(_.getInt(1)).map(_.getLong(2)))
+            }
+            .sortBy(_._1)
+        val c1 = updateC(assignC(c0))
+        val a2 = assignC(c1).localCheckpoint(true) // vec_id, qv, cent_id
+        // —— residuals vs the trained coarse centroid ——
+        import s.implicits._
+        val centDf = c1.toSeq.map { case (cid, arr) => (cid, arr.toSeq) }
+          .toDF("cent_id", "cv")
+        val res = a2.join(broadcast(centDf), Seq("cent_id"))
+          .select(col("vec_id"), col("cent_id"),
+            expr("zip_with(qv, cv, (x, y) -> x - y)").as("rv"))
+          .localCheckpoint(true)
+        // —— PQ codebooks: x206's %31 sample SEEDS one Lloyd round ——
+        val cb0 = res.filter(col("vec_id") % 31 === 1)
+          .withColumn("rk", row_number().over(Window.orderBy("vec_id")))
+          .filter(col("rk") <= 16)
+          .select((col("rk") - 1).cast(LongType).as("cw"),
+            posexplode(expr(
+              "transform(sequence(0, 7), t -> slice(rv, t * 8 + 1, 8))"))
+              .as(Seq("sb", "cvec")))
+          .localCheckpoint(true) // ≤ m·kpq = 128 rows — bounded model state
+        val sub = res.select(col("vec_id"), col("cent_id"),
+            posexplode(expr(
+              "transform(sequence(0, 7), t -> slice(rv, t * 8 + 1, 8))"))
+              .as(Seq("sb", "sub")))
+          .localCheckpoint(true) // read by train-assign AND final encode
+        def pqAssign(cb: DataFrame): DataFrame =
+          sub.join(broadcast(cb), Seq("sb"))
+            .withColumn("dv", expr(l2("sub", "cvec")))
+            .groupBy("vec_id", "cent_id", "sb")
+            .agg(min(struct(col("dv"), col("cw"))).getField("cw").as("cw"))
+        val cb1 = pqAssign(cb0).select("vec_id", "sb", "cw")
+          .join(sub.select("vec_id", "sb", "sub"), Seq("vec_id", "sb"))
+          .select(col("sb"), col("cw"), posexplode(col("sub")).as(Seq("p", "v")))
+          .groupBy("sb", "cw", "p")
+          .agg(floor(sum(col("v")).cast(DoubleType) / count(lit(1)))
+            .cast("long").as("cv"))
+          .groupBy("sb", "cw")
+          .agg(expr("transform(array_sort(collect_list(struct(p, cv))), x -> x.cv)")
+            .as("cvec"))
+          .localCheckpoint(true) // trained codebooks (empty codewords drop)
+        val codes = pqAssign(cb1).withColumnRenamed("cw", "code")
+        // —— query side: probe ONE cluster, ADC against trained books ——
+        val q = res.filter(col("vec_id") % 53 === 7 && col("vec_id") < 20000)
+          .select(col("vec_id").as("q_id"), col("cent_id").as("q_cent"),
+            col("rv").as("q_rv"))
+          .localCheckpoint(true) // bounded query sample (x69/x124 argument)
+        val qd = q.crossJoin(broadcast(cb1))
+          .withColumn("qd", expr(l2("slice(q_rv, sb * 8 + 1, 8)", "cvec")))
+          .select(col("q_id"), col("q_cent"), col("sb").as("qsb"),
+            col("cw").as("qcw"), col("qd"))
+        val ap = codes
+          .join(broadcast(qd),
+            col("cent_id") === col("q_cent") && col("sb") === col("qsb") &&
+              col("code") === col("qcw"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .groupBy(col("q_id"), col("vec_id").as("n_id"))
+          .agg(sum(col("qd")).as("adc"))
+          .localCheckpoint(true) // n_cands + top-k both read it
+        val nCands = ap.groupBy("q_id").agg(count(lit(1)).as("n_cands"))
+        val atop = ap
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("adc"), col("n_id"))))
+          .filter(col("rn") <= 10)
+          .select("q_id", "n_id", "adc")
+          .localCheckpoint(true) // overlap + adc_sum both read it
+        // —— referee: exact integer-L2 top-10 over the FULL corpus ——
+        val qfull = a2.filter(col("vec_id") % 53 === 7 && col("vec_id") < 20000)
+          .select(col("vec_id").as("q_id"), col("qv").as("q_qv"))
+          .localCheckpoint(true)
+        val exact = e.select(col("vec_id").as("n_id"), col("qv").as("n_qv"))
+          .join(broadcast(qfull), col("n_id") =!= col("q_id"))
+          .withColumn("dist", expr(l2("q_qv", "n_qv")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("dist"), col("n_id"))))
+          .filter(col("rn") <= 10)
+          .select("q_id", "n_id")
+        val ov = atop.join(broadcast(exact), Seq("q_id", "n_id"))
+          .groupBy("q_id").agg(count(lit(1)).as("n_overlap"))
+        val asum = atop.groupBy("q_id").agg(sum(col("adc")).as("adc_sum"))
+        qfull.select("q_id")
+          .join(broadcast(nCands), Seq("q_id"), "left")
+          .join(broadcast(ov), Seq("q_id"), "left")
+          .join(broadcast(asum), Seq("q_id"), "left")
+          .select(col("q_id"),
+            coalesce(col("n_cands"), lit(0L)).cast(LongType).as("n_cands"),
+            coalesce(col("n_overlap"), lit(0L)).cast(LongType).as("n_overlap"),
+            expr("CAST(coalesce(n_overlap, 0) * 1000000 div 10 AS BIGINT)")
+              .as("recall_ppm"),
+            coalesce(col("adc_sum"), lit(0L)).cast(LongType).as("adc_sum"))
+          .orderBy("q_id")
+      },
+      Some("""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+             |  FROM embeddings),
+             |g AS (SELECT max(list_max(list_transform(emb, x -> abs(x))))
+             |    AS g FROM e0),
+             |e AS (SELECT vec_id,
+             |    CASE WHEN g.g = 0.0
+             |      THEN list_transform(emb, x -> CAST(0 AS BIGINT))
+             |      ELSE list_transform(emb, x ->
+             |        CAST(round(x * 127 / g.g) AS BIGINT)) END AS qv
+             |  FROM e0, g),
+             |ee AS (SELECT vec_id, generate_subscripts(qv, 1) AS pos,
+             |    unnest(qv) AS q FROM e),
+             |b AS (SELECT min(vec_id) AS mn, max(vec_id) AS mx FROM e),
+             |p AS (SELECT mn,
+             |    greatest(1, CAST(floor((mx - mn + 1) / 8.0) AS BIGINT)) AS step
+             |  FROM b),
+             |reps AS (SELECT least(CAST(floor((v.vec_id - p.mn) / p.step)
+             |      AS BIGINT), 7) AS cid, min(v.vec_id) AS rep
+             |  FROM (SELECT DISTINCT vec_id FROM e) v, p GROUP BY 1),
+             |c0 AS (SELECT r.cid, ee.pos, ee.q AS cq
+             |  FROM ee JOIN reps r ON ee.vec_id = r.rep),
+             |d1 AS (SELECT ee.vec_id, c.cid,
+             |    sum((ee.q - c.cq) * (ee.q - c.cq)) AS l2
+             |  FROM ee JOIN c0 c USING (pos) GROUP BY 1, 2),
+             |a1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY l2, cid) AS rn
+             |  FROM d1) WHERE rn = 1),
+             |c1 AS (SELECT a1.cid, ee.pos,
+             |    CAST(floor(CAST(sum(ee.q) AS DOUBLE) / count(*)) AS BIGINT) AS cq
+             |  FROM ee JOIN a1 USING (vec_id) GROUP BY 1, 2),
+             |d2 AS (SELECT ee.vec_id, c.cid,
+             |    sum((ee.q - c.cq) * (ee.q - c.cq)) AS l2
+             |  FROM ee JOIN c1 c USING (pos) GROUP BY 1, 2),
+             |a2 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY l2, cid) AS rn
+             |  FROM d2) WHERE rn = 1),
+             |re AS (SELECT ee.vec_id, a2.cid, ee.pos, ee.q - c1.cq AS r
+             |  FROM ee JOIN a2 USING (vec_id)
+             |  JOIN c1 ON c1.cid = a2.cid AND c1.pos = ee.pos),
+             |sube AS (SELECT vec_id, cid, (pos - 1) // 8 AS sb,
+             |    (pos - 1) % 8 + 1 AS sp, r FROM re),
+             |cb0v AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1
+             |    AS cw FROM e WHERE vec_id % 31 = 1 QUALIFY cw <= 15),
+             |cb0 AS (SELECT v.cw, s.sb, s.sp, s.r AS cr
+             |  FROM cb0v v JOIN sube s USING (vec_id)),
+             |pd1 AS (SELECT s.vec_id, s.sb, c.cw,
+             |    sum((s.r - c.cr) * (s.r - c.cr)) AS dv
+             |  FROM sube s JOIN cb0 c ON c.sb = s.sb AND c.sp = s.sp
+             |  GROUP BY 1, 2, 3),
+             |pa1 AS (SELECT vec_id, sb, cw FROM (SELECT vec_id, sb, cw,
+             |    row_number() OVER (PARTITION BY vec_id, sb ORDER BY dv, cw)
+             |      AS rn FROM pd1) WHERE rn = 1),
+             |cb1 AS (SELECT p1.sb, p1.cw, s.sp,
+             |    CAST(floor(CAST(sum(s.r) AS DOUBLE) / count(*)) AS BIGINT) AS cr
+             |  FROM sube s JOIN pa1 p1 ON p1.vec_id = s.vec_id AND p1.sb = s.sb
+             |  GROUP BY 1, 2, 3),
+             |pd2 AS (SELECT s.vec_id, s.sb, c.cw,
+             |    sum((s.r - c.cr) * (s.r - c.cr)) AS dv
+             |  FROM sube s JOIN cb1 c ON c.sb = s.sb AND c.sp = s.sp
+             |  GROUP BY 1, 2, 3),
+             |codes AS (SELECT vec_id, sb, cw AS code FROM (SELECT vec_id, sb,
+             |    cw, row_number() OVER (PARTITION BY vec_id, sb
+             |      ORDER BY dv, cw) AS rn FROM pd2) WHERE rn = 1),
+             |q AS (SELECT vec_id AS q_id, cid AS q_cent FROM a2
+             |  WHERE vec_id % 53 = 7 AND vec_id < 20000),
+             |qre AS (SELECT s.vec_id AS q_id, s.sb, s.sp, s.r
+             |  FROM sube s JOIN q ON q.q_id = s.vec_id),
+             |qd AS (SELECT r.q_id, c.sb, c.cw,
+             |    sum((r.r - c.cr) * (r.r - c.cr)) AS qd
+             |  FROM qre r JOIN cb1 c ON c.sb = r.sb AND c.sp = r.sp
+             |  GROUP BY 1, 2, 3),
+             |ap AS (SELECT q.q_id, a2.vec_id AS n_id,
+             |    CAST(sum(qd.qd) AS BIGINT) AS adc
+             |  FROM q JOIN a2 ON a2.cid = q.q_cent AND a2.vec_id <> q.q_id
+             |  JOIN codes ON codes.vec_id = a2.vec_id
+             |  JOIN qd ON qd.q_id = q.q_id AND qd.sb = codes.sb
+             |    AND qd.cw = codes.code
+             |  GROUP BY 1, 2),
+             |nc AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_cands
+             |  FROM ap GROUP BY 1),
+             |atop AS (SELECT q_id, n_id, adc FROM (
+             |    SELECT q_id, n_id, adc, row_number() OVER (
+             |      PARTITION BY q_id ORDER BY adc, n_id) AS rn FROM ap)
+             |  WHERE rn <= 10),
+             |ex AS (SELECT q_id, n_id FROM (
+             |    SELECT q.q_id, e.vec_id AS n_id, row_number() OVER (
+             |      PARTITION BY q.q_id ORDER BY
+             |        list_sum(list_transform(range(1, 65), i ->
+             |          (qe.qv[CAST(i AS INT)] - e.qv[CAST(i AS INT)]) *
+             |          (qe.qv[CAST(i AS INT)] - e.qv[CAST(i AS INT)]))),
+             |        e.vec_id) AS rn
+             |    FROM q JOIN e qe ON qe.vec_id = q.q_id
+             |    JOIN e ON e.vec_id <> q.q_id)
+             |  WHERE rn <= 10),
+             |ov AS (SELECT atop.q_id, CAST(count(*) AS BIGINT) AS n_overlap
+             |  FROM atop JOIN ex USING (q_id, n_id) GROUP BY 1),
+             |asum AS (SELECT q_id, CAST(sum(adc) AS BIGINT) AS adc_sum
+             |  FROM atop GROUP BY 1)
+             |SELECT q.q_id, coalesce(nc.n_cands, 0) AS n_cands,
+             |  coalesce(ov.n_overlap, 0) AS n_overlap,
+             |  CAST(coalesce(ov.n_overlap, 0) * 1000000 // 10 AS BIGINT)
+             |    AS recall_ppm,
+             |  coalesce(asum.adc_sum, 0) AS adc_sum
+             |FROM q LEFT JOIN nc ON q.q_id = nc.q_id
+             |LEFT JOIN ov ON q.q_id = ov.q_id
+             |LEFT JOIN asum ON q.q_id = asum.q_id
+             |ORDER BY q.q_id""".stripMargin))
   )
 
   /** Engine-side Arrow IPC stream writer for the x209 gate: one stream of

@@ -32,4 +32,19 @@ class AnnRecallSpec extends SparkSpec {
     info(f"IVF recall@3 = $recall%.2f")
     assert(recall >= 0.33, s"IVF recall too low: $recall (ivf=$ivf, brute=$brute)")
   }
+
+  test("x210 ADC-scores only the probed cluster — n_cands ≪ corpus") {
+    // the IVFADC contract the hash gate can't express: the candidate count
+    // each query actually ADC-scored (an output column, oracle-agreed) must
+    // be cluster-bounded, proving the corpus was NOT exhaustively scored.
+    // nprobe = 1 over k = 8 trained clusters → worst cluster ≪ corpus/2.
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("x210_ivf_pq_trained")(spark, sf001)
+      .agg(max(col("n_cands")).as("mx"), count(lit(1)).as("n")).head()
+    val corpus = graft.Tables.embeddings(spark, sf001).count()
+    assert(out.getLong(1) > 0, "no query rows")
+    info(s"max n_cands = ${out.getLong(0)} of corpus $corpus")
+    assert(out.getLong(0) < corpus / 2,
+      s"probed candidates ${out.getLong(0)} not cluster-bounded (corpus $corpus)")
+  }
 }

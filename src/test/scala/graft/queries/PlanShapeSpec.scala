@@ -110,6 +110,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("x210's final assembly joins only broadcasts — never corpus²") {
+    // training/encode stages sit behind eager localCheckpoints (their own
+    // joins are broadcast or bounded-key equi-joins by construction; the
+    // candidate-count value pin lives in AnnRecallSpec) — the visible
+    // final plan must stay all-broadcast
+    val p = plans("x210_ivf_pq_trained")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus-sized shuffled join in the IVF-PQ assembly:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("x208's extraction is narrow codegen string work — no join, no operator shuffle") {
     val p = plans("x208_html_extract")
     assert(!p.contains("Join"), p)
