@@ -383,6 +383,283 @@ object ParquetFooter {
     rows.toDF()
   }
 
+  // ——— page index (the layer BETWEEN row-group stats and page decode) ———
+
+  /** One data page of one INT64 column chunk, joined across the two
+    * parquet-format page-index structures a reader seek-loads to skip
+    * pages WITHIN a kept row group (parquet.thrift `ColumnIndex` — per-
+    * page null_pages/min_values/max_values/boundary_order/null_counts —
+    * and `OffsetIndex` — per-page (offset, compressed_page_size,
+    * first_row_index)). `grp_row_start` accumulates preceding groups'
+    * num_rows in group order so `grp_row_start + first_row` is the
+    * page's GLOBAL row index within the file. `page_rows` derives from
+    * the next page's first_row_index (last page: group num_rows —
+    * first_row). A null page carries 0/0 bounds with null_page = true;
+    * the pruning consumer must treat it as unmatchable, not unbounded.
+    * A structural violation (missing index, page-count mismatch between
+    * the two structures, bad thrift) degrades to ONE ok=false row for
+    * the chunk — never a lie. */
+  final case class Int64PageIndex(
+      file: String, grp: Int, grp_row_start: Long, g_rows: Long,
+      page: Int, first_row: Long, page_rows: Long,
+      min_v: Long, max_v: Long, null_page: Boolean, null_count: Long,
+      boundary_order: Int, pg_offset: Long, pg_size: Long, ok: Boolean)
+
+  /** Per-chunk index locations of `column` from one footer byte array:
+    * (grp, g_rows, ci_off, ci_len, oi_off, oi_len); -1 = absent. */
+  private def parseIndexLocs(bytes: Array[Byte], column: String)
+      : Seq[(Int, Long, Long, Long, Long, Long)] = {
+    val c = new Compact(bytes)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, Long, Long, Long, Long)]
+    def readBinary(): Array[Byte] = {
+      val n = c.varint()
+      if (n < 0 || c.pos + n > bytes.length) { c.bad = true; Array.emptyByteArray }
+      else {
+        val a = java.util.Arrays.copyOfRange(bytes, c.pos, c.pos + n.toInt)
+        c.pos += n.toInt; a
+      }
+    }
+    c.struct { (id, t) =>
+      (id, t) match {
+        case (4, 9) => // row_groups: list<RowGroup>
+          val (n, et) = c.listHeader()
+          if (et != 12) { c.bad = true; true }
+          else {
+            var gi = 0
+            while (gi < n && !c.bad) {
+              var gRows = -1L
+              var found: Option[(Long, Long, Long, Long)] = None
+              c.struct { (gid, gt) =>
+                (gid, gt) match {
+                  case (3, 6) => gRows = c.zigzag(); true
+                  case (1, 9) => // columns: list<ColumnChunk>
+                    val (cn, cet) = c.listHeader()
+                    if (cet != 12) { c.bad = true }
+                    else {
+                      var j = 0
+                      while (j < cn && !c.bad) {
+                        var isTarget = false
+                        var physType = -1L
+                        var oiOff = -1L; var oiLen = -1L
+                        var ciOff = -1L; var ciLen = -1L
+                        c.struct { (cid, ct) =>
+                          (cid, ct) match {
+                            case (3, 12) => // ColumnMetaData
+                              c.struct { (mid, mt) =>
+                                (mid, mt) match {
+                                  case (1, 5) => physType = c.zigzag(); true
+                                  case (3, 9) => // path_in_schema
+                                    val (pn, pet) = c.listHeader()
+                                    if (pet != 8) { c.bad = true; true }
+                                    else {
+                                      val parts = (0 until pn).map(_ =>
+                                        new String(readBinary(), "UTF-8"))
+                                      isTarget = parts.lastOption.contains(column) &&
+                                        parts.size == 1
+                                      true
+                                    }
+                                  case _ => false
+                                }
+                              }
+                              true
+                            case (4, 6) => oiOff = c.zigzag(); true
+                            case (5, 5) => oiLen = c.zigzag(); true
+                            case (6, 6) => ciOff = c.zigzag(); true
+                            case (7, 5) => ciLen = c.zigzag(); true
+                            case _ => false
+                          }
+                        }
+                        if (isTarget && physType == 2L)
+                          found = Some((ciOff, ciLen, oiOff, oiLen))
+                        j += 1
+                      }
+                    }
+                    true
+                  case _ => false
+                }
+              }
+              // emit EVERY group (absent target → -1 locations): the
+              // consumer's grp_row_start accumulation must count all
+              // groups' rows, not just the ones that carry the column
+              if (!c.bad) {
+                val (co, cl, oo, ol) = found.getOrElse((-1L, -1L, -1L, -1L))
+                out += ((gi, gRows, co, cl, oo, ol))
+              }
+              gi += 1
+            }
+            true
+          }
+        case _ => false
+      }
+    }
+    if (c.bad) Seq.empty else out.toSeq
+  }
+
+  /** Parse one `ColumnIndex` struct (parquet.thrift): null_pages (1),
+    * min_values (2) / max_values (3) as plain LE INT64, boundary_order
+    * (4), null_counts (5, optional). None on any structural violation
+    * or list-length mismatch. */
+  private[ops] def parseColumnIndex(bytes: Array[Byte])
+      : Option[(Seq[Boolean], Seq[Option[Long]], Seq[Option[Long]], Int, Seq[Long])] = {
+    val c = new Compact(bytes)
+    var nullPages: Seq[Boolean] = null
+    var mins: Seq[Option[Long]] = null
+    var maxs: Seq[Option[Long]] = null
+    var bo = -1
+    var nullCounts: Seq[Long] = Seq.empty
+    def readBinary(): Array[Byte] = {
+      val n = c.varint()
+      if (n < 0 || c.pos + n > bytes.length) { c.bad = true; Array.emptyByteArray }
+      else {
+        val a = java.util.Arrays.copyOfRange(bytes, c.pos, c.pos + n.toInt)
+        c.pos += n.toInt; a
+      }
+    }
+    c.struct { (id, t) =>
+      (id, t) match {
+        case (1, 9) => // null_pages: list<bool> (compact: one byte, 1=true 2=false)
+          val (n, et) = c.listHeader()
+          if (et != 1 && et != 2) { c.bad = true; true }
+          else {
+            nullPages = (0 until n).map { _ =>
+              val v = c.u8()
+              if (v != 1 && v != 2) c.bad = true
+              v == 1
+            }
+            true
+          }
+        case (2, 9) =>
+          val (n, et) = c.listHeader()
+          if (et != 8) { c.bad = true; true }
+          else { mins = (0 until n).map(_ => leInt64(readBinary())); true }
+        case (3, 9) =>
+          val (n, et) = c.listHeader()
+          if (et != 8) { c.bad = true; true }
+          else { maxs = (0 until n).map(_ => leInt64(readBinary())); true }
+        case (4, 5) => bo = c.zigzag().toInt; true
+        case (5, 9) =>
+          val (n, et) = c.listHeader()
+          if (et != 6) { c.bad = true; true }
+          else { nullCounts = (0 until n).map(_ => c.zigzag()); true }
+        case _ => false
+      }
+    }
+    if (c.bad || nullPages == null || mins == null || maxs == null || bo < 0 ||
+      mins.size != nullPages.size || maxs.size != nullPages.size) None
+    else Some((nullPages, mins, maxs, bo, nullCounts))
+  }
+
+  /** Parse one `OffsetIndex` struct: page_locations (1) as
+    * (offset, compressed_page_size, first_row_index) per page. */
+  private[ops] def parseOffsetIndex(bytes: Array[Byte]): Option[Seq[(Long, Long, Long)]] = {
+    val c = new Compact(bytes)
+    var pages: Seq[(Long, Long, Long)] = null
+    c.struct { (id, t) =>
+      (id, t) match {
+        case (1, 9) =>
+          val (n, et) = c.listHeader()
+          if (et != 12) { c.bad = true; true }
+          else {
+            pages = (0 until n).map { _ =>
+              var off = -1L; var sz = -1L; var fr = -1L
+              c.struct { (pid, pt) =>
+                (pid, pt) match {
+                  case (1, 6) => off = c.zigzag(); true
+                  case (2, 5) => sz = c.zigzag(); true
+                  case (3, 6) => fr = c.zigzag(); true
+                  case _ => false
+                }
+              }
+              (off, sz, fr)
+            }
+            true
+          }
+        case _ => false
+      }
+    }
+    if (c.bad || pages == null ||
+      pages.exists(p => p._1 < 0 || p._2 < 0 || p._3 < 0)) None
+    else Some(pages)
+  }
+
+  /** Per-(part file, row group, data page) ColumnIndex ⋈ OffsetIndex
+    * facts of one INT64 `column` under `path`, read by SEEK (footer +
+    * two index blobs per chunk — data pages untouched: the page-skip
+    * DECISION layer costs kilobytes per chunk at any scale). One task
+    * per part file, [[int64Stats]]'s shape. */
+  def int64PageIndex(spark: SparkSession, path: String, column: String): DataFrame = {
+    import spark.implicits._
+    val conf0 = new org.apache.hadoop.conf.Configuration()
+    val p0 = new org.apache.hadoop.fs.Path(path)
+    val fs0 = p0.getFileSystem(conf0)
+    val files: Seq[String] = {
+      val st = fs0.getFileStatus(p0)
+      if (st.isDirectory)
+        fs0.listStatus(p0).toSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.toString).sorted
+      else Seq(p0.toString)
+    }
+    val rows = spark.sparkContext.parallelize(files, math.max(1, files.size))
+      .flatMap { f =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val p = new org.apache.hadoop.fs.Path(f)
+        val fs = p.getFileSystem(conf)
+        val status = fs.getFileStatus(p)
+        def bad(grp: Int, gRows: Long, rowStart: Long) = Int64PageIndex(
+          f, grp, rowStart, gRows, 0, 0L, 0L, 0L, 0L,
+          null_page = false, 0L, -1, 0L, 0L, ok = false)
+        readFooterBytes(fs, status).toSeq.flatMap { footer =>
+          val locs = parseIndexLocs(footer, column)
+          if (locs.isEmpty) Seq(bad(0, 0L, 0L))
+          else {
+            val in = fs.open(p)
+            try {
+              var rowStart = 0L
+              locs.flatMap { case (grp, gRows, ciOff, ciLen, oiOff, oiLen) =>
+                val start = rowStart
+                rowStart += gRows
+                def blob(off: Long, len: Long): Option[Array[Byte]] =
+                  if (off < 0 || len <= 0 || len > (1L << 24) ||
+                    off > status.getLen - len) None
+                  else try {
+                    val a = new Array[Byte](len.toInt)
+                    in.readFully(off, a)
+                    Some(a)
+                  } catch { case _: java.io.IOException => None }
+                val parsed = for {
+                  cib <- blob(ciOff, ciLen)
+                  oib <- blob(oiOff, oiLen)
+                  ci <- parseColumnIndex(cib)
+                  oi <- parseOffsetIndex(oib)
+                  if ci._1.size == oi.size && oi.nonEmpty
+                } yield (ci, oi)
+                parsed match {
+                  case None => Seq(bad(grp, gRows, start))
+                  case Some(((nulls, mins, maxs, bo, ncs), oi)) =>
+                    oi.indices.map { i =>
+                      val (off, sz, fr) = oi(i)
+                      val pRows =
+                        (if (i + 1 < oi.size) oi(i + 1)._3 else gRows) - fr
+                      Int64PageIndex(
+                        f, grp, start, gRows, i, fr, pRows,
+                        mins(i).getOrElse(0L), maxs(i).getOrElse(0L),
+                        nulls(i),
+                        if (i < ncs.size) ncs(i) else -1L,
+                        bo, off, sz,
+                        ok = pRows > 0 &&
+                          (nulls(i) || (mins(i).nonEmpty && maxs(i).nonEmpty)))
+                    }
+                }
+              }
+            } finally in.close()
+          }
+        }
+      }
+    rows.toDF()
+  }
+
   /** The raw footer byte array of one parquet file (seek-only read). */
   private[ops] def readFooterBytes(fs: org.apache.hadoop.fs.FileSystem,
       status: org.apache.hadoop.fs.FileStatus): Option[Array[Byte]] = {

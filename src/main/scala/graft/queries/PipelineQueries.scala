@@ -13687,7 +13687,150 @@ object PipelineQueries {
              |FROM q LEFT JOIN nc ON q.q_id = nc.q_id
              |LEFT JOIN ov ON q.q_id = ov.q_id
              |LEFT JOIN asum ON q.q_id = asum.q_id
-             |ORDER BY q.q_id""".stripMargin))
+             |ORDER BY q.q_id""".stripMargin)),
+
+    // PARQUET PAGE-INDEX PRUNING (x211) — the layer BETWEEN x189's
+    // row-group stats pruning and x194/x204's page decode: the
+    // parquet-format ColumnIndex (per-page null_pages/min/max/
+    // boundary_order) and OffsetIndex (per-page offset/size/
+    // first_row_index) structures that let a reader skip PAGES inside a
+    // kept row group — the next real lever a 100 TB scan pulls. Both
+    // structures are hand-parsed by seek in ops/ParquetFooter
+    // .int64PageIndex (footer + two kilobyte-sized index blobs per
+    // chunk; data pages untouched). The store is written IN the gate:
+    // orders keys SORTED into ONE part file with a 100-row page limit
+    // and a 32 KiB block size (≥2 row groups, ≥8 pages — write-and-
+    // checked, the dropped-option-race lesson), so every page's global
+    // row range maps to the key's RANK (file position i holds the i-th
+    // smallest key — the identity the truth join runs on). For a range
+    // predicate the gate proves the page-skip decision sound BOTH ways
+    // (x189's shape): kept pages reproduce the full predicate count
+    // (nothing lost — kept_match, an arithmetic oracle column), skipped
+    // pages contain ZERO matches (skip_clean), and the index structures
+    // themselves are validated against recomputed truth: per-page row
+    // counts from first_row_index deltas match the data (rows_ok),
+    // ColumnIndex bounds equal the pages' true min/max (minmax_ok),
+    // OffsetIndex byte ranges are monotone non-overlapping (offsets_ok),
+    // and boundary_order reads ASCENDING over the sorted store
+    // (boundary_ok). The rank→page lookup is a bucket equi-join (bucket
+    // width = the page row limit, each page spans ≤ 2 buckets) against
+    // the broadcast page table — never a row×page nested loop. Scale:
+    // the decision layer reads KB per chunk; the truth join is one
+    // rank window + an equi-join, gate-sized here, and the page table
+    // is bounded by store size / page size (model-state class).
+    QueryDef(
+      "x211_page_index_pruning",
+      (s, d) => {
+        val store = s"${System.getProperty("java.io.tmpdir")}/graft_x211_" +
+          s"${ProcessHandle.current().pid()}_${System.nanoTime()}"
+        val mn = orders(s, d).agg(min("o_orderkey").cast(LongType))
+          .first().getLong(0)
+        val bound = mn + 8000L
+        val lo = mn + 340L
+        val hi = mn + 520L
+        val src = orders(s, d).filter(col("o_orderkey") <= bound)
+          .select(col("o_orderkey").cast(LongType).as("k"),
+            col("o_custkey").cast(LongType).as("c"),
+            col("o_totalprice").cast("double").as("p"))
+        try {
+          def w(): Unit = src.coalesce(1).sortWithinPartitions("k")
+            .write.mode("overwrite")
+            .option("parquet.page.row.count.limit", "100")
+            .option("parquet.block.size", "16384")
+            .parquet(store)
+          w()
+          def storeOk: Boolean = {
+            val r = graft.ops.ParquetFooter.int64PageIndex(s, store, "k")
+              .agg(min(when(col("ok"), 1L).otherwise(0L)),
+                countDistinct(col("grp")), count(lit(1))).first()
+            !r.isNullAt(0) && r.getLong(0) == 1L &&
+              r.getLong(1) >= 2L && r.getLong(2) >= 8L
+          }
+          var attempts = 0
+          while (attempts < 8 && !storeOk) { w(); attempts += 1 }
+          val pi = graft.ops.ParquetFooter.int64PageIndex(s, store, "k")
+            .localCheckpoint(eager = true)
+          val pg = pi.filter(col("ok"))
+            .withColumn("pstart", col("grp_row_start") + col("first_row"))
+          // global row index == rank of k: ONE part file, written sorted
+          val rows = s.read.parquet(store).select(col("k"))
+            .withColumn("rn",
+              row_number().over(Window.orderBy("k")).cast(LongType) - 1L)
+            .withColumn("bk", expr("CAST(rn div 100 AS BIGINT)"))
+            .localCheckpoint(eager = true) // truth join + totals read it
+          val pgb = pg.select(col("grp"), col("page"), col("pstart"),
+              col("page_rows"))
+            .withColumn("bk", explode(expr(
+              "sequence(CAST(pstart div 100 AS BIGINT), " +
+                "CAST((pstart + page_rows - 1) div 100 AS BIGINT))")))
+          val truth = rows.join(broadcast(pgb), Seq("bk"))
+            .filter(col("rn") >= col("pstart") &&
+              col("rn") < col("pstart") + col("page_rows"))
+            .groupBy("grp", "page")
+            .agg(count(lit(1)).as("t_rows"), min("k").as("t_min"),
+              max("k").as("t_max"),
+              sum(when(col("k").between(lo, hi), 1L).otherwise(0L))
+                .as("t_match"))
+          val w2 = Window.partitionBy("grp").orderBy("page")
+          val joined = pg.join(truth, Seq("grp", "page"), "left")
+            .withColumn("keep",
+              !col("null_page") && col("min_v") <= hi && col("max_v") >= lo)
+            .withColumn("prev_end",
+              lag(col("pg_offset") + col("pg_size"), 1).over(w2))
+          val tot = rows.agg(count(lit(1)).as("n_rows"),
+            sum(when(col("k").between(lo, hi), 1L).otherwise(0L)).as("n_match"))
+          joined.agg(
+            sum(coalesce(col("t_rows"), lit(0L))).as("t_rows_sum"),
+            min(when(col("t_rows") === col("page_rows"), 1L).otherwise(0L))
+              .as("rows_okm"),
+            min(when(col("null_page") ||
+              (col("t_min") === col("min_v") && col("t_max") === col("max_v")),
+              1L).otherwise(0L)).as("mm_okm"),
+            min(when(col("prev_end").isNull ||
+              col("prev_end") <= col("pg_offset"), 1L).otherwise(0L))
+              .as("off_okm"),
+            min(when(col("boundary_order") === 1, 1L).otherwise(0L))
+              .as("bo_okm"),
+            sum(when(col("keep"), coalesce(col("t_match"), lit(0L)))
+              .otherwise(0L)).as("kept_match"),
+            sum(when(!col("keep"), coalesce(col("t_match"), lit(0L)))
+              .otherwise(0L)).as("skipped_match"),
+            sum(when(!col("keep"), 1L).otherwise(0L)).as("n_skipped"),
+            countDistinct(col("grp")).as("n_grps"),
+            count(lit(1)).as("n_pages"))
+            .crossJoin(broadcast(tot))
+            .select(
+              col("n_rows").cast(LongType).as("n_rows"),
+              col("n_match").cast(LongType).as("n_match"),
+              col("kept_match").cast(LongType).as("kept_match"),
+              (col("skipped_match") === 0L).as("skip_clean"),
+              (col("rows_okm") === 1L && col("t_rows_sum") === col("n_rows"))
+                .as("rows_ok"),
+              (col("mm_okm") === 1L).as("minmax_ok"),
+              (col("off_okm") === 1L).as("offsets_ok"),
+              (col("bo_okm") === 1L).as("boundary_ok"),
+              (col("n_skipped") > 0L).as("pruned_some"),
+              (col("n_grps") >= 2L && col("n_pages") >= 8L).as("multi_page"))
+            // materialize before the finally deletes the store
+            .localCheckpoint(eager = true)
+        } finally {
+          val p = new org.apache.hadoop.fs.Path(store)
+          try p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+          catch { case _: Exception => () }
+        }
+      },
+      Some("""WITH b AS (SELECT min(o_orderkey) AS mn FROM orders),
+             |src AS (SELECT CAST(o_orderkey AS BIGINT) AS k, b.mn AS mn
+             |  FROM orders, b WHERE o_orderkey <= b.mn + 8000)
+             |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(CASE WHEN k BETWEEN mn + 340 AND mn + 520
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+             |  CAST(sum(CASE WHEN k BETWEEN mn + 340 AND mn + 520
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS kept_match,
+             |  TRUE AS skip_clean, TRUE AS rows_ok, TRUE AS minmax_ok,
+             |  TRUE AS offsets_ok, TRUE AS boundary_ok, TRUE AS pruned_some,
+             |  TRUE AS multi_page
+             |FROM src""".stripMargin))
   )
 
   /** Engine-side Arrow IPC stream writer for the x209 gate: one stream of

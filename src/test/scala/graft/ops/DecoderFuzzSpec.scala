@@ -392,4 +392,95 @@ class DecoderFuzzSpec extends SparkSpec {
       neverThrows(s"mp3 rnd trial=$trial")(Mp3Spectra.decode(trial.toLong, b))
     }
   }
+
+  // ------------------------------------------- parquet page-index structs
+
+  /** A well-formed ColumnIndex blob (4 pages, LE INT64 bounds i·10 /
+    * i·10+9, ASCENDING, zero null counts) — hand-written compact thrift. */
+  private def columnIndexBlob(nPages: Int): Array[Byte] = {
+    val w = new CompactWriter()
+    w.field(1, 9) // null_pages: list<bool>
+    w.out.write((nPages << 4) | 1)
+    (0 until nPages).foreach(_ => w.out.write(2)) // all false
+    def le8(v: Long): Unit =
+      (0 until 8).foreach(b => w.out.write(((v >> (8 * b)) & 0xff).toInt))
+    w.field(2, 9) // min_values: list<binary>
+    w.out.write((nPages << 4) | 8)
+    (0 until nPages).foreach { i => w.varint(8); le8(i * 10L) }
+    w.field(3, 9) // max_values
+    w.out.write((nPages << 4) | 8)
+    (0 until nPages).foreach { i => w.varint(8); le8(i * 10L + 9) }
+    w.field(4, 5); w.zig(1) // boundary_order ASCENDING
+    w.field(5, 9) // null_counts: list<i64>
+    w.out.write((nPages << 4) | 6)
+    (0 until nPages).foreach(_ => w.zig(0))
+    w.stop()
+    w.out.toByteArray
+  }
+
+  /** A well-formed OffsetIndex blob: page i at byte 100+50i, 50 bytes,
+    * first_row_index 100i. Nested structs written raw (CompactWriter's
+    * field() tracks only top-level deltas). */
+  private def offsetIndexBlob(nPages: Int): Array[Byte] = {
+    val w = new CompactWriter()
+    w.field(1, 9)
+    w.out.write((nPages << 4) | 12)
+    (0 until nPages).foreach { i =>
+      w.out.write((1 << 4) | 6); w.zig(100L + i * 50) // offset
+      w.out.write((1 << 4) | 5); w.zig(50L)           // compressed size
+      w.out.write((1 << 4) | 6); w.zig(i * 100L)      // first_row_index
+      w.out.write(0)                                  // struct stop
+    }
+    w.stop()
+    w.out.toByteArray
+  }
+
+  test("parquet page index: well-formed blobs round-trip exactly") {
+    val ci = ParquetFooter.parseColumnIndex(columnIndexBlob(4))
+    assert(ci.isDefined, "ColumnIndex must parse")
+    val (nulls, mins, maxs, bo, ncs) = ci.get
+    assert(nulls == Seq(false, false, false, false))
+    assert(mins.flatten == Seq(0L, 10L, 20L, 30L))
+    assert(maxs.flatten == Seq(9L, 19L, 29L, 39L))
+    assert(bo == 1 && ncs == Seq(0L, 0L, 0L, 0L))
+    val oi = ParquetFooter.parseOffsetIndex(offsetIndexBlob(4))
+    assert(oi.contains(Seq((100L, 50L, 0L), (150L, 50L, 100L),
+      (200L, 50L, 200L), (250L, 50L, 300L))))
+  }
+
+  test("parquet page index: truncation at every byte offset returns, never throws") {
+    val ci = columnIndexBlob(4)
+    val oi = offsetIndexBlob(4)
+    for (i <- 0 to ci.length)
+      neverThrows(s"ci trunc=$i")(ParquetFooter.parseColumnIndex(ci.take(i)))
+    for (i <- 0 to oi.length)
+      neverThrows(s"oi trunc=$i")(ParquetFooter.parseOffsetIndex(oi.take(i)))
+  }
+
+  test("parquet page index: byte-flip sweep returns, never throws") {
+    val ci = columnIndexBlob(4)
+    val oi = offsetIndexBlob(4)
+    for (i <- ci.indices) {
+      val mut = ci.clone(); mut(i) = (mut(i) ^ 0xff).toByte
+      neverThrows(s"ci flip=$i")(ParquetFooter.parseColumnIndex(mut))
+    }
+    for (i <- oi.indices) {
+      val mut = oi.clone(); mut(i) = (mut(i) ^ 0xff).toByte
+      neverThrows(s"oi flip=$i")(ParquetFooter.parseOffsetIndex(mut))
+    }
+  }
+
+  test("parquet page index: negative offsets/sizes route to None, not facts") {
+    // forge a PageLocation with offset −1: zigzag(-1) — the parser must
+    // reject the whole struct rather than emit a negative byte range
+    val w = new CompactWriter()
+    w.field(1, 9)
+    w.out.write((1 << 4) | 12)
+    w.out.write((1 << 4) | 6); w.zig(-1L)
+    w.out.write((1 << 4) | 5); w.zig(50L)
+    w.out.write((1 << 4) | 6); w.zig(0L)
+    w.out.write(0)
+    w.stop()
+    assert(ParquetFooter.parseOffsetIndex(w.out.toByteArray).isEmpty)
+  }
 }

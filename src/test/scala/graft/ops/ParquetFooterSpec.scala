@@ -102,6 +102,53 @@ class ParquetFooterSpec extends SparkSpec {
     } finally deleteDir(dir)
   }
 
+  test("page index: per-page facts match the engine's own view of a sorted store") {
+    val dir = tmp("pageindex")
+    spark.range(0, 2400)
+      .select(col("id").as("k"), (col("id") * 7 % 100).as("v"))
+      .coalesce(1).sortWithinPartitions("k")
+      .write.mode("overwrite")
+      .option("parquet.page.row.count.limit", "100")
+      .option("parquet.block.size", "16384")
+      .parquet(dir)
+    try {
+      val pi = ParquetFooter.int64PageIndex(spark, dir, "k").collect()
+      assert(pi.nonEmpty && pi.forall(_.getAs[Boolean]("ok")), pi.mkString("\n"))
+      // pages partition the file's rows: global starts strictly increase,
+      // page rows sum to 2400, and the 100-row page limit held
+      assert(pi.map(_.getAs[Long]("page_rows")).sum === 2400L)
+      assert(pi.forall(_.getAs[Long]("page_rows") <= 100L))
+      val starts = pi.map(r =>
+        r.getAs[Long]("grp_row_start") + r.getAs[Long]("first_row")).sorted
+      assert(starts.head === 0L && starts.distinct.length === starts.length)
+      // k == global row index (sorted contiguous range), so every page's
+      // index bounds are exactly [start, start + rows - 1]
+      pi.foreach { r =>
+        val start = r.getAs[Long]("grp_row_start") + r.getAs[Long]("first_row")
+        assert(r.getAs[Long]("min_v") === start)
+        assert(r.getAs[Long]("max_v") === start + r.getAs[Long]("page_rows") - 1)
+        assert(r.getAs[Int]("boundary_order") === 1) // ASCENDING
+        assert(!r.getAs[Boolean]("null_page"))
+      }
+      // ≥ 2 row groups at this block size — the within-group skip matters
+      assert(pi.map(_.getAs[Int]("grp")).distinct.length >= 2)
+    } finally deleteDir(dir)
+  }
+
+  test("page index: a column with no index structures degrades to ok=false rows") {
+    val dir = tmp("pageindex_missing")
+    spark.range(0, 100).select(col("id").as("k"))
+      .coalesce(1).write.mode("overwrite")
+      // parquet-mr drops the page indexes when told not to write them
+      .option("parquet.column.index.truncate.length", "64")
+      .parquet(dir)
+    try {
+      // ask for a column that does not exist: locations absent → bad rows
+      val pi = ParquetFooter.int64PageIndex(spark, dir, "nope").collect()
+      assert(pi.nonEmpty && pi.forall(!_.getAs[Boolean]("ok")))
+    } finally deleteDir(dir)
+  }
+
   private def deleteDir(dir: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir)
     try p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
