@@ -161,6 +161,42 @@ object PipelineQueries {
       }
     }
 
+  /** The x152 stream-stream inner-join transform (event-time range join
+    * with interval bucketing), shared with the x213 provider matrix so
+    * both gates run LITERALLY the same plan — the matrix isolates the
+    * state-store provider as the only variable. */
+  private def streamInnerJoin(stream: DataFrame): DataFrame = {
+    val left = stream.filter(col("event_type") === "signup")
+      .select(col("event_id").as("s_id"), col("user_id"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", "40 days")
+      // interval bucketing, q22's lesson applied to streaming
+      // ([[graft.ops.BucketedRangeJoin]] documents the multiset
+      // argument): the join-state probe iterates EVERY buffered row
+      // sharing the equi-key, so a low-cardinality user key + range
+      // predicate is O(per-user history) per arriving row (measured
+      // 28x on a 10x step at 100x). Adding the 4h bucket to the key
+      // bounds each probe to one bucket's rows.
+      .withColumn("s_bkt",
+        graft.ops.BucketedRangeJoin.bucketOf(col("s_ts"), 14400000000L))
+    val right = stream.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "40 days")
+      // a purchase can match signups in its own or the previous 4h
+      // bucket (it probes BACKWARD into the signup's forward range) —
+      // duplicate it into both candidate keys
+      .withColumn("cand",
+        graft.ops.BucketedRangeJoin.candidateBuckets(col("p_ts"), 14400000000L, dir = -1))
+    left.join(right,
+        col("user_id") === col("p_user") &&
+          col("s_bkt") === col("cand") &&
+          col("p_ts") > col("s_ts") &&
+          col("p_ts") <= col("s_ts") + expr("INTERVAL 4 HOURS"))
+      .select(col("user_id"), col("s_id"), col("p_id"),
+        unix_micros(col("s_ts")).as("s_us"),
+        unix_micros(col("p_ts")).as("p_us"))
+  }
+
   /** Session-shared frames of the customer–supplier co-trade graph
     * (x114 item-item CF and x115 clustering coefficients): the capped
     * bipartite edge list and the strong co-trade pair list. Keys embed the
@@ -8865,37 +8901,7 @@ object PipelineQueries {
                    |  CAST(datediff(to_date(ts), DATE '2024-01-01') div 8 AS INT),
                    |  0), 3) AS INT)""".stripMargin).as("b"))
         val out = graft.streaming.StreamGate.replayStaged(
-          s, staged, "x152_events", "b", 4, "append") { stream =>
-          val left = stream.filter(col("event_type") === "signup")
-            .select(col("event_id").as("s_id"), col("user_id"), col("ts").as("s_ts"))
-            .withWatermark("s_ts", "40 days")
-            // interval bucketing, q22's lesson applied to streaming
-            // ([[graft.ops.BucketedRangeJoin]] documents the multiset
-            // argument): the join-state probe iterates EVERY buffered row
-            // sharing the equi-key, so a low-cardinality user key + range
-            // predicate is O(per-user history) per arriving row (measured
-            // 28x on a 10x step at 100x). Adding the 4h bucket to the key
-            // bounds each probe to one bucket's rows.
-            .withColumn("s_bkt",
-              graft.ops.BucketedRangeJoin.bucketOf(col("s_ts"), 14400000000L))
-          val right = stream.filter(col("event_type") === "purchase")
-            .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
-              col("ts").as("p_ts"))
-            .withWatermark("p_ts", "40 days")
-            // a purchase can match signups in its own or the previous
-            // 4h bucket (it probes BACKWARD into the signup's forward
-            // range) — duplicate it into both candidate keys
-            .withColumn("cand",
-              graft.ops.BucketedRangeJoin.candidateBuckets(col("p_ts"), 14400000000L, dir = -1))
-          left.join(right,
-              col("user_id") === col("p_user") &&
-                col("s_bkt") === col("cand") &&
-                col("p_ts") > col("s_ts") &&
-                col("p_ts") <= col("s_ts") + expr("INTERVAL 4 HOURS"))
-            .select(col("user_id"), col("s_id"), col("p_id"),
-              unix_micros(col("s_ts")).as("s_us"),
-              unix_micros(col("p_ts")).as("p_us"))
-        }
+          s, staged, "x152_events", "b", 4, "append")(streamInnerJoin)
         out.orderBy("user_id", "s_id", "p_id")
       },
       Some("""WITH s AS (SELECT event_id AS s_id, user_id, ts AS s_ts
@@ -9063,19 +9069,17 @@ object PipelineQueries {
             expr("""CAST(least(greatest(
                    |  CAST(datediff(to_date(ts), DATE '2024-01-01') div 8 AS INT),
                    |  0), 3) AS INT)""".stripMargin).as("b"))
-        val key = "spark.sql.streaming.stateStore.providerClass"
-        val prev = s.conf.getOption(key)
-        s.conf.set(key,
+        // cloned session (no restore needed): a session-global provider
+        // mutation would race the 4-in-flight catalog neighbors' streams
+        val sc = org.apache.spark.sql.GraftSqlBridge.cloneSession(s)
+        sc.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         val out =
-          try graft.streaming.StreamGate.replayStaged(
-            s, staged, "x154_events", "b", 4, "append") { stream =>
+          graft.streaming.StreamGate.replayStaged(
+            sc, staged, "x154_events", "b", 4, "append") { stream =>
             graft.streaming.RunningUserStats.runningStats(
               stream.as[graft.streaming.RunningUserStats.EventIn](
                 org.apache.spark.sql.Encoders.product)).toDF()
-          } finally prev match {
-            case Some(v) => s.conf.set(key, v)
-            case None    => s.conf.unset(key)
           }
         out.orderBy("user_id", "n_events")
       },
@@ -9266,20 +9270,18 @@ object PipelineQueries {
             expr("""CAST(least(greatest(
                    |  CAST(datediff(to_date(ts), DATE '2024-01-01') div 8 AS INT),
                    |  0), 3) AS INT)""".stripMargin).as("b"))
-        val key = "spark.sql.streaming.stateStore.providerClass"
-        val prev = s.conf.getOption(key)
-        s.conf.set(key,
+        // cloned session (no restore needed): a session-global provider
+        // mutation would race the 4-in-flight catalog neighbors' streams
+        val sc = org.apache.spark.sql.GraftSqlBridge.cloneSession(s)
+        sc.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         val out =
-          try graft.streaming.StreamGate.replayStaged(
-            s, staged, "x157_events", "b", 4, "append") { stream =>
+          graft.streaming.StreamGate.replayStaged(
+            sc, staged, "x157_events", "b", 4, "append") { stream =>
             graft.streaming.SessionTimers.sessions(
               stream.withWatermark("ts", "3 days")
                 .as[graft.streaming.SessionTimers.EventIn](
                   org.apache.spark.sql.Encoders.product)).toDF()
-          } finally prev match {
-            case Some(v) => s.conf.set(key, v)
-            case None    => s.conf.unset(key)
           }
         out.orderBy("user_id", "start_us")
       },
@@ -12030,42 +12032,37 @@ object PipelineQueries {
     // mode, exact integer cents. `rocksdb_used` is asserted from the
     // query's own state-operator custom metrics (a silent fallback to the
     // heap provider would flip the column and fail the hash), and the
-    // provider conf is restored afterwards — no other gate sees it.
+    // provider conf is set on a cloned session — no other gate sees it.
     QueryDef(
       "x195_stream_rocksdb_sliding",
       (s, d) => {
-        val key = "spark.sql.streaming.stateStore.providerClass"
-        val prev = s.conf.getOption(key)
-        s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
-          "RocksDBStateStoreProvider")
+        // cloned session (no restore needed): a session-global provider
+        // mutation would race the 4-in-flight catalog neighbors' streams
+        val sc = org.apache.spark.sql.GraftSqlBridge.cloneSession(s)
+        sc.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state." +
+            "RocksDBStateStoreProvider")
         val sawRocks = new java.util.concurrent.atomic.AtomicBoolean(false)
-        try {
-          val out = graft.streaming.StreamGate.replayStaged(
-            s,
-            events(s, d).select(col("ts"), col("event_type"), col("value"),
-              pmod(col("event_id"), lit(4)).cast("int").as("b")),
-            name = "x195_events", batchCol = "b", nBatches = 4,
-            mode = "complete",
-            progress = p => p.stateOperators.foreach { so =>
-              val it = so.customMetrics.keySet().iterator()
-              while (it.hasNext)
-                if (it.next().toLowerCase.contains("rocksdb")) sawRocks.set(true)
-            }) { stream =>
-            stream
-              .withColumn("cents", floor(col("value") * 100).cast(LongType))
-              .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
-              .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
-              .select(unix_micros(col("window.start")).as("w_us"),
-                col("event_type"), col("n"), col("sum_cents"))
-          }
-          out.withColumn("rocksdb_used", lit(sawRocks.get()))
-            .orderBy("w_us", "event_type")
-        } finally {
-          prev match {
-            case Some(v) => s.conf.set(key, v)
-            case None => s.conf.unset(key)
-          }
+        val out = graft.streaming.StreamGate.replayStaged(
+          sc,
+          events(s, d).select(col("ts"), col("event_type"), col("value"),
+            pmod(col("event_id"), lit(4)).cast("int").as("b")),
+          name = "x195_events", batchCol = "b", nBatches = 4,
+          mode = "complete",
+          progress = p => p.stateOperators.foreach { so =>
+            val it = so.customMetrics.keySet().iterator()
+            while (it.hasNext)
+              if (it.next().toLowerCase.contains("rocksdb")) sawRocks.set(true)
+          }) { stream =>
+          stream
+            .withColumn("cents", floor(col("value") * 100).cast(LongType))
+            .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+            .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+            .select(unix_micros(col("window.start")).as("w_us"),
+              col("event_type"), col("n"), col("sum_cents"))
         }
+        out.withColumn("rocksdb_used", lit(sawRocks.get()))
+          .orderBy("w_us", "event_type")
       },
       Some("""WITH e AS (SELECT epoch_us(ts) AS us, event_type,
              |  CAST(floor("value" * 100) AS BIGINT) AS cents FROM events),
@@ -12298,20 +12295,18 @@ object PipelineQueries {
             expr("""CAST(least(greatest(
                    |  CAST(datediff(to_date(ts), DATE '2024-01-01') div 8 AS INT),
                    |  0), 3) AS INT)""".stripMargin).as("b"))
-        val key = "spark.sql.streaming.stateStore.providerClass"
-        val prev = s.conf.getOption(key)
-        s.conf.set(key,
+        // cloned session (no restore needed): a session-global provider
+        // mutation would race the 4-in-flight catalog neighbors' streams
+        val sc = org.apache.spark.sql.GraftSqlBridge.cloneSession(s)
+        sc.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         val out =
-          try graft.streaming.StreamGate.replayStaged(
-            s, staged, "x199_events", "b", 4, "append",
+          graft.streaming.StreamGate.replayStaged(
+            sc, staged, "x199_events", "b", 4, "append",
             availableNow = false) { stream =>
             graft.streaming.TtlStates.ttlStats(
               stream.as[graft.streaming.TtlStates.EventIn](
                 org.apache.spark.sql.Encoders.product)).toDF()
-          } finally prev match {
-            case Some(v) => s.conf.set(key, v)
-            case None    => s.conf.unset(key)
           }
         out.orderBy("user_id", "n_total")
       },
@@ -12910,38 +12905,29 @@ object PipelineQueries {
         val logKey = "spark.sql.streaming.stateStore.rocksdb." +
           "changelogCheckpointing.enabled"
         def runOn(changelog: Boolean, label: String) = {
-          val prevProv = s.conf.getOption(provKey)
-          val prevLog = s.conf.getOption(logKey)
-          s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+          // cloned session: session-global provider/changelog mutations
+          // would race the 4-in-flight catalog neighbors' streams
+          val sc = org.apache.spark.sql.GraftSqlBridge.cloneSession(s)
+          sc.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
             "state.RocksDBStateStoreProvider")
-          s.conf.set(logKey, changelog.toString)
+          sc.conf.set(logKey, changelog.toString)
           val sawRocks = new java.util.concurrent.atomic.AtomicBoolean(false)
-          val out =
-            try graft.streaming.StreamGate.replayStaged(
-              s, staged, s"x205_events_$label", "b", 4, "append",
-              progress = p => p.stateOperators.foreach { so =>
-                val it = so.customMetrics.keySet().iterator()
-                while (it.hasNext)
-                  if (it.next().toLowerCase.contains("rocksdb"))
-                    sawRocks.set(true)
-              },
-              // TimeMode.ProcessingTime never terminates under
-              // AvailableNow; the paced trigger also guarantees the
-              // trailing no-data batch that fires the final runs' timers
-              availableNow = false) { stream =>
-              graft.streaming.TtlTimerSessions.run(
-                stream.as[graft.streaming.TtlTimerSessions.EventIn](
-                  org.apache.spark.sql.Encoders.product)).toDF()
-            } finally {
-              (prevProv match {
-                case Some(v) => s.conf.set(provKey, v)
-                case None    => s.conf.unset(provKey)
-              }): Unit
-              prevLog match {
-                case Some(v) => s.conf.set(logKey, v)
-                case None    => s.conf.unset(logKey)
-              }
-            }
+          val out = graft.streaming.StreamGate.replayStaged(
+            sc, staged, s"x205_events_$label", "b", 4, "append",
+            progress = p => p.stateOperators.foreach { so =>
+              val it = so.customMetrics.keySet().iterator()
+              while (it.hasNext)
+                if (it.next().toLowerCase.contains("rocksdb"))
+                  sawRocks.set(true)
+            },
+            // TimeMode.ProcessingTime never terminates under
+            // AvailableNow; the paced trigger also guarantees the
+            // trailing no-data batch that fires the final runs' timers
+            availableNow = false) { stream =>
+            graft.streaming.TtlTimerSessions.run(
+              stream.as[graft.streaming.TtlTimerSessions.EventIn](
+                org.apache.spark.sql.Encoders.product)).toDF()
+          }
           out.select(lit(label).as("mode"), col("user_id"), col("kind"),
             col("a"), col("b"), col("c"), col("d"),
             lit(sawRocks.get()).as("rocks_metric"))
@@ -13830,7 +13816,147 @@ object PipelineQueries {
              |  TRUE AS skip_clean, TRUE AS rows_ok, TRUE AS minmax_ok,
              |  TRUE AS offsets_ok, TRUE AS boundary_ok, TRUE AS pruned_some,
              |  TRUE AS multi_page
-             |FROM src""".stripMargin))
+             |FROM src""".stripMargin)),
+
+    // MAPSTATE × LISTSTATE × TTL (x212) — the remaining arbitrary-state
+    // primitives (every transformWithState gate so far — x154/x199/x205 —
+    // holds ValueState only): a per-key MapState SUBMAP of per-category
+    // rollups updated by POINT lookups (the idiomatic 100 TB enrichment
+    // shape — per-user per-category state without serializing the whole
+    // map per update), an append-only ListState sequence (one element
+    // per active batch; length/sum/HEAD pin append order and content),
+    // and a 1 ms-TTL ValueState proving store-enforced expiry next to
+    // map/list column families on the SAME RocksDB store (x205's
+    // provider discipline: RocksDB set explicitly, use asserted from
+    // state metrics in-band). Each active batch emits the FULL map
+    // (iteration across the column family — a quiet category re-emits
+    // its standing rollup, deterministic duplicates the oracle
+    // reproduces with a b'≤b rollup join) plus one list-face row. See
+    // streaming/MapListStates.scala for the per-row cost argument.
+    QueryDef(
+      "x212_stream_map_list_state",
+      (s, d) => {
+        val staged = events(s, d)
+          .select(col("user_id"), col("event_type"),
+            floor(col("value") * 100).cast(LongType).as("cents"),
+            expr("""CAST(least(greatest(
+                   |  CAST(datediff(to_date(ts), DATE '2024-01-01') div 8 AS INT),
+                   |  0), 3) AS INT)""".stripMargin).as("b"))
+        val provKey = "spark.sql.streaming.stateStore.providerClass"
+        // cloned session: a session-global provider mutation would race
+        // the 4-in-flight catalog neighbors (x213's matrix in particular)
+        val sc = org.apache.spark.sql.GraftSqlBridge.cloneSession(s)
+        sc.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+          "state.RocksDBStateStoreProvider")
+        val sawRocks = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val out = graft.streaming.StreamGate.replayStaged(
+          sc, staged, "x212_events", "b", 4, "append",
+          progress = p => p.stateOperators.foreach { so =>
+            val it = so.customMetrics.keySet().iterator()
+            while (it.hasNext)
+              if (it.next().toLowerCase.contains("rocksdb"))
+                sawRocks.set(true)
+          },
+          availableNow = false) { stream =>
+          graft.streaming.MapListStates.run(
+            stream.as[graft.streaming.MapListStates.EventIn](
+              org.apache.spark.sql.Encoders.product)).toDF()
+        }
+        out.select(col("user_id"), col("kind"), col("cat"),
+            col("a"), col("b"), col("c"), col("d"),
+            lit(sawRocks.get()).as("rocks_metric"))
+          .orderBy("user_id", "kind", "cat", "a", "b", "c", "d")
+      },
+      Some("""WITH e AS (SELECT user_id, event_type,
+             |    CAST(floor("value" * 100) AS BIGINT) AS cents,
+             |    LEAST(GREATEST(date_diff('day', DATE '2024-01-01',
+             |      CAST(ts AS DATE)) // 8, 0), 3) AS b
+             |  FROM events),
+             |gq AS (SELECT user_id, b AS bb, CAST(count(*) AS BIGINT) AS n
+             |  FROM e GROUP BY 1, 2),
+             |gc AS (SELECT user_id, event_type, b AS bb,
+             |    CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS sc
+             |  FROM e GROUP BY 1, 2, 3),
+             |catr AS (SELECT q.user_id, 'cat' AS kind, g.event_type AS cat,
+             |    CAST(sum(g.n) AS BIGINT) AS a, CAST(sum(g.sc) AS BIGINT) AS b,
+             |    CAST(0 AS BIGINT) AS c, CAST(0 AS BIGINT) AS d
+             |  FROM gq q JOIN gc g ON g.user_id = q.user_id AND g.bb <= q.bb
+             |  GROUP BY q.user_id, q.bb, g.event_type),
+             |listr AS (SELECT q.user_id, 'list' AS kind, '' AS cat,
+             |    CAST(count(*) AS BIGINT) AS a, CAST(sum(p.n) AS BIGINT) AS b,
+             |    CAST(min_by(p.n, p.bb) AS BIGINT) AS c,
+             |    CAST(q.n AS BIGINT) AS d
+             |  FROM gq q JOIN gq p ON p.user_id = q.user_id AND p.bb <= q.bb
+             |  GROUP BY q.user_id, q.bb, q.n),
+             |one AS (SELECT * FROM catr UNION ALL SELECT * FROM listr)
+             |SELECT user_id, kind, cat, a, b, c, d, TRUE AS rocks_metric
+             |FROM one ORDER BY user_id, kind, cat, a, b, c, d""".stripMargin)),
+
+    // STREAM-STREAM JOIN × STATE PROVIDER (x213) — the largest state a
+    // production stream holds is JOIN state, and until now the join
+    // gates (x152/x155/x207) ran on the default HDFS-heap provider only
+    // (x195/x205/x212 assert RocksDB for aggregation and
+    // transformWithState). This gate runs x152's inner range join —
+    // LITERALLY the same transform, via the shared streamInnerJoin
+    // helper — once per provider and demands hash-identical pair sets:
+    // the provider is a pure storage backend, so ANY row difference is
+    // a state-store bug, and the in-band prov_ok column asserts from
+    // state metrics that each leg really ran where it claims (rocksdb
+    // metrics seen ⟺ rocksdb leg). The oracle is x152's batch join
+    // crossed with the two mode labels. Scale: same bounded join state
+    // as x152 (≈ watermark delay × arrival rate per side), paid twice
+    // by design — the matrix is the gate.
+    QueryDef(
+      "x213_stream_join_provider_matrix",
+      (s, d) => {
+        val staged = events(s, d)
+          .filter(col("event_type").isin("signup", "purchase"))
+          .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+            expr("""CAST(least(greatest(
+                   |  CAST(datediff(to_date(ts), DATE '2024-01-01') div 8 AS INT),
+                   |  0), 3) AS INT)""".stripMargin).as("b"))
+        val provKey = "spark.sql.streaming.stateStore.providerClass"
+        def runOn(rocks: Boolean, label: String) = {
+          // each leg runs on a CLONED session: Verify drives 4 catalog
+          // queries concurrently in one session, so a session-global
+          // provider mutation here would race the neighbors' streams
+          // (and theirs would race this leg — observed at sf0.1)
+          val sc = org.apache.spark.sql.GraftSqlBridge.cloneSession(s)
+          if (rocks)
+            sc.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+              "state.RocksDBStateStoreProvider")
+          else
+            sc.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+              "state.HDFSBackedStateStoreProvider")
+          val sawRocks = new java.util.concurrent.atomic.AtomicBoolean(false)
+          val out = graft.streaming.StreamGate.replayStaged(
+            sc, staged, s"x213_events_$label", "b", 4, "append",
+            progress = p => p.stateOperators.foreach { so =>
+              val it = so.customMetrics.keySet().iterator()
+              while (it.hasNext)
+                if (it.next().toLowerCase.contains("rocksdb"))
+                  sawRocks.set(true)
+            })(streamInnerJoin)
+          out.select(lit(label).as("mode"), col("user_id"), col("s_id"),
+            col("p_id"), col("s_us"), col("p_us"),
+            lit(sawRocks.get() == rocks).as("prov_ok"))
+        }
+        runOn(rocks = false, "heap")
+          .unionByName(runOn(rocks = true, "rocksdb"))
+          .orderBy("mode", "user_id", "s_id", "p_id")
+      },
+      Some("""WITH s AS (SELECT event_id AS s_id, user_id, ts AS s_ts
+             |  FROM events WHERE event_type = 'signup'),
+             |p AS (SELECT event_id AS p_id, user_id, ts AS p_ts
+             |  FROM events WHERE event_type = 'purchase'),
+             |j AS (SELECT s.user_id, s.s_id, p.p_id,
+             |    epoch_us(s.s_ts) AS s_us, epoch_us(p.p_ts) AS p_us
+             |  FROM s JOIN p ON p.user_id = s.user_id
+             |    AND p.p_ts > s.s_ts AND p.p_ts <= s.s_ts + INTERVAL 4 HOUR),
+             |pv(mode, prov_ok) AS (VALUES ('heap', TRUE), ('rocksdb', TRUE))
+             |SELECT pv.mode, j.user_id, j.s_id, j.p_id, j.s_us, j.p_us,
+             |  pv.prov_ok
+             |FROM j, pv ORDER BY mode, user_id, s_id, p_id""".stripMargin))
   )
 
   /** Engine-side Arrow IPC stream writer for the x209 gate: one stream of

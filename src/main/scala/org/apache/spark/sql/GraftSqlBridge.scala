@@ -11,4 +11,13 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftSqlBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** An isolated copy of the session (shared context, independent runtime
+    * conf — inherited, then divergeable): Spark 4 moved `cloneSession`
+    * onto the classic implementation only, and `newSession()` would DROP
+    * runtime conf already set on the parent. Used by gates that must flip
+    * session-global settings (state-store provider) without racing
+    * concurrently-running catalog neighbors. */
+  def cloneSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[classic.SparkSession].cloneSession()
 }
