@@ -13956,7 +13956,236 @@ object PipelineQueries {
              |pv(mode, prov_ok) AS (VALUES ('heap', TRUE), ('rocksdb', TRUE))
              |SELECT pv.mode, j.user_id, j.s_id, j.p_id, j.s_us, j.p_us,
              |  pv.prov_ok
-             |FROM j, pv ORDER BY mode, user_id, s_id, p_id""".stripMargin))
+             |FROM j, pv ORDER BY mode, user_id, s_id, p_id""".stripMargin)),
+
+    // CHARSET DETECT + REPAIR (x214) — the byte-level pass between the
+    // container walks (WARC/TAR payloads are BYTES) and every text stage
+    // (x208 HTML extraction, x190 NFC, the tokenizer family): real crawl
+    // bytes arrive as windows-1252/latin-1 mojibake, and a lenient
+    // decoder silently U+FFFDs them, splitting dedup keys.
+    // functions/CharsetRepair is a native codegen expression pair:
+    // STRICT RFC 3629 validation (overlongs/surrogates/>U+10FFFF/
+    // truncations all rejected — the checks lenient decoders skip;
+    // valid input passes through allocation-free) and a deterministic
+    // cp1252 transcode for the rest (published CP1252.TXT table, C1
+    // passthrough for the five undefined positions, latin-1 identity
+    // for 0xA0–0xFF — one rule repairs both encodings). The DOUBLE-
+    // ENCODED confusable ("Ã©" carried as C3 83 C2 A9 — valid UTF-8,
+    // wrong text) is FLAGGED by the pair regexp, never rewritten. Four
+    // paired constructions: pure ASCII, true UTF-8 (é = C3 A9),
+    // windows-1252 bytes (E9 + curly quotes 93/94 + ellipsis 85 — the
+    // C1 page where latin-1 and cp1252 differ), and double-encoded
+    // mojibake; the oracle builds every expected REPAIRED string
+    // directly by construction (chr arithmetic — no charset machinery
+    // trusted on the oracle side). Scale: narrow per-row codegen into a
+    // 10-group partial agg — zero shuffle before the rollup.
+    QueryDef(
+      "x214_charset_repair",
+      (s, d) => {
+        val base = concat(lit("w"), col("doc_id").cast("string"), lit(" "))
+        val cls = (col("doc_id") % 4).cast("int")
+        val quotedHex = "71756F746564" // "quoted"
+        val raw =
+          when(cls === 0, encode(concat(base, lit("ascii plain")), "UTF-8"))
+            .when(cls === 1, encode(concat(base, lit("caf\u00e9 ok")), "UTF-8"))
+            .when(cls === 2, concat(encode(concat(base, lit("caf")), "UTF-8"),
+              unhex(lit("E92093" + quotedHex + "9485"))))
+            .otherwise(concat(encode(concat(base, lit("caf")), "UTF-8"),
+              unhex(lit("C383C2A920616E64")))) // "Ã© and" double-encoded
+        documents(s, d).filter(col("doc_id") < 3000)
+          .select(col("doc_id"), raw.as("raw"))
+          .withColumn("was_utf8",
+            graft.functions.CharsetRepair.isUtf8(col("raw")))
+          .withColumn("txt", graft.functions.CharsetRepair.repair(col("raw")))
+          .withColumn("moji", regexp_count(col("txt"),
+            lit(graft.functions.CharsetRepair.mojibakePairPattern))
+            .cast(LongType))
+          .groupBy((col("doc_id") % 10).cast(LongType).as("grp"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("was_utf8"), 1L).otherwise(0L)).as("n_utf8"),
+            sum(when(!col("was_utf8"), 1L).otherwise(0L)).as("n_repaired"),
+            sum(col("moji")).as("moji_pairs"),
+            sum(length(col("txt")).cast(LongType)).as("chars_after"),
+            sum(expr("CAST(conv(substring(md5(txt), 1, 8), 16, 10) AS BIGINT)"))
+              .as("cksum"))
+          .orderBy("grp")
+      },
+      Some("""WITH src AS (SELECT doc_id,
+             |    CASE CAST(doc_id % 4 AS INT)
+             |      WHEN 0 THEN 'w' || doc_id || ' ascii plain'
+             |      WHEN 1 THEN 'w' || doc_id || ' caf' || chr(233) || ' ok'
+             |      WHEN 2 THEN 'w' || doc_id || ' caf' || chr(233) || ' ' ||
+             |        chr(8220) || 'quoted' || chr(8221) || chr(8230)
+             |      ELSE 'w' || doc_id || ' caf' || chr(195) || chr(169) ||
+             |        ' and' END AS txt,
+             |    CASE WHEN doc_id % 4 = 2 THEN FALSE ELSE TRUE END AS wu,
+             |    CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END AS moji
+             |  FROM documents WHERE doc_id < 3000),
+             |hx8 AS (SELECT doc_id, txt, wu, moji,
+             |    substr(md5(txt), 1, 8) AS hx FROM src)
+             |SELECT CAST(doc_id % 10 AS BIGINT) AS grp,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CASE WHEN wu THEN 1 ELSE 0 END) AS BIGINT) AS n_utf8,
+             |  CAST(sum(CASE WHEN wu THEN 0 ELSE 1 END) AS BIGINT)
+             |    AS n_repaired,
+             |  CAST(sum(moji) AS BIGINT) AS moji_pairs,
+             |  CAST(sum(length(txt)) AS BIGINT) AS chars_after,
+             |  CAST(sum((instr('0123456789abcdef', substr(hx, 1, 1)) - 1) * 268435456
+             |    + (instr('0123456789abcdef', substr(hx, 2, 1)) - 1) * 16777216
+             |    + (instr('0123456789abcdef', substr(hx, 3, 1)) - 1) * 1048576
+             |    + (instr('0123456789abcdef', substr(hx, 4, 1)) - 1) * 65536
+             |    + (instr('0123456789abcdef', substr(hx, 5, 1)) - 1) * 4096
+             |    + (instr('0123456789abcdef', substr(hx, 6, 1)) - 1) * 256
+             |    + (instr('0123456789abcdef', substr(hx, 7, 1)) - 1) * 16
+             |    + (instr('0123456789abcdef', substr(hx, 8, 1)) - 1)) AS BIGINT)
+             |    AS cksum
+             |FROM hx8 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // END-TO-END CRAWL PIPELINE (x215) — the COMPOSITION gate: x121
+    // stops at the WARC record walk; this one drives the whole library
+    // path a crawl corpus actually takes, with every stage the real ops
+    // API and NO seam in between: gzip members (ops/GzipExtract, stored-
+    // deflate shards built byte-arithmetically in the gate) → WARC walk
+    // (ops/WarcIndex; payloads recovered byte-exactly via the latin-1
+    // round trip) → charset repair (functions/CharsetRepair — one third
+    // of the records are RAW windows-1252 bytes that a lenient decoder
+    // would U+FFFD) → HTML text extraction (ops/HtmlText — comments,
+    // script, tags, entities) → NFC (functions/NfcNormalize — another
+    // third carries decomposed e+U+0301 that must collide with the
+    // precomposed é) → EXACT dedup (x01 semantics: group by normalized
+    // text; each of the 12 logical documents arrives as 4 byte-DIFFERENT
+    // copies — distinct comments per copy — that must collapse) →
+    // maximal-repeat spans over the survivors (ops/MaximalRepeats, k=25;
+    // two survivors share a 30-token filler run planted by
+    // construction). The ORACLE never touches a container or a charset:
+    // it predicts every survivor's normalized text, dedup counts, and
+    // span geometry purely arithmetically from the construction — the
+    // decoder family's paired-construction discipline applied to the
+    // whole pipeline. Scale: every stage is a narrow flatMap/codegen
+    // pass; the only shuffles are the dedup groupBy and the span
+    // machinery's hash-bucketed exchanges (x197's shape).
+    QueryDef(
+      "x215_crawl_pipeline",
+      (s, d) => {
+        def payloadHex(i: Int): String = {
+          val rid = s"(doc_id * 2 + $i)"
+          val tk = s"(($rid) % 12)"
+          val cc = s"(($tk) % 3)"
+          val filler = s"(CASE WHEN $tk >= 10 THEN concat(' ', " +
+            s"array_join(transform(sequence(0, 29), " +
+            s"t -> concat('F', CAST(t AS STRING))), ' '), " +
+            s"' end', CAST($tk AS STRING)) ELSE '' END)"
+          val bodyHex = s"(CASE CAST($cc AS INT) " +
+            s"WHEN 0 THEN hex(CAST(concat('w', CAST($tk AS STRING), " +
+            s"' plain &amp; body', $filler) AS BINARY)) " +
+            // caf + E9(é) + 20 + 93(“) + 71(q) + 94(”) — cp1252 bytes
+            s"WHEN 1 THEN concat(hex(CAST(concat('w', CAST($tk AS STRING), " +
+            s"' caf') AS BINARY)), 'E920937194', " +
+            s"hex(CAST($filler AS BINARY))) " +
+            // cafe + CC81 (combining acute): valid UTF-8, decomposed
+            s"ELSE concat(hex(CAST(concat('w', CAST($tk AS STRING), " +
+            s"' cafe') AS BINARY)), 'CC81', hex(CAST($filler AS BINARY))) END)"
+          s"concat(hex(CAST(concat('<html><!--r', CAST($rid AS STRING), " +
+            s"'--><head><title>T', CAST($tk AS STRING), " +
+            s"'</title></head><body><p>') AS BINARY)), $bodyHex, " +
+            s"hex(CAST('</p><script>var x=1;</script></body></html>' AS BINARY)))"
+        }
+        var b = documents(s, d).filter(col("doc_id") < 24)
+          .withColumn("crlf", expr("concat(chr(13), chr(10))"))
+        for (i <- 0 to 1) {
+          val rid = s"(doc_id * 2 + $i)"
+          b = b.withColumn(s"ph_$i", expr(payloadHex(i)))
+            .withColumn(s"wh_$i", expr(
+              s"concat(hex(CAST(concat('WARC/1.0', crlf, " +
+                s"'WARC-Type: response', crlf, " +
+                s"'WARC-Target-URI: https://cc.ex/p', CAST($rid AS STRING), crlf, " +
+                s"'Content-Length: ', CAST(length(unhex(ph_$i)) AS STRING), " +
+                s"crlf, crlf) AS BINARY)), ph_$i, " +
+                s"hex(CAST(concat(crlf, crlf) AS BINARY)))"))
+            .withColumn(s"gz_$i", expr(
+              s"concat('1F8B0800', '00000000', '0000', '01', " +
+                s"${le16S(s"length(unhex(wh_$i))")}, " +
+                s"${le16S(s"65535 - length(unhex(wh_$i))")}, wh_$i, " +
+                s"${le32S(s"crc32(unhex(wh_$i)) % 4294967296")}, " +
+                s"${le32S(s"length(unhex(wh_$i))")})"))
+        }
+        val blobs = b.select(col("doc_id").as("media_id"),
+          unhex(expr("concat(gz_0, gz_1)")).as("media"))
+        val members = graft.ops.GzipExtract.extract(blobs)
+          // latin-1 round trip: encode (NOT a binary cast, which would
+          // re-encode high bytes as UTF-8 and corrupt the cp1252 class)
+          .select((col("shard_id") * 2 + col("member_idx")).as("media_id"),
+            encode(col("content"), "ISO-8859-1").as("media"))
+        val recs = graft.ops.WarcIndex.index(members).toDF()
+          .select(col("shard_id").as("rid"), col("payload"))
+        val repaired = recs
+          .withColumn("raw", encode(col("payload"), "ISO-8859-1"))
+          .withColumn("was_utf8", graft.functions.CharsetRepair.isUtf8(col("raw")))
+          .withColumn("fixed", graft.functions.CharsetRepair.repair(col("raw")))
+          .withColumn("txt", graft.ops.HtmlText.extract(col("fixed")))
+          .withColumn("norm", graft.functions.NfcNormalize.nfc(col("txt")))
+          .withColumn("nfc_changed", col("norm") =!= col("txt"))
+        val groups = repaired.groupBy(col("norm"))
+          .agg(min(col("rid")).as("survivor"),
+            count(lit(1)).as("n_copies"),
+            sum(when(col("was_utf8"), 1L).otherwise(0L)).as("n_utf8"),
+            sum(when(col("nfc_changed"), 1L).otherwise(0L)).as("n_nfc_changed"))
+          .localCheckpoint(true) // output face + span input both read it
+        val spans = graft.ops.MaximalRepeats.spans(
+            groups.select(col("survivor").as("doc_id"),
+              lit("crawl").as("source"), col("norm").as("text")), 25)
+          .groupBy(col("doc_id").as("survivor"))
+          .agg(count(lit(1)).as("n_spans"), sum("len").as("span_tokens"),
+            min("start").as("span_start"))
+        groups.join(spans, Seq("survivor"), "left")
+          .select(col("survivor"), col("n_copies"), col("n_utf8"),
+            col("n_nfc_changed"),
+            length(col("norm")).cast(LongType).as("n_chars"),
+            expr("CAST(conv(substring(md5(norm), 1, 8), 16, 10) AS BIGINT)")
+              .as("cksum"),
+            coalesce(col("n_spans"), lit(0L)).cast(LongType).as("n_spans"),
+            coalesce(col("span_tokens"), lit(0L)).cast(LongType)
+              .as("span_tokens"),
+            coalesce(col("span_start"), lit(-1L)).cast(LongType)
+              .as("span_start"))
+          .orderBy("survivor")
+      },
+      Some("""WITH tks AS (SELECT unnest(range(0, 12)) AS tk),
+             |fil AS (SELECT tk,
+             |    CASE WHEN tk >= 10 THEN ' ' || list_aggregate(
+             |      list_transform(range(0, 30), t -> 'F' || CAST(t AS VARCHAR)),
+             |      'string_agg', ' ') || ' end' || CAST(tk AS VARCHAR)
+             |    ELSE '' END AS filler
+             |  FROM tks),
+             |nrm AS (SELECT tk,
+             |    'T' || tk || ' ' || CASE CAST(tk % 3 AS INT)
+             |      WHEN 0 THEN 'w' || tk || ' plain & body'
+             |      WHEN 1 THEN 'w' || tk || ' caf' || chr(233) || ' ' ||
+             |        chr(8220) || 'q' || chr(8221)
+             |      ELSE 'w' || tk || ' caf' || chr(233) END || filler AS norm
+             |  FROM fil),
+             |hx8 AS (SELECT tk, norm, substr(md5(norm), 1, 8) AS hx FROM nrm)
+             |SELECT CAST(tk AS BIGINT) AS survivor,
+             |  CAST(4 AS BIGINT) AS n_copies,
+             |  CAST(CASE WHEN tk % 3 = 1 THEN 0 ELSE 4 END AS BIGINT) AS n_utf8,
+             |  CAST(CASE WHEN tk % 3 = 2 THEN 4 ELSE 0 END AS BIGINT)
+             |    AS n_nfc_changed,
+             |  CAST(length(norm) AS BIGINT) AS n_chars,
+             |  CAST((instr('0123456789abcdef', substr(hx, 1, 1)) - 1) * 268435456
+             |    + (instr('0123456789abcdef', substr(hx, 2, 1)) - 1) * 16777216
+             |    + (instr('0123456789abcdef', substr(hx, 3, 1)) - 1) * 1048576
+             |    + (instr('0123456789abcdef', substr(hx, 4, 1)) - 1) * 65536
+             |    + (instr('0123456789abcdef', substr(hx, 5, 1)) - 1) * 4096
+             |    + (instr('0123456789abcdef', substr(hx, 6, 1)) - 1) * 256
+             |    + (instr('0123456789abcdef', substr(hx, 7, 1)) - 1) * 16
+             |    + (instr('0123456789abcdef', substr(hx, 8, 1)) - 1) AS BIGINT)
+             |    AS cksum,
+             |  CAST(CASE WHEN tk >= 10 THEN 1 ELSE 0 END AS BIGINT) AS n_spans,
+             |  CAST(CASE WHEN tk >= 10 THEN 30 ELSE 0 END AS BIGINT)
+             |    AS span_tokens,
+             |  CAST(CASE WHEN tk = 10 THEN 4 WHEN tk = 11 THEN 3
+             |    ELSE -1 END AS BIGINT) AS span_start
+             |FROM hx8 ORDER BY survivor""".stripMargin))
   )
 
   /** Engine-side Arrow IPC stream writer for the x209 gate: one stream of
