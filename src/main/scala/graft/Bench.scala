@@ -112,6 +112,9 @@ object Bench {
         "-cp", cp, "graft.Bench") ++ chunk)
       val pb = new ProcessBuilder(cmd: _*)
       pb.environment().remove("SPARK_GRAFT_FORK") // child runs inline mode
+      // children are restricted runs (args = their chunk), which skip the
+      // engine warm-up by default — forked children must run it
+      pb.environment().put("SPARK_GRAFT_ENGINE_WARMUP", "1")
       pb.environment().put("SPARK_GRAFT_BENCH_JSON", childJson)
       pb.environment().put("SPARK_GRAFT_BENCH_LOG", s"$tmp/chunk_$i.log")
       pb.redirectErrorStream(false)
@@ -230,6 +233,47 @@ object Bench {
     Tables.names.foreach { t =>
       try Tables(spark, sfDir, t).count()
       catch { case e: Throwable => System.err.println(s"[bench] warmup $t: ${e.getMessage}") }
+    }
+    // ENGINE warm-up (untimed; fork children + no-args full runs): each
+    // fresh child JVM pays ~0.26 s/query of C2-JIT on Spark's own hot
+    // loops (round-11 measured forked 387.9 s vs inline-warm 313.6 s on
+    // one tree — JIT tax, not plan cost). Driving the operator classes
+    // the catalog's hot paths share — hash agg, shuffle exchange, sort,
+    // broadcast + shuffled joins, window, parquet scan, noop write —
+    // through a few generic passes triggers that compilation BEFORE the
+    // timed region, the way a steady-state service has it. Deliberately
+    // NOT catalog queries: pre-running a query would also warm its plan
+    // and shared frames, flattering its own timed runs.
+    val engineWarm = sys.env.contains("SPARK_GRAFT_ENGINE_WARMUP") || args.isEmpty
+    if (engineWarm) {
+      val w0 = System.nanoTime()
+      try {
+        import org.apache.spark.sql.functions._
+        val l = Tables(spark, sfDir, "lineitem")
+        val o = Tables(spark, sfDir, "orders")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey").orderBy(col("p"))
+        for (_ <- 1 to 2) {
+          l.groupBy("l_returnflag", "l_linestatus")
+            .agg(sum("l_quantity"), avg("l_extendedprice"), count(lit(1)))
+            .write.format("noop").mode("overwrite").save()
+          l.join(broadcast(o.select("o_orderkey", "o_custkey").limit(2000)),
+              col("l_orderkey") === col("o_orderkey"))
+            .groupBy("o_custkey").agg(count(lit(1)))
+            .write.format("noop").mode("overwrite").save()
+          o.join(l, col("l_orderkey") === col("o_orderkey"))
+            .select(col("o_custkey"), col("l_extendedprice").as("p"))
+            .withColumn("rk", row_number().over(w))
+            .filter(col("rk") <= 3)
+            .write.format("noop").mode("overwrite").save()
+        }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] engine warmup: ${e.getMessage}")
+      }
+      graft.ops.CheckpointBlocks.sweep(spark, graft.queries.SharedCache.liveRddIds)
+      System.err.println(
+        f"[bench] engine warmup ${(System.nanoTime() - w0) / 1e9}%.1f s (untimed)")
     }
     def runOnce(q: graft.queries.QueryDef): Option[Double] = {
       val t0 = System.nanoTime()
