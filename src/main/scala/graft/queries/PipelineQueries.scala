@@ -14185,7 +14185,234 @@ object PipelineQueries {
              |    AS span_tokens,
              |  CAST(CASE WHEN tk = 10 THEN 4 WHEN tk = 11 THEN 3
              |    ELSE -1 END AS BIGINT) AS span_start
-             |FROM hx8 ORDER BY survivor""".stripMargin))
+             |FROM hx8 ORDER BY survivor""".stripMargin)),
+
+    // GLOBAL DENSE ROW NUMBERING (x216) — the distributed primitive every
+    // training-order assignment needs (x70 shuffles by hash; THIS is the
+    // "give every row its exact position in a total order" contract):
+    // `row_number() OVER (ORDER BY ...)` with no PARTITION BY moves the
+    // whole dataset through ONE WindowExec partition — the canonical
+    // 100 TB scale-killer Spark itself warns about. ops/GlobalIndex is
+    // the two-pass offset shape (RDD zipWithIndex's contract, kept
+    // declarative so both passes stay codegen'd): monotone fixed-width
+    // value bucketing from a 1-row (min,max) aggregate — deterministic,
+    // NO RangePartitioner sampling, so re-evaluation can never re-assign
+    // a row and nothing is cached — then bounded per-bucket counts →
+    // exclusive-prefix offsets (window over ≤ nBuckets rows, never data)
+    // broadcast back onto a PARTITIONED rank. Corpus: documents ∪ clone
+    // with ids 2d / 2d+1, sorted by (n_chars, doc_id) — n_chars collides
+    // heavily (every clone pair ties), so the unique tie column does real
+    // work. The idx%10 rollup interleaves every stripe of the order into
+    // every output row: one row misplaced anywhere moves some group's
+    // count/min/max/sum/cksum. The oracle's row_number is definitionally
+    // the dense total order, so the hash match proves the two-pass
+    // assignment IS that order. Scale: two passes, one hash-by-bucket
+    // exchange; skew = range-partitioning's usual failure mode (raise
+    // nBuckets — the bucket table stays tiny).
+    QueryDef(
+      "x216_global_index",
+      (s, d) => {
+        val doc = documents(s, d).select(col("doc_id"), col("n_chars"))
+        val corpus = doc.select((col("doc_id") * 2).as("doc_id"),
+            col("n_chars"))
+          .unionByName(doc.select((col("doc_id") * 2 + 1).as("doc_id"),
+            col("n_chars")))
+        graft.ops.GlobalIndex
+          .assign(corpus, col("n_chars"), col("doc_id"), 32, "idx")
+          .groupBy((col("idx") % 10).as("grp"))
+          .agg(count(lit(1)).as("n"),
+            min("idx").as("min_idx"), max("idx").as("max_idx"),
+            sum("idx").as("sum_idx"),
+            sum((col("idx") + 1L) * (col("doc_id") % 9973L)).as("cksum"))
+          .orderBy("grp")
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id * 2 AS doc_id, n_chars FROM documents
+             |  UNION ALL
+             |  SELECT doc_id * 2 + 1 AS doc_id, n_chars FROM documents),
+             |ix AS (SELECT doc_id,
+             |    row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS idx
+             |  FROM corpus)
+             |SELECT CAST(idx % 10 AS BIGINT) AS grp,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(min(idx) AS BIGINT) AS min_idx,
+             |  CAST(max(idx) AS BIGINT) AS max_idx,
+             |  CAST(sum(idx) AS BIGINT) AS sum_idx,
+             |  CAST(sum((idx + 1) * (doc_id % 9973)) AS BIGINT) AS cksum
+             |FROM ix GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // COPY-ON-WRITE MERGE (x217) — the lakehouse upsert x184/x185 stop
+    // short of: x184 replays a txlog someone else wrote; THIS gate runs
+    // the whole MERGE INTO lifecycle against real files it wrote itself.
+    // Base: orders keys bucketed into 8 range files (fb = (k−min) div
+    // 1000), written partitionBy(fb); the v0 log (one JSON add action per
+    // file, stats kmin/kmax/nrows READ BACK from disk, x184's wire shape)
+    // is written as text and re-PARSED with from_json — the metadata
+    // round-trips through real bytes. Changes: updates (+1.00 on keys in
+    // buckets 1 and 3 with (k−min)%7=0) and inserts (bucket-0 rows
+    // re-keyed +9000 → a NEW file range). ops/CowMerge.touchedFiles
+    // plans the rewrite from STATS ALONE (interval-bucketed metadata
+    // join, never a nested loop); only touched partitions are read
+    // (static partition pruning from the bounded collected file list),
+    // updated matched-side rows are rewritten with inserts into v1, and
+    // the v1 log carries remove(touched) + add(new). The final state is
+    // then REPLAYED from the two logs (x184's last-writer-wins window)
+    // and read back: carried v0 files + v1 files. In-band accounting
+    // pins copy-on-write: n_carried files are never read in the rewrite
+    // pass — rows_carried comes from log metadata only — and
+    // rows_rewritten equals touched rows + inserts. The oracle predicts
+    // the merged table and every accounting scalar arithmetically from
+    // the construction; p sums are dsum-exact decimals, so a single
+    // misapplied or lost update moves the hash. Scale: planning is
+    // metadata×changes bucketed, the rewrite reads only the touched
+    // fraction, and the carried 99% of a 100 TB table costs zero I/O.
+    QueryDef(
+      "x217_cow_merge",
+      (s, d) => {
+        val store = s"${System.getProperty("java.io.tmpdir")}/graft_x217_" +
+          s"${ProcessHandle.current().pid()}_${System.nanoTime()}"
+        val mn = orders(s, d).agg(min("o_orderkey").cast(LongType))
+          .first().getLong(0)
+        try {
+        val base = orders(s, d)
+          .filter(col("o_orderkey") < mn + 8000L)
+          .select(col("o_orderkey").cast(LongType).as("k"),
+            col("o_custkey").cast(LongType).as("c"),
+            col("o_totalprice").cast("decimal(12,2)").as("p"))
+          .withColumn("fb", expr(s"CAST((k - $mn) div 1000 AS BIGINT)"))
+        base.write.mode("overwrite").partitionBy("fb").parquet(s"$store/v0")
+        val logSchema = "v BIGINT, add STRUCT<path: STRING, kmin: BIGINT," +
+          " kmax: BIGINT, nrows: BIGINT>, remove STRUCT<path: STRING>"
+        // fbs filter applies to the RAW inferred-int partition column with
+        // int literals, so it stays a statically-pruned PartitionFilter
+        // (a cast on the column would defeat pruning); the cast to long
+        // happens after.
+        def readV(ver: String, fbs: Option[Seq[Long]] = None) = {
+          val raw = s.read.parquet(s"$store/$ver")
+          fbs.fold(raw)(l => raw.filter(col("fb")
+              .isin(l.map(_.toInt): _*)))
+            .withColumn("fb", col("fb").cast(LongType))
+        }
+        def addLines(ver: String, vno: Long) = readV(ver)
+          .groupBy("fb")
+          .agg(min("k").as("kmin"), max("k").as("kmax"),
+            count(lit(1)).as("nrows"))
+          .select(to_json(struct(lit(vno).as("v"), struct(
+            concat(lit(s"$ver/fb="), col("fb")).as("path"),
+            col("kmin"), col("kmax"), col("nrows")).as("add"))).as("value"))
+        addLines("v0", 0L).coalesce(1).write.mode("overwrite")
+          .text(s"$store/log0")
+        // the metadata the MERGE plans from round-trips through disk
+        val stats0 = s.read.text(s"$store/log0")
+          .select(from_json(col("value"), lit(logSchema)).as("a"))
+          .select(col("a.add.path").as("path"), col("a.add.kmin").as("kmin"),
+            col("a.add.kmax").as("kmax"), col("a.add.nrows").as("nrows"))
+        val updates = base.filter(col("fb").isin(1L, 3L) &&
+          (col("k") - mn) % 7 === 0).select("k")
+        val inserts = base.filter(col("fb") === 0L)
+          .select((col("k") + 9000L).as("k"), col("c"), col("p"),
+            lit(9L).as("fb"))
+        val touched = graft.ops.CowMerge.touchedFiles(stats0, updates, "k")
+        // bounded collect: file PATHS (metadata class — 8 files here,
+        // ~1e5 at 100 TB); drives static partition pruning of the rewrite
+        val touchedFb = touched.select(
+            regexp_extract(col("path"), "fb=([0-9]+)", 1).cast(LongType))
+          .collect().map(_.getLong(0)).sorted
+        val rewritten = readV("v0", Some(touchedFb.toIndexedSeq))
+          .join(broadcast(updates.withColumn("hit", lit(1L))), Seq("k"),
+            "left")
+          .withColumn("p", when(col("hit") === 1L,
+            col("p") + lit(BigDecimal("1.00"))).otherwise(col("p"))
+            .cast("decimal(12,2)"))
+        val updHits = rewritten.agg(coalesce(
+          sum(coalesce(col("hit"), lit(0L))), lit(0L)).as("upd_hits"))
+        rewritten.drop("hit").unionByName(inserts)
+          .write.mode("overwrite").partitionBy("fb").parquet(s"$store/v1")
+        val rmLines = touched.select(to_json(struct(lit(1L).as("v"),
+          struct(col("path")).as("remove"))).as("value"))
+        addLines("v1", 1L).unionByName(rmLines).coalesce(1)
+          .write.mode("overwrite").text(s"$store/log1")
+        // last-writer-wins replay over BOTH logs (x184's shape) — the
+        // live set drives which files the final read touches
+        val acts = s.read.text(s"$store/log0")
+          .unionByName(s.read.text(s"$store/log1"))
+          .select(from_json(col("value"), lit(logSchema)).as("a"))
+          .select(col("a.v").as("v"),
+            coalesce(col("a.add.path"), col("a.remove.path")).as("path"),
+            col("a.add.nrows").as("nrows"),
+            when(col("a.add").isNotNull, lit("add")).otherwise(lit("remove"))
+              .as("op"))
+        val live = acts.withColumn("rn", row_number().over(
+            Window.partitionBy("path").orderBy(col("v").desc, col("op"))))
+          .filter(col("rn") === 1 && col("op") === "add")
+          .withColumn("ver", regexp_extract(col("path"), "^(v[01])/", 1))
+          .withColumn("fb",
+            regexp_extract(col("path"), "fb=([0-9]+)", 1).cast(LongType))
+        val liveArr = live.select("ver", "fb", "nrows").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        val carried = liveArr.filter(_._1 == "v0")
+        val fresh = liveArr.filter(_._1 == "v1")
+        val acct = updHits
+          .withColumn("n_files0", // v0 file count = carried + touched
+            lit((carried.length + touchedFb.length).toLong))
+          .withColumn("n_touched", lit(touchedFb.length.toLong))
+          .withColumn("n_carried", lit(carried.length.toLong))
+          .withColumn("rows_carried", lit(carried.map(_._3).sum))
+          .withColumn("rows_rewritten", lit(fresh.map(_._3).sum))
+        val finalDf = readV("v0", Some(carried.map(_._2).toIndexedSeq))
+          .unionByName(readV("v1", Some(fresh.map(_._2).toIndexedSeq)))
+        finalDf.groupBy((col("k") % 10L).as("grp"))
+          .agg(count(lit(1)).as("n"), dsum(col("p")).as("psum"),
+            sum("c").as("csum"), sum("k").as("ksum"))
+          .crossJoin(broadcast(acct))
+          .orderBy("grp")
+          // 10 rows; materialize before the finally deletes the store
+          .localCheckpoint(eager = true)
+        } finally {
+          val p = new org.apache.hadoop.fs.Path(store)
+          try p.getFileSystem(s.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+          catch { case _: Exception => () }
+        }
+      },
+      Some("""WITH mn AS (SELECT min(o_orderkey) AS m FROM orders),
+             |base AS (SELECT o_orderkey AS k, o_custkey AS c,
+             |    CAST(o_totalprice AS DECIMAL(12,2)) AS p,
+             |    (o_orderkey - m) // 1000 AS fb
+             |  FROM orders, mn WHERE o_orderkey < m + 8000),
+             |upd AS (SELECT k, fb FROM base, mn
+             |  WHERE fb IN (1, 3) AND (k - m) % 7 = 0),
+             |ins AS (SELECT k + 9000 AS k, c, p, 9 AS fb
+             |  FROM base WHERE fb = 0),
+             |fin AS (SELECT k, c,
+             |    CASE WHEN fb IN (1, 3) AND (k - m) % 7 = 0
+             |      THEN CAST(p + 1.00 AS DECIMAL(12,2)) ELSE p END AS p
+             |  FROM base, mn
+             |  UNION ALL SELECT k, c, p FROM ins),
+             |acct AS (SELECT
+             |    (SELECT count(*) FROM upd) AS upd_hits,
+             |    (SELECT count(DISTINCT fb) FROM base) AS n_files0,
+             |    (SELECT count(DISTINCT fb) FROM upd) AS n_touched,
+             |    (SELECT count(DISTINCT fb) FROM base) -
+             |      (SELECT count(DISTINCT fb) FROM upd) AS n_carried,
+             |    (SELECT count(*) FROM base
+             |      WHERE fb NOT IN (SELECT fb FROM upd)) AS rows_carried,
+             |    (SELECT count(*) FROM base
+             |      WHERE fb IN (SELECT fb FROM upd))
+             |      + (SELECT count(*) FROM ins) AS rows_rewritten)
+             |SELECT CAST(k % 10 AS BIGINT) AS grp,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(p AS DECIMAL(18,4))) AS DOUBLE) AS psum,
+             |  CAST(sum(c) AS BIGINT) AS csum,
+             |  CAST(sum(k) AS BIGINT) AS ksum,
+             |  CAST(upd_hits AS BIGINT) AS upd_hits,
+             |  CAST(n_files0 AS BIGINT) AS n_files0,
+             |  CAST(n_touched AS BIGINT) AS n_touched,
+             |  CAST(n_carried AS BIGINT) AS n_carried,
+             |  CAST(rows_carried AS BIGINT) AS rows_carried,
+             |  CAST(rows_rewritten AS BIGINT) AS rows_rewritten
+             |FROM fin, acct GROUP BY 1, 6, 7, 8, 9, 10, 11
+             |ORDER BY 1""".stripMargin))
   )
 
   /** Engine-side Arrow IPC stream writer for the x209 gate: one stream of
