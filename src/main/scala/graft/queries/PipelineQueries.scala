@@ -14412,7 +14412,130 @@ object PipelineQueries {
              |  CAST(rows_carried AS BIGINT) AS rows_carried,
              |  CAST(rows_rewritten AS BIGINT) AS rows_rewritten
              |FROM fin, acct GROUP BY 1, 6, 7, 8, 9, 10, 11
-             |ORDER BY 1""".stripMargin))
+             |ORDER BY 1""".stripMargin)),
+
+    // UNIGRAM TRAIN STEP (x218) — the training half x159 stops short of
+    // (x202's role for BPE, played for the SentencePiece side): one
+    // hard-EM step over the corpus. E-step: every word's MINIMUM-cost
+    // segmentation under the current integer costs, with the chosen
+    // pieces extracted by a deterministic backward walk — the forward DP
+    // packs (cost, unit length) into one BIGINT per position
+    // (cost*64 + (32 − len), len ≤ 18 < 32), so min() breaks cost ties
+    // toward the LONGEST unit, and since only one unit of a given length
+    // can match the fixed text ending at a position, the argmin path is
+    // fully deterministic on BOTH engines. Piece counts are frequency-
+    // weighted (words enter with their corpus multiplicity). M-step:
+    // re-estimated integer cost per used piece,
+    // 25·(len(bin(T)) − len(bin(cnt))) + 100 — an integer-exact
+    // −log₂-shaped rescale both engines compute from bin() string
+    // lengths (T = total piece instances). Inference under the new
+    // costs is x159's existing machinery. The DP, the walk (an
+    // aggregate() whose struct accumulator steps pos backward through
+    // the packed array), and the counts all run in codegen'd
+    // higher-order functions — no UDF; the oracle runs the same packed
+    // recurrence and walk as recursive CTEs. Scale: per-word narrow
+    // compute + one piece-sized shuffle; vocab is a broadcast-sized
+    // literal — the tokenizer-training shape at 100 TB.
+    QueryDef(
+      "x218_unigram_train_step",
+      (s, d) => {
+        val sparkVocab = UnigramVocab.sparkArray
+        val words = documents(s, d)
+          .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+          .filter(length(col("w")).between(4, 18))
+          .groupBy("w").agg(count(lit(1)).as("freq"))
+        val dp = words.withColumn("bests", expr(
+          s"""aggregate(sequence(1, length(w)), array(CAST(0 AS BIGINT)),
+             |  (acc, j) -> array_append(acc,
+             |    aggregate($sparkVocab, CAST(4611686018427387904 AS BIGINT),
+             |      (m, v) -> CASE WHEN j >= length(v.u)
+             |          AND substr(w, CAST(j - length(v.u) + 1 AS INT), length(v.u)) = v.u
+             |        THEN least(m,
+             |          (element_at(acc, CAST(j - length(v.u) + 1 AS INT)) div 64
+             |            + v.c) * 64 + (32 - length(v.u)))
+             |        ELSE m END)))""".stripMargin))
+        val pieces = dp.withColumn("ps", expr(
+          """aggregate(sequence(1, length(w)),
+            |  named_struct('pos', CAST(length(w) AS INT),
+            |    'ps', CAST(array() AS ARRAY<STRING>)),
+            |  (st, x) -> CASE WHEN st.pos > 0 THEN named_struct(
+            |      'pos', st.pos
+            |        - CAST(32 - (element_at(bests, st.pos + 1) % 64) AS INT),
+            |      'ps', array_append(st.ps, substr(w,
+            |        st.pos
+            |          - CAST(32 - (element_at(bests, st.pos + 1) % 64) AS INT)
+            |          + 1,
+            |        CAST(32 - (element_at(bests, st.pos + 1) % 64) AS INT))))
+            |    ELSE st END,
+            |  st -> st.ps)""".stripMargin))
+          // explode_OUTER, deliberately: plain explode lets
+          // InferFiltersFromGenerate add `size(ps) > 0` — and since ps is
+          // a deterministic function of the group key w, constraint
+          // pushdown rewrites that predicate in terms of w and sinks the
+          // ENTIRE interpreted DP+walk below the aggregation, onto every
+          // CORPUS word instance (measured: 11 s at sf0.1, unbounded at
+          // 100×). The outer variant infers nothing; ps is never empty.
+          .select(col("freq"), explode_outer(col("ps")).as("u"))
+        val counts = pieces.groupBy("u").agg(sum("freq").as("cnt"))
+        val tot = counts.agg(sum("cnt").as("t_pieces")).crossJoin(
+          words.agg(count(lit(1)).as("n_words"),
+            sum("freq").as("n_instances")))
+        counts.crossJoin(broadcast(tot))
+          .withColumn("old_cost", expr(
+            s"aggregate($sparkVocab, CAST(-1 AS BIGINT), " +
+              "(m, v) -> CASE WHEN v.u = u THEN v.c ELSE m END)"))
+          .withColumn("new_cost",
+            lit(25L) * (length(expr("bin(t_pieces)"))
+              - length(expr("bin(cnt)"))).cast(LongType) + 100L)
+          .select(col("u"), length(col("u")).cast(LongType).as("len"),
+            col("cnt"), col("old_cost"), col("new_cost"),
+            col("t_pieces"), col("n_words"), col("n_instances"))
+          .orderBy("u")
+      },
+      Some {
+        val duckVocab = UnigramVocab.duckList
+        val vocabValues = UnigramVocab.duckValues
+        s"""WITH RECURSIVE
+           |raw AS (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+           |  FROM documents),
+           |wf AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM raw
+           |  WHERE length(w) BETWEEN 4 AND 18 GROUP BY w),
+           |dp AS (
+           |  SELECT w, freq, 0 AS j, [CAST(0 AS BIGINT)] AS bests FROM wf
+           |  UNION ALL
+           |  SELECT w, freq, j + 1, list_append(bests,
+           |    list_min(list_filter(list_transform($duckVocab, t ->
+           |      CASE WHEN j + 1 >= length(t.u)
+           |          AND substr(w, j + 2 - length(t.u), length(t.u)) = t.u
+           |        THEN (bests[j + 2 - length(t.u)] // 64 + t.c) * 64
+           |          + (32 - length(t.u)) ELSE NULL END),
+           |      y -> y IS NOT NULL)))
+           |  FROM dp WHERE j < length(w)),
+           |dpf AS (SELECT w, freq, bests FROM dp WHERE j = length(w)),
+           |walk AS (
+           |  SELECT w, freq, bests, length(w) AS pos,
+           |    CAST([] AS VARCHAR[]) AS ps FROM dpf
+           |  UNION ALL
+           |  SELECT w, freq, bests, pos - (32 - (bests[pos + 1] % 64)),
+           |    list_append(ps, substr(w,
+           |      CAST(pos - (32 - (bests[pos + 1] % 64)) + 1 AS INT),
+           |      CAST(32 - (bests[pos + 1] % 64) AS INT)))
+           |  FROM walk WHERE pos > 0),
+           |pieces AS (SELECT freq, unnest(ps) AS u FROM walk WHERE pos = 0),
+           |counts AS (SELECT u, CAST(sum(freq) AS BIGINT) AS cnt
+           |  FROM pieces GROUP BY u),
+           |vocab(vu, vc) AS (VALUES $vocabValues),
+           |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t_pieces FROM counts),
+           |ws AS (SELECT CAST(count(*) AS BIGINT) AS n_words,
+           |  CAST(sum(freq) AS BIGINT) AS n_instances FROM wf)
+           |SELECT u, CAST(length(u) AS BIGINT) AS len, cnt,
+           |  CAST(vc AS BIGINT) AS old_cost,
+           |  CAST(25 * (length(bin(t_pieces)) - length(bin(cnt))) + 100
+           |    AS BIGINT) AS new_cost,
+           |  t_pieces, n_words, n_instances
+           |FROM counts JOIN vocab ON vu = u, tot, ws
+           |ORDER BY u""".stripMargin
+      })
   )
 
   /** Engine-side Arrow IPC stream writer for the x209 gate: one stream of
@@ -14685,6 +14808,29 @@ object PipelineQueries {
 
   /** IMA/DVI ADPCM public-spec tables, shared by x167's two engine-native
     * decoders (Spark higher-order aggregate; DuckDB recursive CTE). */
+  /** x159/x218's shared unit vocabulary with additive integer costs —
+    * chars + common English bigrams/trigrams/quadgrams. Rendered once per
+    * engine syntax so the Spark DP, the DuckDB DP, and the oracle's
+    * old-cost join all read the same table. */
+  private object UnigramVocab {
+    val units: Seq[(String, Int)] =
+      ('a' to 'z').map(c => c.toString -> 100) ++ Seq(
+        "th" -> 150, "he" -> 155, "in" -> 140, "er" -> 150, "an" -> 145,
+        "re" -> 152, "on" -> 148, "at" -> 147, "en" -> 151, "nd" -> 153,
+        "ti" -> 149, "es" -> 150, "or" -> 154, "te" -> 150,
+        "the" -> 180, "ing" -> 200, "and" -> 185, "ion" -> 205,
+        "ent" -> 210, "for" -> 215, "ati" -> 207,
+        "tion" -> 250, "ment" -> 260, "atio" -> 262)
+    val sparkArray: String = units
+      .map { case (u, c) => s"named_struct('u', '$u', 'c', CAST($c AS BIGINT))" }
+      .mkString("array(", ", ", ")")
+    val duckList: String = units
+      .map { case (u, c) => s"{'u': '$u', 'c': CAST($c AS BIGINT)}" }
+      .mkString("[", ", ", "]")
+    val duckValues: String =
+      units.map { case (u, c) => s"('$u', $c)" }.mkString(", ")
+  }
+
   private object AdpcmTables {
     val stepsSql: String = Seq(
       7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
