@@ -161,6 +161,29 @@ object PipelineQueries {
       }
     }
 
+  /** Session-shared per-(lang, source) aggregate STATE of the documents
+    * corpus — the materialized view x220's incremental maintenance pass
+    * combines with a delta batch, never rescanning the base. Commutative
+    * + invertible measures only (count / sum / id-sum), so deletes
+    * subtract and inserts add. Metadata-sized (langs × sources rows),
+    * durable via [[graft.ops.DerivedStore]] (bucketed on the group key),
+    * fingerprinted on documents.parquet; v1 — bump on any change to the
+    * measure set. Pinned with localCheckpoint: consumers must read one
+    * in-memory materialization, the plan-shape proof that the combine
+    * never touches base parquet. */
+  private def docAggState(s: SparkSession, d: String): DataFrame =
+    SharedCache.getOrCompute(SharedCache.key(s, d, "doc_agg_state:v1")) {
+      graft.ops.DerivedStore.getOrBuild(s,
+        name = "doc_agg_state_v1_" + dirSlug(d),
+        inputFiles = Seq(s"$d/documents.parquet"),
+        bucketCols = Seq("lang", "source")) {
+        documents(s, d).groupBy("lang", "source")
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_chars").cast(LongType)).as("chars"),
+            sum(col("doc_id")).as("idsum"))
+      }.localCheckpoint(eager = true)
+    }
+
   /** The x152 stream-stream inner-join transform (event-time range join
     * with interval bucketing), shared with the x213 provider matrix so
     * both gates run LITERALLY the same plan — the matrix isolates the
@@ -14535,7 +14558,161 @@ object PipelineQueries {
            |  t_pieces, n_words, n_instances
            |FROM counts JOIN vocab ON vu = u, tot, ws
            |ORDER BY u""".stripMargin
-      })
+      }),
+
+    // INTERVAL OVERLAP JOIN (x219) — the missing member of the temporal-
+    // join family: q22 joins a POINT into a bounded range, x14 is as-of,
+    // x186 aggregates interval concurrency; this joins INTERVAL×INTERVAL
+    // on intersection (s1 ≤ e2 AND s2 ≤ e1) — sessions×sessions,
+    // ad-slots×impressions, the shape whose naive key equi-join degrades
+    // to per-key quadratic probes as history grows. ops/OverlapJoin
+    // generalizes the bucket trick to two EXPLODED sides: each interval
+    // covers floor(s/W)..floor(e/W) (≤ 2 buckets at length ≤ W), the
+    // join runs on (user, bucket), and exactly-once is restored by the
+    // meet-bucket residual — an overlapping pair survives only in
+    // bucket floor(max(s1,s2)/W), which both covered lists provably
+    // contain (the multiset-equality argument at the op). Intervals:
+    // event start + (event_id % 3600 + 1) s duration, even ids vs odd
+    // ids per user. The oracle is the brute-force inequality join; pair
+    // count, exact-µs overlap mass, and id-sum all must match. Scale:
+    // probe cost per row is the partner rate within 2W — independent of
+    // history; everything is codegen'd integer arithmetic on
+    // unix_micros.
+    QueryDef(
+      "x219_interval_overlap_join",
+      (s, d) => {
+        import graft.ops.OverlapJoin
+        val w = 3601L * 1000000L // >= max duration (3600 s) in µs
+        val ev = events(s, d).select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("st"))
+          .withColumn("en",
+            col("st") + (col("event_id") % 3600L + 1L) * 1000000L)
+        val a = ev.filter(col("event_id") % 2 === 0)
+          .select(col("user_id"), col("event_id").as("a_id"),
+            col("st").as("s1"), col("en").as("e1"))
+          .withColumn("bk",
+            OverlapJoin.coveredBuckets(col("s1"), col("e1"), w))
+        val b = ev.filter(col("event_id") % 2 === 1)
+          .select(col("user_id"), col("event_id").as("b_id"),
+            col("st").as("s2"), col("en").as("e2"))
+          .withColumn("bk",
+            OverlapJoin.coveredBuckets(col("s2"), col("e2"), w))
+        a.join(b, Seq("user_id", "bk"))
+          .filter(OverlapJoin.overlaps(
+              col("s1"), col("e1"), col("s2"), col("e2")) &&
+            col("bk") === OverlapJoin.meetBucket(col("s1"), col("s2"), w))
+          .groupBy((col("user_id") % 10).as("grp"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(least(col("e1"), col("e2"))
+              - greatest(col("s1"), col("s2"))).as("overlap_us"),
+            sum(col("a_id") + col("b_id")).as("idsum"))
+          .orderBy("grp")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS st,
+             |    epoch_us(ts) + (event_id % 3600 + 1) * 1000000 AS en
+             |  FROM events),
+             |a AS (SELECT user_id, event_id AS a_id, st AS s1, en AS e1
+             |  FROM ev WHERE event_id % 2 = 0),
+             |b AS (SELECT user_id, event_id AS b_id, st AS s2, en AS e2
+             |  FROM ev WHERE event_id % 2 = 1),
+             |p AS (SELECT a.user_id, a_id, b_id, s1, e1, s2, e2
+             |  FROM a JOIN b ON a.user_id = b.user_id
+             |    AND s1 <= e2 AND s2 <= e1)
+             |SELECT CAST(user_id % 10 AS BIGINT) AS grp,
+             |  CAST(count(*) AS BIGINT) AS n_pairs,
+             |  CAST(sum(least(e1, e2) - greatest(s1, s2)) AS BIGINT)
+             |    AS overlap_us,
+             |  CAST(sum(a_id + b_id) AS BIGINT) AS idsum
+             |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // INCREMENTAL AGGREGATE MAINTENANCE (x220) — the materialized-view
+    // delta update every 100 TB rollup lives by (x47/x203's incremental
+    // discipline applied to AGGREGATION state): yesterday's per-(lang,
+    // source) aggregate is a DerivedStore-backed state frame (count /
+    // char-sum / id-sum — commutative AND invertible measures, chosen so
+    // deletes subtract exactly), and today's delta batch (deletes:
+    // doc_id%17=0; inserts: doc_id%13=0 re-keyed +500000 with +7 chars,
+    // every 26th re-homed to a NEW 'zz' language so the merge exercises
+    // state-missing groups) folds in via ONE full-outer merge on the
+    // group key, dropping groups whose count reaches zero. The base
+    // corpus is NEVER rescanned in the combine — the state side is the
+    // pinned in-memory materialization (plan-pinned: the merged plan's
+    // only parquet scans are delta-sized), which is the entire point at
+    // 100 TB: maintenance cost tracks the DELTA plus the metadata-sized
+    // state, not the corpus. The oracle recomputes the view from scratch
+    // over (base − deletes) ∪ inserts — incremental must equal full
+    // recompute bit-for-bit, with group counts in-band (n_groups_base /
+    // n_groups_delta / n_groups_out).
+    QueryDef(
+      "x220_incr_agg_maintenance",
+      (s, d) => {
+        val state = docAggState(s, d)
+        val base = documents(s, d)
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        val dels = base.filter(col("doc_id") % 17 === 0)
+          .select(col("lang"), col("source"), lit(-1L).as("dn"),
+            (-col("n_chars").cast(LongType)).as("dchars"),
+            (-col("doc_id")).as("didsum"))
+        val ins = base.filter(col("doc_id") % 13 === 0)
+          .select(
+            when(col("doc_id") % 26 === 0, lit("zz")).otherwise(col("lang"))
+              .as("lang"),
+            col("source"), lit(1L).as("dn"),
+            (col("n_chars").cast(LongType) + 7L).as("dchars"),
+            (col("doc_id") + 500000L).as("didsum"))
+        val delta = dels.unionByName(ins).groupBy("lang", "source")
+          .agg(sum("dn").as("dn"), sum("dchars").as("dchars"),
+            sum("didsum").as("didsum"))
+          // group-sized (langs × sources): pin so the merge AND the two
+          // accounting consumers read ONE delta pass over the batch
+          .localCheckpoint(eager = true)
+        val merged = state.join(delta, Seq("lang", "source"), "full_outer")
+          .select(col("lang"), col("source"),
+            (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+              .as("n"),
+            (coalesce(col("chars"), lit(0L))
+              + coalesce(col("dchars"), lit(0L))).as("chars"),
+            (coalesce(col("idsum"), lit(0L))
+              + coalesce(col("didsum"), lit(0L))).as("idsum"))
+          .filter(col("n") > 0L)
+        val acct = state.agg(count(lit(1)).as("n_groups_base"))
+          .crossJoin(delta.agg(count(lit(1)).as("n_groups_delta")))
+        // n_groups_out via a window over the GROUP-sized merged frame
+        // (langs × sources rows — bounded, never data): a separate
+        // merged.count() would re-execute the full-outer join
+        merged
+          .withColumn("n_groups_out",
+            count(lit(1)).over(Window.partitionBy(lit(1))))
+          .crossJoin(broadcast(acct))
+          .orderBy("lang", "source")
+      },
+      Some("""WITH base AS (SELECT doc_id, lang, source, n_chars
+             |  FROM documents),
+             |kept AS (SELECT * FROM base WHERE doc_id % 17 <> 0),
+             |ins AS (SELECT doc_id + 500000 AS doc_id,
+             |    CASE WHEN doc_id % 26 = 0 THEN 'zz' ELSE lang END AS lang,
+             |    source, n_chars + 7 AS n_chars
+             |  FROM base WHERE doc_id % 13 = 0),
+             |fin AS (SELECT * FROM kept UNION ALL SELECT * FROM ins),
+             |g AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(n_chars) AS BIGINT) AS chars,
+             |    CAST(sum(doc_id) AS BIGINT) AS idsum
+             |  FROM fin GROUP BY 1, 2),
+             |dgrp AS (SELECT DISTINCT lang, source FROM (
+             |  SELECT lang, source FROM base WHERE doc_id % 17 = 0
+             |  UNION ALL
+             |  SELECT CASE WHEN doc_id % 26 = 0 THEN 'zz' ELSE lang END,
+             |    source FROM base WHERE doc_id % 13 = 0)),
+             |acct AS (SELECT
+             |  (SELECT count(*) FROM
+             |    (SELECT DISTINCT lang, source FROM base)) AS n_groups_base,
+             |  (SELECT count(*) FROM dgrp) AS n_groups_delta,
+             |  (SELECT count(*) FROM g) AS n_groups_out)
+             |SELECT lang, source, n, chars, idsum,
+             |  CAST(n_groups_base AS BIGINT) AS n_groups_base,
+             |  CAST(n_groups_delta AS BIGINT) AS n_groups_delta,
+             |  CAST(n_groups_out AS BIGINT) AS n_groups_out
+             |FROM g, acct ORDER BY lang, source""".stripMargin))
   )
 
   /** Engine-side Arrow IPC stream writer for the x209 gate: one stream of

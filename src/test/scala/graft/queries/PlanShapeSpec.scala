@@ -95,6 +95,28 @@ class PlanShapeSpec extends SparkSpec {
       "x201 must consume the published span frame (exactly one cache hit)")
   }
 
+  test("x220's combine never rescans the base corpus — state side is the " +
+      "pinned materialization, parquet scans are delta-sized") {
+    val p = plans("x220_incr_agg_maintenance")
+    // the state side must read the in-memory checkpoint, not parquet
+    assert(p.contains("Scan ExistingRDD"), p.take(4000))
+    // parquet scans in the merged plan: ZERO — the delta is checkpointed
+    // (one pass over the batch at build time), the state is the pinned
+    // store frame, so the combine itself reads only in-memory
+    // materializations. A base-side rescan would reintroduce a FileScan.
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 0, s"$scans parquet scans\n${p.take(4000)}")
+  }
+
+  test("x219's overlap join is a hash equi-join on (user, bucket) — " +
+      "never a nested loop over history") {
+    val p = plans("x219_interval_overlap_join")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p.take(4000))
+  }
+
   test("x201's scrub joins spans back by doc_id — equi-join, no pair blowup") {
     val p = plans("x201_span_scrub")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
