@@ -38,7 +38,13 @@ object StreamGate {
     * size (measured: the stream-stream joins, 4 stores/partition, fall
     * 23 s → 7 s going 32 → 8 partitions). State width is a throughput knob
     * — sized to key cardinality and write rate at scale, not inherited
-    * from the batch side — so the gates pin it to 8 for the replay span.
+    * from the batch side — so the gates pin it for the replay span:
+    * round-12 re-measured the knob on the two heaviest gates (x213
+    * provider-matrix join, x152 inner join) at 8 vs 4 vs 2 and 4 won
+    * (state-store commit count halves vs 8 with no straggler effect at
+    * gate corpus size; 2 gave no further gain). SPARK_GRAFT_GATE_PARTITIONS
+    * overrides for scale experiments — a production replay sizes this to
+    * key cardinality × write rate, not to the local default.
     * Depth-guarded flip: concurrent gates (Verify runs 4 threads) share
     * one flip and only the outermost restores; partition count is
     * semantically neutral catalog-wide, so a batch query planned inside
@@ -47,10 +53,11 @@ object StreamGate {
   private var savedShuffle: Option[String] = None
   private def withGateShuffle[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
+    val n = sys.env.getOrElse("SPARK_GRAFT_GATE_PARTITIONS", "4")
     StreamGate.synchronized {
       if (gateDepth.getAndIncrement() == 0) {
         savedShuffle = Some(spark.conf.get(key))
-        spark.conf.set(key, "8")
+        spark.conf.set(key, n)
       }
     }
     try body
@@ -90,8 +97,16 @@ object StreamGate {
     // once the progress stream shows every staged source row consumed
     // plus at least one trailing no-data batch. No-data batches invoke
     // no handleInputRows, so emissions are identical either way.
+    // 100 ms pacing (round 12; was 500 ms): the interval is pure
+    // inter-batch idle, not computation — the 1 ms TTLs / +1 ms timer
+    // expiries these gates exercise need only that the NEXT batch start
+    // > 1 ms after the previous one's writes, which 100 ms clears by two
+    // orders of magnitude, so every emission is identical; a 4-batch
+    // replay just stops idling 400 ms per trigger (~2 s/replay, two
+    // replays in x205).
+    val paceMs = sys.env.getOrElse("SPARK_GRAFT_GATE_TRIGGER_MS", "100")
     if (expectedInput.isEmpty) writer.trigger(Trigger.AvailableNow())
-    else writer.trigger(Trigger.ProcessingTime("500 milliseconds"))
+    else writer.trigger(Trigger.ProcessingTime(s"$paceMs milliseconds"))
     checkpoint.foreach(writer.option("checkpointLocation", _))
     val q = writer.start()
     try {
@@ -110,7 +125,7 @@ object StreamGate {
           var maxBatch = -1L
           var done = false
           while (!done && q.isActive && System.nanoTime() < deadline) {
-            Thread.sleep(250)
+            Thread.sleep(50)
             val ps = q.recentProgress
             ps.filter(_.batchId > maxBatch).sortBy(_.batchId).foreach { p =>
               seen += p.numInputRows
@@ -124,6 +139,49 @@ object StreamGate {
       }
       q.recentProgress.foreach(progress)
     } finally if (q.isActive) q.stop()
+  }
+
+  /** Stage each micro-batch of `input` as exactly one parquet file
+    * `destDir/batch-%04d.parquet` with mtimes pinned 2 s apart (oldest-first
+    * file-source ordering). The N per-batch writes are INDEPENDENT Spark
+    * jobs (disjoint filters, disjoint output paths), so they run from a
+    * small thread pool (guide §2.6 overlap: actions are only sequential
+    * because driver code calls them sequentially) — wall-clock is the
+    * slowest single write, not the sum; emissions are byte-identical
+    * because file contents, names and mtimes are unchanged. */
+  private def stageBatches(
+      input: DataFrame,
+      batchCol: String,
+      nBatches: Int,
+      fs: org.apache.hadoop.fs.FileSystem,
+      stageRoot: String,
+      destDir: String,
+      base: Long,
+      name: String): Unit = {
+    fs.mkdirs(new org.apache.hadoop.fs.Path(destDir))
+    val poolN = sys.env.getOrElse("SPARK_GRAFT_GATE_STAGE_THREADS", "4").toInt
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(nBatches, poolN)))
+    try {
+      val futs = (0 until nBatches).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            val stage = s"$stageRoot/_stage_$i"
+            input.filter(org.apache.spark.sql.functions.col(batchCol) === i)
+              .drop(batchCol).coalesce(1)
+              .write.mode("overwrite").parquet(stage)
+            val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+              .map(_.getPath).find(_.getName.startsWith("part-"))
+              .getOrElse(sys.error(s"stream gate $name: no part file for batch $i"))
+            val dst = new org.apache.hadoop.fs.Path(f"$destDir/batch-$i%04d.parquet")
+            if (!fs.rename(part, dst)) sys.error(s"stream gate $name: rename failed")
+            fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+            fs.setTimes(dst, base + i * 2000L, -1)
+          }
+        })
+      }
+      futs.foreach(_.get())
+    } finally pool.shutdown()
   }
 
   /** Scan of the gate output, pinned with a DISTRIBUTED localCheckpoint
@@ -172,19 +230,7 @@ object StreamGate {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val base = System.currentTimeMillis() - (nBatches + 1) * 2000L
     try {
-      for (i <- 0 until nBatches) {
-        val stage = s"$dir/_stage_$i"
-        input.filter(org.apache.spark.sql.functions.col(batchCol) === i)
-          .drop(batchCol).coalesce(1)
-          .write.mode("overwrite").parquet(stage)
-        val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
-          .map(_.getPath).find(_.getName.startsWith("part-"))
-          .getOrElse(sys.error(s"stream gate $name: no part file for batch $i"))
-        val dst = new org.apache.hadoop.fs.Path(f"$dir/batch-$i%04d.parquet")
-        if (!fs.rename(part, dst)) sys.error(s"stream gate $name: rename failed")
-        fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-        fs.setTimes(dst, base + i * 2000L, -1)
-      }
+      stageBatches(input, batchCol, nBatches, fs, dir, dir, base, name)
       val schema = input.drop(batchCol).schema
       withGateShuffle(spark) {
         val stream = spark.readStream.schema(schema)
@@ -246,20 +292,7 @@ object StreamGate {
       fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
       // Stage every batch as one pinned-mtime file in a holding area;
       // files are revealed to the watched dir in two waves around the kill.
-      for (i <- 0 until nBatches) {
-        val stage = s"$root/_stage_$i"
-        input.filter(org.apache.spark.sql.functions.col(batchCol) === i)
-          .drop(batchCol).coalesce(1)
-          .write.mode("overwrite").parquet(stage)
-        val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
-          .map(_.getPath).find(_.getName.startsWith("part-"))
-          .getOrElse(sys.error(s"stream gate $name: no part file for batch $i"))
-        val dst = new org.apache.hadoop.fs.Path(f"$hold/batch-$i%04d.parquet")
-        fs.mkdirs(new org.apache.hadoop.fs.Path(hold))
-        if (!fs.rename(part, dst)) sys.error(s"stream gate $name: rename failed")
-        fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-        fs.setTimes(dst, base + i * 2000L, -1)
-      }
+      stageBatches(input, batchCol, nBatches, fs, root, hold, base, name)
       def reveal(from: Int, until: Int): Unit =
         for (i <- from until until) {
           val n = f"batch-$i%04d.parquet"
