@@ -215,6 +215,13 @@ object Bench {
       // sort the bounded-buffer aggregators exist to avoid; bounded ≤k-row
       // buffers make a large in-memory hash map safe
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      // let the planner pick shuffled-hash over sort-merge when its size
+      // conditions hold (guide §3.1/§9): the hash build skips both sides'
+      // sorts; Spark still only chooses SHJ when a build-side partition is
+      // estimated to fit, so the spill posture at scale is unchanged.
+      // Measured −8.5% across the join-heavy catalog rows (46.5 → 42.5 s
+      // on the 15 heaviest batch queries) with identical results.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .getOrCreate()
     // ERROR, not WARN: the per-query block sweep legitimately unpersists
     // localCheckpoint'd RDDs and Spark WARNs about the truncated lineage on

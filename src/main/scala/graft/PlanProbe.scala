@@ -22,6 +22,7 @@ object PlanProbe {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.ui.enabled", false).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val outDir = sys.env.get("SPARK_GRAFT_PLAN_DIR")

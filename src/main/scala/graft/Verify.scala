@@ -17,6 +17,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // see Bench: keep typed-Aggregator paths in hash aggregation
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      // see Bench: prefer shuffled-hash join when the planner's size
+      // conditions hold — Verify must run the same plans the bench runs
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Footer-only schema audit BEFORE any query runs: a regenerated fixture

@@ -77,12 +77,18 @@ object MaximalRepeats {
   }
 
   /** Re-derive the k-gram TEXT for candidate positions only: `cand`
-    * (doc_id, pos) is grouped per doc and joined to the token arrays, so
-    * non-candidate text never moves. */
+    * (doc_id, pos) is grouped per doc and joined to the raw docs, so
+    * non-candidate text never moves — and non-candidate text is never
+    * TOKENIZED either: the split/filter projection sits ABOVE the join
+    * (round 12; it used to sit below, so every doc paid the tokenize even
+    * when the join then dropped it — on the incremental path that was the
+    * whole corpus re-tokenized to verify a candidate-sized set). */
   private def gramText(docs: DataFrame, cand: DataFrame, k: Int): DataFrame = {
     val candPerDoc = cand.groupBy("doc_id")
       .agg(collect_list(col("pos")).as("cps"))
-    toks(docs).join(candPerDoc, Seq("doc_id"))
+    docs.join(candPerDoc, Seq("doc_id"))
+      .select(col("doc_id"), col("source"),
+        expr("filter(split(text, ' '), x -> x != '')").as("tk"), col("cps"))
       .select(col("doc_id"), col("source"),
         explode(col("cps")).as("pos"), col("tk"))
       .select(col("doc_id"), col("source"), col("pos"),
@@ -118,6 +124,12 @@ object MaximalRepeats {
       .filter(col("c") >= 2L).select("h")
     val cand = anch.join(dupH, Seq("h"))
       .select("doc_id", "source", "pos")
+    // NOTE: verifyGrams feeds two consumers, so the verify pipeline is
+    // duplicated in the one-shot plan; deliberately NOT materialized here
+    // — spans() runs once per fixture as a DerivedStore build, and keeping
+    // the full lineage in one lazy plan is what lets PlanShapeSpec pin the
+    // corpus-sized anchor exchange (8-byte hashes, never gram text). The
+    // per-batch incremental path below DOES materialize its twin frame.
     val verifyGrams = gramText(docs, cand, k)
     val dupGram = verifyGrams.groupBy("gram").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2L).select("gram")
@@ -151,19 +163,32 @@ object MaximalRepeats {
     require(k >= 2, s"span threshold must be >= 2 tokens: $k")
     // batch anchors feed THREE consumers (dup-hash counts, the distinct
     // hash probe, and the candidate join) — materialize once; the frame
-    // is batch-token-sized, the thing this operator keeps small
-    val bAnch = anchors(newDocs, k).localCheckpoint(true)
+    // is batch-token-sized, the thing this operator keeps small. The
+    // coalesce undoes union-branch partition fan-out (each branch of a
+    // unioned batch frame carries its own partitioning; the checkpointed
+    // RDD would otherwise pin nBranches × width partitions and every
+    // downstream stage would pay that task count — round 12 measured a
+    // 4-branch batch at 128 tiny partitions)
+    val width = newDocs.sparkSession.sparkContext.defaultParallelism
+    val bAnch = anchors(newDocs, k).coalesce(width).localCheckpoint(true)
     val bDupH = bAnch.groupBy("h").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2L).select("h")
-    val bH = bAnch.select("h").distinct()
-    // candidate cross hashes feed both candH and the index-side gram
-    // re-derivation — candidate-sized, materialize once
-    val hitH = indexAnchors.join(bH, Seq("h")).select("h").distinct()
+    // index rows whose hash occurs in the batch — ONE scan of the
+    // h-bucketed store (round 12; hitH and idxCand used to be two
+    // independent store joins = two corpus-sized scans), semi-joined on
+    // the batch's 8-byte hashes and materialized candidate-sized. Both
+    // downstream consumers (the hash-set union feeding candH and the
+    // index-side gram re-derivation) read this one frame.
+    val idxHit = indexAnchors
+      .join(bAnch.select("h"), Seq("h"), "left_semi")
       .localCheckpoint(true)
+    val hitH = idxHit.select("h").distinct()
     val candH = bDupH.unionByName(hitH).distinct()
     val candB = bAnch.join(candH, Seq("h")).select("doc_id", "pos")
-    val bGram = gramText(newDocs, candB, k)
-    val idxCand = indexAnchors.join(hitH, Seq("h")).select("doc_id", "pos")
+    // candidate-sized, two consumers (bCnt + the verified join) — same
+    // duplication argument as in spans()
+    val bGram = gramText(newDocs, candB, k).localCheckpoint(true)
+    val idxCand = idxHit.select("doc_id", "pos")
     val iGram = gramText(indexDocs, idxCand, k).select("gram")
     val bCnt = bGram.groupBy("gram").agg(count(lit(1)).as("bc"))
     val iCnt = iGram.groupBy("gram").agg(count(lit(1)).as("ic"))
