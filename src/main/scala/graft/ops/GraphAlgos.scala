@@ -81,8 +81,15 @@ object GraphAlgos {
     * Output: (id, component). */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
     val spark = nodes.sparkSession
-    val vertexRdd = nodes.rdd.map(r => (r.getLong(0): VertexId, ()))
-    val edgeRdd = pairs.rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    // entity-sized graph, corpus-shaped input partitioning: the node frame
+    // arrives with the corpus scan's width (a unioned corpus doubles it)
+    // and every Pregel superstep then runs that many tasks per stage —
+    // pure scheduling floor (the graphParts rationale below). Coalesce is
+    // narrow and cannot change values: vertex ids here are the REAL ids,
+    // so the component representative (min real id) is partition-invariant.
+    val p = graphParts(pairs, None)
+    val vertexRdd = nodes.rdd.map(r => (r.getLong(0): VertexId, ())).coalesce(p)
+    val edgeRdd = pairs.rdd.map(r => Edge(r.getLong(0), r.getLong(1), ())).coalesce(p)
     val ccRdd = Graph(vertexRdd, edgeRdd).connectedComponents().vertices
       .map { case (vid, comp) => Row(vid, comp) }
     spark.createDataFrame(ccRdd,

@@ -34,14 +34,25 @@ object TextDedup {
 
   /** (doc_id, seed, mh): per-seed MinHash of word-3-gram shingles.
     * Lexicographic min over md5 hex == numeric min (fixed width). */
-  def minhashSignatures(docs: DataFrame, seeds: Int = 8): DataFrame =
+  def minhashSignatures(docs: DataFrame, seeds: Int = 8): DataFrame = {
+    // One aggregation pass with `seeds` min() states per doc (round 12;
+    // was a second explode fanning every shingle row out `seeds` times,
+    // so the hash aggregate probed `seeds`× rows on a (doc_id, seed)
+    // key). The md5 count is identical — what disappears is the Generate
+    // and the per-fanned-row agg probe; the post-agg unpivot is doc-sized.
+    // Seed literals are inlined strings, so md5 inputs are byte-identical.
+    val aggs = (0 until seeds).map(i =>
+      min(md5(concat(lit(s"$i:"), col("sh")))).as(s"_mh$i"))
     docs
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .filter(size(col("tk")) >= 3)
       .select(col("doc_id"), explode(shingles(col("tk"))).as("sh"))
-      .withColumn("seed", explode(sequence(lit(0L), lit(seeds - 1L))))
-      .groupBy("doc_id", "seed")
-      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("sh")))).as("mh"))
+      .groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), posexplode(array(
+        (0 until seeds).map(i => col(s"_mh$i")): _*)).as(Seq("seed", "mh")))
+      .select(col("doc_id"), col("seed").cast("long").as("seed"), col("mh"))
+  }
 
   /** Signatures folded to one seed-ordered array per doc. */
   def minhashSignatureArrays(docs: DataFrame, seeds: Int = 8): DataFrame =
@@ -263,9 +274,12 @@ object TextDedup {
         .join(labels.select(col("doc_id").as("b_id"), col("canonical_id").as("b_can")), Seq("b_id"))
         .groupBy(col("a_id").as("doc_id"))
         .agg(min(col("b_can")).as("nmin"))
-      val stepped = labels.join(neigh, Seq("doc_id"), "left")
+      // materialized: the compression step SELF-joins this frame, and an
+      // unmaterialized self-join computes the neighbor join twice per pass
+      // (round 12) — node-sized blocks, released with the generation below
+      val stepped = materialize(labels.join(neigh, Seq("doc_id"), "left")
         .select(col("doc_id"), col("canonical_id").as("old"),
-          least(col("canonical_id"), coalesce(col("nmin"), col("canonical_id"))).as("canonical_id"))
+          least(col("canonical_id"), coalesce(col("nmin"), col("canonical_id"))).as("canonical_id")))
       // path compression: follow the label's own label (labels are doc ids,
       // so the self-join always resolves) — doubles the jump length per pass
       val next = stepped
@@ -279,9 +293,11 @@ object TextDedup {
       // narrow block-scan over what was just materialized — no join, no
       // shuffle; `old` rides along precisely so this stays cheap
       changed = mat.filter(col("canonical_id") =!= col("old")).count()
-      // the previous generation fed `mat` and nothing else — free its
-      // blocks now instead of leaking one generation per pass until
-      // session end (the FINAL generation is returned, never released here)
+      // the previous generation (and the intra-pass stepped frame) fed
+      // `mat` and nothing else — free their blocks now instead of leaking
+      // per pass until session end (the FINAL generation is returned,
+      // never released here)
+      CheckpointBlocks.release(stepped)
       CheckpointBlocks.release(labels)
       labels = mat.select("doc_id", "canonical_id")
     }

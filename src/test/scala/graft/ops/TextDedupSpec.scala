@@ -142,14 +142,18 @@ class TextDedupSpec extends SparkSpec {
       .map(id => execStages.get(id).toInt)
     info(s"per-action total stage counts: $counts")
     // action 0: init-labels materialization (narrow); then per pass exactly
-    // TWO actions — (heavy materialize, narrow convergence scan) — so an
-    // ODD total; the scan action must stay narrow (its count() is a
-    // partial+final pair over already-materialized blocks: ≤3 stages, no
-    // index-sized shuffle), and strictly lighter than its pass's materialize
-    assert(counts.size >= 3, s"expected init + ≥1 pass, saw $counts")
-    assert(counts.size % 2 == 1, s"actions must come as init + 2/pass, saw $counts")
-    counts.drop(1).grouped(2).foreach { case Seq(heavy, scan) =>
-      assert(heavy > scan, s"pass must be (heavy materialize, narrow scan); saw $counts")
+    // THREE actions — (stepped materialize, compressed materialize, narrow
+    // convergence scan; round 12 split the former single materialize so the
+    // compression self-join reads stepped blocks instead of recomputing the
+    // neighbor join twice). The convergence scan must stay narrow (its
+    // count() is a partial+final pair over already-materialized blocks: ≤3
+    // stages, no index-sized shuffle), strictly lighter than the pass's
+    // heaviest materialize — the round-3 fix this pin guards.
+    assert(counts.size >= 4, s"expected init + ≥1 pass, saw $counts")
+    assert(counts.size % 3 == 1, s"actions must come as init + 3/pass, saw $counts")
+    counts.drop(1).grouped(3).foreach { case Seq(stepped, compressed, scan) =>
+      val heavy = math.max(stepped, compressed)
+      assert(heavy > scan, s"pass must be (materialize, materialize, narrow scan); saw $counts")
       // the ABSOLUTE stage count is sensitive to how the running Spark/AQE
       // version splits an action into jobs — strict-mode only (the relative
       // heavy>scan invariant above is what guards the round-3 fix)
