@@ -12323,6 +12323,10 @@ object PipelineQueries {
         val sc = org.apache.spark.sql.GraftSqlBridge.cloneSession(s)
         sc.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        // changelog checkpointing: persistence-cost knob only (x213's
+        // comment) — TTL state content and emissions are unchanged
+        sc.conf.set("spark.sql.streaming.stateStore.rocksdb." +
+          "changelogCheckpointing.enabled", "true")
         val out =
           graft.streaming.StreamGate.replayStaged(
             sc, staged, "x199_events", "b", 4, "append",
@@ -13523,12 +13527,30 @@ object PipelineQueries {
             posexplode(expr(
               "transform(sequence(0, 7), t -> slice(rv, t * 8 + 1, 8))"))
               .as(Seq("sb", "sub")))
+          // |sub|² once per subvector: the assign step scores every
+          // codeword via |s|²+|c|²−2s·c with the native IntDotProduct
+          // (round 12; the composable l2 lambda is CodegenFallback —
+          // interpreted per (subvector × codeword) row, the measured
+          // dominant CPU of this gate). Integer identity: exact, same dv.
+          .withColumn("sub2",
+            graft.functions.IntDotProduct.intDot(col("sub"), col("sub")))
           .localCheckpoint(true) // read by train-assign AND final encode
+        // argmin codeword as min over dv·16+cw packed into ONE BIGINT
+        // (round 12; min(struct(dv, cw)) is a struct-ordering aggregate —
+        // SortAggregate over the |sub|×kpq scored rows, the gate's other
+        // hot stage). cw < 16 and dv ≤ 8·254² make the packing exact and
+        // the lexicographic order identical, so the chosen cw is unchanged;
+        // the packed min is a primitive codegen HashAggregate.
         def pqAssign(cb: DataFrame): DataFrame =
-          sub.join(broadcast(cb), Seq("sb"))
-            .withColumn("dv", expr(l2("sub", "cvec")))
+          sub.join(broadcast(cb.withColumn("cv2",
+              graft.functions.IntDotProduct.intDot(col("cvec"), col("cvec")))),
+              Seq("sb"))
+            .withColumn("dv", col("sub2") + col("cv2") - lit(2L) *
+              graft.functions.IntDotProduct.intDot(col("sub"), col("cvec")))
             .groupBy("vec_id", "cent_id", "sb")
-            .agg(min(struct(col("dv"), col("cw"))).getField("cw").as("cw"))
+            .agg(min(col("dv") * lit(16L) + col("cw")).as("pk"))
+            .select(col("vec_id"), col("cent_id"), col("sb"),
+              (col("pk") % 16L).as("cw"))
         val cb1 = pqAssign(cb0).select("vec_id", "sb", "cw")
           .join(sub.select("vec_id", "sb", "sub"), Seq("vec_id", "sb"))
           .select(col("sb"), col("cw"), posexplode(col("sub")).as(Seq("p", "v")))
@@ -13568,9 +13590,19 @@ object PipelineQueries {
         val qfull = a2.filter(col("vec_id") % 53 === 7 && col("vec_id") < 20000)
           .select(col("vec_id").as("q_id"), col("qv").as("q_qv"))
           .localCheckpoint(true)
+        // |q|²+|n|²−2q·n with the native dot (round 12): the corpus ×
+        // query referee was the single heaviest stage of the catalog as an
+        // interpreted zip_with/aggregate per pair; the norms are computed
+        // once per side, the per-pair work is one codegen dot loop.
+        // Integer identity — dist values (and so the top-10) are unchanged.
         val exact = e.select(col("vec_id").as("n_id"), col("qv").as("n_qv"))
-          .join(broadcast(qfull), col("n_id") =!= col("q_id"))
-          .withColumn("dist", expr(l2("q_qv", "n_qv")))
+          .withColumn("n2",
+            graft.functions.IntDotProduct.intDot(col("n_qv"), col("n_qv")))
+          .join(broadcast(qfull.withColumn("q2",
+            graft.functions.IntDotProduct.intDot(col("q_qv"), col("q_qv")))),
+            col("n_id") =!= col("q_id"))
+          .withColumn("dist", col("q2") + col("n2") - lit(2L) *
+            graft.functions.IntDotProduct.intDot(col("q_qv"), col("n_qv")))
           .withColumn("rn", row_number().over(
             Window.partitionBy("q_id").orderBy(col("dist"), col("n_id"))))
           .filter(col("rn") <= 10)
@@ -13871,6 +13903,10 @@ object PipelineQueries {
         val sc = org.apache.spark.sql.GraftSqlBridge.cloneSession(s)
         sc.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
           "state.RocksDBStateStoreProvider")
+        // changelog checkpointing: persistence-cost knob only (x213's
+        // comment) — Map/List/TTL state content and emissions unchanged
+        sc.conf.set("spark.sql.streaming.stateStore.rocksdb." +
+          "changelogCheckpointing.enabled", "true")
         val sawRocks = new java.util.concurrent.atomic.AtomicBoolean(false)
         val out = graft.streaming.StreamGate.replayStaged(
           sc, staged, "x212_events", "b", 4, "append",
@@ -13945,10 +13981,18 @@ object PipelineQueries {
           // provider mutation here would race the neighbors' streams
           // (and theirs would race this leg — observed at sf0.1)
           val sc = org.apache.spark.sql.GraftSqlBridge.cloneSession(s)
-          if (rocks)
+          if (rocks) {
             sc.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
               "state.RocksDBStateStoreProvider")
-          else
+            // changelog checkpointing: commits append a changelog instead
+            // of uploading full SST snapshots per batch per store (round
+            // 12, −1.5 s measured) — a pure persistence-cost knob; this
+            // gate's claim is PROVIDER-equality (the checkpoint-format
+            // matrix is x205's gate), and the emitted pairs are
+            // hash-identical either way
+            sc.conf.set("spark.sql.streaming.stateStore.rocksdb." +
+              "changelogCheckpointing.enabled", "true")
+          } else
             sc.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
               "state.HDFSBackedStateStoreProvider")
           val sawRocks = new java.util.concurrent.atomic.AtomicBoolean(false)
