@@ -12323,10 +12323,10 @@ object PipelineQueries {
         val sc = org.apache.spark.sql.GraftSqlBridge.cloneSession(s)
         sc.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-        // changelog checkpointing: persistence-cost knob only (x213's
-        // comment) — TTL state content and emissions are unchanged
-        sc.conf.set("spark.sql.streaming.stateStore.rocksdb." +
-          "changelogCheckpointing.enabled", "true")
+        // NOTE (round 12): changelog checkpointing measured SLOWER here —
+        // this gate's TTL state is tiny, so snapshot upload is already
+        // cheap and the changelog stream is pure added machinery (x213's
+        // join state is where it wins). Left on the default.
         val out =
           graft.streaming.StreamGate.replayStaged(
             sc, staged, "x199_events", "b", 4, "append",
@@ -13903,10 +13903,9 @@ object PipelineQueries {
         val sc = org.apache.spark.sql.GraftSqlBridge.cloneSession(s)
         sc.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
           "state.RocksDBStateStoreProvider")
-        // changelog checkpointing: persistence-cost knob only (x213's
-        // comment) — Map/List/TTL state content and emissions unchanged
-        sc.conf.set("spark.sql.streaming.stateStore.rocksdb." +
-          "changelogCheckpointing.enabled", "true")
+        // changelog checkpointing left on the default here (round 12):
+        // neutral for this gate's state size — see x199's note; x213 is
+        // where the knob pays.
         val sawRocks = new java.util.concurrent.atomic.AtomicBoolean(false)
         val out = graft.streaming.StreamGate.replayStaged(
           sc, staged, "x212_events", "b", 4, "append",
