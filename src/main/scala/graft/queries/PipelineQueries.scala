@@ -12938,6 +12938,11 @@ object PipelineQueries {
           sc.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
             "state.RocksDBStateStoreProvider")
           sc.conf.set(logKey, changelog.toString)
+          // legs run concurrently: the harness's depth-guarded shuffle
+          // flip only sets the first entrant's session, so each clone
+          // pins the replay state width itself
+          sc.conf.set("spark.sql.shuffle.partitions",
+            graft.streaming.StreamGate.gatePartitions)
           val sawRocks = new java.util.concurrent.atomic.AtomicBoolean(false)
           val out = graft.streaming.StreamGate.replayStaged(
             sc, staged, s"x205_events_$label", "b", 4, "append",
@@ -12959,9 +12964,25 @@ object PipelineQueries {
             col("a"), col("b"), col("c"), col("d"),
             lit(sawRocks.get()).as("rocks_metric"))
         }
-        runOn(changelog = false, "snapshot")
-          .unionByName(runOn(changelog = true, "changelog"))
-          .orderBy("mode", "user_id", "kind", "a", "c")
+        // The two persistence-mode legs are INDEPENDENT replays (own
+        // cloned session, own staging dir, own state stores): run them
+        // CONCURRENTLY (guide §2.6 — actions are only sequential because
+        // driver code calls them sequentially). Each leg's emissions are
+        // unchanged; the final full-tiebreak sort fixes the union order.
+        locally {
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration.Duration
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+          implicit val ec =
+            scala.concurrent.ExecutionContext.fromExecutor(pool)
+          val snapF = Future(runOn(changelog = false, "snapshot"))
+          val logF = Future(runOn(changelog = true, "changelog"))
+          val (snap, log) =
+            try Await.result(snapF.zip(logF), Duration.Inf)
+            finally pool.shutdown()
+          snap.unionByName(log)
+            .orderBy("mode", "user_id", "kind", "a", "c")
+        }
       },
       Some("""WITH e AS (SELECT user_id, event_id,
              |    CAST(floor("value" * 100) AS BIGINT) AS cents,
@@ -13994,6 +14015,11 @@ object PipelineQueries {
           } else
             sc.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
               "state.HDFSBackedStateStoreProvider")
+          // legs run concurrently: the harness's depth-guarded shuffle
+          // flip only sets the first entrant's session, so each clone
+          // pins the replay state width itself
+          sc.conf.set("spark.sql.shuffle.partitions",
+            graft.streaming.StreamGate.gatePartitions)
           val sawRocks = new java.util.concurrent.atomic.AtomicBoolean(false)
           val out = graft.streaming.StreamGate.replayStaged(
             sc, staged, s"x213_events_$label", "b", 4, "append",
@@ -14007,9 +14033,24 @@ object PipelineQueries {
             col("p_id"), col("s_us"), col("p_us"),
             lit(sawRocks.get() == rocks).as("prov_ok"))
         }
-        runOn(rocks = false, "heap")
-          .unionByName(runOn(rocks = true, "rocksdb"))
-          .orderBy("mode", "user_id", "s_id", "p_id")
+        // The two provider legs are INDEPENDENT replays (own cloned
+        // session, own staging dir, own state stores): run them
+        // CONCURRENTLY (guide §2.6). Each leg's emissions are unchanged;
+        // the final full-tiebreak sort fixes the union order.
+        locally {
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration.Duration
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+          implicit val ec =
+            scala.concurrent.ExecutionContext.fromExecutor(pool)
+          val heapF = Future(runOn(rocks = false, "heap"))
+          val rocksF = Future(runOn(rocks = true, "rocksdb"))
+          val (heap, rocks) =
+            try Await.result(heapF.zip(rocksF), Duration.Inf)
+            finally pool.shutdown()
+          heap.unionByName(rocks)
+            .orderBy("mode", "user_id", "s_id", "p_id")
+        }
       },
       Some("""WITH s AS (SELECT event_id AS s_id, user_id, ts AS s_ts
              |  FROM events WHERE event_type = 'signup'),

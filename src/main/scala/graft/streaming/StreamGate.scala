@@ -51,9 +51,18 @@ object StreamGate {
     * the window only narrows, never breaks. */
   private val gateDepth = new java.util.concurrent.atomic.AtomicInteger(0)
   private var savedShuffle: Option[String] = None
+
+  /** The replay-span state width (see withGateShuffle). Public so gates
+    * that run independent replay LEGS concurrently (x205/x213 matrices,
+    * one cloned session per leg) can pre-set it on each clone: the
+    * depth-guarded flip below only sets the FIRST entrant's session, so a
+    * second concurrent leg would otherwise inherit the batch width. */
+  def gatePartitions: String =
+    sys.env.getOrElse("SPARK_GRAFT_GATE_PARTITIONS", "4")
+
   private def withGateShuffle[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
-    val n = sys.env.getOrElse("SPARK_GRAFT_GATE_PARTITIONS", "4")
+    val n = gatePartitions
     StreamGate.synchronized {
       if (gateDepth.getAndIncrement() == 0) {
         savedShuffle = Some(spark.conf.get(key))
