@@ -13477,6 +13477,14 @@ object PipelineQueries {
     QueryDef(
       "x210_ivf_pq_trained",
       (s, d) => {
+        // TEMP round-12 scratch: env-gated per-barrier timings
+        def tstage[T](label: String)(body: => T): T =
+          if (!sys.env.contains("SPARK_GRAFT_X210_TIMINGS")) body
+          else {
+            val t0 = System.nanoTime(); val r = body
+            System.err.println(f"[x210] $label " +
+              f"${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+          }
         def l2(a: String, b: String) =
           s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
             "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
@@ -13488,17 +13496,17 @@ object PipelineQueries {
             "CASE WHEN g = 0.0 THEN array_repeat(CAST(0 AS BIGINT), " +
               "size(embedding)) ELSE transform(embedding, x -> " +
               "CAST(round(CAST(x AS DOUBLE) * 127 / g) AS BIGINT)) END").as("qv"))
-          .localCheckpoint(true) // training + encode + queries + exact side
+          .transform(df => tstage("e")(df.localCheckpoint(true))) // training + encode + queries + exact side
         // —— coarse quantizer: x23's driver-held Lloyd, L2 metric ——
         val kIvf = 8
-        val r0 = e.agg(min(col("vec_id")), max(col("vec_id"))).head()
+        val r0 = tstage("r0")(e.agg(min(col("vec_id")), max(col("vec_id"))).head())
         val (mn, mx) = (r0.getLong(0), r0.getLong(1))
         val step = math.max(1L, (mx - mn + 1) / kIvf)
-        val c0 = e
+        val c0 = tstage("c0")(e
           .groupBy(least(floor((col("vec_id") - mn) / step), lit(kIvf - 1L))
             .cast("long").as("cid"))
           .agg(min_by(col("qv"), col("vec_id")).as("cv"))
-          .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+          .collect()).map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
           .sortBy(_._1)
         // argmin_c L2(v,c) = argmin_c (|c|² − 2·v·c): one narrow codegen
         // pass scoring all k centroids via the native IntDotProduct —
@@ -13525,8 +13533,8 @@ object PipelineQueries {
               (cid, rs.sortBy(_.getInt(1)).map(_.getLong(2)))
             }
             .sortBy(_._1)
-        val c1 = updateC(assignC(c0))
-        val a2 = assignC(c1).localCheckpoint(true) // vec_id, qv, cent_id
+        val c1 = tstage("c1")(updateC(assignC(c0)))
+        val a2 = tstage("a2")(assignC(c1).localCheckpoint(true)) // vec_id, qv, cent_id
         // —— residuals vs the trained coarse centroid ——
         import s.implicits._
         val centDf = c1.toSeq.map { case (cid, arr) => (cid, arr.toSeq) }
@@ -13534,7 +13542,7 @@ object PipelineQueries {
         val res = a2.join(broadcast(centDf), Seq("cent_id"))
           .select(col("vec_id"), col("cent_id"),
             expr("zip_with(qv, cv, (x, y) -> x - y)").as("rv"))
-          .localCheckpoint(true)
+          .transform(df => tstage("res")(df.localCheckpoint(true)))
         // —— PQ codebooks: x206's %31 sample SEEDS one Lloyd round ——
         val cb0 = res.filter(col("vec_id") % 31 === 1)
           .withColumn("rk", row_number().over(Window.orderBy("vec_id")))
@@ -13543,7 +13551,7 @@ object PipelineQueries {
             posexplode(expr(
               "transform(sequence(0, 7), t -> slice(rv, t * 8 + 1, 8))"))
               .as(Seq("sb", "cvec")))
-          .localCheckpoint(true) // ≤ m·kpq = 128 rows — bounded model state
+          .transform(df => tstage("cb0")(df.localCheckpoint(true))) // ≤ m·kpq = 128 rows — bounded model state
         val sub = res.select(col("vec_id"), col("cent_id"),
             posexplode(expr(
               "transform(sequence(0, 7), t -> slice(rv, t * 8 + 1, 8))"))
@@ -13555,25 +13563,40 @@ object PipelineQueries {
           // dominant CPU of this gate). Integer identity: exact, same dv.
           .withColumn("sub2",
             graft.functions.IntDotProduct.intDot(col("sub"), col("sub")))
-          .localCheckpoint(true) // read by train-assign AND final encode
+          .transform(df => tstage("sub")(df.localCheckpoint(true))) // read by train-assign AND final encode
         // argmin codeword as min over dv·16+cw packed into ONE BIGINT
-        // (round 12; min(struct(dv, cw)) is a struct-ordering aggregate —
-        // SortAggregate over the |sub|×kpq scored rows, the gate's other
-        // hot stage). cw < 16 and dv ≤ 8·254² make the packing exact and
-        // the lexicographic order identical, so the chosen cw is unchanged;
-        // the packed min is a primitive codegen HashAggregate.
-        def pqAssign(cb: DataFrame): DataFrame =
-          sub.join(broadcast(cb.withColumn("cv2",
-              graft.functions.IntDotProduct.intDot(col("cvec"), col("cvec")))),
-              Seq("sb"))
-            .withColumn("dv", col("sub2") + col("cv2") - lit(2L) *
-              graft.functions.IntDotProduct.intDot(col("sub"), col("cvec")))
-            .groupBy("vec_id", "cent_id", "sb")
-            .agg(min(col("dv") * lit(16L) + col("cw")).as("pk"))
-            .select(col("vec_id"), col("cent_id"), col("sb"),
-              (col("pk") % 16L).as("cw"))
-        val cb1 = pqAssign(cb0).select("vec_id", "sb", "cw")
-          .join(sub.select("vec_id", "sb", "sub"), Seq("vec_id", "sb"))
+        // (round 12; cw < 16 and dv ≤ 8·254² make the packing exact and
+        // the lexicographic order identical, so the chosen cw is
+        // unchanged). Round-12 pass 2: the codebook is ≤ m·kpq = 128 rows
+        // of driver-held model state (the coarse quantizer's own posture),
+        // so instead of fanning every subvector ×kpq through a broadcast
+        // join and re-aggregating the packed min, collect it and unroll
+        // the argmin into ONE narrow codegen projection — per codeword,
+        // dv = |s|²+|c|²−2s·c against element_at(<2-D literal>, sb+1),
+        // then array_min over the 16 packed BIGINTs. A (sb, cw) the
+        // trained book dropped (empty codeword) scores NULL, which
+        // array_min skips — exactly the rows the former join never
+        // produced. dv values, tie order and the chosen cw are
+        // integer-identical; the |sub| rows never fan out at all (and the
+        // former |sub|⋈|sub| join-back for the centroid update is gone —
+        // each sub row already carries its own subvector).
+        def pqAssignExpr(cb: DataFrame): org.apache.spark.sql.Column = {
+          val rows = cb
+            .select(col("sb").cast(LongType), col("cw").cast(LongType),
+              col("cvec"))
+            .collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+          val packed: Seq[org.apache.spark.sql.Column] = (0L until 16L).map { cw =>
+            val bySb = rows.filter(_._2 == cw).map(t => t._1 -> t._3).toMap
+            val cvecs: Seq[Seq[Long]] = (0L until 8L).map(sb => bySb.get(sb).orNull)
+            val cvec = element_at(typedLit(cvecs), (col("sb") + 1).cast("int"))
+            (col("sub2") + graft.functions.IntDotProduct.intDot(cvec, cvec) -
+              lit(2L) * graft.functions.IntDotProduct.intDot(col("sub"), cvec)) *
+              lit(16L) + lit(cw)
+          }
+          array_min(array(packed: _*)) % 16L
+        }
+        val cb1 = sub.withColumn("cw", pqAssignExpr(cb0))
           .select(col("sb"), col("cw"), posexplode(col("sub")).as(Seq("p", "v")))
           .groupBy("sb", "cw", "p")
           .agg(floor(sum(col("v")).cast(DoubleType) / count(lit(1)))
@@ -13581,13 +13604,14 @@ object PipelineQueries {
           .groupBy("sb", "cw")
           .agg(expr("transform(array_sort(collect_list(struct(p, cv))), x -> x.cv)")
             .as("cvec"))
-          .localCheckpoint(true) // trained codebooks (empty codewords drop)
-        val codes = pqAssign(cb1).withColumnRenamed("cw", "code")
+          .transform(df => tstage("cb1")(df.localCheckpoint(true))) // trained codebooks (empty codewords drop)
+        val codes = sub.withColumn("code", pqAssignExpr(cb1))
+          .select("vec_id", "cent_id", "sb", "code")
         // —— query side: probe ONE cluster, ADC against trained books ——
         val q = res.filter(col("vec_id") % 53 === 7 && col("vec_id") < 20000)
           .select(col("vec_id").as("q_id"), col("cent_id").as("q_cent"),
             col("rv").as("q_rv"))
-          .localCheckpoint(true) // bounded query sample (x69/x124 argument)
+          .transform(df => tstage("q")(df.localCheckpoint(true))) // bounded query sample (x69/x124 argument)
         val qd = q.crossJoin(broadcast(cb1))
           .withColumn("qd", expr(l2("slice(q_rv, sb * 8 + 1, 8)", "cvec")))
           .select(col("q_id"), col("q_cent"), col("sb").as("qsb"),
@@ -13599,18 +13623,18 @@ object PipelineQueries {
           .filter(col("vec_id") =!= col("q_id"))
           .groupBy(col("q_id"), col("vec_id").as("n_id"))
           .agg(sum(col("qd")).as("adc"))
-          .localCheckpoint(true) // n_cands + top-k both read it
+          .transform(df => tstage("ap")(df.localCheckpoint(true))) // n_cands + top-k both read it
         val nCands = ap.groupBy("q_id").agg(count(lit(1)).as("n_cands"))
         val atop = ap
           .withColumn("rn", row_number().over(
             Window.partitionBy("q_id").orderBy(col("adc"), col("n_id"))))
           .filter(col("rn") <= 10)
           .select("q_id", "n_id", "adc")
-          .localCheckpoint(true) // overlap + adc_sum both read it
+          .transform(df => tstage("atop")(df.localCheckpoint(true))) // overlap + adc_sum both read it
         // —— referee: exact integer-L2 top-10 over the FULL corpus ——
         val qfull = a2.filter(col("vec_id") % 53 === 7 && col("vec_id") < 20000)
           .select(col("vec_id").as("q_id"), col("qv").as("q_qv"))
-          .localCheckpoint(true)
+          .transform(df => tstage("qfull")(df.localCheckpoint(true)))
         // |q|²+|n|²−2q·n with the native dot (round 12): the corpus ×
         // query referee was the single heaviest stage of the catalog as an
         // interpreted zip_with/aggregate per pair; the norms are computed

@@ -232,6 +232,16 @@ object StreamGate {
       availableNow: Boolean = true)(
       transform: DataFrame => DataFrame): DataFrame = {
     require(name.matches("[A-Za-z0-9_]+"), s"unsafe stream-gate name: $name")
+    // env-gated phase timings (stderr) — measurement only, no behavior
+    val timings = sys.env.contains("SPARK_GRAFT_GATE_TIMINGS")
+    def phase[T](label: String)(body: => T): T =
+      if (!timings) body
+      else {
+        val t0 = System.nanoTime()
+        try body
+        finally System.err.println(f"[gate-timing] $name $label " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
     val seq = runSeq.incrementAndGet()
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_stream_${name}_" +
       s"${ProcessHandle.current().pid()}_$seq"
@@ -239,7 +249,8 @@ object StreamGate {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val base = System.currentTimeMillis() - (nBatches + 1) * 2000L
     try {
-      stageBatches(input, batchCol, nBatches, fs, dir, dir, base, name)
+      phase("stage")(
+        stageBatches(input, batchCol, nBatches, fs, dir, dir, base, name))
       val schema = input.drop(batchCol).schema
       withGateShuffle(spark) {
         val stream = spark.readStream.schema(schema)
@@ -249,10 +260,11 @@ object StreamGate {
         val transformed = transform(stream)
         val expected =
           if (availableNow) None
-          else Some(input.filter(org.apache.spark.sql.functions
-            .col(batchCol) < nBatches).count())
-        runDistributed(transformed, s"$dir/out", mode, None, progress, expected)
-        readBack(spark, s"$dir/out", transformed.schema)
+          else Some(phase("count")(input.filter(org.apache.spark.sql.functions
+            .col(batchCol) < nBatches).count()))
+        phase("stream")(
+          runDistributed(transformed, s"$dir/out", mode, None, progress, expected))
+        phase("readback")(readBack(spark, s"$dir/out", transformed.schema))
       }
     } finally {
       val p = new org.apache.hadoop.fs.Path(dir)
