@@ -117,6 +117,34 @@ object PipelineQueries {
         .localCheckpoint(eager = true)
     }
 
+  /** Inline PQ codeword argmin (round 12, shared by x206/x210). `cb` is
+    * ≤ m·kpq = 128 rows of model state ((sb, cw, cvec)) — the coarse
+    * quantizer's driver-held posture — so collect it and unroll the argmin
+    * over codewords into ONE narrow codegen projection over rows carrying
+    * (sb, sub, sub2): per codeword dv = |s|²+|c|²−2s·c against
+    * element_at(<2-D literal>, sb+1), then array_min over the ≤16 packed
+    * dv·16+cw BIGINTs (exact: cw < 16, dv ≤ 8·508²; equal dv → lowest cw,
+    * the min(struct(dv, cw)) order). A (sb, cw) the book lacks scores
+    * NULL, which array_min skips — exactly the rows a broadcast-join
+    * fan-out would never produce. Replaces the |rows|×kpq join fan-out +
+    * packed-min re-aggregation with zero shuffle; every dv and chosen cw
+    * is integer-identical to the joined form. */
+  private def pqArgminCode(cb: DataFrame): org.apache.spark.sql.Column = {
+    val rows = cb
+      .select(col("sb").cast(LongType), col("cw").cast(LongType), col("cvec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+    val packed: Seq[org.apache.spark.sql.Column] = (0L until 16L).map { cw =>
+      val bySb = rows.filter(_._2 == cw).map(t => t._1 -> t._3).toMap
+      val cvecs: Seq[Seq[Long]] = (0L until 8L).map(sb => bySb.get(sb).orNull)
+      val cvec = element_at(typedLit(cvecs), (col("sb") + 1).cast("int"))
+      (col("sub2") + graft.functions.IntDotProduct.intDot(cvec, cvec) -
+        lit(2L) * graft.functions.IntDotProduct.intDot(col("sub"), cvec)) *
+        lit(16L) + lit(cw)
+    }
+    array_min(array(packed: _*)) % 16L
+  }
+
   /** The session-shared maximal-repeat span frame (doc_id, source, start,
     * len; k = 25 whitespace tokens; 0-based starts), following the LSH-pair
     * discipline end to end: x197 reports it, x201 scrubs with it, and the
@@ -13066,14 +13094,20 @@ object PipelineQueries {
               "transform(sequence(0, 7), t -> slice(qv, t * 8 + 1, 8))"))
               .as(Seq("sb", "cvec")))
           .localCheckpoint(true) // m·k = 128 rows — bounded model state
+        // encode: the shared inline scorer (pqArgminCode, round 12) — the
+        // 128-row codebook is collected (driver-held model state) and the
+        // packed dv·16+cw argmin unrolls into one codegen projection; the
+        // former broadcast-join fan-out (|corpus|·m × k rows through an
+        // interpreted l2 lambda) and the min(struct(dv, cw)) aggregate are
+        // gone. dv and the tie-to-lowest-cw choice are integer-identical.
         val codes = e.select(col("vec_id"),
             posexplode(expr(
               "transform(sequence(0, 7), t -> slice(qv, t * 8 + 1, 8))"))
               .as(Seq("sb", "sub")))
-          .join(broadcast(cb), Seq("sb"))
-          .withColumn("dv", expr(l2("sub", "cvec")))
-          .groupBy("vec_id", "sb")
-          .agg(min(struct(col("dv"), col("cw"))).getField("cw").as("code"))
+          .withColumn("sub2",
+            graft.functions.IntDotProduct.intDot(col("sub"), col("sub")))
+          .withColumn("code", pqArgminCode(cb))
+          .select("vec_id", "sb", "code")
         val q = e.filter(col("vec_id") % 53 === 7 && col("vec_id") < 20000)
           .select(col("vec_id").as("q_id"), col("qv").as("q_qv"))
           .localCheckpoint(true) // bounded query sample (x69/x124 argument)
@@ -13092,9 +13126,19 @@ object PipelineQueries {
           .filter(col("rn") <= 10)
           .select("q_id", "n_id", "adc")
           .localCheckpoint(true) // overlap + adc_sum both read it
+        // |q|²+|n|²−2q·n with the native dot (round 12, x210's referee
+        // form): the corpus × query exact side was an interpreted
+        // zip_with/aggregate lambda per pair; norms are computed once per
+        // side, the per-pair work is one codegen dot loop. Integer
+        // identity — dist values (and so the top-10) are unchanged.
         val exact = e.select(col("vec_id").as("n_id"), col("qv").as("n_qv"))
-          .join(broadcast(q), col("n_id") =!= col("q_id"))
-          .withColumn("dist", expr(l2("q_qv", "n_qv")))
+          .withColumn("n2",
+            graft.functions.IntDotProduct.intDot(col("n_qv"), col("n_qv")))
+          .join(broadcast(q.withColumn("q2",
+            graft.functions.IntDotProduct.intDot(col("q_qv"), col("q_qv")))),
+            col("n_id") =!= col("q_id"))
+          .withColumn("dist", col("q2") + col("n2") - lit(2L) *
+            graft.functions.IntDotProduct.intDot(col("q_qv"), col("n_qv")))
           .withColumn("rn", row_number().over(
             Window.partitionBy("q_id").orderBy(col("dist"), col("n_id"))))
           .filter(col("rn") <= 10)
@@ -13564,39 +13608,13 @@ object PipelineQueries {
           .withColumn("sub2",
             graft.functions.IntDotProduct.intDot(col("sub"), col("sub")))
           .transform(df => tstage("sub")(df.localCheckpoint(true))) // read by train-assign AND final encode
-        // argmin codeword as min over dv·16+cw packed into ONE BIGINT
-        // (round 12; cw < 16 and dv ≤ 8·254² make the packing exact and
-        // the lexicographic order identical, so the chosen cw is
-        // unchanged). Round-12 pass 2: the codebook is ≤ m·kpq = 128 rows
-        // of driver-held model state (the coarse quantizer's own posture),
-        // so instead of fanning every subvector ×kpq through a broadcast
-        // join and re-aggregating the packed min, collect it and unroll
-        // the argmin into ONE narrow codegen projection — per codeword,
-        // dv = |s|²+|c|²−2s·c against element_at(<2-D literal>, sb+1),
-        // then array_min over the 16 packed BIGINTs. A (sb, cw) the
-        // trained book dropped (empty codeword) scores NULL, which
-        // array_min skips — exactly the rows the former join never
-        // produced. dv values, tie order and the chosen cw are
-        // integer-identical; the |sub| rows never fan out at all (and the
-        // former |sub|⋈|sub| join-back for the centroid update is gone —
-        // each sub row already carries its own subvector).
-        def pqAssignExpr(cb: DataFrame): org.apache.spark.sql.Column = {
-          val rows = cb
-            .select(col("sb").cast(LongType), col("cw").cast(LongType),
-              col("cvec"))
-            .collect()
-            .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
-          val packed: Seq[org.apache.spark.sql.Column] = (0L until 16L).map { cw =>
-            val bySb = rows.filter(_._2 == cw).map(t => t._1 -> t._3).toMap
-            val cvecs: Seq[Seq[Long]] = (0L until 8L).map(sb => bySb.get(sb).orNull)
-            val cvec = element_at(typedLit(cvecs), (col("sb") + 1).cast("int"))
-            (col("sub2") + graft.functions.IntDotProduct.intDot(cvec, cvec) -
-              lit(2L) * graft.functions.IntDotProduct.intDot(col("sub"), cvec)) *
-              lit(16L) + lit(cw)
-          }
-          array_min(array(packed: _*)) % 16L
-        }
-        val cb1 = sub.withColumn("cw", pqAssignExpr(cb0))
+        // argmin codeword: the shared inline scorer (pqArgminCode) — the
+        // codebook is collected (driver-held model state, the coarse
+        // quantizer's own posture) and the packed dv·16+cw argmin unrolls
+        // into one codegen projection; no join fan-out, no
+        // re-aggregation, and no |sub|⋈|sub| join-back for the centroid
+        // update (each sub row already carries its own subvector).
+        val cb1 = sub.withColumn("cw", pqArgminCode(cb0))
           .select(col("sb"), col("cw"), posexplode(col("sub")).as(Seq("p", "v")))
           .groupBy("sb", "cw", "p")
           .agg(floor(sum(col("v")).cast(DoubleType) / count(lit(1)))
@@ -13605,7 +13623,7 @@ object PipelineQueries {
           .agg(expr("transform(array_sort(collect_list(struct(p, cv))), x -> x.cv)")
             .as("cvec"))
           .transform(df => tstage("cb1")(df.localCheckpoint(true))) // trained codebooks (empty codewords drop)
-        val codes = sub.withColumn("code", pqAssignExpr(cb1))
+        val codes = sub.withColumn("code", pqArgminCode(cb1))
           .select("vec_id", "cent_id", "sb", "code")
         // —— query side: probe ONE cluster, ADC against trained books ——
         val q = res.filter(col("vec_id") % 53 === 7 && col("vec_id") < 20000)
