@@ -147,6 +147,19 @@ object StreamGate {
               "within the 300 s bound")
       }
       q.recentProgress.foreach(progress)
+      // env-gated per-batch duration breakdown — measurement only
+      if (sys.env.contains("SPARK_GRAFT_GATE_TIMINGS"))
+        q.recentProgress.foreach { p =>
+          val d = p.durationMs
+          System.err.println(s"[gate-batch] batch=${p.batchId} " +
+            s"rows=${p.numInputRows} " +
+            s"total=${d.getOrDefault("triggerExecution", -1L)} " +
+            s"plan=${d.getOrDefault("queryPlanning", -1L)} " +
+            s"offset=${d.getOrDefault("latestOffset", -1L)} " +
+            s"walCommit=${d.getOrDefault("walCommit", -1L)} " +
+            s"addBatch=${d.getOrDefault("addBatch", -1L)} " +
+            s"commit=${d.getOrDefault("commitOffsets", -1L)}")
+        }
     } finally if (q.isActive) q.stop()
   }
 
@@ -258,10 +271,23 @@ object StreamGate {
           .option("latestFirst", "false")
           .parquet(s"$dir/batch-*.parquet")
         val transformed = transform(stream)
+        // The explicit-stop target = rows the source will consume = rows
+        // actually staged. Summing the staged files' parquet footer counts
+        // (driver-only metadata reads) replaces the former Spark job that
+        // re-filtered and re-counted the input frame — same number by
+        // construction (stageBatches wrote exactly the batchCol<nBatches
+        // rows), no recompute of the input lineage.
         val expected =
           if (availableNow) None
-          else Some(phase("count")(input.filter(org.apache.spark.sql.functions
-            .col(batchCol) < nBatches).count()))
+          else Some(phase("count")(
+            fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+              .filter(_.getPath.getName.startsWith("batch-"))
+              .map { st =>
+                val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                  .fromStatus(st, spark.sparkContext.hadoopConfiguration)
+                val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+                try r.getRecordCount finally r.close()
+              }.sum))
         phase("stream")(
           runDistributed(transformed, s"$dir/out", mode, None, progress, expected))
         phase("readback")(readBack(spark, s"$dir/out", transformed.schema))
