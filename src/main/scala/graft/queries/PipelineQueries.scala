@@ -129,7 +129,7 @@ object PipelineQueries {
     * fan-out would never produce. Replaces the |rows|×kpq join fan-out +
     * packed-min re-aggregation with zero shuffle; every dv and chosen cw
     * is integer-identical to the joined form. */
-  private def pqArgminCode(cb: DataFrame): org.apache.spark.sql.Column = {
+  private[queries] def pqArgminCode(cb: DataFrame): org.apache.spark.sql.Column = {
     val rows = cb
       .select(col("sb").cast(LongType), col("cw").cast(LongType), col("cvec"))
       .collect()
